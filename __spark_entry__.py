@@ -1,38 +1,278 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry runs a REAL engine pipeline (WKB geometry ->
+Arrow pandas-UDF decode -> hierarchical cell cover -> equi-join ->
+exact refinement kernels); the matching ``oracle_sql()`` re-derives
+the same answer in pure DuckDB SQL from deterministic integer
+arithmetic over the same parquet tables
+(``cdap_geo_spark/sources/relational.py`` documents the formulas).
+A pass therefore certifies the whole engine stack, not the formulas.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _spatial_conf(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact point-in-polygon spatial join of the interleaved
+    documents table against region polygons (the bbox_intersects
+    contract, reference cdap_geo/index_bbox.py:32-76), returning
+    (doc_id, region_id) pairs."""
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, SF0001))
+    regions = R.region_boxes(spark, SF0001).select("region_id", "geometry")
+    return sjoin_pairs(docs, regions, left_id="doc_id",
+                       right_id="region_id", level=8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_sjoin_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = sjoin_pairs(docs, regions, left_id="doc_id", right_id="region_id",
+                      level=8)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
+def _q_sjoin_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = sjoin_pairs(docs, regions, left_id="doc_id", right_id="region_id",
+                      level=8, salt=8, broadcast=False)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
+def _q_sjoin_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    dboxes = R.doc_boxes(spark, sf_dir)
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = sjoin_pairs(dboxes, regions, left_id="doc_id", right_id="region_id",
+                      level=8, predicate="bbox")
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    pts = R.doc_points(spark, sf_dir).select("doc_id", "geometry")
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = sjoin_pairs(pts, regions, left_id="doc_id", right_id="region_id",
+                      level=8, predicate="distance", distance=25_000.0)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.tiles import assign_tiles
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    pts = R.doc_points(spark, sf_dir).select("doc_id", "geometry")
+    out = assign_tiles(pts, bbox=(0, 0, 700_000, 1_300_000), splits=10)
+    return out.select(F.col("doc_id").cast("long"), "tile_id")
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.knn import knn_join
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    corpus = R.doc_points(spark, sf_dir).select("doc_id", "geometry")
+    queries = R.query_points(spark, sf_dir)
+    out = knn_join(queries, corpus, k=5, level=8, max_rounds=40)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("doc_id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
+def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    return regions.select(
+        F.col("region_id").cast("long"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("area"))
+
+
+def _q_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.functions.relational import global_bounds
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    pts = R.doc_points(spark, sf_dir)
+    b = udfs.st_bounds()(F.col("geometry"))
+    bdf = pts.select(b["minx"].alias("minx"), b["miny"].alias("miny"),
+                     b["maxx"].alias("maxx"), b["maxy"].alias("maxy"))
+    out = global_bounds(bdf)
+    return out.select(F.col("minx").cast("long"), F.col("miny").cast("long"),
+                      F.col("maxx").cast("long"), F.col("maxy").cast("long"))
+
+
+def _q_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.functions.relational import sdf_groupmax
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = sdf_groupmax(li, "l_orderkey", "l_extendedprice")
+    return out.select(F.col("l_orderkey").cast("long"),
+                      F.col("l_linenumber").cast("long"),
+                      F.col("l_extendedprice"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "sjoin_pip": _q_sjoin_pip,
+        "sjoin_pip_salted": _q_sjoin_pip_salted,
+        "sjoin_bbox": _q_sjoin_bbox,
+        "distance_join": _q_distance_join,
+        "tile_assign": _q_tile_assign,
+        "knn": _q_knn,
+        "region_area": _q_region_area,
+        "global_bbox": _q_global_bbox,
+        "groupmax": _q_groupmax,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+_PTS = """
+  SELECT doc_id,
+         CAST((doc_id*48271 + 17) % 700000  AS DOUBLE) AS x,
+         CAST((doc_id*69621 + 29) % 1300000 AS DOUBLE) AS y
+  FROM documents
+"""
+
+_BOXES = """
+  SELECT p_partkey AS region_id,
+         CAST((p_partkey*40503 + 101) % 650000  AS DOUBLE) AS minx,
+         CAST((p_partkey*69301 + 257) % 1250000 AS DOUBLE) AS miny,
+         CAST((p_partkey*40503 + 101) % 650000
+              + (p_partkey*97 + 13) % 50000 + 1000 AS DOUBLE) AS maxx,
+         CAST((p_partkey*69301 + 257) % 1250000
+              + (p_partkey*89 + 37) % 50000 + 1000 AS DOUBLE) AS maxy
+  FROM part
+"""
+
+_DBOXES = """
+  SELECT doc_id,
+         CAST((doc_id*48271 + 17) % 700000  AS DOUBLE) AS minx,
+         CAST((doc_id*69621 + 29) % 1300000 AS DOUBLE) AS miny,
+         CAST((doc_id*48271 + 17) % 700000
+              + (doc_id*31 + 7) % 20000 + 500 AS DOUBLE) AS maxx,
+         CAST((doc_id*69621 + 29) % 1300000
+              + (doc_id*37 + 11) % 20000 + 500 AS DOUBLE) AS maxy
+  FROM documents
+"""
+
+_QPTS = """
+  SELECT n_nationkey AS query_id,
+         CAST((n_nationkey*104729 + 7) % 700000  AS DOUBLE) AS x,
+         CAST((n_nationkey*130363 + 3) % 1300000 AS DOUBLE) AS y
+  FROM nation
+"""
+
+_SJOIN_PIP_SQL = f"""
+  WITH pts AS ({_PTS}), boxes AS ({_BOXES})
+  SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+         CAST(b.region_id AS BIGINT) AS region_id
+  FROM pts p JOIN boxes b
+    ON p.x >= b.minx AND p.x <= b.maxx
+   AND p.y >= b.miny AND p.y <= b.maxy
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sjoin_pip": _SJOIN_PIP_SQL,
+        "sjoin_pip_salted": _SJOIN_PIP_SQL,
+        "sjoin_bbox": f"""
+          WITH d AS ({_DBOXES}), b AS ({_BOXES})
+          SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                 CAST(b.region_id AS BIGINT) AS region_id
+          FROM d JOIN b
+            ON NOT (d.minx > b.maxx OR d.miny > b.maxy
+                 OR d.maxx < b.minx OR d.maxy < b.miny)
+        """,
+        "distance_join": f"""
+          WITH p AS ({_PTS}), b AS ({_BOXES})
+          SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                 CAST(b.region_id AS BIGINT) AS region_id
+          FROM p JOIN b
+            ON sqrt(pow(greatest(b.minx - p.x, p.x - b.maxx, 0), 2)
+                  + pow(greatest(b.miny - p.y, p.y - b.maxy, 0), 2))
+               <= 25000.0
+        """,
+        "tile_assign": f"""
+          WITH p AS ({_PTS})
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(CAST(floor(x / 70000) AS BIGINT) * 70000 AS VARCHAR)
+                 || '-' ||
+                 CAST(CAST(floor(y / 130000) AS BIGINT) * 130000 AS VARCHAR)
+                 AS tile_id
+          FROM p
+        """,
+        "knn": f"""
+          WITH q AS ({_QPTS}), c AS ({_PTS}), ranked AS (
+            SELECT q.query_id, c.doc_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y),
+                              c.doc_id) AS rank
+            FROM q CROSS JOIN c)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(rank AS BIGINT) AS rank
+          FROM ranked WHERE rank <= 5
+        """,
+        "region_area": f"""
+          WITH b AS ({_BOXES})
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 CAST((maxx - minx) * (maxy - miny) AS BIGINT) AS area
+          FROM b
+        """,
+        "global_bbox": f"""
+          WITH p AS ({_PTS})
+          SELECT CAST(min(x) AS BIGINT) AS minx, CAST(min(y) AS BIGINT) AS miny,
+                 CAST(max(x) AS BIGINT) AS maxx, CAST(max(y) AS BIGINT) AS maxy
+          FROM p
+        """,
+        "groupmax": """
+          SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                 CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                 l_extendedprice
+          FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS m
+                FROM lineitem)
+          WHERE l_extendedprice = m
+        """,
+    }

@@ -1,0 +1,125 @@
+"""Bench harness — headline: sjoin + tile-assign end-to-end throughput.
+
+Input: the deterministic interleaved-docs fixture at the scale factor
+implied by $SPARK_GRAFT_SF_DIR (FIXTURES.md §1: ~6,000,000 x sf docs)
+plus the regions fixture; generated once and cached as parquet under
+.bench_data/ (generation cost excluded from timings, like any real
+at-rest table).
+
+Job (BASELINE.md measurement plan): decode geometry spans (Arrow PUDF)
+-> hierarchical cell cover -> cell equi-join (AQE broadcast/skew) ->
+exact intersects refinement -> tile assignment of matched docs -> noop
+sink (the reference's force-execute trick, cdap_geo/utils.py:57-59).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "rows": ...,
+   "rows_per_sec": ...}
+
+Scaling evidence (north rule, N vs 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and
+  SPARK_GRAFT_CPUS=32 python bench.py
+or `python scripts/scaling.py` which does both and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_data")
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def ensure_fixtures(spark, sf: float) -> tuple[str, str]:
+    """Generate (once) and return paths of docs + regions parquet."""
+    from cdap_geo_spark import fixtures
+    n_docs = max(1000, int(6_000_000 * sf))
+    n_regions = max(50, int(50_000 * sf))
+    docs_path = os.path.join(BENCH_DATA, f"sf{sf}", "documents")
+    regs_path = os.path.join(BENCH_DATA, f"sf{sf}", "regions")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        (fixtures.documents(spark, n_docs, partitions=max(CPUS * 2, 8))
+         .write.mode("overwrite").parquet(docs_path))
+    if not os.path.exists(os.path.join(regs_path, "_SUCCESS")):
+        (fixtures.regions(spark, n_regions)
+         .write.mode("overwrite").parquet(regs_path))
+    return docs_path, regs_path
+
+
+def headline(spark, docs_path: str, regs_path: str) -> dict:
+    """sjoin + tile-assign end-to-end -> noop sink."""
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.tiles import assign_tiles
+
+    docs = D.with_geometry(spark.read.parquet(docs_path))
+    regions = spark.read.parquet(regs_path).select("region_id", "geometry")
+    t0 = time.time()
+    pairs = sjoin_pairs(docs, regions, left_id="doc_id",
+                        right_id="region_id", level=7, broadcast=True)
+    tiled = assign_tiles(docs, bbox=(0, 0, 700_000, 1_300_000), splits=10)
+    out = pairs.join(tiled, "doc_id")
+    rows = out.count()
+    wall = time.time() - t0
+    return {"seconds": round(wall, 3), "rows": rows,
+            "rows_per_sec": round(rows / wall, 1)}
+
+
+def relational_queries(spark) -> dict:
+    """Per-query wall seconds for the driver-contract queries at the
+    bench sf dir (documents/part tables)."""
+    import __spark_entry__ as E
+    out = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    from cdap_geo_spark.session import get_spark
+    sf = sf_of(SF_DIR)
+    spark = get_spark(app="bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_path, regs_path = ensure_fixtures(spark, sf)
+
+    # relational queries first (clean session), headline last — an
+    # intermittent local-mode stall follows large mapInPandas jobs in
+    # this sandbox (~60s, CPU idle; not present on fresh sessions)
+    queries = relational_queries(spark)
+    h = headline(spark, docs_path, regs_path)
+    queries["sjoin_tile_headline"] = h["seconds"]
+
+    result = {
+        "metric": "sjoin+tile-assign end-to-end wall seconds "
+                  f"({int(6_000_000 * sf)} interleaved docs)",
+        "value": h["seconds"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "rows": h["rows"],
+        "rows_per_sec": h["rows_per_sec"],
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""kNN via cell-ring expansion (absent in the reference — SURVEY.md
+§2.3 notes nearest-neighbour is only approximable there via
+``st_join(distance=d)``, ``cdap_geo/sedona.py:136-141``; the north rule
+mandates a true kNN operator).
+
+Algorithm (distance-certified iterative expansion):
+
+1. index the corpus points once at ``level`` (cell_id equi-join key);
+2. round r: each still-pending query emits the hollow Chebyshev ring
+   of cells at radius r around its own cell (Arrow PUDF
+   ``st_ring_cells``), equi-joins the corpus index, and unions the
+   candidates into an accumulator;
+3. a query is DONE when its current k-th nearest candidate distance
+   d_k <= r * cellsize: every unexplored cell lies at Chebyshev ring
+   >= r+1, whose nearest point is >= r*cellsize away, so no unseen
+   point can beat the current top-k;
+4. final rank: ``row_number() over (partition by query order by dist,
+   corpus_id) <= k`` — ties broken deterministically by corpus id.
+
+The driver loop iterates over ring radii (doubling the step after the
+first hit round) — each round is one narrow equi-join; candidate
+accumulation stays columnar. At 100 TB the corpus index is written
+cell-clustered (repartitionByRange on cell_id) so ring joins prune to
+the touched cells via parquet min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cdap_geo_spark import udfs
+from cdap_geo_spark.core import cells as C
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
+             level: int = 9,
+             query_id: str = "query_id", corpus_id: str = "doc_id",
+             query_geom: str = "geometry", corpus_geom: str = "geometry",
+             max_rounds: int = 12,
+             broadcast_queries: bool = True) -> DataFrame:
+    """(query_id, doc_id, dist, rank<=k) for point queries over a point
+    corpus. Exact (certified by the ring bound), deterministic ties.
+    """
+    cs = C.cell_size(level)
+
+    qb = udfs.st_bounds()(F.col(query_geom))
+    q = queries.select(
+        F.col(query_id),
+        qb["minx"].alias("_qx"), qb["miny"].alias("_qy"),
+    ).where(F.col("_qx").isNotNull())
+
+    cb = udfs.st_bounds()(F.col(corpus_geom))
+    corp = corpus.select(
+        F.col(corpus_id),
+        cb["minx"].alias("_cx"), cb["miny"].alias("_cy"),
+        udfs.st_cell_point(level)(F.col(corpus_geom)).alias("cell_id"),
+    ).where(F.col("cell_id").isNotNull())
+    corp = corp.persist()
+    try:
+        pending = q.persist()
+        acc = None
+        # geometric annulus schedule: [0,0], [1,2], [3,6], [7,14], ...
+        lo, hi = 0, 0
+        rounds = 0
+        dist = udfs.st_point_distance()(
+            F.col("_qx"), F.col("_qy"), F.col("_cx"), F.col("_cy"))
+        while rounds < max_rounds:
+            ring = udfs.st_ring_cells(level)(
+                F.col("_qx"), F.col("_qy"), F.lit(lo), F.lit(hi))
+            probes = pending.select(
+                query_id, "_qx", "_qy", F.explode(ring).alias("cell_id"))
+            if broadcast_queries:
+                probes = F.broadcast(probes)
+            found = probes.join(corp, "cell_id") \
+                .select(query_id, "_qx", "_qy", corpus_id, "_cx", "_cy") \
+                .withColumn("_dist", dist)
+            merged = found if acc is None else acc.unionByName(found)
+            # keep only each query's current top-k — bounds the
+            # accumulator to k rows per query between rounds.
+            # localCheckpoint truncates the lineage: acc feeds pending
+            # feeds next round's acc, so without truncation the logical
+            # plan doubles per round (classic iterative-algorithm trap).
+            w = Window.partitionBy(query_id).orderBy("_dist", corpus_id)
+            new_acc = merged.withColumn("_rn", F.row_number().over(w)) \
+                            .filter(F.col("_rn") <= k).drop("_rn") \
+                            .localCheckpoint(eager=True)
+            if acc is not None:
+                acc.unpersist()
+            acc = new_acc
+            # done: k candidates AND certified (d_k <= hi*cs: every
+            # unexplored cell is at Chebyshev ring >= hi+1, so no
+            # unseen point can be closer than hi*cellsize)
+            stats = acc.groupBy(query_id).agg(
+                F.count("*").alias("_n"), F.max("_dist").alias("_dk"))
+            done_q = stats.filter(
+                (F.col("_n") >= k) & (F.col("_dk") <= F.lit(float(hi) * cs)))
+            pending_next = pending.join(done_q.select(query_id),
+                                        query_id, "left_anti") \
+                                  .localCheckpoint(eager=True)
+            n_pending = pending_next.count()
+            pending.unpersist()
+            pending = pending_next
+            if n_pending == 0:
+                break
+            lo, hi = hi + 1, hi * 2 + 2
+            rounds += 1
+        w = Window.partitionBy(query_id).orderBy("_dist", corpus_id)
+        out = acc.withColumn("rank", F.row_number().over(w)) \
+                 .filter(F.col("rank") <= k) \
+                 .select(query_id, corpus_id, F.col("_dist").alias("dist"),
+                         "rank")
+        return out
+    finally:
+        corp.unpersist()

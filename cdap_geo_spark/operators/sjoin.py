@@ -1,0 +1,249 @@
+"""The spatial join planner — cell equi-join + exact refinement.
+
+Re-expresses the reference's ``bbox_join``/``bbox_intersects``
+(``cdap_geo/index_bbox.py:32-76``) and ``bng_join``
+(``cdap_geo/index_bng.py:16-36``) as ONE Spark-first pipeline:
+
+    decode+bounds+cells   (1 fused Arrow PUDF per side)
+      -> explode cells    (Generate)
+      -> equi-join on cell_id  (broadcast | shuffle-hash, optional salt)
+      -> dropDuplicates([l_id, r_id])   (narrow pre-payload dedup)
+      -> native bbox-overlap prefilter  (pure Catalyst, codegen'd)
+      -> exact intersects refinement    (1 Arrow PUDF)
+
+vs the reference's ~4 shuffles + 3 Python round-trips (SURVEY.md §3.1):
+this plan is 1-2 shuffles and 2 Arrow boundaries.
+
+Scale levers (all explicit parameters, chosen by the caller or the
+planner heuristics — no Catalyst extension needed):
+
+* ``broadcast=True`` pins a broadcast-hash join for a small right side
+  (regions/tiles); ``'auto'`` leaves it to AQE's runtime conversion;
+* ``salt=k`` spreads hot cells (dense geographies) over k shuffle
+  keys: the left side gets a deterministic salt from its id, the right
+  side is replicated k ways — result set is provably salt-invariant
+  (property-tested);
+* ``how='marked'`` on a polygon right side flags cells wholly inside
+  the polygon (``cdap_geo/_indexing.py:290-304``): candidates produced
+  by such cells skip the exact-refinement kernel when the left cover
+  is exact (cell box ⊆ polygon and left ∩ cell box ≠ ∅ ⟹ intersects).
+
+The reference's ``monotonically_increasing_id`` + cache pitfall
+(``cdap_geo/index_bbox.py:36-43``: ids stable only while cached) is
+avoided: callers supply stable content keys (``doc_id``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from cdap_geo_spark import udfs
+from cdap_geo_spark.core import cells as C
+
+DEFAULT_LEVEL = C.LEVEL_100KM  # ~131 km cells ≈ the reference's 100 km grid
+
+
+def _index_side(df: DataFrame, id_col: str, geom_col: str, level: int,
+                how: str, pad: float, keep_geom: bool,
+                dilate: float = 0.0) -> DataFrame:
+    """Narrow (id, bounds, cell_id, inside[, geometry]) index relation.
+
+    ONE fused ``mapInPandas`` pass: WKB decode + bounds + cell cover +
+    explode all happen inside a single Arrow batch in NumPy (the
+    explode is a ``np.repeat``), emitting flat primitive columns only.
+    This replaces the reference's three per-row UDF passes + Spark-side
+    explode (``cdap_geo/index_bbox.py:8,15-30,45-50``) and avoids
+    shipping nested array<struct> columns through Arrow.
+
+    Project-early: only id + geometry enter the kernel; the payload
+    (e.g. the spans array) never travels through the cell explode /
+    shuffle — the reference's drop-columns-then-fetch-back advice
+    (README.md:64-67) built into the plan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cdap_geo_spark.core import cells as C, wkb as W
+
+    src = df.select(F.col(id_col), F.col(geom_col))
+    id_field = src.schema[id_col]
+    geom_field = src.schema[geom_col]
+    out_fields = [id_field]
+    if keep_geom:
+        out_fields.append(geom_field)
+    out_schema = T.StructType(out_fields + [
+        T.StructField("_minx", T.DoubleType()),
+        T.StructField("_miny", T.DoubleType()),
+        T.StructField("_maxx", T.DoubleType()),
+        T.StructField("_maxy", T.DoubleType()),
+        T.StructField("cell_id", T.LongType()),
+        T.StructField("_inside", T.BooleanType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = [None if v is None else bytes(v) for v in pdf[geom_col]]
+            batch = W.parse_wkb(blobs)
+            b = batch.bounds()
+            off, cc, inside = C.cover_batch(batch, level, how=how, pad=pad,
+                                            dilate=dilate)
+            counts = off[1:] - off[:-1]
+            owner = np.repeat(np.arange(len(pdf)), counts)
+            out = {id_col: pdf[id_col].to_numpy()[owner]}
+            if keep_geom:
+                out[geom_col] = pdf[geom_col].to_numpy()[owner]
+            out["_minx"] = b[owner, 0]
+            out["_miny"] = b[owner, 1]
+            out["_maxx"] = b[owner, 2]
+            out["_maxy"] = b[owner, 3]
+            out["cell_id"] = cc
+            out["_inside"] = inside
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema=out_schema)
+
+
+def sjoin_pairs(left: DataFrame, right: DataFrame, *,
+                left_id: str = "doc_id", right_id: str = "region_id",
+                left_geom: str = "geometry", right_geom: str = "geometry",
+                level: int = DEFAULT_LEVEL,
+                predicate: str = "intersects",
+                left_how: str | None = None, right_how: str | None = None,
+                pad: float = 1.0,
+                broadcast: bool | str = "auto",
+                salt: int = 1,
+                dedup: bool = True,
+                distance: float | None = None,
+                keep_distance: bool = False) -> DataFrame:
+    """Candidate-generate + refine; returns distinct (left_id, right_id).
+
+    predicate: 'intersects' (exact, ``bbox_intersects`` semantics,
+    ``cdap_geo/index_bbox.py:73-76``), 'bbox' (bbox-overlap only —
+    the ``bbox_join`` contract, ``:32-71``), or 'distance' (pairs
+    within ``distance`` metres — ``st_join(distance=d)`` semantics,
+    ``cdap_geo/sedona.py:136-147`` — via cell-dilated covers + exact
+    distance refinement, never a nested-loop join).
+    """
+    dilate_l = 0.0
+    if predicate == "distance":
+        if distance is None:
+            raise ValueError("distance predicate needs distance=")
+        # dilate the LEFT cover by the distance: everything within d of
+        # the left geometry lies inside its dilated cover, so the cell
+        # equi-join loses no candidates.
+        dilate_l = float(distance)
+
+    lh = left_how or ("intersects" if predicate != "distance" else "bbox")
+    rh = right_how or ("marked" if predicate == "intersects" else "bbox")
+    # exact-cover fast path is only sound when the left cover is exact
+    fast_path_ok = (predicate == "intersects" and lh == "intersects")
+
+    l = _index_side(left, left_id, left_geom, level, lh, pad,
+                    keep_geom=(predicate != "bbox"), dilate=dilate_l)
+    r = _index_side(right, right_id, right_geom, level, rh, pad,
+                    keep_geom=(predicate != "bbox"))
+
+    l = l.withColumnsRenamed({
+        "_minx": "_lminx", "_miny": "_lminy",
+        "_maxx": "_lmaxx", "_maxy": "_lmaxy", "_inside": "_linside"})
+    if left_geom == right_geom and predicate != "bbox":
+        l = l.withColumnRenamed(left_geom, "_lgeom")
+        left_geom_c = "_lgeom"
+    else:
+        left_geom_c = left_geom
+    r = r.withColumnsRenamed({
+        "_minx": "_rminx", "_miny": "_rminy",
+        "_maxx": "_rmaxx", "_maxy": "_rmaxy", "_inside": "_rinside"})
+
+    join_keys = ["cell_id"]
+    if salt > 1:
+        l = l.withColumn("_salt", F.pmod(F.xxhash64(F.col(left_id)),
+                                         F.lit(salt)).cast("int"))
+        r = r.withColumn("_salt",
+                         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        join_keys = ["cell_id", "_salt"]
+
+    rside = F.broadcast(r) if broadcast is True else r
+    cand = l.join(rside, on=join_keys, how="inner")
+
+    # bbox-overlap prefilter — native, codegen'd; strict inequalities
+    # exactly as the reference (touching bboxes remain candidates,
+    # cdap_geo/index_bbox.py:56-61). For distance joins the test is
+    # dilated by d: bboxes further apart than d can't contain a pair.
+    margin = F.lit(float(distance)) if predicate == "distance" else F.lit(0.0)
+    cand = cand.filter(
+        ~((F.col("_lminx") - margin > F.col("_rmaxx")) |
+          (F.col("_lminy") - margin > F.col("_rmaxy")) |
+          (F.col("_lmaxx") + margin < F.col("_rminx")) |
+          (F.col("_lmaxy") + margin < F.col("_rminy")))
+    )
+
+    if dedup:
+        # narrow dedup on ids only — cheaper than the reference's
+        # full-row .distinct() (cdap_geo/index_bbox.py:53). Keep the
+        # interior flag's OR so the fast path survives dedup.
+        aggs = [F.max("_rinside").alias("_rinside")]
+        if predicate != "bbox":
+            aggs += [F.first(left_geom_c).alias(left_geom_c),
+                     F.first(right_geom).alias(right_geom)]
+        cand = cand.groupBy(left_id, right_id).agg(*aggs)
+
+    if predicate == "bbox":
+        return cand.select(left_id, right_id)
+
+    if predicate == "intersects":
+        if fast_path_ok:
+            refined = cand.filter(
+                F.col("_rinside") |
+                udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom)))
+        else:
+            refined = cand.filter(
+                udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom)))
+        return refined.select(left_id, right_id)
+
+    if predicate == "distance":
+        d = udfs.st_distance()(F.col(left_geom_c), F.col(right_geom))
+        refined = cand.withColumn("_dist", d).filter(F.col("_dist") <= F.lit(distance))
+        cols = [left_id, right_id] + (["_dist"] if keep_distance else [])
+        out = refined.select(*cols)
+        return out.withColumnRenamed("_dist", "dist") if keep_distance else out
+
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
+def sjoin(left: DataFrame, right: DataFrame, *,
+          left_id: str = "doc_id", right_id: str = "region_id",
+          lsuffix: str = "", rsuffix: str = "_right",
+          **kwargs) -> DataFrame:
+    """Full spatial join: pairs + payload fetch-back.
+
+    The reference re-attaches payload by joining candidates back to the
+    cached inputs (``cdap_geo/index_bbox.py:67-70``). Same shape here,
+    but against the original (uncached) relations keyed by stable ids,
+    with colliding columns suffix-renamed like ``st_join``
+    (``cdap_geo/sedona.py:122-125``).
+    """
+    pairs = sjoin_pairs(left, right, left_id=left_id, right_id=right_id,
+                        **kwargs)
+    lcols = set(left.columns)
+    collisions = [c for c in right.columns if c in lcols and c != right_id]
+    r = right
+    for c in collisions:
+        r = r.withColumnRenamed(c, c + rsuffix)
+    l = left
+    if lsuffix:
+        for c in collisions:
+            l = l.withColumnRenamed(c, c + lsuffix)
+    return pairs.join(l, on=left_id).join(r, on=right_id)
+
+
+def hot_cells(df: DataFrame, geom_col: str = "geometry",
+              level: int = DEFAULT_LEVEL, threshold: int = 100_000) -> DataFrame:
+    """Cell census for skew planning: cells whose row count exceeds
+    ``threshold``. Persisted by callers into the manifest so repeated
+    joins reuse the census instead of re-scanning (SURVEY.md §4 skew
+    row)."""
+    cov = df.select(udfs.st_cells(level)(F.col(geom_col)).alias("_cells"))
+    return (cov.select(F.explode("_cells").alias("cell_id"))
+            .groupBy("cell_id").count()
+            .filter(F.col("count") > threshold))

@@ -1,0 +1,219 @@
+"""Tile frame generation + raster<->vector tile assignment.
+
+The reference's "raster" side is a grid of equal boxes: ``split_grid``
+cuts a bbox into splits² boxes (``cdap_geo/misc.py:6-17``, x-major
+then y) and its XYZ tile source addresses tiles as z/x/y
+(``cdap_geo/os.py:46``). Tile ids follow the ``'{x}-{y}'`` naming of
+the reference's fixed-grid cells (``cdap_geo/index_bbox.py:23``: the
+cell ORIGIN coordinates joined by '-').
+
+Tile assignment is deliberately NOT a generic join when the tile frame
+is a regular grid: a regular grid is addressable by floor arithmetic,
+so assignment is a map-side cell cover at the tile resolution — zero
+shuffle, no tile table scan. The generic sjoin path stays available
+for irregular tile sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from cdap_geo_spark import udfs
+from cdap_geo_spark.core import wkb as W
+
+
+def split_grid(spark: SparkSession, bbox: tuple, splits: int,
+               z: int = 0) -> DataFrame:
+    """Tile table: splits² equal boxes of ``bbox``.
+
+    Columns (tile_id, z, minx, miny, maxx, maxy, geometry); enumeration
+    order x-major then y, matching the reference's loop
+    (``cdap_geo/misc.py:13-16``). Built from ``spark.range`` + closed-form
+    box arithmetic — fully native except the WKB emit PUDF.
+    """
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    dx, dy = (x1 - x0) / splits, (y1 - y0) / splits
+    df = spark.range(splits * splits)
+    df = df.select(
+        (F.col("id") / splits).cast("long").alias("_xi"),
+        F.pmod(F.col("id"), F.lit(splits)).cast("long").alias("_yi"),
+    )
+    df = df.select(
+        F.lit(z).alias("z"),
+        (F.lit(x0) + F.col("_xi") * F.lit(dx)).alias("minx"),
+        (F.lit(y0) + F.col("_yi") * F.lit(dy)).alias("miny"),
+        (F.lit(x0) + (F.col("_xi") + 1) * F.lit(dx)).alias("maxx"),
+        (F.lit(y0) + (F.col("_yi") + 1) * F.lit(dy)).alias("maxy"),
+    )
+    tile_id = F.concat_ws(
+        "-",
+        F.col("minx").cast("long").cast("string"),
+        F.col("miny").cast("long").cast("string"),
+    )
+    return df.select(
+        tile_id.alias("tile_id"), "z", "minx", "miny", "maxx", "maxy",
+        udfs.st_box()(F.col("minx"), F.col("miny"),
+                      F.col("maxx"), F.col("maxy")).alias("geometry"),
+    )
+
+
+def grid_cover_udf(resolutions, limits, compat: str = "reference"):
+    """Fixed-grid cover -> array<string> of '{x}-{y}' ids.
+
+    ``compat='reference'`` reproduces the reference's ``bbox_index``
+    formula verbatim (``cdap_geo/index_bbox.py:15-30``): keep origins
+    (x, y) stepping ``resolutions`` across ``limits`` where
+    ``minx < x < maxx+res and miny < y < maxy+res``. Note this is
+    shifted one cell positive of the true geometric cover — the quirk
+    is harmless for self-joins (both sides shift identically, so the
+    equi-join result equals the true-cover join) but must be
+    reproduced bit-for-bit for id parity with the reference.
+    ``compat='exact'`` emits the true cover (cells whose box overlaps
+    the bbox, boundaries inclusive).
+    """
+    rx, ry = int(resolutions[0]), int(resolutions[1])
+    lx0, ly0, lx1, ly1 = (int(v) for v in limits)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _cover(minx: pd.Series, miny: pd.Series,
+               maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        mnx = minx.to_numpy(np.float64)
+        mny = miny.to_numpy(np.float64)
+        mxx = maxx.to_numpy(np.float64)
+        mxy = maxy.to_numpy(np.float64)
+        out = []
+        for a, b, c, d in zip(mnx, mny, mxx, mxy):
+            if np.isnan(a):
+                out.append([])
+                continue
+            if compat == "reference":
+                # O(cells covered) enumeration of the same set the
+                # reference scans O(grid) for
+                xs = np.arange(int(np.floor(a / rx)) * rx + rx,
+                               min(c + rx, lx1), rx)
+                xs = xs[(xs > a) & (xs >= lx0)].astype(np.int64)
+                ys = np.arange(int(np.floor(b / ry)) * ry + ry,
+                               min(d + ry, ly1), ry)
+                ys = ys[(ys > b) & (ys >= ly0)].astype(np.int64)
+            else:
+                xs = np.arange(max(int(np.floor(a / rx)) * rx, lx0),
+                               min(int(np.floor(c / rx)) * rx + rx, lx1),
+                               rx, dtype=np.int64)
+                ys = np.arange(max(int(np.floor(b / ry)) * ry, ly0),
+                               min(int(np.floor(d / ry)) * ry + ry, ly1),
+                               ry, dtype=np.int64)
+            out.append([f"{x}-{y}" for x in xs for y in ys])
+        return pd.Series(out)
+    return _cover
+
+
+def assign_tiles(df: DataFrame, *, bbox: tuple, splits: int,
+                 geom_col: str = "geometry", id_col: str = "doc_id",
+                 exact: bool = True) -> DataFrame:
+    """(id_col, tile_id) for every tile of the regular grid the geometry
+    intersects — map-side only, no join, no shuffle.
+
+    Candidate tiles come from the geometry bbox by floor arithmetic
+    ('exact' cover mode); ``exact=True`` refines candidates with the
+    exact intersects kernel against the tile box (only needed for
+    non-rectangular geometries spanning multiple tiles; points are
+    exact already).
+    """
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    dx = (x1 - x0) / splits
+    dy = (y1 - y0) / splits
+    if not (float(dx).is_integer() and float(dy).is_integer()
+            and float(x0).is_integer() and float(y0).is_integer()):
+        raise ValueError("regular-grid fast path needs integral tile frame")
+    rx, ry = int(dx), int(dy)
+    lx0, ly0, lx1, ly1 = int(x0), int(y0), int(x1), int(y1)
+
+    from cdap_geo_spark.core import geom as G, wkb as W
+
+    src = df.select(F.col(id_col), F.col(geom_col))
+    out_schema = T.StructType([src.schema[id_col],
+                               T.StructField("tile_id", T.StringType())])
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = [None if v is None else bytes(v) for v in pdf[geom_col]]
+            batch = W.parse_wkb(blobs)
+            b = batch.bounds()
+            # candidate tiles: floor-arithmetic cover of the bbox
+            with np.errstate(invalid="ignore"):
+                xi0 = np.floor(b[:, 0] / rx).astype(np.float64)
+                yi0 = np.floor(b[:, 1] / ry).astype(np.float64)
+                xi1 = np.floor(b[:, 2] / rx).astype(np.float64)
+                yi1 = np.floor(b[:, 3] / ry).astype(np.float64)
+            bad = np.isnan(b[:, 0])
+            xi0 = np.clip(np.nan_to_num(xi0), lx0 // rx, lx1 // rx - 1).astype(np.int64)
+            yi0 = np.clip(np.nan_to_num(yi0), ly0 // ry, ly1 // ry - 1).astype(np.int64)
+            xi1 = np.clip(np.nan_to_num(xi1), lx0 // rx, lx1 // rx - 1).astype(np.int64)
+            yi1 = np.clip(np.nan_to_num(yi1), ly0 // ry, ly1 // ry - 1).astype(np.int64)
+            nx = np.where(bad, 0, xi1 - xi0 + 1)
+            ny = np.where(bad, 0, yi1 - yi0 + 1)
+            counts = nx * ny
+            owner = np.repeat(np.arange(len(pdf)), counts)
+            total = int(counts.sum())
+            local = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+            tx = xi0[owner] + local // np.maximum(ny[owner], 1)
+            ty = yi0[owner] + local % np.maximum(ny[owner], 1)
+            keep = np.ones(total, bool)
+            if exact and total:
+                multi = counts[owner] > 1
+                sel = np.flatnonzero(multi)
+                if len(sel):
+                    # refine candidates against the tile boxes in-batch
+                    tb = W.parse_wkb(W.boxes_to_wkb(
+                        (tx[sel] * rx).astype(np.float64),
+                        (ty[sel] * ry).astype(np.float64),
+                        ((tx[sel] + 1) * rx).astype(np.float64),
+                        ((ty[sel] + 1) * ry).astype(np.float64)))
+                    keep[sel] = G.pairs_intersect(
+                        batch, tb, owner[sel], np.arange(len(sel)))
+            ids = pdf[id_col].to_numpy()[owner[keep]]
+            names = [f"{x * rx}-{y * ry}" for x, y in
+                     zip(tx[keep], ty[keep])]
+            yield pd.DataFrame({id_col: ids, "tile_id": names})
+
+    return src.mapInPandas(gen, schema=out_schema)
+
+
+def grid_cover_struct_udf(resolutions, limits):
+    """True-cover variant emitting array<struct<tile_id,ox,oy>> so the
+    tile box is recoverable without re-parsing the id (ids like
+    '-100-200' make string splitting ambiguous)."""
+    rx, ry = int(resolutions[0]), int(resolutions[1])
+    lx0, ly0, lx1, ly1 = (int(v) for v in limits)
+    out_type = T.ArrayType(T.StructType([
+        T.StructField("tile_id", T.StringType()),
+        T.StructField("ox", T.DoubleType()),
+        T.StructField("oy", T.DoubleType()),
+    ]))
+
+    @pandas_udf(out_type)
+    def _cover(minx: pd.Series, miny: pd.Series,
+               maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        mnx = minx.to_numpy(np.float64)
+        mny = miny.to_numpy(np.float64)
+        mxx = maxx.to_numpy(np.float64)
+        mxy = maxy.to_numpy(np.float64)
+        out = []
+        for a, b, c, d in zip(mnx, mny, mxx, mxy):
+            if np.isnan(a):
+                out.append([])
+                continue
+            xs = np.arange(max(int(np.floor(a / rx)) * rx, lx0),
+                           min(int(np.floor(c / rx)) * rx + rx, lx1),
+                           rx, dtype=np.int64)
+            ys = np.arange(max(int(np.floor(b / ry)) * ry, ly0),
+                           min(int(np.floor(d / ry)) * ry + ry, ly1),
+                           ry, dtype=np.int64)
+            out.append([{"tile_id": f"{x}-{y}", "ox": float(x), "oy": float(y)}
+                        for x in xs for y in ys])
+        return pd.Series(out)
+    return _cover

@@ -1,0 +1,255 @@
+"""Arrow-vectorized pandas UDF factories over the NumPy kernels.
+
+This is the ONLY place geometry bytes cross the JVM<->Python boundary,
+always as Arrow batches (engine contract: no per-row Python — the
+reference's 11 per-row ``F.udf`` sites, SURVEY.md §2.10, all collapse
+into these factories). Parameterized UDFs follow the reference's
+currying pattern (closure captures level/how/resolution,
+``cdap_geo/functions.py:20-24``).
+
+Pair predicates factorize the right-hand Series first
+(``pd.factorize`` on the raw WKB bytes) so each distinct geometry is
+parsed once per batch and its edge tables are reused across all its
+pairs — the Arrow-batch analogue of shapely prepared geometries
+(``cdap_geo/_indexing.py:253-254``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from cdap_geo_spark.core import cells as C, geom as G, wkb as W
+
+BOUNDS_FIELDS = [
+    T.StructField("minx", T.DoubleType()),
+    T.StructField("miny", T.DoubleType()),
+    T.StructField("maxx", T.DoubleType()),
+    T.StructField("maxy", T.DoubleType()),
+]
+BOUNDS_TYPE = T.StructType(BOUNDS_FIELDS)
+
+INDEX_TYPE = T.StructType(BOUNDS_FIELDS + [
+    T.StructField("cells", T.ArrayType(T.LongType())),
+    T.StructField("inside", T.ArrayType(T.BooleanType())),
+])
+
+
+def _to_blob_list(s: pd.Series) -> list:
+    return [None if v is None else bytes(v) for v in s]
+
+
+# ---------------------------------------------------------------------------
+# Decode / bounds / index
+# ---------------------------------------------------------------------------
+
+def st_bounds():
+    """binary WKB -> struct<minx,miny,maxx,maxy> (null geometry -> nulls).
+
+    Reference: ``bounds`` UDF + array indexing, ``cdap_geo/functions.py:26-28``,
+    ``cdap_geo/index_bbox.py:6-13`` — named struct fields instead of
+    positional array access.
+    """
+    @pandas_udf(BOUNDS_TYPE)
+    def _bounds(s: pd.Series) -> pd.DataFrame:
+        b = W.parse_wkb(_to_blob_list(s)).bounds()
+        return pd.DataFrame(b, columns=["minx", "miny", "maxx", "maxy"])
+    return _bounds
+
+
+def st_index(level: int, how: str = "bbox", pad: float = 1.0,
+             dilate: float = 0.0):
+    """binary WKB -> struct<minx..maxy, cells:array<long>, inside:array<bool>>.
+
+    One fused decode: bounds + hierarchical cell cover + interior flags
+    (the reference computes these in three separate per-row UDF passes:
+    ``cdap_geo/index_bbox.py:8,15-30``; ``cdap_geo/_indexing.py:290-304``).
+    ``dilate`` expands the cover for distance-join candidates.
+    """
+    @pandas_udf(INDEX_TYPE)
+    def _index(s: pd.Series) -> pd.DataFrame:
+        batch = W.parse_wkb(_to_blob_list(s))
+        b = batch.bounds()
+        off, cc, inside = C.cover_batch(batch, level, how=how, pad=pad,
+                                        dilate=dilate)
+        out = pd.DataFrame(b, columns=["minx", "miny", "maxx", "maxy"])
+        out["cells"] = [cc[off[i]:off[i + 1]] for i in range(len(batch))]
+        out["inside"] = [inside[off[i]:off[i + 1]] for i in range(len(batch))]
+        return out
+    return _index
+
+
+def st_cells(level: int, how: str = "bbox", pad: float = 1.0):
+    """binary WKB -> array<long> cell cover only."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _cells(s: pd.Series) -> pd.Series:
+        batch = W.parse_wkb(_to_blob_list(s))
+        off, cc, _ = C.cover_batch(batch, level, how=how, pad=pad)
+        return pd.Series([cc[off[i]:off[i + 1]] for i in range(len(batch))])
+    return _cells
+
+
+def st_cell_point(level: int):
+    """binary WKB point -> single int64 cell id (no straddle; for
+    storage layout / range partitioning keys). Null for invalid."""
+    @pandas_udf(T.LongType())
+    def _cell(s: pd.Series) -> pd.Series:
+        batch = W.parse_wkb(_to_blob_list(s))
+        b = batch.bounds()
+        cs = C.cell_size(level)
+        with np.errstate(invalid="ignore"):
+            xi = np.floor((b[:, 0] - C.WORLD_X0) / cs)
+            yi = np.floor((b[:, 1] - C.WORLD_Y0) / cs)
+        bad = np.isnan(xi) | np.isnan(yi)
+        ids = C.encode(level, np.nan_to_num(xi).astype(np.int64),
+                       np.nan_to_num(yi).astype(np.int64)).astype(object)
+        out = pd.Series(ids)
+        out[bad] = None
+        return out
+    return _cell
+
+
+# ---------------------------------------------------------------------------
+# Scalar geometry functions
+# ---------------------------------------------------------------------------
+
+def st_area():
+    """binary -> double (``cdap_geo/functions.py:12-14``, float->double)."""
+    @pandas_udf(T.DoubleType())
+    def _area(s: pd.Series) -> pd.Series:
+        return pd.Series(G.area(W.parse_wkb(_to_blob_list(s))))
+    return _area
+
+
+def st_num_points():
+    """binary -> long vertex count (``cdap_geo/misc.py:30-32``) — the
+    engine's skew/cost signal."""
+    @pandas_udf(T.LongType())
+    def _n(s: pd.Series) -> pd.Series:
+        return pd.Series(G.vertex_counts(W.parse_wkb(_to_blob_list(s))))
+    return _n
+
+
+def st_is_valid():
+    @pandas_udf(T.BooleanType())
+    def _v(s: pd.Series) -> pd.Series:
+        return pd.Series(W.parse_wkb(_to_blob_list(s)).valid)
+    return _v
+
+
+def st_point():
+    """(x: double, y: double) -> binary WKB point (vectorized emit)."""
+    @pandas_udf(T.BinaryType())
+    def _pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(W.points_to_wkb(x.to_numpy(np.float64),
+                                         y.to_numpy(np.float64)))
+    return _pt
+
+
+def st_box():
+    """(minx,miny,maxx,maxy) -> binary WKB box polygon."""
+    @pandas_udf(T.BinaryType())
+    def _box(minx: pd.Series, miny: pd.Series,
+             maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        return pd.Series(W.boxes_to_wkb(minx.to_numpy(np.float64),
+                                        miny.to_numpy(np.float64),
+                                        maxx.to_numpy(np.float64),
+                                        maxy.to_numpy(np.float64)))
+    return _box
+
+
+# ---------------------------------------------------------------------------
+# Pair predicates (the refinement pass)
+# ---------------------------------------------------------------------------
+
+def _pair_kernel(kernel, out_dtype):
+    def run(l: pd.Series, r: pd.Series) -> np.ndarray:
+        lb = W.parse_wkb(_to_blob_list(l))
+        codes, uniques = pd.factorize(r, use_na_sentinel=True)
+        rb = W.parse_wkb(_to_blob_list(pd.Series(uniques)))
+        n = len(l)
+        li = np.arange(n)
+        ri = codes.astype(np.int64)
+        valid_pair = ri >= 0
+        out = np.zeros(n, out_dtype)
+        if valid_pair.any():
+            res = kernel(lb, rb, li[valid_pair], ri[valid_pair])
+            out[valid_pair] = res
+        return out
+    return run
+
+
+def st_intersects():
+    """(l_wkb, r_wkb) -> bool exact intersects — the refinement predicate
+    (``cdap_geo/functions.py:72-78``; boundary touch counts)."""
+    run = _pair_kernel(G.pairs_intersect, bool)
+
+    @pandas_udf(T.BooleanType())
+    def _its(l: pd.Series, r: pd.Series) -> pd.Series:
+        return pd.Series(run(l, r))
+    return _its
+
+
+def st_distance():
+    """(l_wkb, r_wkb) -> double euclidean distance (0 when intersecting;
+    the ``st_join(distance=d)`` refinement predicate,
+    ``cdap_geo/sedona.py:136-141``)."""
+    run = _pair_kernel(G.pairs_distance, np.float64)
+
+    @pandas_udf(T.DoubleType())
+    def _dist(l: pd.Series, r: pd.Series) -> pd.Series:
+        return pd.Series(run(l, r))
+    return _dist
+
+
+def st_intersection_area():
+    """(l_wkb, r_wkb) -> double area of overlap, fused in one kernel like
+    the reference's ``intersection_area`` (``cdap_geo/functions.py:37-39``,
+    README.md:27). v1: right side must be a convex polygon/box."""
+    run = _pair_kernel(G.pairs_intersection_area, np.float64)
+
+    @pandas_udf(T.DoubleType())
+    def _ia(l: pd.Series, r: pd.Series) -> pd.Series:
+        return pd.Series(run(l, r))
+    return _ia
+
+
+def st_point_distance():
+    """Fast path: (lx, ly, rx, ry) -> double, fully numeric, no WKB."""
+    @pandas_udf(T.DoubleType())
+    def _d(lx: pd.Series, ly: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+        dx = lx.to_numpy(np.float64) - rx.to_numpy(np.float64)
+        dy = ly.to_numpy(np.float64) - ry.to_numpy(np.float64)
+        return pd.Series(np.sqrt(dx * dx + dy * dy))
+    return _d
+
+
+# ---------------------------------------------------------------------------
+# kNN support
+# ---------------------------------------------------------------------------
+
+def st_ring_cells(level: int):
+    """(x, y, lo:int, hi:int) -> array<long> cells whose Chebyshev
+    distance from the point's cell lies in [lo, hi] — the annulus
+    probe for geometric cell-ring expansion in kNN (lo=hi=0 is the
+    point's own cell)."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _ring(x: pd.Series, y: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
+        cs = C.cell_size(level)
+        n = 1 << level
+        xi = np.floor((x.to_numpy(np.float64) - C.WORLD_X0) / cs).astype(np.int64)
+        yi = np.floor((y.to_numpy(np.float64) - C.WORLD_Y0) / cs).astype(np.int64)
+        los = lo.to_numpy(np.int64)
+        his = hi.to_numpy(np.int64)
+        out = []
+        for cx, cy, l_, h_ in zip(xi, yi, los, his):
+            xs = np.arange(max(cx - h_, 0), min(cx + h_, n - 1) + 1)
+            ys = np.arange(max(cy - h_, 0), min(cy + h_, n - 1) + 1)
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            cheb = np.maximum(np.abs(gx - cx), np.abs(gy - cy))
+            m = (cheb >= l_) & (cheb <= h_)
+            out.append(C.encode(level, gx[m], gy[m]))
+        return pd.Series(out)
+    return _ring

