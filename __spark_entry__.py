@@ -147,6 +147,93 @@ def _q_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("l_extendedprice"))
 
 
+# ---- training-data pipeline operators (documents/embeddings tables) ------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.dedup import exact_dedup
+    out = exact_dedup(_docs(spark, sf_dir))
+    return out.select("digest", F.col("keeper").cast("long"),
+                      F.col("n_docs").cast("long"))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import token_count
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"),
+                    token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import quality_features
+    out = quality_features(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long"),
+                      "n_chars_q", "n_tokens", "n_commas", "n_periods",
+                      "n_spaces", "n_the")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import lang_votes
+    out = lang_votes(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long"), "votes_en", "votes_de",
+                      "votes_fr", "votes_es", "lang_pred")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold_pct=40)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                      F.col("inter").cast("long"), F.col("uni").cast("long"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.embeddings import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, queries_df, k=5)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("vec_id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.dedup import simhash_pairs
+    out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                      F.col("hamming").cast("long"))
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.embeddings import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=10, probes=2)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("vec_id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.multimodal import (
+        deterministic_fake_decode, extract_features)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("media"))
+    out = extract_features(d, decode=deterministic_fake_decode)
+    return out.select(F.col("doc_id").cast("long"), "decode_ok",
+                      F.size("features").alias("feat_dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
@@ -158,6 +245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_area": _q_region_area,
         "global_bbox": _q_global_bbox,
         "groupmax": _q_groupmax,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_ann": _q_lsh_ann,
+        "media_features": _q_media_features,
     }
 
 
@@ -275,4 +372,101 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem)
           WHERE l_extendedprice = m
         """,
+        "exact_dedup": """
+          SELECT md5(lower(trim(text))) AS digest,
+                 CAST(min(doc_id) AS BIGINT) AS keeper,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        """,
+        "token_count": """
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                                AS BIGINT) END AS n_tokens
+          FROM documents
+        """,
+        "quality": """
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(text) AS BIGINT) AS n_chars_q,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                                AS BIGINT) END AS n_tokens,
+                 CAST(len(text) - len(replace(text, ',', '')) AS BIGINT)
+                     AS n_commas,
+                 CAST(len(text) - len(replace(text, '.', '')) AS BIGINT)
+                     AS n_periods,
+                 CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT)
+                     AS n_spaces,
+                 CAST((len(p) - len(replace(p, ' the ', ''))) / 5 AS BIGINT)
+                     AS n_the
+          FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                FROM documents)
+        """,
+        "lang_id": """
+          WITH v AS (
+            SELECT doc_id,
+              CAST((len(p)-len(replace(p,' the ','')))/5
+                 + (len(p)-len(replace(p,' and ','')))/5
+                 + (len(p)-len(replace(p,' of ','')))/4 AS BIGINT) AS votes_en,
+              CAST((len(p)-len(replace(p,' der ','')))/5
+                 + (len(p)-len(replace(p,' und ','')))/5
+                 + (len(p)-len(replace(p,' die ','')))/5 AS BIGINT) AS votes_de,
+              CAST((len(p)-len(replace(p,' le ','')))/4
+                 + (len(p)-len(replace(p,' la ','')))/4
+                 + (len(p)-len(replace(p,' et ','')))/4 AS BIGINT) AS votes_fr,
+              CAST((len(p)-len(replace(p,' el ','')))/4
+                 + (len(p)-len(replace(p,' que ','')))/5
+                 + (len(p)-len(replace(p,' los ','')))/5 AS BIGINT) AS votes_es
+            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 votes_en, votes_de, votes_fr, votes_es,
+                 CASE WHEN greatest(votes_en,votes_de,votes_fr,votes_es) = 0
+                      THEN 'und'
+                      WHEN votes_de = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'de'
+                      WHEN votes_en = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'en'
+                      WHEN votes_es = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM v
+        """,
+        "ngram_jaccard": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   substr(lower(text), CAST(i AS INT), 3) AS sh
+            FROM documents, generate_series(1, 2000) g(i)
+            WHERE i <= len(text) - 2
+          ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          pair AS (
+            SELECT a.id AS ida, b.id AS idb, count(*) AS inter
+            FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+            GROUP BY 1, 2)
+          SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+                 CAST(inter AS BIGINT) AS inter,
+                 CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+          FROM pair
+          JOIN sizes sa ON sa.id = ida
+          JOIN sizes sb ON sb.id = idb
+          WHERE 100 * inter >= 40 * (sa.sz + sb.sz - inter)
+        """,
+        "cosine_topk": """
+          WITH q AS (SELECT vec_id AS query_id,
+                            CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id % 20 = 0),
+          scored AS (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                       e.vec_id) AS rank
+            FROM embeddings e CROSS JOIN q)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(rank AS BIGINT) AS rank
+          FROM scored WHERE rank <= 5
+        """,
+        # minhash_pairs / simhash_pairs / lsh_ann / media_features are
+        # not ANSI-SQL-expressible (hash permutations / bit votes /
+        # random hyperplanes / binary decode) -> rows-only checks; their
+        # exactness is pinned by pytest oracles in tests/test_dedup.py,
+        # tests/test_embeddings.py, tests/test_multimodal.py.
     }

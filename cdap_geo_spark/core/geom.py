@@ -222,13 +222,51 @@ def _on_seg(x0, y0, x1, y1, px, py):
 # Pairwise predicates over candidate pair lists
 # ---------------------------------------------------------------------------
 
+def is_axis_rect(batch: GeomBatch, bounds: np.ndarray | None = None) -> np.ndarray:
+    """(n,) True for single-part single-ring 5-point axis-aligned
+    rectangles — the dominant polygon class (boxes, tiles), which gets
+    closed-form pair kernels."""
+    from cdap_geo_spark.core.wkb import KIND_POLYGON
+    if bounds is None:
+        bounds = batch.bounds()
+    n = len(batch)
+    out = np.zeros(n, bool)
+    one_part = (batch.geom_part_off[1:] - batch.geom_part_off[:-1]) == 1
+    cand = np.flatnonzero(one_part & batch.valid &
+                          (batch.kinds == np.uint8(KIND_POLYGON)))
+    if len(cand) == 0:
+        return out
+    p = batch.geom_part_off[cand]
+    cand = cand[(batch.part_ring_off[p + 1] - batch.part_ring_off[p]) == 1]
+    if len(cand) == 0:
+        return out
+    r = batch.part_ring_off[batch.geom_part_off[cand]]
+    cand = cand[(batch.ring_coord_off[r + 1] - batch.ring_coord_off[r]) == 5]
+    for g in cand:
+        s = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[g]]]
+        c = batch.coords[s:s + 5]
+        xs, ys = c[:, 0], c[:, 1]
+        if (np.all((xs == bounds[g, 0]) | (xs == bounds[g, 2])) and
+                np.all((ys == bounds[g, 1]) | (ys == bounds[g, 3])) and
+                np.all(c[0] == c[4])):
+            out[g] = True
+    return out
+
+
+def _is_single_point(batch: GeomBatch) -> np.ndarray:
+    first = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[:-1]]]
+    last = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[1:]]]
+    return batch.valid & (batch.kinds == KIND_POINT) & ((last - first) == 1)
+
+
 def pairs_intersect(lb: GeomBatch, rb: GeomBatch,
                     li: np.ndarray, ri: np.ndarray) -> np.ndarray:
     """Exact ``intersects`` for candidate pairs (li[i], ri[i]).
 
-    Grouped by the right-hand geometry (the join's region/tile side in
-    our pipelines) so its edge table and rings are built once per
-    group. Dispatch by kind:
+    Closed-form fast path for point x axis-rectangle pairs (the
+    dominant case: point docs vs region boxes/tiles); everything else
+    goes through the grouped vectorized kernels (one edge table per
+    distinct right geometry). Dispatch by kind:
 
     * point × polygon → vectorized PIP;
     * point × point  → coordinate equality (eps);
@@ -240,21 +278,37 @@ def pairs_intersect(lb: GeomBatch, rb: GeomBatch,
     if m == 0:
         return out
     ok = lb.valid[li] & rb.valid[ri]
-    order = np.argsort(ri, kind="stable")
-    li_s, ri_s = li[order], ri[order]
-    ok_s = ok[order]
-    res = np.zeros(m, bool)
+
+    # ---- closed-form: single-point left x axis-rect right -------------
+    lpt = _is_single_point(lb)
+    rrect_bounds = rb.bounds()
+    rrect = is_axis_rect(rb, rrect_bounds)
+    fast = ok & lpt[li] & rrect[ri]
+    if fast.any():
+        fl, fr = li[fast], ri[fast]
+        px = lb.coords[lb.ring_coord_off[lb.part_ring_off[
+            lb.geom_part_off[fl]]], 0]
+        py = lb.coords[lb.ring_coord_off[lb.part_ring_off[
+            lb.geom_part_off[fl]]], 1]
+        out[fast] = ((px >= rrect_bounds[fr, 0]) & (px <= rrect_bounds[fr, 2]) &
+                     (py >= rrect_bounds[fr, 1]) & (py <= rrect_bounds[fr, 3]))
+    rest = ok & ~fast
+    if not rest.any():
+        return out
+
+    idx = np.flatnonzero(rest)
+    li_r, ri_r = li[idx], ri[idx]
+    order = np.argsort(ri_r, kind="stable")
+    li_s, ri_s = li_r[order], ri_r[order]
+    res = np.zeros(len(idx), bool)
     group_starts = np.flatnonzero(np.concatenate(
         ([True], ri_s[1:] != ri_s[:-1])))
-    group_stops = np.concatenate((group_starts[1:], [m]))
+    group_stops = np.concatenate((group_starts[1:], [len(idx)]))
     for gs, ge in zip(group_starts, group_stops):
         r = int(ri_s[gs])
-        sel = np.arange(gs, ge)[ok_s[gs:ge]]
-        if len(sel) == 0:
-            continue
-        lids = li_s[sel]
-        res[sel] = _group_intersects(lb, lids, rb, r)
-    out[order] = res
+        sel = np.arange(gs, ge)
+        res[sel] = _group_intersects(lb, li_s[sel], rb, r)
+    out[idx[order]] = res
     return out
 
 
@@ -438,34 +492,112 @@ def pairs_distance(lb: GeomBatch, rb: GeomBatch,
                    li: np.ndarray, ri: np.ndarray) -> np.ndarray:
     """Exact euclidean distance per candidate pair (0 if intersecting).
 
-    v1 kernel: exact for point×point, point×edge sets; for
-    edge×edge geometries uses min over endpoint-to-segment distances
-    plus the intersects check (exact for non-crossing convex cases and
-    the fixtures used here).
+    Non-intersecting geometries attain their min distance at a vertex
+    of one side vs an edge (or vertex) of the other, so the kernel is
+    exact: min over (left vertices x right edges) and (right vertices
+    x left edges), vectorized per right-geometry group like
+    :func:`pairs_intersect`.
     """
     m = len(li)
     out = np.full(m, np.inf)
+    if m == 0:
+        return out
+
+    # ---- closed-form: single-point left x axis-rect right -------------
+    okv = lb.valid[li] & rb.valid[ri]
+    lpt = _is_single_point(lb)
+    rbounds = rb.bounds()
+    rrect = is_axis_rect(rb, rbounds)
+    fast = okv & lpt[li] & rrect[ri]
+    if fast.any():
+        fl, fr = li[fast], ri[fast]
+        cidx = lb.ring_coord_off[lb.part_ring_off[lb.geom_part_off[fl]]]
+        px, py = lb.coords[cidx, 0], lb.coords[cidx, 1]
+        dx = np.maximum(np.maximum(rbounds[fr, 0] - px, px - rbounds[fr, 2]), 0)
+        dy = np.maximum(np.maximum(rbounds[fr, 1] - py, py - rbounds[fr, 3]), 0)
+        out[fast] = np.sqrt(dx * dx + dy * dy)
+    if fast.all():
+        return out
+    sub = np.flatnonzero(~fast)
+    li, ri = li[sub], ri[sub]
+    subout = np.full(len(sub), np.inf)
+
     inter = pairs_intersect(lb, rb, li, ri)
-    out[inter] = 0.0
-    todo = np.flatnonzero(~inter)
-    for j in todo:
-        lg, rg = int(li[j]), int(ri[j])
-        if not (lb.valid[lg] and rb.valid[rg]):
+    subout[inter] = 0.0
+    ok = lb.valid[li] & rb.valid[ri] & ~inter
+    order = np.argsort(ri, kind="stable")
+    group_starts = np.flatnonzero(np.concatenate(
+        ([True], ri[order][1:] != ri[order][:-1])))
+    group_stops = np.concatenate((group_starts[1:], [len(sub)]))
+    for gs, ge in zip(group_starts, group_stops):
+        sel = order[gs:ge]
+        sel = sel[ok[sel]]
+        if len(sel) == 0:
             continue
-        lpts = _geom_points(lb, lg)
-        redges = _geom_edges(rb, rg)
-        rpts = _geom_points(rb, rg)
-        ledges = _geom_edges(lb, lg)
-        best = np.inf
-        if len(redges) and len(lpts):
-            best = min(best, _min_point_seg(lpts, redges))
-        if len(ledges) and len(rpts):
-            best = min(best, _min_point_seg(rpts, ledges))
-        if not len(redges) and not len(ledges) and len(lpts) and len(rpts):
-            d = np.sqrt(((lpts[:, None, :] - rpts[None, :, :]) ** 2).sum(-1))
-            best = min(best, float(d.min()))
-        out[j] = best
+        r = int(ri[sel[0]])
+        lids = li[sel]
+        r_edges = _geom_edges(rb, r)
+        r_pts = _geom_points(rb, r)
+        # all left vertices with owner map
+        owners, px, py = _gather_points_all(lb, lids)
+        best = np.full(len(sel), np.inf)
+        if len(r_edges) and len(px):
+            d = _point_seg_min_per_point(px, py, r_edges)
+            np.minimum.at(best, owners, d)
+        elif len(r_pts) and len(px):
+            d2 = (px[:, None] - r_pts[None, :, 0]) ** 2 + \
+                 (py[:, None] - r_pts[None, :, 1]) ** 2
+            np.minimum.at(best, owners, np.sqrt(d2.min(axis=1)))
+        # right vertices vs left edges
+        ex0, ey0, ex1, ey1, eowner = _flat_edges(lb, lids)
+        if len(ex0) and len(r_pts):
+            for pi in range(len(r_pts)):
+                d = _point_to_segs(r_pts[pi, 0], r_pts[pi, 1],
+                                   ex0, ey0, ex1, ey1)
+                np.minimum.at(best, eowner, d)
+        subout[sel] = best
+    out[sub] = subout
     return out
+
+
+def _gather_points_all(batch: GeomBatch, gids: np.ndarray):
+    """ALL vertices of the given geometries (any kind), with owners."""
+    first = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[gids]]]
+    last = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[gids + 1]]]
+    lens = last - first
+    from cdap_geo_spark.core.wkb import _expand_ranges
+    idx = _expand_ranges(first, last)
+    owners = np.repeat(np.arange(len(gids)), lens)
+    return owners, batch.coords[idx, 0], batch.coords[idx, 1]
+
+
+def _point_seg_min_per_point(px, py, segs) -> np.ndarray:
+    """(k,) min distance of each point to any segment, chunked."""
+    k = len(px)
+    out = np.full(k, np.inf)
+    step = max(1, _EDGE_CHUNK // max(len(segs), 1))
+    x0, y0 = segs[:, 0][None, :], segs[:, 1][None, :]
+    x1, y1 = segs[:, 2][None, :], segs[:, 3][None, :]
+    dx, dy = x1 - x0, y1 - y0
+    len2 = dx * dx + dy * dy
+    safe = np.where(len2 == 0, 1, len2)
+    for s in range(0, k, step):
+        PX, PY = px[s:s + step][:, None], py[s:s + step][:, None]
+        t = np.clip(((PX - x0) * dx + (PY - y0) * dy) / safe, 0.0, 1.0)
+        cx, cy = x0 + t * dx, y0 + t * dy
+        d2 = (PX - cx) ** 2 + (PY - cy) ** 2
+        out[s:s + step] = np.sqrt(d2.min(axis=1))
+    return out
+
+
+def _point_to_segs(px: float, py: float, x0, y0, x1, y1) -> np.ndarray:
+    """(E,) distance of one point to each segment."""
+    dx, dy = x1 - x0, y1 - y0
+    len2 = dx * dx + dy * dy
+    safe = np.where(len2 == 0, 1, len2)
+    t = np.clip(((px - x0) * dx + (py - y0) * dy) / safe, 0.0, 1.0)
+    cx, cy = x0 + t * dx, y0 + t * dy
+    return np.sqrt((px - cx) ** 2 + (py - cy) ** 2)
 
 
 def _min_point_seg(pts: np.ndarray, segs: np.ndarray) -> float:

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: one broadcast of the
+  (small) query set, dot products as NATIVE higher-order functions
+  (zip_with + aggregate, JVM codegen, no Python), window rank;
+* random-hyperplane LSH — the scale path: signatures map-side, bucket
+  equi-join generates candidates (sub-quadratic), exact cosine verify.
+
+At 100 TB the corpus side never shuffles in either path: brute-force
+broadcasts the queries; LSH shuffles only (bucket_key, id) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def cosine(a, b) -> F.Column:
+    """Native cosine similarity of two array<float/double> columns."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
+                corpus_id: str = "vec_id", query_id: str = "query_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k: (query_id, vec_id, rank) by cosine desc, ties by id."""
+    q = queries.select(F.col(query_id),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    c = corpus.select(F.col(corpus_id),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.withColumn("_cos", cosine("_qv", "_cv"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
+                                             F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank"))
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 5):
+    """Arrow PUDF: embedding -> int bucket signature (sign bits against
+    deterministic random hyperplanes — same planes on every executor)."""
+    assert n_planes <= 62
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(T.LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        # stack the whole batch -> one matmul
+        mask = np.array([v is not None and len(v) == dim for v in vecs])
+        out = np.zeros(len(vecs), np.int64)
+        if mask.any():
+            mat = np.stack([np.asarray(v, np.float64)
+                            for v, m in zip(vecs, mask) if m])
+            bits = (mat @ planes.T) > 0
+            out[mask] = bits @ powers
+        return pd.Series(out)
+    return _sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
+             n_planes: int = 12, probes: int = 1,
+             corpus_id: str = "vec_id", query_id: str = "query_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: hyperplane-bucket equi-join + exact rerank.
+
+    ``probes`` > 1 also probes buckets at hamming distance 1 from the
+    query's bucket (multi-probe LSH) to recover recall without more
+    tables.
+    """
+    sig = hyperplane_signature_udf(dim, n_planes)
+    c = corpus.select(F.col(corpus_id),
+                      F.col(vec_col).cast("array<double>").alias("_cv"),
+                      sig(F.col(vec_col)).alias("_bucket"))
+    q = queries.select(F.col(query_id),
+                       F.col(vec_col).cast("array<double>").alias("_qv"),
+                       sig(F.col(vec_col)).alias("_b0"))
+    if probes > 1:
+        flips = [F.col("_b0")] + [
+            F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        q = q.withColumn("_bucket", F.explode(F.array(*flips)))
+    else:
+        q = q.withColumn("_bucket", F.col("_b0"))
+    cand = c.join(F.broadcast(q.select(query_id, "_qv", "_bucket")),
+                  "_bucket")
+    scored = cand.withColumn("_cos", cosine("_qv", "_cv"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
+                                             F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank", "_cos"))

@@ -178,34 +178,33 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
           (F.col("_lmaxy") + margin < F.col("_rminy")))
     )
 
-    if dedup:
-        # narrow dedup on ids only — cheaper than the reference's
-        # full-row .distinct() (cdap_geo/index_bbox.py:53). Keep the
-        # interior flag's OR so the fast path survives dedup.
-        aggs = [F.max("_rinside").alias("_rinside")]
-        if predicate != "bbox":
-            aggs += [F.first(left_geom_c).alias(left_geom_c),
-                     F.first(right_geom).alias(right_geom)]
-        cand = cand.groupBy(left_id, right_id).agg(*aggs)
-
+    # Refine BEFORE dedup: refinement is map-side (no shuffle when the
+    # join is broadcast), so running it on per-cell candidate copies
+    # costs only duplicate kernel work for multi-cell geometries, while
+    # the dedup shuffle shrinks from (ids + 2 WKB blobs + flags) rows —
+    # which Spark sort-aggregates because binary columns aren't
+    # hash-aggregatable — to narrow id pairs. The reference dedups
+    # first with a full-row .distinct() (cdap_geo/index_bbox.py:53);
+    # the result set is identical either way.
     if predicate == "bbox":
-        return cand.select(left_id, right_id)
+        out = cand.select(left_id, right_id)
+        return out.dropDuplicates([left_id, right_id]) if dedup else out
 
     if predicate == "intersects":
+        pred = udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom))
         if fast_path_ok:
-            refined = cand.filter(
-                F.col("_rinside") |
-                udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom)))
-        else:
-            refined = cand.filter(
-                udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom)))
-        return refined.select(left_id, right_id)
+            pred = F.col("_rinside") | pred
+        out = cand.filter(pred).select(left_id, right_id)
+        return out.dropDuplicates([left_id, right_id]) if dedup else out
 
     if predicate == "distance":
         d = udfs.st_distance()(F.col(left_geom_c), F.col(right_geom))
-        refined = cand.withColumn("_dist", d).filter(F.col("_dist") <= F.lit(distance))
+        refined = cand.withColumn("_dist", d) \
+                      .filter(F.col("_dist") <= F.lit(distance))
         cols = [left_id, right_id] + (["_dist"] if keep_distance else [])
         out = refined.select(*cols)
+        if dedup:
+            out = out.dropDuplicates([left_id, right_id])
         return out.withColumnRenamed("_dist", "dist") if keep_distance else out
 
     raise ValueError(f"unknown predicate {predicate!r}")

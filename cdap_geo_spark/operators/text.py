@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+These run over the relational ``documents`` table (doc_id, text, lang,
+source, n_chars) and over the interleaved-docs text spans. Everything
+here is NATIVE Catalyst expressions (whole-stage codegen, no Python)
+except the winnowing fingerprint, which is an Arrow PUDF.
+
+Counting idioms are chosen to be bit-identical in ANSI SQL (the DuckDB
+oracle): exact-string ``replace`` counting instead of regex classes
+(Java regex vs RE2 differ at the edges), integer outputs instead of
+rounded doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+#: marker words per language for the n-gram/stopword-vote heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "que", "los"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish splitting is `tokens_bpeish`)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Exact-substring occurrence count via length difference —
+    identical semantics in every SQL engine (no regex)."""
+    return ((F.length(text) - F.length(F.replace(text, F.lit(needle))))
+            / len(needle)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / whitespace / digit counts + token count —
+    the standard cheap quality signals, all codegen'd."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    return df.withColumns({
+        "n_chars_q": F.length(t).cast("long"),
+        "n_tokens": token_count(t).cast("long"),
+        "n_commas": _count_occurrences(t, ","),
+        "n_periods": _count_occurrences(t, "."),
+        "n_spaces": _count_occurrences(t, " "),
+        "n_the": _count_occurrences(padded, " the "),
+    })
+
+
+def lang_votes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word vote counts per language + argmax prediction.
+
+    The stopword-vote heuristic: count ' <marker> ' substrings in the
+    lower-cased text, sum per language, predict the max (ties broken
+    by language-code order); 'und' (unknown) when all votes are 0.
+    """
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        vote = None
+        for w in words:
+            c = _count_occurrences(t, f" {w} ")
+            vote = c if vote is None else vote + c
+        out = out.withColumn(f"votes_{lang}", vote)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"votes_{la}") for la in langs])
+    pred = F.lit("und")
+    for la in reversed(langs):  # earlier lang wins ties
+        pred = F.when(F.col(f"votes_{la}") == best, F.lit(la)).otherwise(pred)
+    out = out.withColumn("lang_pred", F.when(best > 0, pred)
+                         .otherwise(F.lit("und")))
+    return out
+
+
+def doc_digest(text: Column) -> Column:
+    """Normalized exact-dup digest: md5(lower(trim(text)))."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the lower-cased text — native
+    sequence+transform, no Python.
+
+    Guard: Spark's ``sequence(1, n)`` yields a DESCENDING sequence when
+    n < 1, so short texts must short-circuit to an empty array.
+    """
+    t = F.lower(text)
+    n = F.length(t) - F.lit(k - 1)
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(t, i, k)))
+    return F.when(n >= 1, grams) \
+            .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+
+
+def winnow_fingerprints(k: int = 5, window: int = 4):
+    """Arrow PUDF: winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03): rolling polynomial hash of char k-grams, keep the min
+    hash of every `window` consecutive hashes -> array<long> of
+    selected fingerprints. The scale path for plagiarism-style overlap
+    detection; not SQL-expressible (rows-only oracle)."""
+    B = np.uint64(1000003)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if txt is None or len(txt) < k:
+                out.append([])
+                continue
+            data = np.frombuffer(txt.lower().encode("utf-8", "ignore"),
+                                 dtype=np.uint8).astype(np.uint64)
+            n = len(data) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            # rolling hash via cumulative powers (vectorized)
+            with np.errstate(over="ignore"):
+                hs = np.zeros(n, np.uint64)
+                for j in range(k):  # k is tiny (5): k vector ops
+                    hs = hs * B + data[j:j + n]
+            if n <= window:
+                out.append([int(hs.min() & np.uint64(0x7FFFFFFFFFFFFFFF))])
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            mins = sw.min(axis=1)
+            sel = np.unique(mins & np.uint64(0x7FFFFFFFFFFFFFFF))
+            out.append([int(v) for v in sel])
+        return pd.Series(out)
+    return _fp
