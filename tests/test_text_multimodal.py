@@ -11,7 +11,7 @@ def test_token_and_quality_counts(spark):
             (2, ""), (3, "   "), (4, "one")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in quality_features(df).collect()}
-    assert out[1].n_tokens == 8
+    assert out[1].n_tokens == 7
     assert out[1].n_commas == 1 and out[1].n_periods == 2
     assert out[1].n_the == 2  # ' the ' twice in padded lowercase
     assert out[2].n_tokens == 0 and out[3].n_tokens == 0
