@@ -150,7 +150,10 @@ def _q_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- training-data pipeline operators (documents/embeddings tables) ------
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file parquet = 1 partition; re-spread so downstream
+    # join/agg pipelines don't run in one task
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +194,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
     out = cosine_topk(emb, queries_df, k=5)
@@ -215,7 +219,8 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import lsh_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=10, probes=2)
@@ -232,6 +237,27 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_features(d, decode=deterministic_fake_decode)
     return out.select(F.col("doc_id").cast("long"), "decode_ok",
                       F.size("features").alias("feat_dim"))
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.streaming.windows import windowed_event_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = windowed_event_counts(ev, window="1 hour")
+    # sum_value is excluded from the checked projection: double
+    # summation order differs between engines (bit-level FP noise)
+    return out.select(F.col("window_start").cast("string"), "event_type",
+                      F.col("n_events").cast("long"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.streaming.windows import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(F.col("event_id").cast("long"),
+                      F.col("user_id").cast("long"),
+                      F.col("session_seq").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -255,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "media_features": _q_media_features,
+        "event_windows": _q_event_windows,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -463,6 +491,29 @@ def oracle_sql() -> dict[str, str]:
                  CAST(vec_id AS BIGINT) AS vec_id,
                  CAST(rank AS BIGINT) AS rank
           FROM scored WHERE rank <= 5
+        """,
+        "event_windows": """
+          SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
+                     AS window_start,
+                 event_type,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(user_id AS BIGINT) AS user_id,
+                 CAST(sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER (
+                                  PARTITION BY user_id ORDER BY ts, event_id))
+                                > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events)
         """,
         # minhash_pairs / simhash_pairs / lsh_ann / media_features are
         # not ANSI-SQL-expressible (hash permutations / bit votes /

@@ -71,6 +71,12 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df) \
                  .select("sh")
         sh = sh.join(F.broadcast(keep), "sh")
+    # repartition by shingle: (a) co-partitions the self-join, (b) breaks
+    # the single-input-file trap where the join + partial aggregate of
+    # the full pair blowup would otherwise run in ONE task (a 1-file
+    # parquet scan is 1 partition; common shingles make the join output
+    # quadratic, so that task is hours of CPU at scale)
+    sh = sh.repartition(F.col("sh"))
     a = sh.toDF("ida", "sh")
     b = sh.toDF("idb", "sh")
     inter = (a.join(b, "sh")

@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cdap_geo_spark import udfs
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, re-spread for parallelism: these are
+    single-file parquets (one partition), which would otherwise run
+    every downstream map-side pipeline in ONE task."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _pt_xy(key: str):
     x = ((F.col(key) * 48271 + 17) % 700000).cast("double")
     y = ((F.col(key) * 69621 + 29) % 1300000).cast("double")
@@ -37,7 +45,7 @@ def _pt_xy(key: str):
 
 def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, x, y, geometry WKB point) from documents.parquet."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read(spark, sf_dir, "documents")
     x, y = _pt_xy("doc_id")
     return d.select("doc_id", x.alias("x"), y.alias("y"),
                     udfs.st_point()(x, y).alias("geometry"))
@@ -47,7 +55,7 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-docs table (input_hint shape) derived from the
     driver's documents.parquet: a text span from the table's text
     column + a geometry span carrying the doc point as hex WKB."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read(spark, sf_dir, "documents")
     x, y = _pt_xy("doc_id")
     geom = udfs.st_point()(x, y)
     span_t = F.struct(F.lit("text").alias("kind"),
@@ -64,7 +72,7 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def region_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(region_id, minx..maxy, geometry WKB box) from part.parquet."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _read(spark, sf_dir, "part")
     minx = ((F.col("p_partkey") * 40503 + 101) % 650000).cast("double")
     miny = ((F.col("p_partkey") * 69301 + 257) % 1250000).cast("double")
     w = ((F.col("p_partkey") * 97 + 13) % 50000 + 1000).cast("double")
@@ -78,7 +86,7 @@ def region_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, geometry WKB box) — rectangle per doc for bbox joins."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _read(spark, sf_dir, "documents")
     x, y = _pt_xy("doc_id")
     w = ((F.col("doc_id") * 31 + 7) % 20000 + 500).cast("double")
     h = ((F.col("doc_id") * 37 + 11) % 20000 + 500).cast("double")
@@ -88,7 +96,7 @@ def doc_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def query_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN probe points from nation.parquet (25 rows at any sf)."""
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = _read(spark, sf_dir, "nation")
     x = ((F.col("n_nationkey") * 104729 + 7) % 700000).cast("double")
     y = ((F.col("n_nationkey") * 130363 + 3) % 1300000).cast("double")
     return n.select(F.col("n_nationkey").alias("query_id"),

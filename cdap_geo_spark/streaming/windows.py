@@ -1,0 +1,59 @@
+"""Windowed event aggregation — batch and Structured Streaming.
+
+The reference has NO streaming surface (SURVEY.md §2.11: zero hits for
+readStream/watermark); the north rule's resumability requirement is
+batch checkpointing (plans/manifest.py). This module exists because a
+training-data engine still needs incremental event rollups: the SAME
+transformation function serves a static DataFrame (driver `events`
+table, DuckDB-checkable) and a ``readStream`` source with a watermark
+— the Structured Streaming contract that transformations are
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "1 hour",
+                          watermark: str | None = None) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Works on both batch and streaming inputs; pass ``watermark`` for
+    streaming late-data bounds (state is then evictable — required for
+    an unbounded source).
+    """
+    src = events
+    if watermark is not None:
+        # watermarks require TIMESTAMP (tz) — parquet often stores NTZ
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = 30,
+               tie_break: str | None = "event_id") -> DataFrame:
+    """Per-user session ids: a new session starts after a gap larger
+    than ``gap_minutes`` — the classic lag/cumsum window pattern
+    (batch; the streaming twin would be applyInPandasWithState).
+    ``tie_break`` makes ordering deterministic for equal timestamps."""
+    from pyspark.sql import Window
+    order = ["ts"] + ([tie_break] if tie_break
+                      and tie_break in events.columns else [])
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # TIMESTAMP_NTZ won't cast straight to long; go via timestamp
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = (gap.isNull() | (gap > gap_minutes * 60)).cast("long")
+    return (events.withColumn("_new", new_sess)
+            .withColumn("session_seq", F.sum("_new").over(w))
+            .drop("_new"))
+
+
+def stream_from_directory(spark, path: str, schema) -> DataFrame:
+    """File-source stream (the test harness feeds parquet files in)."""
+    return spark.readStream.schema(schema).parquet(path)

@@ -1,0 +1,180 @@
+"""Secondary geometry operators + streaming windows tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdap_geo_spark.core import wkb as W
+
+import oracle
+
+
+def test_st_group_dissolve(spark):
+    from cdap_geo_spark.operators.geoops import st_group
+    b1 = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                        np.array([10.0]), np.array([10.0]))[0]
+    b2 = W.boxes_to_wkb(np.array([20.0]), np.array([0.0]),
+                        np.array([30.0]), np.array([10.0]))[0]
+    b3 = W.boxes_to_wkb(np.array([50.0]), np.array([50.0]),
+                        np.array([60.0]), np.array([70.0]))[0]
+    df = spark.createDataFrame([("a", b1), ("a", b2), ("b", b3)],
+                               "key string, geometry binary")
+    out = {r.key: r for r in st_group(df, "key", level=12).collect()}
+    assert out["a"].n_parts == 2
+    assert out["a"].union_area == pytest.approx(200.0)
+    g = oracle.parse(bytes(out["a"].geometry))
+    assert g["type"] == "Multi" and len(g["parts"]) == 2
+    assert out["b"].n_parts == 1
+    assert oracle.area(oracle.parse(bytes(out["b"].geometry))) == 200.0
+    assert len(out["a"].cells) >= 1
+
+
+def test_unary_union_udf(spark):
+    from cdap_geo_spark.operators.geoops import unary_union_udf
+    pts = W.points_to_wkb(np.array([1.0, 2.0]), np.array([1.0, 2.0]))
+    df = spark.createDataFrame([(1, [pts[0], pts[1]])],
+                               "id long, geoms array<binary>")
+    out = df.select(unary_union_udf()(F.col("geoms")).alias("u")).collect()
+    g = oracle.parse(bytes(out[0].u))
+    assert g["type"] == "Multi" and len(g["parts"]) == 2
+
+
+def test_pointify_box_coverage(spark):
+    from cdap_geo_spark.operators.geoops import st_pointify
+    box = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                         np.array([10.0]), np.array([10.0]))[0]
+    df = spark.createDataFrame([(1, box)], "id long, geometry binary")
+    out = df.select(st_pointify(1.0)(F.col("geometry")).alias("p")).collect()[0].p
+    # 10x10 grid of centres, all inside the box
+    assert out["count"] == 100
+    assert out["mean"] == pytest.approx(1.0)
+    assert len(out["points"]) == 100
+    # triangle: roughly half the grid
+    tri = W.polygon_to_wkb([[[0, 0], [10, 0], [0, 10], [0, 0]]])
+    df2 = spark.createDataFrame([(1, tri)], "id long, geometry binary")
+    out2 = df2.select(st_pointify(1.0)(F.col("geometry")).alias("p")).collect()[0].p
+    assert 0.4 < out2["mean"] < 0.6
+
+
+def test_buffer_point_disc(spark):
+    from cdap_geo_spark.operators.geoops import st_buffer
+    from cdap_geo_spark.core import geom as G
+    df = spark.createDataFrame([(1, W.point_to_wkb(100.0, 100.0))],
+                               "id long, geometry binary")
+    out = df.select(st_buffer(10.0, segments=64)(F.col("geometry"))
+                    .alias("b")).collect()
+    b = W.parse_wkb([bytes(out[0].b)])
+    # 64-gon area converges to pi*r^2
+    assert G.area(b)[0] == pytest.approx(np.pi * 100, rel=0.01)
+    np.testing.assert_allclose(b.bounds()[0], [90, 90, 110, 110], atol=0.1)
+
+
+def test_transform_roundtrip(spark):
+    from cdap_geo_spark.operators.geoops import st_transform
+    df = spark.createDataFrame([(1, W.point_to_wkb(-0.1276, 51.5072))],
+                               "id long, geometry binary")
+    merc = df.select(st_transform("EPSG:4326", "EPSG:3857")(F.col("geometry"))
+                     .alias("g"))
+    back = merc.select(st_transform("EPSG:3857", "EPSG:4326")(F.col("g"))
+                       .alias("g"))
+    b = W.parse_wkb([bytes(back.collect()[0].g)])
+    np.testing.assert_allclose(b.coords[0], [-0.1276, 51.5072], atol=1e-9)
+    m = W.parse_wkb([bytes(merc.collect()[0].g)])
+    # London web-mercator: x = radians(lon)*R, y = R*ln(tan(pi/4+lat/2))
+    wx = np.radians(-0.1276) * 6_378_137.0
+    wy = 6_378_137.0 * np.log(np.tan(np.pi / 4 + np.radians(51.5072) / 2))
+    np.testing.assert_allclose(m.coords[0], [wx, wy], atol=1e-6)
+
+
+def test_st_dump_parts(spark):
+    from cdap_geo_spark.operators.geoops import st_dump
+    pts = W.points_to_wkb(np.array([1.0, 2.0, 3.0]), np.array([1.0, 2.0, 3.0]))
+    mp = W.multi_to_wkb(W.KIND_MULTIPOINT, pts)
+    df = spark.createDataFrame([("d1", mp), ("d2", pts[0])],
+                               "doc_id string, geometry binary")
+    out = st_dump(df).collect()
+    got = sorted((r.doc_id, r.part_idx) for r in out)
+    assert got == [("d1", 0), ("d1", 1), ("d1", 2), ("d2", 0)]
+
+
+def test_subdivide_by_cells_bounded_units(spark):
+    from cdap_geo_spark.operators.geoops import subdivide_by_cells
+    big = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                         np.array([200_000.0]), np.array([200_000.0]))[0]
+    df = spark.createDataFrame([("d1", big)], "doc_id string, geometry binary")
+    out = subdivide_by_cells(df, level=7).collect()  # 32km cells
+    assert len(out) >= 36  # ~7x7 cells
+    assert len({r.cell_id for r in out}) == len(out)
+
+
+def test_sort_key_prefix_property(spark):
+    from cdap_geo_spark.operators.geoops import st_sort_key
+    from cdap_geo_spark.core import cells as C
+    rows = [(1, W.point_to_wkb(1000.0, 1000.0)),
+            (2, W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                               np.array([500_000.0]),
+                               np.array([500_000.0]))[0])]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    out = {r.id: r.k for r in
+           df.select("id", st_sort_key()(F.col("geometry")).alias("k"))
+           .collect()}
+    lv1, _, _ = C.decode(np.array([out[1]]))
+    lv2, _, _ = C.decode(np.array([out[2]]))
+    assert lv1[0] == 16          # tiny point → max level
+    assert lv2[0] < lv1[0]       # big box → coarser containing cell
+
+
+def test_gpb_header_parse(spark):
+    import struct
+    from cdap_geo_spark.operators.geoops import unpack_gpb_header
+    env = struct.pack("<dddd", 1.0, 2.0, 3.0, 4.0)
+    hdr = b"GP" + bytes([0, 0b00000010]) + struct.pack("<i", 27700) + env
+    df = spark.createDataFrame([(1, hdr), (2, None)],
+                               "id long, blob binary")
+    out = {r.id: r.h for r in
+           df.select("id", unpack_gpb_header()(F.col("blob")).alias("h"))
+           .collect()}
+    assert out[1]["magic"] == "GP" and out[1]["srs_id"] == 27700
+    assert out[1]["envelope"] == [1.0, 2.0, 3.0, 4.0]
+    assert out[2]["magic"] is None
+
+
+def test_windowed_event_counts_batch(spark):
+    from cdap_geo_spark.streaming.windows import windowed_event_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    from cdap_geo_spark.streaming.windows import (
+        stream_from_directory, windowed_event_counts)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "in")
+    ev.limit(2000).repartition(2).write.parquet(src)
+    stream = stream_from_directory(spark, src, ev.schema)
+    q = (windowed_event_counts(stream, watermark="2 hours")
+         .writeStream.format("memory").queryName("winagg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select sum(n_events) from winagg").collect()[0][0]
+    want = windowed_event_counts(ev.limit(2000)) \
+        .agg(F.sum("n_events")).collect()[0][0]
+    assert got == want
+
+
+def test_sessionize(spark):
+    import datetime as dt
+    from cdap_geo_spark.streaming.windows import sessionize
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [(1, t0), (1, t0 + dt.timedelta(minutes=10)),
+            (1, t0 + dt.timedelta(hours=2)),
+            (2, t0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, gap_minutes=30).collect()
+    sess = {(r.user_id, r.ts): r.session_seq for r in out}
+    assert sess[(1, t0)] == 1
+    assert sess[(1, t0 + dt.timedelta(minutes=10))] == 1
+    assert sess[(1, t0 + dt.timedelta(hours=2))] == 2
+    assert sess[(2, t0)] == 1
