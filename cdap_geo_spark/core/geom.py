@@ -253,10 +253,182 @@ def is_axis_rect(batch: GeomBatch, bounds: np.ndarray | None = None) -> np.ndarr
     return out
 
 
+def polygon_edge_table(batch: GeomBatch):
+    """Global polygon-ring edge table, fully vectorized.
+
+    Returns (x0, y0, x1, y1, geom_edge_off) where geom_edge_off is a
+    CSR (n+1,) giving each geometry's slice of edges. Only polygon
+    parts contribute (rings closed as stored); geometries without
+    polygon parts have empty slices.
+    """
+    from cdap_geo_spark.core.wkb import KIND_POLYGON, _expand_ranges
+    n = len(batch)
+    p = len(batch.part_kind)
+    part_geom = np.repeat(np.arange(n),
+                          batch.geom_part_off[1:] - batch.geom_part_off[:-1])
+    is_poly_part = batch.part_kind == KIND_POLYGON
+    nrings = batch.part_ring_off[1:] - batch.part_ring_off[:-1]
+    ring_part = np.repeat(np.arange(p), nrings)
+    ring_is_poly = is_poly_part[ring_part] if p else np.zeros(0, bool)
+    ring_geom = part_geom[ring_part] if p else np.zeros(0, np.int64)
+    r_starts = batch.ring_coord_off[:-1]
+    r_stops = batch.ring_coord_off[1:]
+    ring_edges = np.maximum(r_stops - r_starts - 1, 0)
+    ring_edges = np.where(ring_is_poly, ring_edges, 0)
+    eidx = _expand_ranges(r_starts, r_starts + ring_edges)
+    x0 = batch.coords[eidx, 0] if len(eidx) else np.zeros(0)
+    y0 = batch.coords[eidx, 1] if len(eidx) else np.zeros(0)
+    x1 = batch.coords[eidx + 1, 0] if len(eidx) else np.zeros(0)
+    y1 = batch.coords[eidx + 1, 1] if len(eidx) else np.zeros(0)
+    counts = np.zeros(n, np.int64)
+    np.add.at(counts, ring_geom, ring_edges)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    return x0, y0, x1, y1, off
+
+
+def _points_in_geoms_flat(px: np.ndarray, py: np.ndarray,
+                          rb: GeomBatch, ri: np.ndarray,
+                          edge_table=None) -> np.ndarray:
+    """(m,) even-odd PIP of point i against rb[ri[i]] — flat over the
+    pair-expanded edge table, zero per-group Python."""
+    if edge_table is None:
+        edge_table = polygon_edge_table(rb)
+    ex0, ey0, ex1, ey1, off = edge_table
+    from cdap_geo_spark.core.wkb import _expand_ranges
+    starts, stops = off[ri], off[ri + 1]
+    eidx = _expand_ranges(starts, stops)
+    pown = np.repeat(np.arange(len(ri)), stops - starts)
+    out = np.zeros(len(ri), bool)
+    if len(eidx) == 0:
+        return out
+    X0, Y0 = ex0[eidx], ey0[eidx]
+    X1, Y1 = ex1[eidx], ey1[eidx]
+    PX, PY = px[pown], py[pown]
+    cond = (Y0 > PY) != (Y1 > PY)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = X0 + (PY - Y0) / (Y1 - Y0) * (X1 - X0)
+    crossing = cond & (PX < xint)
+    counts = np.zeros(len(ri), np.int64)
+    np.add.at(counts, pown, crossing.astype(np.int64))
+    out = (counts % 2).astype(bool)
+    # boundary touch counts as inside
+    dx, dy = X1 - X0, Y1 - Y0
+    ex, ey = PX - X0, PY - Y0
+    cross = dx * ey - dy * ex
+    seg_len2 = dx * dx + dy * dy
+    dot = ex * dx + ey * dy
+    on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.sqrt(seg_len2))) & \
+         (dot >= -_EPS) & (dot <= seg_len2 + _EPS) & (seg_len2 > _EPS * _EPS)
+    np.logical_or.at(out, pown, on)
+    return out
+
+
 def _is_single_point(batch: GeomBatch) -> np.ndarray:
     first = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[:-1]]]
     last = batch.ring_coord_off[batch.part_ring_off[batch.geom_part_off[1:]]]
     return batch.valid & (batch.kinds == KIND_POINT) & ((last - first) == 1)
+
+
+def general_edge_table(batch: GeomBatch):
+    """Like :func:`polygon_edge_table` but including LineString parts
+    (every part with >=2 coords per ring contributes its path edges)."""
+    from cdap_geo_spark.core.wkb import KIND_LINESTRING, KIND_POLYGON, \
+        _expand_ranges
+    n = len(batch)
+    p = len(batch.part_kind)
+    part_geom = np.repeat(np.arange(n),
+                          batch.geom_part_off[1:] - batch.geom_part_off[:-1])
+    edgy = (batch.part_kind == KIND_POLYGON) | \
+           (batch.part_kind == KIND_LINESTRING)
+    nrings = batch.part_ring_off[1:] - batch.part_ring_off[:-1]
+    ring_part = np.repeat(np.arange(p), nrings)
+    ring_ok = edgy[ring_part] if p else np.zeros(0, bool)
+    ring_geom = part_geom[ring_part] if p else np.zeros(0, np.int64)
+    r_starts = batch.ring_coord_off[:-1]
+    r_stops = batch.ring_coord_off[1:]
+    ring_edges = np.maximum(r_stops - r_starts - 1, 0)
+    ring_edges = np.where(ring_ok, ring_edges, 0)
+    eidx = _expand_ranges(r_starts, r_starts + ring_edges)
+    x0 = batch.coords[eidx, 0] if len(eidx) else np.zeros(0)
+    y0 = batch.coords[eidx, 1] if len(eidx) else np.zeros(0)
+    x1 = batch.coords[eidx + 1, 0] if len(eidx) else np.zeros(0)
+    y1 = batch.coords[eidx + 1, 1] if len(eidx) else np.zeros(0)
+    counts = np.zeros(n, np.int64)
+    np.add.at(counts, ring_geom, ring_edges)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    return x0, y0, x1, y1, off
+
+
+def _edges_cross_flat(lt, rt, li: np.ndarray, ri: np.ndarray) -> np.ndarray:
+    """(m,) any left edge intersects any right edge per pair — flat
+    cartesian expansion per pair (chunked), exact incl. touch."""
+    lx0, ly0, lx1, ly1, loff = lt
+    rx0, ry0, rx1, ry1, roff = rt
+    m = len(li)
+    out = np.zeros(m, bool)
+    el = loff[li + 1] - loff[li]
+    er = roff[ri + 1] - roff[ri]
+    rows = el * er
+    total = int(rows.sum())
+    if total == 0:
+        return out
+    # process pairs in chunks bounded by expanded row count
+    order = np.arange(m)
+    csum = np.cumsum(rows)
+    budget = 1_000_000
+    cuts = np.searchsorted(csum, np.arange(budget, total + budget, budget))
+    chunk_starts = [0] + sorted(set(int(c) for c in cuts if 0 < c < m)) + [m]
+    for cs_i in range(len(chunk_starts) - 1):
+        sel = order[chunk_starts[cs_i]:chunk_starts[cs_i + 1]]
+        sel = sel[rows[sel] > 0]
+        if len(sel) == 0:
+            continue
+        nrows = rows[sel]
+        pown = np.repeat(np.arange(len(sel)), nrows)
+        base = np.concatenate(([0], np.cumsum(nrows)[:-1]))
+        local = np.arange(int(nrows.sum())) - base[pown]
+        le_local = local // er[sel][pown]
+        re_local = local % er[sel][pown]
+        lidx = loff[li[sel]][pown] + le_local
+        ridx = roff[ri[sel]][pown] + re_local
+        ax0, ay0, ax1, ay1 = lx0[lidx], ly0[lidx], lx1[lidx], ly1[lidx]
+        bx0, by0, bx1, by1 = rx0[ridx], ry0[ridx], rx1[ridx], ry1[ridx]
+        # bbox reject first (cheap), then orientation test
+        ok = (np.minimum(ax0, ax1) <= np.maximum(bx0, bx1) + _EPS) & \
+             (np.maximum(ax0, ax1) >= np.minimum(bx0, bx1) - _EPS) & \
+             (np.minimum(ay0, ay1) <= np.maximum(by0, by1) + _EPS) & \
+             (np.maximum(ay0, ay1) >= np.minimum(by0, by1) - _EPS)
+        hit = np.zeros(len(ok), bool)
+        if ok.any():
+            s = np.flatnonzero(ok)
+            d1 = _orient(bx0[s], by0[s], bx1[s], by1[s], ax0[s], ay0[s])
+            d2 = _orient(bx0[s], by0[s], bx1[s], by1[s], ax1[s], ay1[s])
+            d3 = _orient(ax0[s], ay0[s], ax1[s], ay1[s], bx0[s], by0[s])
+            d4 = _orient(ax0[s], ay0[s], ax1[s], ay1[s], bx1[s], by1[s])
+            proper = (((d1 > _EPS) & (d2 < -_EPS)) | ((d1 < -_EPS) & (d2 > _EPS))) & \
+                     (((d3 > _EPS) & (d4 < -_EPS)) | ((d3 < -_EPS) & (d4 > _EPS)))
+            touch = (
+                (np.abs(d1) <= _EPS) & _on_seg(bx0[s], by0[s], bx1[s], by1[s], ax0[s], ay0[s]) |
+                (np.abs(d2) <= _EPS) & _on_seg(bx0[s], by0[s], bx1[s], by1[s], ax1[s], ay1[s]) |
+                (np.abs(d3) <= _EPS) & _on_seg(ax0[s], ay0[s], ax1[s], ay1[s], bx0[s], by0[s]) |
+                (np.abs(d4) <= _EPS) & _on_seg(ax0[s], ay0[s], ax1[s], ay1[s], bx1[s], by1[s])
+            )
+            hit[s] = proper | touch
+        np.logical_or.at(out, sel[pown], hit)
+    return out
+
+
+def _geom_has_polygon(batch: GeomBatch) -> np.ndarray:
+    """(n,) vectorized: geometry has at least one polygon part."""
+    n = len(batch)
+    part_geom = np.repeat(np.arange(n),
+                          batch.geom_part_off[1:] - batch.geom_part_off[:-1])
+    out = np.zeros(n, bool)
+    if len(part_geom):
+        np.logical_or.at(out, part_geom, batch.part_kind == KIND_POLYGON)
+    return out
 
 
 def pairs_intersect(lb: GeomBatch, rb: GeomBatch,
@@ -292,11 +464,68 @@ def pairs_intersect(lb: GeomBatch, rb: GeomBatch,
             lb.geom_part_off[fl]]], 1]
         out[fast] = ((px >= rrect_bounds[fr, 0]) & (px <= rrect_bounds[fr, 2]) &
                      (py >= rrect_bounds[fr, 1]) & (py <= rrect_bounds[fr, 3]))
-    rest = ok & ~fast
+
+    # ---- flat PIP: single-point left x general polygon right ----------
+    rhas_poly = _geom_has_polygon(rb)
+    flatpip = ok & ~fast & lpt[li] & rhas_poly[ri]
+    if flatpip.any():
+        fl, fr = li[flatpip], ri[flatpip]
+        cidx = lb.ring_coord_off[lb.part_ring_off[lb.geom_part_off[fl]]]
+        out[flatpip] = _points_in_geoms_flat(
+            lb.coords[cidx, 0], lb.coords[cidx, 1], rb, fr)
+
+    rest = ok & ~fast & ~flatpip
     if not rest.any():
         return out
 
-    idx = np.flatnonzero(rest)
+    # ---- flat edge-cross + containment probes for edge-bearing lefts --
+    ltab = general_edge_table(lb)
+    rtab = general_edge_table(rb)
+    l_has_edges = (ltab[4][1:] - ltab[4][:-1]) > 0
+    r_has_edges = (rtab[4][1:] - rtab[4][:-1]) > 0
+    # multipoint rights (no edges, >1 coord) need the per-point fallback
+    rfirst = rb.ring_coord_off[rb.part_ring_off[rb.geom_part_off[:-1]]]
+    rlast = rb.ring_coord_off[rb.part_ring_off[rb.geom_part_off[1:]]]
+    r_multi_pts = ~r_has_edges & ((rlast - rfirst) > 1)
+    lfirst = lb.ring_coord_off[lb.part_ring_off[lb.geom_part_off[:-1]]]
+    llast = lb.ring_coord_off[lb.part_ring_off[lb.geom_part_off[1:]]]
+    lhas_poly = _geom_has_polygon(lb)
+
+    # multi-PART geometries break the single-probe containment shortcut
+    # (one part may sit inside the partner with no edge crossings while
+    # the probed part is outside) -> exact grouped fallback for them
+    l_multi_part = (lb.geom_part_off[1:] - lb.geom_part_off[:-1]) > 1
+    r_multi_part = (rb.geom_part_off[1:] - rb.geom_part_off[:-1]) > 1
+    flatC = rest & l_has_edges[li] & ~r_multi_pts[ri] & \
+        ~l_multi_part[li] & ~r_multi_part[ri]
+    if flatC.any():
+        fl, fr = li[flatC], ri[flatC]
+        hit = _edges_cross_flat(ltab, rtab, fl, fr)
+        # left vertex inside right polygon (covers left-inside-right)
+        sub = rhas_poly[fr]
+        if sub.any():
+            hit[sub] |= _points_in_geoms_flat(
+                lb.coords[lfirst[fl[sub]], 0], lb.coords[lfirst[fl[sub]], 1],
+                rb, fr[sub])
+        # right vertex inside left polygon (covers right-inside-left)
+        sub = lhas_poly[fl] & (rlast[fr] > rfirst[fr])
+        if sub.any():
+            hit[sub] |= _points_in_geoms_flat(
+                rb.coords[rfirst[fr[sub]], 0], rb.coords[rfirst[fr[sub]], 1],
+                lb, fl[sub])
+        # point-like right on a left edge (single-point rights only here)
+        sub = ~r_has_edges[fr] & ((rlast[fr] - rfirst[fr]) == 1)
+        if sub.any():
+            hit[sub] |= _points_on_edges_flat(
+                rb.coords[rfirst[fr[sub]], 0], rb.coords[rfirst[fr[sub]], 1],
+                ltab, fl[sub])
+        out[flatC] = hit
+
+    # ---- grouped fallback: multipoint lefts / multipoint rights -------
+    rest2 = rest & ~flatC
+    if not rest2.any():
+        return out
+    idx = np.flatnonzero(rest2)
     li_r, ri_r = li[idx], ri[idx]
     order = np.argsort(ri_r, kind="stable")
     li_s, ri_s = li_r[order], ri_r[order]
@@ -312,7 +541,31 @@ def pairs_intersect(lb: GeomBatch, rb: GeomBatch,
     return out
 
 
-_EDGE_CHUNK = 262_144  # bound the (L_edges x R_edges) matrices
+def _points_on_edges_flat(px: np.ndarray, py: np.ndarray, table,
+                          gi: np.ndarray) -> np.ndarray:
+    """(m,) point i lies on any edge of table-geometry gi[i] — flat."""
+    from cdap_geo_spark.core.wkb import _expand_ranges
+    ex0, ey0, ex1, ey1, off = table
+    starts, stops = off[gi], off[gi + 1]
+    eidx = _expand_ranges(starts, stops)
+    pown = np.repeat(np.arange(len(gi)), stops - starts)
+    out = np.zeros(len(gi), bool)
+    if len(eidx) == 0:
+        return out
+    X0, Y0, X1, Y1 = ex0[eidx], ey0[eidx], ex1[eidx], ey1[eidx]
+    PX, PY = px[pown], py[pown]
+    dx, dy = X1 - X0, Y1 - Y0
+    ex_, ey_ = PX - X0, PY - Y0
+    cross = dx * ey_ - dy * ex_
+    seg_len2 = dx * dx + dy * dy
+    dot = ex_ * dx + ey_ * dy
+    on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.sqrt(seg_len2))) & \
+         (dot >= -_EPS) & (dot <= seg_len2 + _EPS) & (seg_len2 > _EPS * _EPS)
+    np.logical_or.at(out, pown, on)
+    return out
+
+
+_EDGE_CHUNK = 131_072  # bound the (L_edges x R_edges) matrices
 
 
 def _group_intersects(lb: GeomBatch, lids: np.ndarray,

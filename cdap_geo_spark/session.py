@@ -26,12 +26,32 @@ ENGINE_CONF = {
     # parquet scans keep pushdown + vectorized reader (defaults, pinned)
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # id->payload fetch-back relations (narrow, few MB per million rows)
+    # should broadcast rather than shuffle the wide pair side
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
 }
+
+
+def _tune_malloc_env() -> None:
+    """Pin glibc to reuse heap pages instead of munmap'ing large blocks.
+
+    This sandbox is a microVM where FIRST-TOUCH page faults cost ~0.8ms
+    per 4K page (~5 MB/s!); freed mmap'ed blocks return pages to the
+    host and re-fault on the next allocation. Forcing large allocations
+    onto the (retained) heap makes every allocation after the first
+    touch fast. Must run BEFORE the JVM launches so the python workers
+    forked from it inherit the environment.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("CDAP_GEO_WARM_MB", "96")
 
 
 def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
+    _tune_malloc_env()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:

@@ -16,12 +16,35 @@ pairs — the Arrow-batch analogue of shapely prepared geometries
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
 from cdap_geo_spark.core import cells as C, geom as G, wkb as W
+
+
+def _warm_pages_once() -> None:
+    """Touch a heap arena once per python worker process.
+
+    In this sandbox first-touch page faults are ~1000x slower than
+    warm pages (microVM lazy backing). With MALLOC_TRIM_THRESHOLD_=-1
+    (set by session._tune_malloc_env and inherited by workers) the
+    freed arena stays in the process heap, so all subsequent NumPy /
+    Arrow allocations reuse warm pages. No-op outside such
+    environments (costs one memset of CDAP_GEO_WARM_MB).
+    """
+    mb = int(os.environ.get("CDAP_GEO_WARM_MB", "0") or 0)
+    if mb > 0 and not getattr(_warm_pages_once, "_done", False):
+        arena = np.empty(mb * 131072, np.float64)  # mb MiB
+        arena[:] = 1.0
+        del arena
+        _warm_pages_once._done = True
+
+
+_warm_pages_once()
 
 BOUNDS_FIELDS = [
     T.StructField("minx", T.DoubleType()),
@@ -165,14 +188,18 @@ def st_box():
 # ---------------------------------------------------------------------------
 
 def _pair_kernel(kernel, out_dtype):
+    """Factorize BOTH sides: candidates repeat each doc ~once per
+    overlapping region and each region across many docs, so parsing
+    unique blobs only cuts WKB decode work by the duplication factor."""
     def run(l: pd.Series, r: pd.Series) -> np.ndarray:
-        lb = W.parse_wkb(_to_blob_list(l))
-        codes, uniques = pd.factorize(r, use_na_sentinel=True)
-        rb = W.parse_wkb(_to_blob_list(pd.Series(uniques)))
+        lcodes, lunique = pd.factorize(l, use_na_sentinel=True)
+        rcodes, runique = pd.factorize(r, use_na_sentinel=True)
+        lb = W.parse_wkb(_to_blob_list(pd.Series(lunique)))
+        rb = W.parse_wkb(_to_blob_list(pd.Series(runique)))
         n = len(l)
-        li = np.arange(n)
-        ri = codes.astype(np.int64)
-        valid_pair = ri >= 0
+        li = lcodes.astype(np.int64)
+        ri = rcodes.astype(np.int64)
+        valid_pair = (ri >= 0) & (li >= 0)
         out = np.zeros(n, out_dtype)
         if valid_pair.any():
             res = kernel(lb, rb, li[valid_pair], ri[valid_pair])
