@@ -61,7 +61,14 @@ def ensure_fixtures(spark, sf: float) -> tuple[str, str]:
 
 
 def headline(spark, docs_path: str, regs_path: str) -> dict:
-    """sjoin + tile-assign end-to-end -> noop sink."""
+    """sjoin + tile-assign end-to-end -> (doc_id, region_id, tile_id).
+
+    ONE fused pipeline: cell cover -> broadcast equi-join -> exact
+    refine (geometry kept) -> map-side tile cover of the matched doc
+    geometry -> one narrow dedup. No second scan of the docs table, no
+    pairs-to-tiles join — tile assignment is arithmetic, so it rides
+    the join output instead of forming its own relation.
+    """
     from cdap_geo_spark import docs as D
     from cdap_geo_spark.operators.sjoin import sjoin_pairs
     from cdap_geo_spark.operators.tiles import assign_tiles
@@ -70,9 +77,11 @@ def headline(spark, docs_path: str, regs_path: str) -> dict:
     regions = spark.read.parquet(regs_path).select("region_id", "geometry")
     t0 = time.time()
     pairs = sjoin_pairs(docs, regions, left_id="doc_id",
-                        right_id="region_id", level=7, broadcast=True)
-    tiled = assign_tiles(docs, bbox=(0, 0, 700_000, 1_300_000), splits=10)
-    out = pairs.join(tiled, "doc_id")
+                        right_id="region_id", level=7, broadcast=True,
+                        dedup=False, keep_left_geom=True)
+    tiled = assign_tiles(pairs, bbox=(0, 0, 700_000, 1_300_000), splits=10,
+                         keep=("region_id",))
+    out = tiled.dropDuplicates(["doc_id", "region_id", "tile_id"])
     rows = out.count()
     wall = time.time() - t0
     return {"seconds": round(wall, 3), "rows": rows,

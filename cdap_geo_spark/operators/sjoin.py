@@ -114,7 +114,8 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
                 salt: int = 1,
                 dedup: bool = True,
                 distance: float | None = None,
-                keep_distance: bool = False) -> DataFrame:
+                keep_distance: bool = False,
+                keep_left_geom: bool = False) -> DataFrame:
     """Candidate-generate + refine; returns distinct (left_id, right_id).
 
     predicate: 'intersects' (exact, ``bbox_intersects`` semantics,
@@ -194,8 +195,13 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
         pred = udfs.st_intersects()(F.col(left_geom_c), F.col(right_geom))
         if fast_path_ok:
             pred = F.col("_rinside") | pred
-        out = cand.filter(pred).select(left_id, right_id)
-        return out.dropDuplicates([left_id, right_id]) if dedup else out
+        cols = [left_id, right_id]
+        if keep_left_geom:
+            cols.append(F.col(left_geom_c).alias("geometry"))
+        out = cand.filter(pred).select(*cols)
+        if dedup:
+            out = out.dropDuplicates([left_id, right_id])
+        return out
 
     if predicate == "distance":
         d = udfs.st_distance()(F.col(left_geom_c), F.col(right_geom))

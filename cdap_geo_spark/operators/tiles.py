@@ -112,7 +112,7 @@ def grid_cover_udf(resolutions, limits, compat: str = "reference"):
 
 def assign_tiles(df: DataFrame, *, bbox: tuple, splits: int,
                  geom_col: str = "geometry", id_col: str = "doc_id",
-                 exact: bool = True) -> DataFrame:
+                 exact: bool = True, keep: tuple = ()) -> DataFrame:
     """(id_col, tile_id) for every tile of the regular grid the geometry
     intersects — map-side only, no join, no shuffle.
 
@@ -133,9 +133,12 @@ def assign_tiles(df: DataFrame, *, bbox: tuple, splits: int,
 
     from cdap_geo_spark.core import geom as G, wkb as W
 
-    src = df.select(F.col(id_col), F.col(geom_col))
-    out_schema = T.StructType([src.schema[id_col],
-                               T.StructField("tile_id", T.StringType())])
+    keep = [c for c in keep if c != id_col]
+    src = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    F.col(geom_col))
+    out_schema = T.StructType([src.schema[id_col]]
+                              + [src.schema[c] for c in keep]
+                              + [T.StructField("tile_id", T.StringType())])
 
     def gen(batches):
         for pdf in batches:
@@ -162,7 +165,7 @@ def assign_tiles(df: DataFrame, *, bbox: tuple, splits: int,
                 np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
             tx = xi0[owner] + local // np.maximum(ny[owner], 1)
             ty = yi0[owner] + local % np.maximum(ny[owner], 1)
-            keep = np.ones(total, bool)
+            keep_mask = np.ones(total, bool)
             if exact and total:
                 multi = counts[owner] > 1
                 sel = np.flatnonzero(multi)
@@ -173,12 +176,15 @@ def assign_tiles(df: DataFrame, *, bbox: tuple, splits: int,
                         (ty[sel] * ry).astype(np.float64),
                         ((tx[sel] + 1) * rx).astype(np.float64),
                         ((ty[sel] + 1) * ry).astype(np.float64)))
-                    keep[sel] = G.pairs_intersect(
+                    keep_mask[sel] = G.pairs_intersect(
                         batch, tb, owner[sel], np.arange(len(sel)))
-            ids = pdf[id_col].to_numpy()[owner[keep]]
             names = [f"{x * rx}-{y * ry}" for x, y in
-                     zip(tx[keep], ty[keep])]
-            yield pd.DataFrame({id_col: ids, "tile_id": names})
+                     zip(tx[keep_mask], ty[keep_mask])]
+            data = {id_col: pdf[id_col].to_numpy()[owner[keep_mask]]}
+            for c in keep:
+                data[c] = pdf[c].to_numpy()[owner[keep_mask]]
+            data["tile_id"] = names
+            yield pd.DataFrame(data)
 
     return src.mapInPandas(gen, schema=out_schema)
 
