@@ -896,9 +896,9 @@ def pairs_intersection_area(lb: GeomBatch, rb: GeomBatch,
     return out
 
 
-def _clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+def _clip_ring(subject: np.ndarray, clip: np.ndarray):
     """Sutherland–Hodgman clip of `subject` ring by convex `clip` ring;
-    returns |area| of the clipped polygon."""
+    returns the clipped polygon's (k,2) vertices (open) or None."""
     # ensure clip is CCW for the inside test
     cx, cy = clip[:-1, 0], clip[:-1, 1]
     if 0.5 * np.sum(cx * np.roll(cy, -1) - np.roll(cx, -1) * cy) < 0:
@@ -908,7 +908,7 @@ def _clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
     nc = len(cpts)
     for i in range(nc):
         if not poly:
-            return 0.0
+            return None
         ax, ay = cpts[i]
         bx, by = cpts[(i + 1) % nc]
         out_pts = []
@@ -925,8 +925,15 @@ def _clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
             prev, prev_in = cur, cur_in
         poly = out_pts
     if len(poly) < 3:
+        return None
+    return np.asarray(poly)
+
+
+def _clip_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    """|area| of the Sutherland–Hodgman clip (see :func:`_clip_ring`)."""
+    arr = _clip_ring(subject, clip)
+    if arr is None:
         return 0.0
-    arr = np.asarray(poly)
     x, y = arr[:, 0], arr[:, 1]
     return abs(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 

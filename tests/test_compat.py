@@ -1,0 +1,114 @@
+"""Reference-API compat layer tests — including bit-for-bit BNG ref
+parity against a direct transcription of the reference's encoder."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdap_geo_spark import compat
+from cdap_geo_spark.core import wkb as W
+
+import oracle
+
+
+# direct transcription of cdap_geo/_indexing.py:73-105 for the oracle
+_LETTERS = "ABCDEFGHJKLMNOPQRSTUVWXYZ"
+_NUMBERS_LENGTH = {1: 5, 10: 4, 100: 3, 1_000: 2, 10_000: 1, 100_000: 0}
+
+
+def _ref_coords_to_bng(eastings, northings, resolution):
+    eastings_string = str(int(eastings)).rjust(6, "0")
+    northings_string = str(int(northings)).rjust(6, "0")
+    eastings_quotient = int(eastings_string[:-5])
+    eastings_remainder = eastings_string[-5:]
+    northings_quotient = int(northings_string[:-5])
+    northings_remainder = northings_string[-5:]
+    first_letter_index = (
+        (19 - northings_quotient)
+        - (19 - northings_quotient) % 5
+        + (eastings_quotient + 10) // 5
+    )
+    second_letter_index = (19 - northings_quotient) * 5 % 25 \
+        + eastings_quotient % 5
+    letters = _LETTERS[first_letter_index] + _LETTERS[second_letter_index]
+    length = _NUMBERS_LENGTH[resolution]
+    return letters + eastings_remainder[:length] + northings_remainder[:length]
+
+
+def test_bng_refs_bit_parity():
+    rng = np.random.RandomState(1)
+    e = rng.randint(0, 700_000, 300)
+    n = rng.randint(0, 1_300_000, 300)
+    for res in (1, 10, 100, 1000, 10000, 100000):
+        got = compat.bng_refs(e.astype(float), n.astype(float), res)
+        want = [_ref_coords_to_bng(a, b, res) for a, b in zip(e, n)]
+        assert got == want, res
+
+
+def test_bng_udf_point_and_straddle(spark):
+    rows = [(1, W.point_to_wkb(530_500.0, 180_500.0)),   # interior
+            (2, W.point_to_wkb(530_000.0, 180_500.0)),   # vertical edge
+            (3, W.point_to_wkb(530_000.0, 180_000.0))]   # vertex
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    out = {r.id: sorted(r.b) for r in
+           df.select("id", compat.bng("geometry", 1000).alias("b")).collect()}
+    assert out[1] == [_ref_coords_to_bng(530_500, 180_500, 1000)]
+    assert len(out[2]) == 2 and len(out[3]) == 4
+
+
+def test_bng_udf_polygon_cover(spark):
+    box = W.boxes_to_wkb(np.array([529_500.0]), np.array([179_500.0]),
+                         np.array([531_500.0]), np.array([181_500.0]))[0]
+    df = spark.createDataFrame([(1, box)], "id long, geometry binary")
+    out = df.select(compat.bng("geometry", 1000).alias("b")).collect()[0].b
+    # box [529500,531500] pads to [529499,531501] -> cells 529/530/531
+    # per axis = 3x3 cover, all intersecting the box
+    assert len(out) == 9
+    assert _ref_coords_to_bng(530_000, 180_000, 1000) in out
+
+
+def test_compat_functions_roundtrip(spark):
+    b1 = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                        np.array([10.0]), np.array([10.0]))[0]
+    b2 = W.boxes_to_wkb(np.array([5.0]), np.array([5.0]),
+                        np.array([15.0]), np.array([15.0]))[0]
+    df = spark.createDataFrame([(b1, b2)], "g1 binary, g2 binary")
+    row = df.select(
+        compat.area("g1").alias("a"),
+        compat.bounds("g1").alias("b"),
+        compat.intersects("g1", "g2").alias("i"),
+        compat.intersection_area("g1", "g2").alias("ia"),
+        compat.intersection("g1", "g2").alias("ig"),
+    ).collect()[0]
+    assert row.a == pytest.approx(100.0)
+    assert row.b == [0, 0, 10, 10]
+    assert row.i is True
+    assert row.ia == pytest.approx(25.0)
+    assert oracle.area(oracle.parse(bytes(row.ig))) == pytest.approx(25.0)
+
+
+def test_compat_join_matches_reference_contract(spark):
+    # join() returns bbox-level candidates with suffixed geometry
+    # (index_bbox.py:32-71); bbox_intersects filters exactly (:73-76)
+    from cdap_geo_spark import fixtures, docs as D
+    dd = D.with_geometry(fixtures.documents(spark, 80, partitions=2)) \
+        .select("doc_id", "geometry").cache()
+    rr = fixtures.regions(spark, 30).select(
+        F.col("region_id"), "geometry").cache()
+    j = compat.join(dd, rr)
+    assert "geometry" in j.columns and "geometry_right" in j.columns
+    exact = compat.bbox_intersects(dd, rr)
+    assert exact.count() <= j.count()
+    # exact matches the engine oracle path
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    want = sjoin_pairs(dd, rr, left_id="doc_id", right_id="region_id",
+                       level=7).count()
+    assert exact.count() == want
+
+
+def test_compat_to_sdf_to_gdf(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"geometry": [W.point_to_wkb(1, 2)]})
+    sdf = compat.to_sdf(pdf, spark)
+    back = compat.to_gdf(sdf)
+    assert bytes(back.geometry[0]) == W.point_to_wkb(1, 2)
