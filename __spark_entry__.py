@@ -235,8 +235,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.encode("text", "utf-8").alias("media"))
     out = extract_features(d, decode=deterministic_fake_decode)
+    # features[6]/[7] are the decoded frame's (h, w) — pure functions
+    # of the payload bytes, so the SQL oracle can recompute them
     return out.select(F.col("doc_id").cast("long"), "decode_ok",
-                      F.size("features").alias("feat_dim"))
+                      F.size("features").alias("feat_dim"),
+                      F.element_at("features", 7).cast("long").alias("h"),
+                      F.element_at("features", 8).cast("long").alias("w"))
 
 
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +337,194 @@ _SJOIN_PIP_SQL = f"""
   FROM pts p JOIN boxes b
     ON p.x >= b.minx AND p.x <= b.maxx
    AND p.y >= b.miny AND p.y <= b.maxy
+"""
+
+
+# ---- generated oracles for the hash-based operators -----------------------
+# simhash / minhash / lsh_ann were `no_oracle` in round 1. They are now
+# EXACTLY recomputable in DuckDB because every hash they use is md5 (the
+# one digest both engines share) and every derived constant (minhash
+# permutations, LSH hyperplanes) is embedded below as SQL literals from
+# the same seeds the Spark kernels use.
+
+_TOKS = r"""
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+"""
+
+# bit j (0..63, MSB-first) of the 64-bit md5-prefix token hash
+_SIMHASH_BITS = f"""
+  WITH toks AS ({_TOKS}),
+  bits AS (
+    SELECT doc_id, j,
+           (instr('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1)
+             // CAST(pow(2, 3 - (j % 4)) AS INTEGER) % 2 AS bit
+    FROM toks, generate_series(0, 63) g(j)
+  ),
+  votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v
+            FROM bits GROUP BY 1, 2),
+  sb AS (
+    SELECT d.doc_id, g.j,
+           coalesce(CASE WHEN v.v > 0 THEN 1 ELSE 0 END, 0) AS bit
+    FROM documents d
+    CROSS JOIN generate_series(0, 63) g(j)
+    LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.j = g.j
+  )
+"""
+
+_SIMHASH_SQL = f"""
+  {_SIMHASH_BITS},
+  bands AS (
+    SELECT doc_id, j // 16 AS band,
+           sum(bit * CAST(pow(2, 15 - (j % 16)) AS BIGINT)) AS bkey
+    FROM sb GROUP BY 1, 2
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  ),
+  ham AS (
+    SELECT c.ida, c.idb,
+           sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+    FROM cand c
+    JOIN sb x ON x.doc_id = c.ida
+    JOIN sb y ON y.doc_id = c.idb AND y.j = x.j
+    GROUP BY 1, 2
+  )
+  SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+         CAST(hamming AS BIGINT) AS hamming
+  FROM ham WHERE hamming <= 3
+"""
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
+                 seed: int = 7) -> str:
+    from cdap_geo_spark.operators.dedup import (MINHASH_PRIME,
+                                                minhash_params)
+    a, b = minhash_params(num_perm, seed)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(num_perm))
+    rpb = num_perm // bands
+    return f"""
+  WITH sh AS (
+    SELECT DISTINCT doc_id,
+           CAST(concat('0x', substr(md5(substr(lower(text), CAST(i AS INT),
+                                               {k})), 1, 15)) AS BIGINT) AS x
+    FROM documents, generate_series(1, 4000) g(i)
+    WHERE i <= len(text) - {k - 1}
+  ),
+  perms AS (SELECT * FROM (VALUES {perm_rows}) t(j, a, b)),
+  mh AS (
+    SELECT doc_id, j,
+           min(CAST((CAST(a AS HUGEINT) * x % 18446744073709551616 + b)
+                    % 18446744073709551616 % {MINHASH_PRIME} AS BIGINT)) AS v
+    FROM sh CROSS JOIN perms GROUP BY 1, 2
+  ),
+  sig AS (
+    SELECT d.doc_id, g.j, coalesce(mh.v, 0) AS v
+    FROM documents d CROSS JOIN generate_series(0, {num_perm - 1}) g(j)
+    LEFT JOIN mh ON mh.doc_id = d.doc_id AND mh.j = g.j
+  ),
+  bands AS (
+    SELECT doc_id, j // {rpb} AS band,
+           md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS bkey
+    FROM sig GROUP BY 1, 2
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  ),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+  ivs AS (
+    SELECT c.ida, c.idb, count(*) AS i
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.ida
+    JOIN sh b ON b.doc_id = c.idb AND b.x = a.x
+    GROUP BY 1, 2
+  )
+  SELECT CAST(c.ida AS BIGINT) AS id_a, CAST(c.idb AS BIGINT) AS id_b
+  FROM cand c
+  LEFT JOIN ivs ON ivs.ida = c.ida AND ivs.idb = c.idb
+  LEFT JOIN sizes sa ON sa.doc_id = c.ida
+  LEFT JOIN sizes sb ON sb.doc_id = c.idb
+  WHERE 2 * coalesce(ivs.i, 0)
+        >= coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(ivs.i, 0)
+"""
+
+
+def _lsh_ann_sql(dim: int = 64, n_planes: int = 10, seed: int = 5) -> str:
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    plane_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in planes[i]))
+        for i in range(n_planes))
+    return f"""
+  WITH planes AS (SELECT * FROM (VALUES {plane_rows}) t(pi, pv)),
+  emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  bkt AS (
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0
+                    THEN CAST(pow(2, p.pi) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM emb e CROSS JOIN planes p GROUP BY 1
+  ),
+  q AS (
+    SELECT e.vec_id AS query_id, e.v AS qv,
+           CASE WHEN g.j = -1 THEN b.bucket
+                ELSE xor(b.bucket, CAST(pow(2, g.j) AS BIGINT)) END AS bucket
+    FROM emb e JOIN bkt b ON b.vec_id = e.vec_id
+    CROSS JOIN generate_series(-1, {n_planes - 1}) g(j)
+    WHERE e.vec_id % 20 = 0
+  ),
+  cand AS (
+    SELECT q.query_id, c.vec_id,
+           list_cosine_similarity(e.v, q.qv) AS cos
+    FROM q JOIN bkt c ON c.bucket = q.bucket
+    JOIN emb e ON e.vec_id = c.vec_id
+  ),
+  ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM cand
+  )
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 5
+"""
+
+
+_MEDIA_SQL = """
+  WITH s AS (
+    SELECT doc_id, text, len(text) AS n FROM documents
+  ),
+  hh AS (
+    SELECT doc_id,
+           coalesce((SELECT sum(ord(substr(s2.text, CAST(i AS INT), 1)))
+                     FROM generate_series(1, 16) g(i)
+                     WHERE i <= s2.n), 0) AS sum_head,
+           coalesce((SELECT sum(ord(substr(s2.text,
+                                           CAST(greatest(s2.n - 16, 0) + i
+                                                AS INT), 1)))
+                     FROM generate_series(1, 16) g(i)
+                     WHERE greatest(s2.n - 16, 0) + i <= s2.n), 0) AS sum_tail,
+           s2.n
+    FROM s s2
+  )
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         TRUE AS decode_ok,
+         16 AS feat_dim,
+         CAST(CASE WHEN n = 0 THEN 2 ELSE sum_head % 8 + 2 END
+              AS BIGINT) AS h,
+         CAST(CASE WHEN n = 0 THEN 2 ELSE sum_tail % 8 + 2 END
+              AS BIGINT) AS w
+  FROM hh
 """
 
 
@@ -515,9 +707,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS new_sess
             FROM events)
         """,
-        # minhash_pairs / simhash_pairs / lsh_ann / media_features are
-        # not ANSI-SQL-expressible (hash permutations / bit votes /
-        # random hyperplanes / binary decode) -> rows-only checks; their
-        # exactness is pinned by pytest oracles in tests/test_dedup.py,
-        # tests/test_embeddings.py, tests/test_multimodal.py.
+        "simhash_pairs": _SIMHASH_SQL,
+        "minhash_pairs": _minhash_sql(),
+        "lsh_ann": _lsh_ann_sql(),
+        "media_features": _MEDIA_SQL,
     }

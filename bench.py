@@ -60,12 +60,14 @@ def ensure_fixtures(spark, sf: float) -> tuple[str, str]:
     return docs_path, regs_path
 
 
-def headline(spark, docs_path: str, regs_path: str) -> dict:
+def headline(spark, docs_path: str, regs_path: str,
+             limit: int | None = None) -> dict:
     """sjoin + tile-assign end-to-end -> (doc_id, region_id, tile_id).
 
-    ONE fused pipeline: cell cover -> broadcast equi-join -> exact
-    refine (geometry kept) -> map-side tile cover of the matched doc
-    geometry -> one narrow dedup. No second scan of the docs table, no
+    ONE fused pipeline: cell cover -> auto-planned cell equi-join
+    (the planner's bounded probe pins the broadcast) -> exact refine
+    (geometry kept) -> map-side tile cover of the matched doc geometry
+    -> one narrow dedup. No second scan of the docs table, no
     pairs-to-tiles join — tile assignment is arithmetic, so it rides
     the join output instead of forming its own relation.
     """
@@ -73,11 +75,14 @@ def headline(spark, docs_path: str, regs_path: str) -> dict:
     from cdap_geo_spark.operators.sjoin import sjoin_pairs
     from cdap_geo_spark.operators.tiles import assign_tiles
 
-    docs = D.with_geometry(spark.read.parquet(docs_path))
+    src = spark.read.parquet(docs_path)
+    if limit is not None:
+        src = src.limit(limit).repartition(CPUS)
+    docs = D.with_geometry(src)
     regions = spark.read.parquet(regs_path).select("region_id", "geometry")
     t0 = time.time()
     pairs = sjoin_pairs(docs, regions, left_id="doc_id",
-                        right_id="region_id", level=7, broadcast=True,
+                        right_id="region_id", level=7,
                         dedup=False, keep_left_geom=True)
     tiled = assign_tiles(pairs, bbox=(0, 0, 700_000, 1_300_000), splits=10,
                          keep=("region_id",))
@@ -86,6 +91,22 @@ def headline(spark, docs_path: str, regs_path: str) -> dict:
     wall = time.time() - t0
     return {"seconds": round(wall, 3), "rows": rows,
             "rows_per_sec": round(rows / wall, 1)}
+
+
+def warmup(spark, docs_path: str, regs_path: str) -> float:
+    """Absorb one-time costs BEFORE any timed query: JVM + codegen
+    warm-up, Python worker forks, Arrow serde paths, first-touch page
+    faults (microVM, session.py), and the parquet footer reads. Runs
+    the headline pipeline shape on a small slice + one shuffle — cost
+    reported separately, excluded from every timing (BASELINE.md §4
+    measurement plan: timings reflect plan cost, not sandbox weather).
+    """
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    headline(spark, docs_path, regs_path, limit=20_000)
+    spark.range(1_000_000).groupBy((F.col("id") % 97).alias("k")) \
+        .count().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
 
 
 def relational_queries(spark) -> dict:
@@ -108,11 +129,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     docs_path, regs_path = ensure_fixtures(spark, sf)
 
-    # relational queries first (clean session), headline last — an
+    warm_s = warmup(spark, docs_path, regs_path)
+
+    # relational queries first, headline (median of 3) last — an
     # intermittent local-mode stall follows large mapInPandas jobs in
     # this sandbox (~60s, CPU idle; not present on fresh sessions)
     queries = relational_queries(spark)
-    h = headline(spark, docs_path, regs_path)
+    runs = sorted((headline(spark, docs_path, regs_path)
+                   for _ in range(3)), key=lambda h: h["seconds"])
+    h = runs[1]
     queries["sjoin_tile_headline"] = h["seconds"]
 
     result = {
@@ -125,6 +150,8 @@ def main():
         "cpus": CPUS,
         "rows": h["rows"],
         "rows_per_sec": h["rows_per_sec"],
+        "warmup_s": warm_s,
+        "headline_runs": [r["seconds"] for r in runs],
     }
     print(json.dumps(result))
     spark.stop()

@@ -14,10 +14,13 @@ Deviations (each documented at the member):
 
 * types: geometry math returns DoubleType where the reference used
   FloatType (cast down at the edge if needed);
-* ``crs`` supports the closed-form EPSG:4326<->3857 pair (pyproj is
-  unavailable here);
-* ``intersection`` geometry output requires a convex right operand
-  (Sutherland–Hodgman clip); ``intersection_area`` matches it;
+* ``crs`` supports EPSG:4326/3857/27700 closed-form (pyproj is
+  unavailable; 27700 = published OS TM + Helmert math, ~3.5 m datum
+  accuracy — ``core/proj.py``);
+* ``intersection`` geometry output handles non-convex (Multi)Polygons
+  but may subdivide pieces along triangulation seams and returns None
+  when either side has holes; ``intersection_area`` is fully general
+  (non-convex + holes + multiparts);
 * GeoPackage/remote readers are out of scope (no JDBC sqlite/network);
 * ``to_sdf``/``to_gdf`` convert pandas frames with WKB bytes columns
   (geopandas is unavailable).
@@ -67,60 +70,269 @@ def bng_refs(eastings: np.ndarray, northings: np.ndarray,
     return out
 
 
-def bng(column, resolution: int = 1000, how: str = "intersects"):
-    """array<string> of BNG refs covering the geometry — semantics of
+def _part_bbox_cover(px: np.ndarray, py: np.ndarray, res: float, pad: float):
+    """Padded floor/ceil cell-origin cover of one part's bbox
+    (``cdap_geo/_indexing.py:108-127``)."""
+    x1 = np.floor((px.min() - pad) / res) * res
+    y1 = np.floor((py.min() - pad) / res) * res
+    x2 = np.ceil((px.max() + pad) / res) * res
+    y2 = np.ceil((py.max() + pad) / res) * res
+    xs = np.arange(x1, x2, res)
+    ys = np.arange(y1, y2, res)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return gx.ravel(), gy.ravel()
+
+
+def _point_straddle_cells(pts: np.ndarray, resolution: int,
+                          pad: float) -> set:
+    """Point cover with the reference's edge/vertex straddle
+    (``cdap_geo/_indexing.py:170-216``): 1/2/4 cells."""
+    res = float(resolution)
+    cells = set()
+    for x, y in pts:
+        on_vx = int(x) % resolution == 0
+        on_hy = int(y) % resolution == 0
+        dxs = (-pad, pad) if on_vx else (0.0,)
+        dys = (-pad, pad) if on_hy else (0.0,)
+        for dx in dxs:
+            for dy in dys:
+                cells.add((np.floor((x + dx) / res) * res,
+                           np.floor((y + dy) / res) * res))
+    return cells
+
+
+def bng(column, resolution: int = 1000, how: str = "intersects",
+        pad: float = 1.0):
+    """BNG refs covering the geometry — semantics of
     ``calculate_bng_index`` (``cdap_geo/_indexing.py:349-446``):
-    bbox cover padded by 1 m with floor/ceil snapping (:116-127),
-    point edge-straddle (:192-216), ``how='intersects'`` keeps only
-    cells whose box intersects the geometry (:232-270)."""
+
+    * candidate cells come from the union of PER-PART padded bbox
+      covers (floor/ceil snapping, ``:116-127``; multi-geometries union
+      per-member covers, ``:156-170``), point edge/vertex straddle
+      gives 2/4 cells (``:192-216``);
+    * ``how='bounding box'`` -> array<string> of the bbox-cover refs
+      (lines/polygons only, like the reference's METHODOLOGY table);
+    * ``how='intersects'`` -> array<string>, only cells whose box
+      intersects the geometry (``:232-270``);
+    * ``how='contains'`` -> array<struct<bng,inside>> for (Multi)
+      Polygons: the intersects cover with ``inside`` flagging cells
+      properly contained in a part (``:290-346``; a cell may appear
+      once per distinct flag across parts, like the reference's
+      tuple-set union).
+    """
     if resolution not in _NUMBERS_LENGTH:
         raise ValueError(f"resolution {resolution} not in {BNG_RESOLUTIONS}")
-    if how not in ("bounding box", "intersects"):
-        raise ValueError("how must be 'bounding box' or 'intersects'")
+    if how not in ("bounding box", "intersects", "contains"):
+        raise ValueError(
+            "'how' must be one of 'bounding box', 'intersects' or "
+            "'contains'")
 
-    @pandas_udf(T.ArrayType(T.StringType()))
+    res = float(resolution)
+    marked = how == "contains"
+    ret_type = (T.ArrayType(T.StructType([
+        T.StructField("bng", T.StringType()),
+        T.StructField("inside", T.BooleanType())]))
+        if marked else T.ArrayType(T.StringType()))
+
+    def _one_part_candidates(batch, p):
+        s = batch.ring_coord_off[batch.part_ring_off[p]]
+        e = batch.ring_coord_off[batch.part_ring_off[p + 1]]
+        pts = batch.coords[s:e]
+        return _part_bbox_cover(pts[:, 0], pts[:, 1], res, pad)
+
+    def _part_rings(batch, p):
+        return [batch.coords[batch.ring_coord_off[ri]:
+                             batch.ring_coord_off[ri + 1]]
+                for ri in range(batch.part_ring_off[p],
+                                batch.part_ring_off[p + 1])]
+
+    @pandas_udf(ret_type)
     def _bng(s: pd.Series) -> pd.Series:
+        out = []
         batch = W.parse_wkb([None if v is None else bytes(v) for v in s])
         b = batch.bounds()
-        res = float(resolution)
-        out = []
         for g in range(len(batch)):
             if not batch.valid[g] or np.isnan(b[g, 0]):
                 out.append([])
                 continue
-            if batch.kinds[g] in (W.KIND_POINT, W.KIND_MULTIPOINT):
-                pts = G._geom_points(batch, g)
-                cells = set()
-                for x, y in pts:
-                    on_vx = int(x) % resolution == 0
-                    on_hy = int(y) % resolution == 0
-                    dxs = (-1.0, 1.0) if on_vx else (0.0,)
-                    dys = (-1.0, 1.0) if on_hy else (0.0,)
-                    for dx in dxs:
-                        for dy in dys:
-                            cells.add((np.floor((x + dx) / res) * res,
-                                       np.floor((y + dy) / res) * res))
+            kind = batch.kinds[g]
+            if kind in (W.KIND_POINT, W.KIND_MULTIPOINT):
+                if how != "intersects":
+                    raise ValueError(
+                        f"how = '{how}' not defined for point geometry "
+                        "type.")  # reference METHODOLOGY parity
+                cells = _point_straddle_cells(G._geom_points(batch, g),
+                                              resolution, pad)
                 ex = np.array([c[0] for c in cells])
                 ny = np.array([c[1] for c in cells])
                 out.append(sorted(bng_refs(ex, ny, resolution)))
                 continue
-            x1 = np.floor((b[g, 0] - 1.0) / res) * res
-            y1 = np.floor((b[g, 1] - 1.0) / res) * res
-            x2 = np.ceil((b[g, 2] + 1.0) / res) * res
-            y2 = np.ceil((b[g, 3] + 1.0) / res) * res
-            xs = np.arange(x1, x2, res)
-            ys = np.arange(y1, y2, res)
-            gx, gy = np.meshgrid(xs, ys, indexing="ij")
-            gx, gy = gx.ravel(), gy.ravel()
+            if marked and kind not in (W.KIND_POLYGON, W.KIND_MULTIPOLYGON):
+                raise ValueError(
+                    f"how = 'contains' not defined for geometry kind "
+                    f"{kind}.")
+            p0, p1 = batch.geom_part_off[g], batch.geom_part_off[g + 1]
+            if marked:
+                tuples = set()
+                for p in range(p0, p1):
+                    if batch.part_kind[p] != W.KIND_POLYGON:
+                        continue
+                    gx, gy = _one_part_candidates(batch, p)
+                    rings = [r for r in _part_rings(batch, p) if len(r) >= 4]
+                    if not rings or len(gx) == 0:
+                        continue
+                    keep, inside = _cells_vs_rings(gx, gy, res, rings)
+                    for ref, ins in zip(bng_refs(gx[keep], gy[keep],
+                                                 resolution), inside[keep]):
+                        tuples.add((ref, bool(ins)))
+                out.append(sorted(tuples))
+                continue
+            seen = set()
+            axs, ays = [], []
+            for p in range(p0, p1):
+                gx, gy = _one_part_candidates(batch, p)
+                for x, y in zip(gx, gy):
+                    if (x, y) not in seen:
+                        seen.add((x, y))
+                        axs.append(x)
+                        ays.append(y)
+            gx = np.asarray(axs, np.float64)
+            gy = np.asarray(ays, np.float64)
             if how == "intersects" and len(gx) > 1:
-                boxes = W.parse_wkb(W.boxes_to_wkb(gx, gy, gx + res, gy + res))
+                boxes = W.parse_wkb(W.boxes_to_wkb(gx, gy, gx + res,
+                                                   gy + res))
                 keep = G.pairs_intersect(
                     boxes, batch, np.arange(len(gx)),
                     np.full(len(gx), g, np.int64))
                 gx, gy = gx[keep], gy[keep]
-            out.append(bng_refs(gx, gy, resolution))
+            out.append(sorted(bng_refs(gx, gy, resolution)))
         return pd.Series(out)
     return _bng(column) if isinstance(column, (str, Column)) else _bng
+
+
+def _cells_vs_rings(gx, gy, res, rings):
+    """(keep, inside) for cell origins vs one polygon part's rings:
+    keep = cell box intersects the part; inside = properly contained
+    (all 4 corners strictly in, no part edge touching the box)."""
+    n = len(gx)
+    cx0, cy0, cx1, cy1 = gx, gy, gx + res, gy + res
+    px = np.concatenate([cx0, cx1, cx0, cx1])
+    py = np.concatenate([cy0, cy0, cy1, cy1])
+    corners = G.points_in_rings(px, py, rings).reshape(4, n)
+    edges = np.concatenate([np.hstack([r[:-1], r[1:]]) for r in rings])
+    crossed = C._boxes_cross_edges(cx0, cy0, cx1, cy1, edges)
+    keep = corners.any(axis=0) | crossed
+    inside = corners.all(axis=0) & ~crossed
+    if not keep.all():
+        # cell fully containing the part: part vertex inside the box
+        vx, vy = edges[:, 0], edges[:, 1]
+        contains_part = np.array([
+            bool(np.any((vx >= cx0[i]) & (vx <= cx1[i])
+                        & (vy >= cy0[i]) & (vy <= cy1[i])))
+            for i in np.flatnonzero(~keep)])
+        keep[np.flatnonzero(~keep)] |= contains_part
+    return keep, inside
+
+
+def wkt_from_bng(bng_reference: str) -> str:
+    """BNG grid reference -> WKT polygon of its cell box — the inverse
+    of :func:`bng_refs` (``cdap_geo/_indexing.py:449-483``)."""
+    ln = len(bng_reference) - 2
+    if ln < 0 or ln % 2 or ln // 2 not in {v: k for k, v in
+                                           _NUMBERS_LENGTH.items()}:
+        raise ValueError("Incorrect length bng_reference provided.")
+    resolution = {v: k for k, v in _NUMBERS_LENGTH.items()}[ln // 2]
+    i1 = _LETTERS.index(bng_reference[0])
+    i2 = _LETTERS.index(bng_reference[1])
+    nq = 19 - ((i1 // 5) * 5 + i2 // 5)
+    eq = (i1 % 5) * 5 - 10 + (i2 % 5)
+    x = eq * 100_000
+    y = nq * 100_000
+    d = ln // 2
+    if d:
+        x += int(bng_reference[2:2 + d]) * resolution
+        y += int(bng_reference[2 + d:2 + 2 * d]) * resolution
+    r = resolution
+    return (f"POLYGON(({x} {y}, {x + r} {y}, {x + r} {y + r}, "
+            f"{x} {y + r}, {x} {y}))")
+
+
+# ---------------------------------------------------------------------------
+# geohash (reference cdap_geo/index_geohash.py)
+# ---------------------------------------------------------------------------
+
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 12) -> str:
+    """Standard public geohash algorithm (base32 bit-interleave) —
+    the reference imports geohash2 for this (``index_geohash.py:16``);
+    unavailable here, so the (public, stable) algorithm is inlined."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(0, len(bits), 5):
+        v = 0
+        for bit in bits[i:i + 5]:
+            v = v * 2 + bit
+        out.append(_GH_BASE32[v])
+    return "".join(out)
+
+
+def encode_box(xmin, ymin, xmax, ymax, *, invert: bool = True,
+               precision: int = 12) -> str:
+    """Common-prefix geohash of a bbox (``index_geohash.py:15-22``):
+    the longest geohash shared by the SW and NE corners. ``invert=True``
+    treats inputs as shapely bounds (x=lon first) like the reference."""
+    if invert:
+        xmin, ymin, xmax, ymax = ymin, xmin, ymax, xmax
+    a = geohash_encode(xmin, ymin, precision)
+    b = geohash_encode(xmax, ymax, precision)
+    n = 0
+    for c0, c1 in zip(a, b):
+        if c0 != c1:
+            break
+        n += 1
+    return a[:n]
+
+
+def geohash(column, precision: int = 12) -> Column:
+    """Column form of ``gdf_geohash`` (``index_geohash.py:25-29``):
+    bbox -> common-prefix geohash string. Geometry must already be in
+    EPSG:4326 (chain :func:`crs` first — the reference's ``to_crs``)."""
+    @pandas_udf(T.StringType())
+    def _gh(s: pd.Series) -> pd.Series:
+        batch = W.parse_wkb([None if v is None else bytes(v) for v in s])
+        b = batch.bounds()
+        out = []
+        for g in range(len(batch)):
+            if not batch.valid[g] or np.isnan(b[g, 0]):
+                out.append(None)
+                continue
+            out.append(encode_box(b[g, 0], b[g, 1], b[g, 2], b[g, 3],
+                                  precision=precision))
+        return pd.Series(out)
+    return _gh(_c(column))
 
 
 def bbox(column, resolutions=(100_000, 100_000),
@@ -158,7 +370,9 @@ def buffer(column, resolution: float, **kwargs) -> Column:
 
 
 def crs(column, crs_from, crs_to=27700) -> Column:
-    """``functions.py:30-35``; closed-form pairs only (no pyproj)."""
+    """``functions.py:30-35``: reproject geometry. Default target is
+    EPSG:27700 exactly like the reference; 4326/3857/27700 pairs are
+    closed-form (``core/proj.py``; no pyproj in this environment)."""
     from cdap_geo_spark.operators.geoops import st_transform
     return st_transform(_epsg(crs_from), _epsg(crs_to))(_c(column))
 
@@ -172,29 +386,51 @@ def intersection_area(left, right) -> Column:
 
 
 def intersection(left, right) -> Column:
-    """Clipped geometry (``functions.py:80-86``): Sutherland–Hodgman,
-    right operand must be convex (boxes/tiles/convex regions)."""
+    """Clipped geometry (``functions.py:80-86``). Both sides may be
+    non-convex (Multi)Polygons WITHOUT holes: each side decomposes into
+    convex cells (ear triangulation for concave rings), pairwise convex
+    clips are emitted as a MultiPolygon. The region is exact; the piece
+    boundaries may be subdivided along triangulation seams (documented
+    deviation — the reference's shapely output is seam-free). Holes on
+    either side -> None (use :func:`intersection_area` for exact AREA
+    with holes)."""
     @pandas_udf(T.BinaryType())
     def _inter(l: pd.Series, r: pd.Series) -> pd.Series:
         lb = W.parse_wkb([None if v is None else bytes(v) for v in l])
         rb = W.parse_wkb([None if v is None else bytes(v) for v in r])
         out = []
         for i in range(len(lb)):
-            ring = _clip_ring_of(lb, rb, i)
-            out.append(None if ring is None else W.polygon_to_wkb([ring]))
+            out.append(_clip_geom_of(lb, rb, i))
         return pd.Series(out)
     return _inter(_c(left), _c(right))
 
 
-def _clip_ring_of(lb, rb, i):
-    l_rings = G._geom_polygon_rings(lb, i)
-    r_rings = G._geom_polygon_rings(rb, i)
-    if not l_rings or not r_rings:
+def _clip_geom_of(lb, rb, i):
+    """WKB of the clipped region of pair i, or None (empty / holes)."""
+    if not (lb.valid[i] and rb.valid[i]):
         return None
-    clipped = G._clip_ring(l_rings[0], r_rings[0])
-    if clipped is None or len(clipped) < 3:
+    lcells = G._signed_convex_cover(lb, i)
+    rcells = G._signed_convex_cover(rb, i)
+    if not lcells or not rcells:
         return None
-    return np.vstack([clipped, clipped[:1]])
+    if any(s < 0 for _, s, _ in lcells) or any(s < 0 for _, s, _ in rcells):
+        return None  # holes: area path only (documented)
+    pieces = []
+    for ca, _, ba in lcells:
+        for cb, _, bb2 in rcells:
+            if (ba[0] > bb2[2] or ba[2] < bb2[0]
+                    or ba[1] > bb2[3] or ba[3] < bb2[1]):
+                continue
+            clipped = G._clip_ring(np.vstack([ca, ca[:1]]),
+                                   np.vstack([cb, cb[:1]]))
+            if clipped is not None and len(clipped) >= 3:
+                pieces.append(np.vstack([clipped, clipped[:1]]))
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return W.polygon_to_wkb([pieces[0]])
+    return W.multi_to_wkb(W.KIND_MULTIPOLYGON,
+                          [W.polygon_to_wkb([p]) for p in pieces])
 
 
 def unary_union(column) -> Column:
@@ -227,16 +463,28 @@ def bbox_intersects(left: DataFrame, right: DataFrame,
     return _full_join(left, right, "intersects", "", "_right", **kwargs)
 
 
-def bng_join(left: DataFrame, right: DataFrame, resolution: int = 1000,
-             **kwargs) -> DataFrame:
-    """``index_bng.py:16-36``: same join at a BNG-like cell size. The
-    engine maps the metre resolution to the nearest power-of-two cell
-    level — pair results are level-invariant (property-tested), so the
-    output rows match the reference's."""
-    level = int(np.clip(round(np.log2(C.WORLD_SIZE / resolution)), 0,
-                        C.MAX_LEVEL))
-    return _full_join(left, right, "bbox", "", "_right", level=level,
-                      **kwargs)
+def bng_join(left: DataFrame, right: DataFrame,
+             resolution: int = 1000) -> DataFrame:
+    """``index_bng.py:16-36`` row-parity: DISTINCT pairs sharing an
+    intersecting BNG cell at ``resolution`` — cell co-occurrence only,
+    NO bbox filter (two geometries co-located in one cell whose bboxes
+    do not overlap still pair, unlike ``join``), full rows from both
+    sides with the right geometry renamed ``geometry_right``. Uses the
+    true BNG string cells (:func:`bng`, ``how='intersects'``), so the
+    pair set matches the reference cell-for-cell."""
+    l = left.withColumn("_cg_lid", F.monotonically_increasing_id())
+    r = right.withColumnRenamed("geometry", "geometry_right") \
+             .withColumn("_cg_rid", F.monotonically_increasing_id())
+    # the reference caches to stabilize the ids (index_bbox.py:36-43)
+    l, r = _persist_tracked(l), _persist_tracked(r)
+    li = l.select("_cg_lid",
+                  F.explode(bng("geometry", resolution)).alias("_cell"))
+    ri = r.select("_cg_rid",
+                  F.explode(bng("geometry_right", resolution)).alias("_cell"))
+    pairs = li.join(ri, "_cell").drop("_cell") \
+              .dropDuplicates(["_cg_lid", "_cg_rid"])
+    return (pairs.join(l, "_cg_lid").join(r, "_cg_rid")
+            .drop("_cg_lid", "_cg_rid"))
 
 
 def st_join(df_left: DataFrame, df_right: DataFrame,
@@ -256,6 +504,27 @@ def st_intersects(df0: DataFrame, df1: DataFrame, **kwargs) -> DataFrame:
         .select(*[c for c in df0.columns])
 
 
+#: persisted compat-join inputs, newest last. Bounded: repeated compat
+#: joins in one session no longer leak cached relations (round-1 wrong
+#: #4) — the oldest entries are unpersisted once the registry is full.
+_PERSISTED: list = []
+_PERSIST_CAP = 4
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_CAP:
+        _PERSISTED.pop(0).unpersist()
+    return df
+
+
+def unpersist_all() -> None:
+    """Release every relation the compat layer has cached."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def _full_join(left, right, predicate, lsuffix, rsuffix, level=None,
                distance=None, **kwargs):
     from cdap_geo_spark.operators.sjoin import sjoin
@@ -263,12 +532,12 @@ def _full_join(left, right, predicate, lsuffix, rsuffix, level=None,
     if "_cg_lid" not in l.columns:
         l = l.withColumn("_cg_lid", F.monotonically_increasing_id())
         # the reference caches to stabilize these ids
-        # (index_bbox.py:36-43); we do the same
-        l = l.persist()
+        # (index_bbox.py:36-43); we do the same, tracked + bounded
+        l = _persist_tracked(l)
     r = right
     if "_cg_rid" not in r.columns:
         r = r.withColumn("_cg_rid", F.monotonically_increasing_id())
-        r = r.persist()
+        r = _persist_tracked(r)
     out = sjoin(l, r, left_id="_cg_lid", right_id="_cg_rid",
                 lsuffix=lsuffix, rsuffix=rsuffix,
                 predicate=predicate,
@@ -308,14 +577,20 @@ def to_gdf(df: DataFrame) -> pd.DataFrame:
 
 
 def write_geoparquet(sdf: DataFrame, path: str, crs=27700, **kwargs) -> None:
-    """``write.py:101-124``: parquet + dataset metadata. Here the geo
-    metadata (crs, bbox, encoding) goes into the checkpoint manifest
-    instead of a parquet-footer rewrite — no second scan."""
+    """``write.py:101-124``: parquet + dataset geo metadata (crs, bbox,
+    encoding) as a sidecar instead of a parquet-footer rewrite. The
+    bbox is aggregated from the WRITTEN files (narrow read-back of the
+    geometry column only — never a second job over the source plan,
+    which could be expensive or non-deterministic), so the recorded
+    bbox always matches the data on disk."""
     import json
     import os
     sdf.write.mode("overwrite").parquet(path)
+    from pyspark.sql import SparkSession
+    spark = SparkSession.active()
+    written = spark.read.parquet(path).select("geometry")
     b = udfs.st_bounds()(F.col("geometry"))
-    row = sdf.select(b.alias("_b")).agg(
+    row = written.select(b.alias("_b")).agg(
         F.min("_b.minx"), F.min("_b.miny"),
         F.max("_b.maxx"), F.max("_b.maxy")).collect()[0]
     meta = {"primary_column": "geometry", "encoding": "WKB",

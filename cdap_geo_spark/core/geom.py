@@ -867,31 +867,164 @@ def _min_point_seg(pts: np.ndarray, segs: np.ndarray) -> float:
     return float(np.sqrt(d2.min()))
 
 
+def _geom_polygon_rings_signed(batch: GeomBatch, g: int):
+    """Rings of all polygon parts of geometry g as (ring, sign) pairs:
+    ring 0 of each part is the exterior (+1), later rings are holes
+    (-1) — WKB ring-order semantics, tracked PER PART (a flattened list
+    would mis-sign the exterior rings of later MultiPolygon parts)."""
+    rings = []
+    for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+        if batch.part_kind[p] != KIND_POLYGON:
+            continue
+        r0 = batch.part_ring_off[p]
+        for ri in range(r0, batch.part_ring_off[p + 1]):
+            s, e = batch.ring_coord_off[ri], batch.ring_coord_off[ri + 1]
+            if e - s >= 4:
+                rings.append((batch.coords[s:e], 1.0 if ri == r0 else -1.0))
+    return rings
+
+
+def _dedupe_ring(ring: np.ndarray) -> np.ndarray:
+    """Open vertex list of a closed ring, consecutive dups dropped."""
+    pts = ring[:-1]
+    if len(pts) == 0:
+        return pts
+    keep = np.ones(len(pts), bool)
+    keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
+    pts = pts[keep]
+    if len(pts) >= 2 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
+        pts = pts[:-1]
+    return pts
+
+
+def _is_convex_ccw(pts: np.ndarray) -> bool:
+    """True iff the open CCW vertex list is convex (collinear ok)."""
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+    c = np.roll(pts, -2, axis=0)
+    cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+             - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+    return bool(np.all(cross >= -_EPS))
+
+
+def _ear_triangulate(pts: np.ndarray) -> list:
+    """Ear-clipping triangulation of a simple open CCW ring ->
+    list of (3,2) triangles. O(n^2); per-row kernel scale is fine."""
+    idx = list(range(len(pts)))
+    tris = []
+    while len(idx) > 3:
+        n = len(idx)
+        clipped = False
+        for t in range(n):
+            i0, i1, i2 = idx[t - 1], idx[t], idx[(t + 1) % n]
+            ax, ay = pts[i0]
+            bx, by = pts[i1]
+            cx, cy = pts[i2]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if cross <= _EPS:  # reflex or degenerate: not an ear yet
+                continue
+            # no other ring vertex strictly inside the candidate ear
+            others = [i for i in idx if i not in (i0, i1, i2)]
+            op = pts[others]
+            d0 = (bx - ax) * (op[:, 1] - ay) - (by - ay) * (op[:, 0] - ax)
+            d1 = (cx - bx) * (op[:, 1] - by) - (cy - by) * (op[:, 0] - bx)
+            d2 = (ax - cx) * (op[:, 1] - cy) - (ay - cy) * (op[:, 0] - cx)
+            if np.any((d0 > _EPS) & (d1 > _EPS) & (d2 > _EPS)):
+                continue
+            tris.append(pts[[i0, i1, i2]])
+            del idx[t]
+            clipped = True
+            break
+        if not clipped:
+            # numerically stuck (near-degenerate ring): drop the most
+            # degenerate vertex and continue — area error is O(eps)
+            n = len(idx)
+            best, best_abs = 0, np.inf
+            for t in range(n):
+                i0, i1, i2 = idx[t - 1], idx[t], idx[(t + 1) % n]
+                ax, ay = pts[i0]
+                bx, by = pts[i1]
+                cx, cy = pts[i2]
+                cr = abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                if cr < best_abs:
+                    best, best_abs = t, cr
+            del idx[best]
+    if len(idx) == 3:
+        tris.append(pts[idx])
+    return tris
+
+
+def _convex_cells(ring: np.ndarray) -> list:
+    """Closed ring -> list of OPEN convex CCW vertex arrays covering its
+    region exactly: the ring itself when convex, else ear triangles."""
+    pts = _dedupe_ring(ring)
+    if len(pts) < 3:
+        return []
+    x, y = pts[:, 0], pts[:, 1]
+    if 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        pts = pts[::-1]
+    if _is_convex_ccw(pts):
+        return [pts]
+    return [t for t in _ear_triangulate(pts)
+            if abs(_tri_area2(t)) > 0.0]
+
+
+def _tri_area2(t: np.ndarray) -> float:
+    return ((t[1, 0] - t[0, 0]) * (t[2, 1] - t[0, 1])
+            - (t[1, 1] - t[0, 1]) * (t[2, 0] - t[0, 0]))
+
+
+def _signed_convex_cover(batch: GeomBatch, g: int) -> list:
+    """Geometry -> list of (open convex CCW cell, sign, bbox): the
+    signed indicator 1_geom = sum(sign * 1_cell) pointwise a.e. for
+    valid polygons (exterior cells +1, hole cells -1)."""
+    cells = []
+    for ring, sign in _geom_polygon_rings_signed(batch, g):
+        for cell in _convex_cells(ring):
+            bb = (cell[:, 0].min(), cell[:, 1].min(),
+                  cell[:, 0].max(), cell[:, 1].max())
+            cells.append((cell, sign, bb))
+    return cells
+
+
+def _convex_pair_area(a: np.ndarray, b: np.ndarray) -> float:
+    """|a ∩ b| for two open convex CCW vertex lists (Sutherland–Hodgman,
+    exact for convex⊗convex)."""
+    return _clip_area(np.vstack([a, a[:1]]), np.vstack([b, b[:1]]))
+
+
 def pairs_intersection_area(lb: GeomBatch, rb: GeomBatch,
                             li: np.ndarray, ri: np.ndarray) -> np.ndarray:
-    """Area of intersection per pair — v1 supports left=anything with a
-    polygon part clipped against right=convex polygon (covers the
-    engine's box/tile clipping, the reference's fused
-    ``intersection_area``, ``cdap_geo/functions.py:37-39``)."""
+    """Area of intersection per pair — GENERAL: both sides may be
+    non-convex (Multi)Polygons with holes (the reference clips arbitrary
+    shapely geometries, ``cdap_geo/functions.py:37-39``).
+
+    Each side is decomposed into signed convex cells (convex rings stay
+    whole; concave rings are ear-triangulated; holes get sign -1), then
+    area(L ∩ R) = sum over cell pairs of sign_l*sign_r*|cell_l ∩ cell_r|
+    — exact for valid inputs because the signed indicators multiply
+    pointwise. Cell pairs are bbox-pruned. Per-geometry covers are
+    cached across the pair batch (grouped-kernel convention, module
+    docstring)."""
     m = len(li)
     out = np.zeros(m)
+    lcache: dict = {}
+    rcache: dict = {}
     for j in range(m):
         lg, rg = int(li[j]), int(ri[j])
         if not (lb.valid[lg] and rb.valid[rg]):
             continue
-        l_rings = _geom_polygon_rings(lb, lg)
-        r_rings = _geom_polygon_rings(rb, rg)
-        if not l_rings or len(r_rings) != 1:
-            continue
-        clip = r_rings[0]
+        if lg not in lcache:
+            lcache[lg] = _signed_convex_cover(lb, lg)
+        if rg not in rcache:
+            rcache[rg] = _signed_convex_cover(rb, rg)
         total = 0.0
-        for k, ring in enumerate(l_rings):
-            a = _clip_area(ring, clip)
-            # ring 0 of each part is exterior; holes subtract. Identify
-            # holes via signed area sign mismatch is unreliable —
-            # v1 fixtures use hole-free polygons; holes are handled by
-            # subtracting subsequent rings of the same part.
-            total += a if k == 0 else -a
+        for ca, sa, ba in lcache[lg]:
+            for cb, sb, bb2 in rcache[rg]:
+                if (ba[0] > bb2[2] or ba[2] < bb2[0]
+                        or ba[1] > bb2[3] or ba[3] < bb2[1]):
+                    continue
+                total += sa * sb * _convex_pair_area(ca, cb)
         out[j] = max(total, 0.0)
     return out
 

@@ -73,6 +73,88 @@ def ingest(spark: SparkSession, docs: DataFrame, out_root: str, *,
     return out
 
 
+def merged_column_names(columns: list, splitter: str = "-") -> list:
+    """SQL select-expressions merging ``col-type`` suffixed columns —
+    the reference's schema-evolution helper for parquet datasets written
+    from heterogeneous source files (``cdap_geo/write.py:160-196``):
+
+    * one type -> plain rename;
+    * int64 + double -> COALESCE-style CASE into a float column;
+    * list<item: T> + T -> CASE wrapping the scalar into an array;
+    * anything else keeps the type-suffixed names side by side.
+    """
+    lone = "`{0}{s}{1}` AS `{0}`"
+    listcol = ("CASE WHEN (`{0}{s}list<item: {1}>` IS NOT NULL) "
+               "THEN `{0}{s}list<item: {1}>` "
+               "ELSE ARRAY(`{0}{s}{1}`) END AS `{0}`")
+    floatcol = ("CASE WHEN (`{0}{s}double` IS NOT NULL) "
+                "THEN `{0}{s}double` "
+                "ELSE CAST(`{0}{s}int64` AS DOUBLE) END AS `{0}`")
+    by_col: dict = {}
+    for c in columns:
+        name, _, typ = c.partition(splitter)
+        by_col.setdefault(name, []).append(typ)
+    out = []
+    for col, typs in by_col.items():
+        if len(typs) == 1:
+            out.append(lone.format(col, typs[0], s=splitter))
+        elif len(typs) == 2 and set(typs) == {"int64", "double"}:
+            out.append(floatcol.format(col, s=splitter))
+        elif (len(typs) == 2
+              and f"list<item: {min(typs, key=len)}>" == max(typs, key=len)):
+            out.append(listcol.format(col, min(typs, key=len), s=splitter))
+        else:
+            out.extend(f"`{col}{splitter}{t}`" for t in typs)
+    return out
+
+
+def merge_columns(df: DataFrame, splitter: str = "-") -> DataFrame:
+    """Apply :func:`merged_column_names` (``cdap_geo/write.py:198-202``)."""
+    return df.selectExpr(*merged_column_names(df.columns, splitter))
+
+
+def distributed_to_parquet(spark: SparkSession, paths: list | str,
+                           path_out: str, writer) -> DataFrame:
+    """Parallel many-files -> parquet conversion
+    (``cdap_geo/write.py:138-153``): one task per source file runs
+    ``writer(filepath, name) -> written-path`` (any per-file codec —
+    the reference injects a geopandas writer), then the merged dataset
+    is read back with schema merging for :func:`merge_columns`.
+
+    Spark-first shape: the file list is a DataFrame repartitioned to
+    one file per task (pipeline parallelism without any driver loop),
+    and the writer runs inside ``mapInPandas`` — Arrow batches, not a
+    per-row Python UDF.
+    """
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    files = (_glob.glob(paths) if isinstance(paths, str) else list(paths))
+    if not files:
+        raise ValueError(f"no input files under {paths!r}")
+    fdf = spark.createDataFrame(
+        pd.DataFrame({"filepath": sorted(files)}))
+    fdf = fdf.repartition(len(files), "filepath")
+
+    def gen(batches):
+        for pdf in batches:
+            outs = []
+            for f in pdf["filepath"]:
+                name = os.path.splitext(os.path.basename(f))[0] + "-{i}"
+                outs.append(writer(f, name))
+            yield pd.DataFrame({"filepath": pdf["filepath"],
+                                "filepath_out": outs})
+
+    schema = T.StructType([T.StructField("filepath", T.StringType()),
+                           T.StructField("filepath_out", T.StringType())])
+    fdf.mapInPandas(gen, schema=schema).write.format("noop") \
+        .mode("overwrite").save()
+    return spark.read.option("mergeSchema", True).parquet(path_out)
+
+
 def cell_range_filter(df: DataFrame, minx: float, miny: float,
                       maxx: float, maxy: float, level: int = C.LEVEL_1KM,
                       cell_col: str = "cell_id") -> DataFrame:

@@ -236,34 +236,19 @@ def st_buffer(radius: float, segments: int = 16):
     return _buf
 
 
-_R = 6_378_137.0  # WGS84 spherical radius (web-mercator convention)
-
-
 def st_transform(src: str, dst: str):
-    """Closed-form CRS reprojection: 'EPSG:4326' <-> 'EPSG:3857'.
+    """Closed-form CRS reprojection between EPSG:4326, EPSG:3857 and
+    EPSG:27700 (British National Grid) — any ordered pair.
 
-    The reference delegates to pyproj (``cdap_geo/functions.py:30-35``),
-    unavailable here; web-mercator is the closed-form pair every tile
-    pipeline needs. Unknown pairs raise.
+    The reference delegates to pyproj with ``crs_to=27700`` as the
+    DEFAULT (``cdap_geo/functions.py:30-35``, ``sedona.py:60-66``);
+    pyproj is unavailable here, so 27700 uses the published OS
+    transverse-Mercator + Helmert formulae (``core/proj.py``; exact
+    projection core, ~3.5 m single-set datum shift — the OS-quoted
+    accuracy for any non-OSTN-grid pipeline). Coordinates are always
+    WKB (x, y) = (lon, lat) / (easting, northing). Unknown pairs raise.
     """
-    def fwd(x, y):  # 4326 -> 3857
-        mx = np.radians(x) * _R
-        my = _R * np.log(np.tan(np.pi / 4 + np.radians(y) / 2))
-        return mx, my
-
-    def inv(x, y):  # 3857 -> 4326
-        lon = np.degrees(x / _R)
-        lat = np.degrees(2 * np.arctan(np.exp(y / _R)) - np.pi / 2)
-        return lon, lat
-
-    if (src, dst) == ("EPSG:4326", "EPSG:3857"):
-        f = fwd
-    elif (src, dst) == ("EPSG:3857", "EPSG:4326"):
-        f = inv
-    elif src == dst:
-        f = lambda x, y: (x, y)  # noqa: E731
-    else:
-        raise ValueError(f"unsupported CRS pair {src}->{dst}")
+    f = st_transform_fn(src, dst)
 
     @pandas_udf(T.BinaryType())
     def _tr(s: pd.Series) -> pd.Series:
@@ -306,6 +291,179 @@ def _reemit(batch, orig_blobs) -> list:
             mk = base if base >= W.KIND_MULTIPOINT else base + 3
             out.append(W.multi_to_wkb(mk, parts))
     return out
+
+
+def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask over an open polyline (endpoints kept).
+    Iterative stack form; tol=0 removes exactly-collinear vertices."""
+    n = len(pts)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        seg = pts[i0 + 1:i1]
+        a, b = pts[i0], pts[i1]
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = np.hypot(dx, dy)
+        if L == 0.0:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(dx * (seg[:, 1] - a[1])
+                       - dy * (seg[:, 0] - a[0])) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i0 + 1 + k] = True
+            stack.append((i0, i0 + 1 + k))
+            stack.append((i0 + 1 + k, i1))
+    return keep
+
+
+def _load_ring(ring: np.ndarray, simplify: float | None,
+               precision: int | None, is_ring: bool) -> np.ndarray | None:
+    """One ring/line through the st_load chain: close -> simplify ->
+    precision snap -> drop degenerates. None = ring died."""
+    pts = ring
+    if is_ring and len(pts) >= 2 and not np.array_equal(pts[0], pts[-1]):
+        pts = np.vstack([pts, pts[:1]])  # MakeValid: ring closure
+    if simplify is not None and len(pts) > 2:
+        pts = pts[_dp_keep(pts, float(simplify))]
+    if precision is not None:
+        pts = np.round(pts, int(precision))
+    if len(pts) > 1:  # drop consecutive duplicates introduced by snap
+        keep = np.ones(len(pts), bool)
+        keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
+        if is_ring:
+            keep[-1] = True  # closing vertex always survives
+        pts = pts[keep]
+    if is_ring:
+        if len(pts) < 4:
+            return None  # degenerate ring (MakeValid: drop)
+        x, y = pts[:-1, 0], pts[:-1, 1]
+        if 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) == 0.0:
+            return None  # zero-area ring
+    elif len(pts) < 2:
+        return None
+    return pts
+
+
+def st_load(simplify: float | None = 0.0, precision: int | None = 3,
+            from_crs: int | str | None = None,
+            to_crs: int | str | None = None):
+    """The reference's ingest normalization chain
+    (``cdap_geo/sedona.py:39-53,60-67``) as one Arrow pass:
+    MakeValid basics (ring closure, degenerate-ring drop) ->
+    Force2D (the WKB decoder drops Z/M already) ->
+    Douglas–Peucker simplify (default 0 = drop collinear vertices,
+    like ``ST_SimplifyPreserveTopology(g, 0)``) ->
+    precision snap to ``precision`` decimals (default 3 = 1 mm on BNG
+    metre coordinates — the FP-robustness mitigation of SURVEY §7.4) ->
+    optional closed-form reprojection.
+
+    Deviation: simplify>0 is plain DP (no topology guard); the
+    reference's default pipelines only ever pass 0.
+    """
+    tr = None
+    if from_crs is not None and to_crs is not None:
+        from cdap_geo_spark.core import proj as P  # noqa: F401  (import check)
+        tr = st_transform_fn(_norm_epsg(from_crs), _norm_epsg(to_crs))
+
+    @pandas_udf(T.BinaryType())
+    def _load(s: pd.Series) -> pd.Series:
+        blobs = [None if v is None else bytes(v) for v in s]
+        batch = W.parse_wkb(blobs)
+        out = []
+        for g in range(len(batch)):
+            if not batch.valid[g]:
+                out.append(None)
+                continue
+            parts = []
+            for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+                k = int(batch.part_kind[p])
+                rings = []
+                for ri in range(batch.part_ring_off[p],
+                                batch.part_ring_off[p + 1]):
+                    rs = batch.ring_coord_off[ri]
+                    re_ = batch.ring_coord_off[ri + 1]
+                    pts = batch.coords[rs:re_]
+                    if k == W.KIND_POINT:
+                        if precision is not None:
+                            pts = np.round(pts, int(precision))
+                        rings.append(pts)
+                        continue
+                    r2 = _load_ring(pts, simplify, precision,
+                                    is_ring=(k == W.KIND_POLYGON))
+                    if r2 is not None:
+                        rings.append(r2)
+                    elif k == W.KIND_POLYGON and not rings:
+                        rings = None  # exterior died -> part dies
+                        break
+                if not rings:
+                    continue
+                if tr is not None:
+                    rings = [np.column_stack(tr(r[:, 0], r[:, 1]))
+                             for r in rings]
+                if k == W.KIND_POINT:
+                    parts.append(W.point_to_wkb(rings[0][0][0],
+                                                rings[0][0][1]))
+                elif k == W.KIND_LINESTRING:
+                    parts.append(W.linestring_to_wkb(rings[0]))
+                elif k == W.KIND_POLYGON:
+                    parts.append(W.polygon_to_wkb(rings))
+            if not parts:
+                out.append(None)
+                continue
+            base = int(batch.kinds[g])
+            if len(parts) == 1 and base in (W.KIND_POINT, W.KIND_LINESTRING,
+                                            W.KIND_POLYGON):
+                out.append(parts[0])
+            else:
+                mk = base if base >= W.KIND_MULTIPOINT else base + 3
+                out.append(W.multi_to_wkb(mk, parts))
+        return pd.Series(out)
+    return _load
+
+
+def _norm_epsg(v) -> str:
+    return v if isinstance(v, str) and v.startswith("EPSG") else f"EPSG:{v}"
+
+
+def st_transform_fn(src: str, dst: str):
+    """The raw (x, y) -> (x, y) coordinate function behind
+    :func:`st_transform` (shared with :func:`st_load`)."""
+    from cdap_geo_spark.core import proj as P
+
+    def to_4326(x, y, crs):
+        if crs == "EPSG:4326":
+            return x, y
+        if crs == "EPSG:3857":
+            return P.webmerc_to_lonlat(x, y)
+        if crs == "EPSG:27700":
+            lat, lon = P.en_to_wgs84(x, y)
+            return lon, lat
+        raise ValueError(f"unsupported CRS {crs}")
+
+    def from_4326(lon, lat, crs):
+        if crs == "EPSG:4326":
+            return lon, lat
+        if crs == "EPSG:3857":
+            return P.lonlat_to_webmerc(lon, lat)
+        if crs == "EPSG:27700":
+            return P.wgs84_to_en(lat, lon)
+        raise ValueError(f"unsupported CRS {crs}")
+
+    if src == dst:
+        return lambda x, y: (x, y)
+    for c in (src, dst):
+        if c not in ("EPSG:4326", "EPSG:3857", "EPSG:27700"):
+            raise ValueError(f"unsupported CRS pair {src}->{dst}")
+
+    def f(x, y):
+        lon, lat = to_4326(x, y, src)
+        return from_4326(lon, lat, dst)
+    return f
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,13 @@ from cdap_geo_spark.core import cells as C
 
 DEFAULT_LEVEL = C.LEVEL_100KM  # ~131 km cells ≈ the reference's 100 km grid
 
+#: ``broadcast='auto'`` probes the right side with a bounded
+#: ``limit(N+1).count()`` (reads at most N+1 rows, never a full scan)
+#: and pins a broadcast-hash join when it fits. The indexed right side
+#: is rows × cells-per-geometry ≈ a few hundred bytes each, so 250k
+#: rows stays well under a 256 MB broadcast even for multi-cell covers.
+BROADCAST_PROBE_ROWS = 250_000
+
 
 def _index_side(df: DataFrame, id_col: str, geom_col: str, level: int,
                 how: str, pad: float, keep_geom: bool,
@@ -138,6 +145,18 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
     rh = right_how or ("marked" if predicate == "intersects" else "bbox")
     # exact-cover fast path is only sound when the left cover is exact
     fast_path_ok = (predicate == "intersects" and lh == "intersects")
+
+    if broadcast == "auto":
+        # Planner: pin a broadcast-hash join for a small right side
+        # instead of leaving it to AQE. Profiled at sf0.1/local[32]:
+        # the AQE sort-merge plan shuffles+sorts both indexed sides
+        # (wide rows: ids + bounds + WKB blobs) and ran 3x slower than
+        # the map-side broadcast plan (stage walls 25.5+69.3 s vs
+        # 31.7 s). The probe is bounded — safe against a 100 TB right.
+        n = right.limit(BROADCAST_PROBE_ROWS + 1).count()
+        broadcast = n <= BROADCAST_PROBE_ROWS
+        if broadcast and salt > 1:
+            salt = 1  # broadcast join has no shuffle keys to skew
 
     l = _index_side(left, left_id, left_geom, level, lh, pad,
                     keep_geom=(predicate != "bbox"), dilate=dilate_l)

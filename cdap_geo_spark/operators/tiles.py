@@ -91,13 +91,20 @@ def grid_cover_udf(resolutions, limits, compat: str = "reference"):
                 continue
             if compat == "reference":
                 # O(cells covered) enumeration of the same set the
-                # reference scans O(grid) for
-                xs = np.arange(int(np.floor(a / rx)) * rx + rx,
-                               min(c + rx, lx1), rx)
-                xs = xs[(xs > a) & (xs >= lx0)].astype(np.int64)
-                ys = np.arange(int(np.floor(b / ry)) * ry + ry,
-                               min(d + ry, ly1), ry)
-                ys = ys[(ys > b) & (ys >= ly0)].astype(np.int64)
+                # reference scans O(grid) for — anchored at limits[0]
+                # exactly like the reference's range(limits[0], ...)
+                # (``cdap_geo/index_bbox.py:20-21``), so non-aligned
+                # limits still produce identical ids
+                k0 = int(np.floor((a - lx0) / rx)) + 1
+                xs = lx0 + rx * np.arange(max(k0, 0),
+                                          max(int(np.ceil((min(c + rx, lx1)
+                                                           - lx0) / rx)), 0))
+                xs = xs[(xs > a) & (xs < min(c + rx, lx1))].astype(np.int64)
+                k0 = int(np.floor((b - ly0) / ry)) + 1
+                ys = ly0 + ry * np.arange(max(k0, 0),
+                                          max(int(np.ceil((min(d + ry, ly1)
+                                                           - ly0) / ry)), 0))
+                ys = ys[(ys > b) & (ys < min(d + ry, ly1))].astype(np.int64)
             else:
                 xs = np.arange(max(int(np.floor(a / rx)) * rx, lx0),
                                min(int(np.floor(c / rx)) * rx + rx, lx1),

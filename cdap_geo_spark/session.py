@@ -23,6 +23,9 @@ ENGINE_CONF = {
     # Arrow boundary for the pandas-UDF kernels
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # pinned: forked python workers persist across tasks AND stages so
+    # the per-worker import + page-warm cost is paid once per core
+    "spark.python.worker.reuse": "true",
     # parquet scans keep pushdown + vectorized reader (defaults, pinned)
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
@@ -45,7 +48,14 @@ def _tune_malloc_env() -> None:
     """
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-    os.environ.setdefault("CDAP_GEO_WARM_MB", "96")
+    # NOTE (round 2): the round-1 96 MB per-worker pre-warm is gone.
+    # Profiling showed the warm itself costs up to ~25 s/worker when
+    # the host is in its slow page-fault state (sjoin stage task time
+    # 671 s for ~30 s of CPU), and pre-touching pages saves nothing:
+    # first-use faults cost the same and the two env vars above already
+    # keep the pages resident afterwards. CDAP_GEO_WARM_MB=<MiB> can
+    # re-enable it for experiments.
+    os.environ.setdefault("CDAP_GEO_WARM_MB", "0")
 
 
 def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,

@@ -112,3 +112,107 @@ def test_compat_to_sdf_to_gdf(spark):
     sdf = compat.to_sdf(pdf, spark)
     back = compat.to_gdf(sdf)
     assert bytes(back.geometry[0]) == W.point_to_wkb(1, 2)
+
+
+def test_bng_contains_marked(spark):
+    """how='contains' parity (cdap_geo/_indexing.py:290-346): the
+    intersects cover with inside=True exactly for cells properly
+    contained in the polygon."""
+    box = W.boxes_to_wkb(np.array([529_500.0]), np.array([179_500.0]),
+                         np.array([532_500.0]), np.array([182_500.0]))[0]
+    df = spark.createDataFrame([(1, box)], "id long, geometry binary")
+    out = df.select(compat.bng("geometry", 1000, "contains")
+                    .alias("b")).collect()[0].b
+    got = {(r.bng, r.inside) for r in out}
+    # 4x4 cover; the 2x2 middle block (530/531 x 180/181 km) is
+    # properly inside [529500..532500]^2
+    assert len(got) == 16
+    inside = {r for r, i in got if i}
+    assert inside == {_ref_coords_to_bng(x, y, 1000)
+                      for x in (530_000, 531_000)
+                      for y in (180_000, 181_000)}
+
+
+def test_bng_contains_rejects_points(spark):
+    df = spark.createDataFrame(
+        [(1, W.point_to_wkb(1000.0, 1000.0))], "id long, geometry binary")
+    import pyspark
+    with pytest.raises(Exception):
+        df.select(compat.bng("geometry", 1000, "contains")).collect()
+
+
+def test_bng_multigeom_bounding_box_per_part(spark):
+    """'bounding box' on a multi covers the union of PER-PART bboxes,
+    not the whole-geometry bbox (cdap_geo/_indexing.py:156-170)."""
+    import cdap_geo_spark.core.wkb as W2
+    p1 = W2.boxes_to_wkb(np.array([100.0]), np.array([100.0]),
+                         np.array([400.0]), np.array([400.0]))[0]
+    p2 = W2.boxes_to_wkb(np.array([5100.0]), np.array([5100.0]),
+                         np.array([5400.0]), np.array([5400.0]))[0]
+    mp = W2.multi_to_wkb(W2.KIND_MULTIPOLYGON, [p1, p2])
+    df = spark.createDataFrame([(1, mp)], "id long, geometry binary")
+    out = df.select(compat.bng("geometry", 1000, "bounding box")
+                    .alias("b")).collect()[0].b
+    # each part pads to one 1km cell (0-1km and 5-6km): the whole-bbox
+    # cover would be 6x6=36 cells; per-part is exactly 2
+    assert sorted(out) == sorted([_ref_coords_to_bng(0, 0, 1000),
+                                  _ref_coords_to_bng(5000, 5000, 1000)])
+
+
+def test_wkt_from_bng_roundtrip():
+    rng = np.random.RandomState(3)
+    for res in (1, 10, 100, 1000, 10000, 100000):
+        e = rng.randint(0, 700_000, 20)
+        n = rng.randint(0, 1_300_000, 20)
+        refs = compat.bng_refs(e.astype(float), n.astype(float), res)
+        for ref, ee, nn in zip(refs, e, n):
+            wkt = compat.wkt_from_bng(ref)
+            x, y = wkt.split("((")[1].split(",")[0].split()
+            assert int(x) == ee // res * res
+            assert int(y) == nn // res * res
+    with pytest.raises(ValueError):
+        compat.wkt_from_bng("TQ307")  # odd digit count
+
+
+def test_geohash_known_vectors():
+    # public test vector for the geohash algorithm
+    assert compat.geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    # common prefix of a degenerate box is the full-precision hash
+    assert compat.encode_box(10.40744, 57.64911, 10.40744, 57.64911,
+                             precision=11) == "u4pruydqqvj"
+    # a box spanning hemispheres shares no prefix
+    assert compat.encode_box(-10.0, -10.0, 10.0, 10.0) == ""
+
+
+def test_geohash_column(spark):
+    df = spark.createDataFrame(
+        [(1, W.point_to_wkb(10.40744, 57.64911))], "id long, g binary")
+    out = df.select(compat.geohash("g").alias("gh")).collect()[0].gh
+    assert out.startswith("u4pruydqqvj")
+
+
+def test_bng_join_cell_cooccurrence(spark):
+    """Round-1 ADVICE: bng_join must pair geometries sharing a cell
+    even when their bboxes do NOT overlap (reference has no bbox
+    filter in index_bng.py)."""
+    l = spark.createDataFrame(
+        [(1, W.point_to_wkb(100_100.0, 100_100.0))], "lid long, geometry binary")
+    r = spark.createDataFrame(
+        [(2, W.point_to_wkb(100_900.0, 100_900.0))], "rid long, geometry binary")
+    out = compat.bng_join(l, r, 1000)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].lid == 1 and rows[0].rid == 2
+    assert "geometry_right" in out.columns
+
+
+def test_unpersist_registry(spark):
+    compat.unpersist_all()
+    l = spark.createDataFrame([(1, W.point_to_wkb(1.0, 1.0))],
+                              "lid long, geometry binary")
+    r = spark.createDataFrame([(2, W.point_to_wkb(1.0, 1.0))],
+                              "rid long, geometry binary")
+    for _ in range(6):
+        compat.join(l, r).count()
+    assert len(compat._PERSISTED) <= compat._PERSIST_CAP
+    compat.unpersist_all()
+    assert not compat._PERSISTED

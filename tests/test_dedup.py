@@ -66,9 +66,9 @@ def test_minhash_lsh_pairs_precision_and_recall(spark):
     # precision is exact (verified), recall high on near-identical docs
     assert got_pairs <= want
     assert len(got_pairs) >= 0.9 * len(want)
-    # verified jaccard values match the oracle measure
+    # verified (inter, uni) counts match the oracle measure
     for r in got.itertuples():
-        assert r.jaccard == pytest.approx(
+        assert r.inter / r.uni == pytest.approx(
             _exact_jaccard(texts[r.id_a], texts[r.id_b]))
 
 

@@ -144,6 +144,95 @@ def test_intersection_area_boxes():
     np.testing.assert_allclose(got, [25.0, 0.0])
 
 
+def _poly(rings):
+    return W.polygon_to_wkb([np.asarray(r, float) for r in rings])
+
+
+def test_intersection_area_multipolygon_parts():
+    """Round-1 HIGH bug: the flattened-ring loop subtracted the second
+    part's exterior as if it were a hole (ADVICE.md) — two disjoint
+    unit squares clipped by a containing box must give 2.0, not 0.0."""
+    sq1 = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+    sq2 = [[3, 0], [4, 0], [4, 1], [3, 1], [3, 0]]
+    mp = W.multi_to_wkb(W.KIND_MULTIPOLYGON, [_poly([sq1]), _poly([sq2])])
+    box = W.boxes_to_wkb(np.array([-1.0]), np.array([-1.0]),
+                         np.array([5.0]), np.array([2.0]))[0]
+    lb, rb = W.parse_wkb([mp]), W.parse_wkb([box])
+    got = G.pairs_intersection_area(lb, rb, np.array([0]), np.array([0]))
+    np.testing.assert_allclose(got, [2.0])
+
+
+def test_intersection_area_nonconvex_and_holes():
+    # concave U-shape split by a box into two prongs: area 1 + 1
+    u = [[0, 0], [3, 0], [3, 3], [2, 3], [2, 1], [1, 1], [1, 3], [0, 3],
+         [0, 0]]
+    b2 = W.boxes_to_wkb(np.array([0.0]), np.array([2.0]),
+                        np.array([3.0]), np.array([4.0]))[0]
+    lb, rb = W.parse_wkb([_poly([u])]), W.parse_wkb([b2])
+    got = G.pairs_intersection_area(lb, rb, np.array([0]), np.array([0]))
+    np.testing.assert_allclose(got, [2.0])
+    # polygon with a hole clipped by an offset box
+    outer = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    hole = [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]
+    b3 = W.boxes_to_wkb(np.array([2.0]), np.array([0.0]),
+                        np.array([6.0]), np.array([4.0]))[0]
+    lb = W.parse_wkb([_poly([outer, hole])])
+    rb = W.parse_wkb([b3])
+    got = G.pairs_intersection_area(lb, rb, np.array([0]), np.array([0]))
+    np.testing.assert_allclose(got, [6.0])  # 8 outer - 2 hole overlap
+
+
+def _star(rng, nv=None):
+    cx, cy = rng.uniform(0, 100), rng.uniform(0, 100)
+    nv = nv or rng.randint(6, 14)
+    ang = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    rr = np.where(np.arange(nv) % 2 == 0, rng.uniform(30, 60),
+                  rng.uniform(10, 25))
+    ring = np.column_stack([cx + rr * np.cos(ang), cy + rr * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def test_intersection_area_raster_property():
+    """Random concave star pairs vs a grid-rasterized oracle."""
+    rng = np.random.RandomState(3)
+    for _ in range(12):
+        s1, s2 = _star(rng), _star(rng)
+        lb, rb = W.parse_wkb([_poly([s1])]), W.parse_wkb([_poly([s2])])
+        got = G.pairs_intersection_area(lb, rb, np.array([0]),
+                                        np.array([0]))[0]
+        gx, gy = np.meshgrid(np.linspace(-80, 180, 700),
+                             np.linspace(-80, 180, 700))
+        px, py = gx.ravel(), gy.ravel()
+        inter = (G.points_in_rings(px, py, [s1])
+                 & G.points_in_rings(px, py, [s2]))
+        est = inter.sum() * (260 / 699) ** 2
+        assert abs(got - est) <= max(0.05 * est, 5.0)
+
+
+def test_intersection_geometry_nonconvex(spark):
+    """compat.intersection on concave inputs: output region's area must
+    equal the exact kernel area (pieces may be seam-subdivided)."""
+    from pyspark.sql import functions as F
+
+    import cdap_geo_spark.compat as compat
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for _ in range(10):
+        rows.append((bytearray(_poly([_star(rng)])),
+                     bytearray(_poly([_star(rng)]))))
+    df = spark.createDataFrame(rows, "g1 binary, g2 binary")
+    out = df.select(
+        compat.intersection("g1", "g2").alias("gi"),
+        compat.intersection_area("g1", "g2").alias("ia")).collect()
+    for r in out:
+        if r.gi is None:
+            assert r.ia == pytest.approx(0.0, abs=1e-6)
+            continue
+        got = W.parse_wkb([bytes(r.gi)])
+        assert G.area(got)[0] == pytest.approx(r.ia, rel=1e-9, abs=1e-9)
+
+
 def test_vertex_counts():
     blobs = [W.point_to_wkb(1, 1),
              W.polygon_to_wkb([[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]])]

@@ -178,3 +178,69 @@ def test_sessionize(spark):
     assert sess[(1, t0 + dt.timedelta(minutes=10))] == 1
     assert sess[(1, t0 + dt.timedelta(hours=2))] == 2
     assert sess[(2, t0)] == 1
+
+
+def test_st_load_normalization_chain(spark):
+    """The reference ingest chain (cdap_geo/sedona.py:39-67): ring
+    closure + collinear-vertex drop (simplify 0) + 1 mm snap."""
+    import numpy as np
+    from cdap_geo_spark.core import geom as G, wkb as W
+    from cdap_geo_spark.operators.geoops import st_load
+
+    # unclosed ring, a collinear mid-edge vertex, and sub-mm noise
+    ring = np.array([[0.0, 0.0], [5.0 + 4e-4, 0.0], [10.0, 0.0],
+                     [10.0, 10.0 - 4e-4], [0.0, 10.0]])
+    blob = W.polygon_to_wkb([ring])  # emitted UNclosed on purpose
+    df = spark.createDataFrame([(1, blob)], "id long, g binary")
+    out = df.select(st_load()( "g").alias("g2")).collect()[0].g2
+    got = W.parse_wkb([bytes(out)])
+    # closed, snapped to mm, collinear vertex dropped -> 4 corners + close
+    pts = got.coords
+    assert G.area(got)[0] == pytest.approx(100.0, abs=1e-6)
+    assert len(pts) == 5
+    assert np.all(pts == np.round(pts, 3))
+
+
+def test_st_load_degenerate_ring_drops(spark):
+    import numpy as np
+    from cdap_geo_spark.core import wkb as W
+    from cdap_geo_spark.operators.geoops import st_load
+
+    # zero-area sliver (all points collinear after 1mm snap)
+    ring = np.array([[0.0, 0.0], [10.0, 1e-5], [20.0, 2e-5], [0.0, 0.0]])
+    df = spark.createDataFrame([(1, W.polygon_to_wkb([ring]))],
+                               "id long, g binary")
+    out = df.select(st_load()("g").alias("g2")).collect()[0].g2
+    assert out is None
+
+
+def test_st_load_reprojects(spark):
+    import numpy as np
+    from cdap_geo_spark.core import proj as P, wkb as W
+    from cdap_geo_spark.operators.geoops import st_load
+
+    lon, lat = -0.1246, 51.5007
+    df = spark.createDataFrame([(1, W.point_to_wkb(lon, lat))],
+                               "id long, g binary")
+    out = df.select(st_load(precision=3, from_crs=4326, to_crs=27700)("g")
+                    .alias("g2")).collect()[0].g2
+    got = W.parse_wkb([bytes(out)])
+    # reference order: PrecisionReduce runs BEFORE Transform
+    # (cdap_geo/sedona.py:48-53), so the snap applies to the degrees
+    E, N = P.wgs84_to_en(np.array([round(lat, 3)]),
+                         np.array([round(lon, 3)]))
+    assert got.coords[0, 0] == pytest.approx(E[0], abs=1e-6)
+    assert got.coords[0, 1] == pytest.approx(N[0], abs=1e-6)
+
+
+def test_merge_columns(spark):
+    from cdap_geo_spark.io import merge_columns
+    df = spark.createDataFrame(
+        [(1, None, "x", [1, 2], None), (None, 2.5, "y", None, 7)],
+        "`a-int64` long, `a-double` double, `b-string` string, "
+        "`c-list<item: int64>` array<long>, `c-int64` long")
+    out = merge_columns(df)
+    assert set(out.columns) == {"a", "b", "c"}
+    rows = {r.b: r for r in out.collect()}
+    assert rows["x"].a == 1.0 and rows["x"].c == [1, 2]
+    assert rows["y"].a == 2.5 and rows["y"].c == [7]
