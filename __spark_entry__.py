@@ -243,6 +243,14 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.element_at("features", 8).cast("long").alias("w"))
 
 
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import winnow_fingerprints
+    d = _docs(spark, sf_dir)
+    fp = winnow_fingerprints(k=5, window=4)(F.col("text"))
+    return d.select(F.col("doc_id").cast("long"),
+                    F.explode(fp).alias("fp"))
+
+
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.streaming.windows import windowed_event_counts
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
@@ -285,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "media_features": _q_media_features,
+        "fingerprints": _q_fingerprints,
         "event_windows": _q_event_windows,
         "sessionize": _q_sessionize,
     }
@@ -500,6 +509,31 @@ def _lsh_ann_sql(dim: int = 64, n_planes: int = 10, seed: int = 5) -> str:
 """
 
 
+_FINGERPRINTS_SQL = """
+  WITH g AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i, len(text) - 4 AS ng,
+           CAST(concat('0x', substr(md5(substr(lower(text), CAST(i AS INT),
+                                               5)), 1, 15)) AS BIGINT) AS h
+    FROM documents, generate_series(1, 4000) s(i)
+    WHERE i <= len(text) - 4
+  ),
+  m AS (
+    SELECT doc_id, ng, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+    FROM g
+  ),
+  sliding AS (
+    SELECT DISTINCT doc_id, wm FROM m WHERE ng > 4 AND i <= ng - 3
+  ),
+  short AS (
+    SELECT doc_id, min(h) AS wm FROM g WHERE ng <= 4 GROUP BY doc_id
+  )
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, wm AS fp FROM sliding
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, wm AS fp FROM short
+"""
+
 _MEDIA_SQL = """
   WITH s AS (
     SELECT doc_id, text, len(text) AS n FROM documents
@@ -707,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS new_sess
             FROM events)
         """,
+        "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "minhash_pairs": _minhash_sql(),
         "lsh_ann": _lsh_ann_sql(),

@@ -197,31 +197,55 @@ def _parse_one(r: _Reader, parts_kind: list, rings_len: list,
 def parse_wkb(blobs) -> GeomBatch:
     """Parse a sequence of WKB ``bytes`` (or None) into a GeomBatch.
 
-    Fast path: a batch that is entirely 2D little-endian Points (the
-    dominant case for document geo-spans) is decoded with two
-    ``np.frombuffer`` calls and no per-row Python.
+    Fast paths (no per-row Python): a batch of 2D little-endian Points
+    (the dominant case for document geo-spans) decodes with two
+    ``np.frombuffer`` calls; single-ring LE Polygons (boxes, tiles,
+    regions — the dominant right side of every join) decode in
+    same-length groups the same way. Everything else falls back to the
+    general recursive parser; mixed batches are stitched back into row
+    order.
     """
     n = len(blobs)
     if n == 0:
         return _empty_batch(0)
 
-    # ---- point fast path (whole batch or the point subset) -------------
     pt_mask = np.fromiter((_is_le_point(b) for b in blobs), bool, count=n)
     if pt_mask.all():
         return _parse_points(blobs, n)
+    sr_mask = np.fromiter(
+        (not p and _is_le_srpoly(b) for p, b in zip(pt_mask, blobs)),
+        bool, count=n)
+
+    pieces: list = []   # (row indices, parsed batch)
     if pt_mask.any():
-        # split: vectorized parse for points, general parse for the
-        # rest, then stitch back into original row order
-        pts_idx = np.flatnonzero(pt_mask)
-        gen_idx = np.flatnonzero(~pt_mask)
-        pb = _parse_points([blobs[i] for i in pts_idx], len(pts_idx))
-        gb = _parse_general([blobs[i] for i in gen_idx])
-        combined = concat_batches(pb, gb)
-        perm = np.empty(n, np.int64)
-        perm[pts_idx] = np.arange(len(pts_idx))
-        perm[gen_idx] = len(pts_idx) + np.arange(len(gen_idx))
-        return slice_batch(combined, perm)
-    return _parse_general(blobs)
+        idx = np.flatnonzero(pt_mask)
+        pieces.append((idx, _parse_points([blobs[i] for i in idx],
+                                          len(idx))))
+    if sr_mask.any():
+        idx = np.flatnonzero(sr_mask)
+        lens = np.fromiter((len(blobs[i]) for i in idx), np.int64,
+                           count=len(idx))
+        for length in np.unique(lens):
+            sub = idx[lens == length]
+            pieces.append((sub, _parse_srpolys(
+                [blobs[i] for i in sub], len(sub), int(length))))
+    gen_idx = np.flatnonzero(~pt_mask & ~sr_mask)
+    if len(gen_idx):
+        pieces.append((gen_idx, _parse_general([blobs[i]
+                                                for i in gen_idx])))
+    if len(pieces) == 1:
+        idx, batch = pieces[0]
+        if len(idx) == n and np.array_equal(idx, np.arange(n)):
+            return batch
+    combined = pieces[0][1]
+    for _, b in pieces[1:]:
+        combined = concat_batches(combined, b)
+    perm = np.empty(n, np.int64)
+    base = 0
+    for idx, b in pieces:
+        perm[idx] = base + np.arange(len(idx))
+        base += len(b.kinds)
+    return slice_batch(combined, perm)
 
 
 def _parse_points(blobs, n: int) -> GeomBatch:
@@ -286,6 +310,36 @@ def _parse_general(blobs) -> GeomBatch:
 def _is_le_point(b) -> bool:
     return (b is not None and len(b) == _POINT_WKB_LEN and b[0] == 1
             and b[1] == 1 and not (b[2] or b[3] or b[4]))
+
+
+def _is_le_srpoly(b) -> bool:
+    """2D little-endian Polygon with exactly one ring (box/tile/region
+    shape): header 01 03000000 01000000 + u32 npts + npts*16 bytes."""
+    return (b is not None and len(b) >= 13 + 4 * 16
+            and b[0] == 1 and b[1] == 3 and not (b[2] or b[3] or b[4])
+            and b[5] == 1 and not (b[6] or b[7] or b[8])
+            and (len(b) - 13) % 16 == 0
+            and (b[9] | (b[10] << 8) | (b[11] << 16) | (b[12] << 24))
+            == (len(b) - 13) // 16)
+
+
+def _parse_srpolys(blobs, n: int, length: int) -> GeomBatch:
+    """Vectorized decode of same-length single-ring LE polygons."""
+    buf = b"".join(bytes(b) if not isinstance(b, bytes) else b
+                   for b in blobs)
+    flat = np.frombuffer(buf, dtype=np.uint8).reshape(n, length)
+    npts = (length - 13) // 16
+    coords = (flat[:, 13:].copy().view("<f8")
+              .reshape(n * npts, 2).astype(np.float64))
+    return GeomBatch(
+        kinds=np.full(n, KIND_POLYGON, np.uint8),
+        valid=np.ones(n, bool),
+        geom_part_off=np.arange(n + 1, dtype=np.int64),
+        part_kind=np.full(n, KIND_POLYGON, np.uint8),
+        part_ring_off=np.arange(n + 1, dtype=np.int64),
+        ring_coord_off=np.arange(n + 1, dtype=np.int64) * npts,
+        coords=coords,
+    )
 
 
 def concat_batches(a: GeomBatch, b: GeomBatch) -> GeomBatch:

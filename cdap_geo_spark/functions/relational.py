@@ -29,3 +29,37 @@ def sdf_force_execute(df: DataFrame) -> None:
     """Materialize without collecting — noop-format write, the
     reference's bench trick (``cdap_geo/utils.py:57-59``)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def sdf_autopartition(df: DataFrame, partition_by=None, *,
+                      count_ratio: float = 1e-6,
+                      mem_ratio: float = 1 / 1024 ** 2,
+                      thread_ratio: float = 1.5,
+                      jobs_cap: int = 100_000) -> DataFrame:
+    """Widen the partition count to max(rows*count_ratio,
+    bytes*mem_ratio, parallelism*thread_ratio), capped — the exact
+    sizing rule of the reference's ``sdf_autopartition``
+    (``cdap_geo/write.py:82-97``: 1M rows/partition, 1 MB/partition,
+    1.5 tasks/core), but estimated from Catalyst plan STATISTICS
+    instead of the reference's two extra jobs (``rdd.countApprox`` +
+    a full memsize scan). Never shrinks (AQE coalescing already
+    handles over-partitioning at runtime). Returns the (possibly)
+    repartitioned frame."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    size_bytes = int(str(stats.sizeInBytes()))
+    rc = stats.rowCount()
+    rows = int(str(rc.get())) if rc.isDefined() else None
+    spark = df.sparkSession
+    targets = [round(size_bytes * mem_ratio),
+               round(spark.sparkContext.defaultParallelism * thread_ratio)]
+    if rows is not None:
+        targets.append(round(rows * count_ratio))
+    target = max(min(t, jobs_cap) for t in targets)
+    current = df.rdd.getNumPartitions()
+    if target <= current:
+        return df
+    if partition_by:
+        cols = ([partition_by] if isinstance(partition_by, str)
+                else list(partition_by))
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df.repartition(target)

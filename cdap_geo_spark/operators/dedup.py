@@ -109,40 +109,46 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
 
     # global order = (document frequency asc, shingle asc): rare first,
     # so stopword shingles sit at the END of every doc's ordering and
-    # never enter a prefix
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
-    ranked = sh.join(dfreq, "sh")
-    w = Window.partitionBy("_id").orderBy("_df", "sh")
+    # never enter a prefix. Shingles are dictionary-encoded to dense
+    # int ids in that order (the distinct-shingle relation is tiny), so
+    # joins/arrays carry 8-byte ids instead of UTF8 strings.
+    wg = Window.orderBy("_df", "sh")
+    dfreq = (sh.groupBy("sh").agg(F.count("*").alias("_df"))
+             .withColumn("sid", F.row_number().over(wg)))
+    ranked = sh.join(F.broadcast(dfreq.select("sh", "sid")), "sh")
+    w = Window.partitionBy("_id").orderBy("sid")
     # prefix length = sz - ceil(pct*sz/100) + 1 (integer ceil)
     plen = (F.col("sz")
             - F.floor((F.col("sz") * threshold_pct + 99) / 100) + 1)
-    pref = (ranked.withColumn("_pos", F.row_number().over(w))
-            .join(sizes, "_id")
-            .filter(F.col("_pos") <= plen)
-            .select("_id", "sh", "_pos", "sz")
-            .repartition(F.col("sh")))
-    a = pref.toDF("ida", "sh", "pa", "sza")
-    b = pref.toDF("idb", "sh", "pb", "szb")
+    pos = ranked.withColumn("_pos", F.row_number().over(w)) \
+                .join(sizes, "_id")
+    pref = pos.filter(F.col("_pos") <= plen) \
+              .select("_id", "sid", "_pos", "sz") \
+              .repartition(F.col("sid"))
+    a = pref.toDF("ida", "sid", "pa", "sza")
+    b = pref.toDF("idb", "sid", "pb", "szb")
     pct = F.lit(threshold_pct)
     # PPJoin filters evaluated INSIDE the join stage (codegen'd, before
-    # the dedup shuffle): length filter (min sz >= t * max sz) and
-    # positional filter (inter <= min(sz - pos) + 1, which must still
-    # satisfy (100+pct)*inter >= pct*(sza+szb); the loosest — first —
-    # match of any qualifying pair passes, so no true pair is lost)
+    # any shuffle): length filter (min sz >= t * max sz) and positional
+    # filter (inter <= min(sz - pos) + 1, which must still satisfy
+    # (100+pct)*inter >= pct*(sza+szb); the loosest — first — match of
+    # any qualifying pair passes, so no true pair is lost)
     ub = F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")) + 1
-    cand = (a.join(b, "sh")
-            .filter((F.col("ida") < F.col("idb"))
-                    & (F.lit(100) * F.col("sza") >= pct * F.col("szb"))
-                    & (F.lit(100) * F.col("szb") >= pct * F.col("sza"))
-                    & ((F.lit(100) + pct) * ub
-                       >= pct * (F.col("sza") + F.col("szb"))))
-            .select("ida", "idb").dropDuplicates(["ida", "idb"]))
-    # exact verify over full distinct-shingle sets — native
-    # array_intersect, no Python. The sets relation is docs-sized
-    # (tiny next to the pair set), so it broadcasts: the verify is
-    # map-side and the candidate arrays never cross a shuffle.
-    sets = sh.groupBy("_id").agg(F.collect_list("sh").alias("arr"),
-                                 F.count("*").alias("sz"))
+    matches = (a.join(b, "sid")
+               .filter((F.col("ida") < F.col("idb"))
+                       & (F.lit(100) * F.col("sza") >= pct * F.col("szb"))
+                       & (F.lit(100) * F.col("szb") >= pct * F.col("sza"))
+                       & ((F.lit(100) + pct) * ub
+                          >= pct * (F.col("sza") + F.col("szb")))))
+    # distinct pairs (map-side partial agg keeps the shuffle narrow)
+    cand = matches.select("ida", "idb").dropDuplicates(["ida", "idb"])
+    # exact verify over full distinct-shingle ID sets — native
+    # array_intersect on int arrays, no Python. The sets relation is
+    # docs-sized (tiny next to the pair set), so it broadcasts: the
+    # verify is map-side and the arrays never cross a shuffle.
+    sets = (ranked.groupBy("_id")
+            .agg(F.collect_list("sid").alias("arr"),
+                 F.count("*").alias("sz")))
     sa = F.broadcast(sets.toDF("ida", "arr_a", "sza"))
     sb = F.broadcast(sets.toDF("idb", "arr_b", "szb"))
     out = (cand.join(sa, "ida").join(sb, "idb")

@@ -101,12 +101,20 @@ def shingles(text: Column, k: int = 3) -> Column:
             .otherwise(F.array().cast(T.ArrayType(T.StringType())))
 
 
-def winnow_fingerprints(k: int = 5, window: int = 4):
+def winnow_fingerprints(k: int = 5, window: int = 4,
+                        gram_hash: str = "md5"):
     """Arrow PUDF: winnowing document fingerprints (Schleimer et al.,
-    SIGMOD'03): rolling polynomial hash of char k-grams, keep the min
-    hash of every `window` consecutive hashes -> array<long> of
-    selected fingerprints. The scale path for plagiarism-style overlap
-    detection; not SQL-expressible (rows-only oracle)."""
+    SIGMOD'03): hash char k-grams, keep the min hash of every `window`
+    consecutive positions -> array<long> of distinct selected
+    fingerprints. The scale path for plagiarism-style overlap
+    detection.
+
+    ``gram_hash='md5'`` (default) uses the 60-bit md5-prefix gram hash,
+    which the DuckDB oracle recomputes exactly (window min + distinct
+    are plain SQL); ``'poly'`` keeps the faster rolling polynomial.
+    """
+    import hashlib
+
     B = np.uint64(1000003)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -116,23 +124,33 @@ def winnow_fingerprints(k: int = 5, window: int = 4):
             if txt is None or len(txt) < k:
                 out.append([])
                 continue
-            data = np.frombuffer(txt.lower().encode("utf-8", "ignore"),
-                                 dtype=np.uint8).astype(np.uint64)
-            n = len(data) - k + 1
-            if n <= 0:
-                out.append([])
-                continue
-            # rolling hash via cumulative powers (vectorized)
-            with np.errstate(over="ignore"):
-                hs = np.zeros(n, np.uint64)
-                for j in range(k):  # k is tiny (5): k vector ops
-                    hs = hs * B + data[j:j + n]
+            t = txt.lower()
+            if gram_hash == "md5":
+                n = len(t) - k + 1
+                hs = np.fromiter(
+                    (int(hashlib.md5(t[i:i + k].encode("utf-8", "ignore"))
+                         .hexdigest()[:15], 16) for i in range(n)),
+                    np.uint64, count=n)
+            else:
+                data = np.frombuffer(t.encode("utf-8", "ignore"),
+                                     dtype=np.uint8).astype(np.uint64)
+                n = len(data) - k + 1
+                if n <= 0:
+                    out.append([])
+                    continue
+                # rolling hash via cumulative powers (vectorized)
+                with np.errstate(over="ignore"):
+                    hs = np.zeros(n, np.uint64)
+                    for j in range(k):  # k is tiny (5): k vector ops
+                        hs = hs * B + data[j:j + n]
+            mask = (np.uint64(0x7FFFFFFFFFFFFFFF) if gram_hash != "md5"
+                    else np.uint64((1 << 63) - 1))
             if n <= window:
-                out.append([int(hs.min() & np.uint64(0x7FFFFFFFFFFFFFFF))])
+                out.append([int(hs.min() & mask)])
                 continue
             sw = np.lib.stride_tricks.sliding_window_view(hs, window)
             mins = sw.min(axis=1)
-            sel = np.unique(mins & np.uint64(0x7FFFFFFFFFFFFFFF))
+            sel = np.unique(mins & mask)
             out.append([int(v) for v in sel])
         return pd.Series(out)
     return _fp

@@ -20,12 +20,21 @@ ENGINE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
-    # Arrow boundary for the pandas-UDF kernels
+    # Arrow boundary for the pandas-UDF kernels. 64k-row batches: a
+    # same-window A/B at sf0.1/local[32] measured 135 s (10k rows) vs
+    # 62.8 s (64k rows) for the headline — per-batch socket/IPC/pandas
+    # overhead multiplied across 32 task pipelines dominates at small
+    # batches. 64k rows of (ids + bounds + WKB) is ~15 MB per batch —
+    # well inside executor memory at any scale.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # pinned: forked python workers persist across tasks AND stages so
     # the per-worker import + page-warm cost is paid once per core
     "spark.python.worker.reuse": "true",
+    # throughput GC: the headline's warm main stage spent 609 s of its
+    # 1261 s JVM CPU in G1 pauses at 32 task threads; ParallelGC + the
+    # larger default heap below cut the same run 158 s -> 104 s
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     # parquet scans keep pushdown + vectorized reader (defaults, pinned)
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
@@ -70,7 +79,7 @@ def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,
          .master(f"local[{cores}]")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_DRIVER_MEMORY", "16g")))
+                 os.environ.get("SPARK_DRIVER_MEMORY", "24g")))
     for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -66,7 +66,8 @@ def parse_events(path: str):
                     "Executor CPU Time", 0) / 1e9
                 st["run_s"] = st.get("run_s", 0) + m.get(
                     "Executor Run Time", 0) / 1e3
-                st["py_s"] = st.get("py_s", 0)
+                st["gc_s"] = st.get("gc_s", 0) + m.get(
+                    "JVM GC Time", 0) / 1e3
     return stages
 
 
@@ -76,6 +77,8 @@ def main():
     spark = get_spark(app="profile", cores=CPUS, extra_conf={
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": EVDIR,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     })
     spark.sparkContext.setLogLevel("ERROR")
     variants = sys.argv[1:] or ["default", "salted", "broadcast"]
@@ -99,7 +102,8 @@ def main():
             print(f"stage {sid:4d} wall={s.get('wall_s', 0):8.2f} "
                   f"tasks={s.get('tasks', 0):4d} "
                   f"run_total={s.get('run_s', 0):9.1f} "
-                  f"cpu_total={s.get('cpu_s', 0):9.1f}  {s.get('name', '')}")
+                  f"cpu_total={s.get('cpu_s', 0):9.1f} "
+                  f"gc_total={s.get('gc_s', 0):7.1f}  {s.get('name', '')}")
 
 
 if __name__ == "__main__":

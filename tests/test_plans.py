@@ -59,3 +59,24 @@ def test_salted_join_replicates_right_side(spark):
     plan = _plan(sjoin_pairs(dd, rr, left_id="doc_id", right_id="region_id",
                              level=7, salt=4, broadcast=False))
     assert "explode" in plan.lower()  # right side replicated by salt
+
+
+def test_sdf_autopartition_widens_not_shrinks(spark):
+    from cdap_geo_spark.functions.relational import sdf_autopartition
+    # already-wide tiny frame: every target <= current -> unchanged
+    # (the thread term alone is parallelism*1.5 = 12 on the test session)
+    small = spark.range(10).repartition(16)
+    assert sdf_autopartition(small).rdd.getNumPartitions() == 16
+    # 1-partition frame widens to >= thread_ratio * parallelism
+    one = spark.range(1_000_000).coalesce(1)
+    out = sdf_autopartition(one)
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= round(par * 1.5)
+
+
+def test_sdf_autopartition_partition_by(spark):
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.functions.relational import sdf_autopartition
+    df = spark.range(1_000_000).withColumn("k", F.col("id") % 7).coalesce(1)
+    out = sdf_autopartition(df, partition_by="k")
+    assert out.rdd.getNumPartitions() > 1
