@@ -244,3 +244,39 @@ def test_merge_columns(spark):
     rows = {r.b: r for r in out.collect()}
     assert rows["x"].a == 1.0 and rows["x"].c == [1, 2]
     assert rows["y"].a == 2.5 and rows["y"].c == [7]
+
+
+def test_subdivide_by_cells_matches_cover(spark):
+    """Round-1 gap: subdivide_by_cells had no test. Each output row is
+    one (geometry, covering-cell) work unit; the cell set must equal
+    the exact intersects cover of the geometry."""
+    import numpy as np
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.core import wkb as W
+    from cdap_geo_spark.operators.geoops import subdivide_by_cells
+    from pyspark.sql import functions as F
+
+    box = W.boxes_to_wkb(np.array([100_000.0]), np.array([100_000.0]),
+                         np.array([200_000.0]), np.array([200_000.0]))[0]
+    df = spark.createDataFrame([(1, box)], "doc_id long, geometry binary")
+    out = subdivide_by_cells(df, level=7).toPandas()
+    want = df.select(F.explode(
+        udfs.st_cells(7, how="intersects")(F.col("geometry")))
+        .alias("c")).toPandas()
+    assert sorted(out.cell_id) == sorted(want.c)
+    assert (out.doc_id == 1).all()
+    # every row carries the full geometry blob (the clip window pattern)
+    assert all(bytes(b) == box for b in out.geometry)
+
+
+def test_to_sdf_to_gdf_roundtrip(spark):
+    import numpy as np
+    import cdap_geo_spark.compat as compat
+    from cdap_geo_spark.core import wkb as W
+
+    blobs = [W.point_to_wkb(1.0, 2.0), W.point_to_wkb(3.0, 4.0)]
+    sdf = compat.to_sdf(list(blobs), spark)
+    assert sdf.columns == ["geometry"]
+    back = compat.to_gdf(sdf)
+    got = W.parse_wkb([bytes(v) for v in back.geometry])
+    assert got.coords.tolist() == [[1.0, 2.0], [3.0, 4.0]]
