@@ -124,6 +124,24 @@ def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         udfs.st_area()(F.col("geometry")).cast("long").alias("area"))
 
 
+def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive dissolve (st_group / unary_union): union region
+    boxes per group key; union_area counts overlaps ONCE (slab
+    decomposition kernel). Oracle: the classic rectangle-union sweep
+    in pure SQL — x-breakpoints, per-slab y-interval union via window
+    functions. Integer coordinates keep both sides FP-exact."""
+    from cdap_geo_spark.operators.geoops import st_group
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    df = regions.select((F.col("region_id") % 25).cast("long").alias("gid"),
+                        "geometry")
+    out = st_group(df, "gid")
+    return out.select(F.col("gid"),
+                      F.col("n_parts").cast("long").alias("n_parts"),
+                      F.col("union_area").cast("long").alias("union_area"))
+
+
 def _q_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark import udfs
     from cdap_geo_spark.functions.relational import global_bounds
@@ -281,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "knn": _q_knn,
         "region_area": _q_region_area,
+        "dissolve": _q_dissolve,
         "global_bbox": _q_global_bbox,
         "groupmax": _q_groupmax,
         "exact_dedup": _q_exact_dedup,
@@ -610,6 +629,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(region_id AS BIGINT) AS region_id,
                  CAST((maxx - minx) * (maxy - miny) AS BIGINT) AS area
           FROM b
+        """,
+        "dissolve": f"""
+          WITH b AS ({_BOXES}),
+          g AS (SELECT region_id % 25 AS gid, minx, miny, maxx, maxy
+                FROM b),
+          xs AS (SELECT DISTINCT gid, x FROM (
+                   SELECT gid, minx AS x FROM g
+                   UNION ALL SELECT gid, maxx FROM g)),
+          slabs AS (SELECT gid, x AS x0,
+                           LEAD(x) OVER (PARTITION BY gid ORDER BY x)
+                             AS x1
+                    FROM xs),
+          spans AS (SELECT s.gid, s.x0, s.x1, r.miny, r.maxy
+                    FROM slabs s JOIN g r ON r.gid = s.gid
+                         AND r.minx <= s.x0 AND r.maxx >= s.x1
+                    WHERE s.x1 IS NOT NULL),
+          mk AS (SELECT gid, x0, x1, miny, maxy,
+                        MAX(maxy) OVER (PARTITION BY gid, x0
+                            ORDER BY miny, maxy
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+                 FROM spans),
+          iv AS (SELECT *, SUM(CASE WHEN pmax IS NULL OR miny > pmax
+                                    THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY gid, x0
+                                ORDER BY miny, maxy
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS grp
+                 FROM mk),
+          merged AS (SELECT gid, x0, x1, grp,
+                            MIN(miny) AS b0, MAX(maxy) AS t0
+                     FROM iv GROUP BY gid, x0, x1, grp)
+          SELECT CAST(m.gid AS BIGINT) AS gid,
+                 CAST(c.n AS BIGINT) AS n_parts,
+                 CAST(SUM((m.x1 - m.x0) * (m.t0 - m.b0)) AS BIGINT)
+                   AS union_area
+          FROM merged m
+          JOIN (SELECT gid, COUNT(*) AS n FROM g GROUP BY gid) c
+            ON c.gid = m.gid
+          GROUP BY m.gid, c.n
         """,
         "global_bbox": f"""
           WITH p AS ({_PTS})

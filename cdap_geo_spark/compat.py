@@ -363,8 +363,9 @@ def bounds(column) -> Column:
 
 
 def buffer(column, resolution: float, **kwargs) -> Column:
-    """``functions.py:20-24``; point->n-gon disc, else bbox dilation
-    (documented deviation, see operators.geoops.st_buffer)."""
+    """``functions.py:20-24``; true Minkowski dilation (boundary sweep
+    + slab union, operators.geoops.st_buffer) — the disc is an n-gon,
+    shapely's own quad-segment approximation."""
     from cdap_geo_spark.operators.geoops import st_buffer
     return st_buffer(resolution)(_c(column))
 

@@ -1090,3 +1090,218 @@ def _line_inter(p, q, a, b):
     d2 = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
     t = d1 / (d1 - d2) if d1 != d2 else 0.0
     return [px + t * (qx - px), py + t * (qy - py)]
+
+
+# ---------------------------------------------------------------------------
+# Constructive union — vertical slab (trapezoid) decomposition
+# ---------------------------------------------------------------------------
+# A point is in the union iff it is inside >=1 member polygon; each
+# member fills by even-odd over its own rings (exterior + holes). The
+# classic vertical decomposition makes this exactly computable with
+# array ops: cut the plane at every vertex x and every pairwise edge
+# crossing x; inside one open slab no two edges cross, so the covered
+# region is a y-interval union whose ends are edges — i.e. trapezoids.
+# Exact union AREA falls out for free; the constructive geometry is the
+# horizontal merge of trapezoid runs (valid, possibly with collinear
+# seam vertices — same caveat GEOS documents for its snap-rounded
+# overlay). The reference gets all of this from shapely's
+# ``unary_union`` (``cdap_geo/functions.py:16-27``); this is the
+# from-scratch equivalent used by dissolve / buffer / make_valid.
+
+def _union_edges(polys: list) -> tuple:
+    """Flatten member polygons (list of lists of closed rings) into
+    non-vertical edge arrays oriented x0 < x1, + poly ids."""
+    x0s, y0s, x1s, y1s, pids = [], [], [], [], []
+    for pid, rings in enumerate(polys):
+        for ring in rings:
+            pts = np.asarray(ring, float)
+            if len(pts) < 4:
+                continue
+            ax, ay = pts[:-1, 0], pts[:-1, 1]
+            bx, by = pts[1:, 0], pts[1:, 1]
+            keep = ax != bx
+            if not keep.any():
+                continue
+            ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
+            flip = ax > bx
+            ax2 = np.where(flip, bx, ax)
+            bx2 = np.where(flip, ax, bx)
+            ay2 = np.where(flip, by, ay)
+            by2 = np.where(flip, ay, by)
+            x0s.append(ax2)
+            y0s.append(ay2)
+            x1s.append(bx2)
+            y1s.append(by2)
+            pids.append(np.full(len(ax2), pid))
+    if not x0s:
+        z = np.empty(0)
+        return z, z, z, z, np.empty(0, np.int64)
+    return (np.concatenate(x0s), np.concatenate(y0s),
+            np.concatenate(x1s), np.concatenate(y1s),
+            np.concatenate(pids).astype(np.int64))
+
+
+def _crossing_xs(x0, y0, x1, y1, chunk: int = 512) -> np.ndarray:
+    """x-coordinates of all pairwise proper edge crossings (interior
+    overlap in x AND straddling in y). O(E^2) pair tests, vectorized
+    and chunked; per-group kernel scale (dissolve keys, one buffer's
+    components), never a dataset-wide loop."""
+    e = len(x0)
+    out = []
+    dx = x1 - x0
+    dy = y1 - y0
+    for s in range(0, e, chunk):
+        t = slice(s, min(e, s + chunk))
+        # candidate pairs: x-intervals overlap with nonzero interior
+        lo = np.maximum(x0[t][:, None], x0[None, :])
+        hi = np.minimum(x1[t][:, None], x1[None, :])
+        ii, jj = np.nonzero(lo < hi)
+        if len(ii) == 0:
+            continue
+        ii = ii + s
+        keep = ii < jj
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            continue
+        # line crossing: solve for intersection of supporting lines
+        den = dx[ii] * dy[jj] - dy[ii] * dx[jj]
+        ok = den != 0
+        ii, jj, den = ii[ok], jj[ok], den[ok]
+        if len(ii) == 0:
+            continue
+        tt = ((x0[jj] - x0[ii]) * dy[jj] - (y0[jj] - y0[ii]) * dx[jj]) / den
+        xc = x0[ii] + tt * dx[ii]
+        inside = (xc > np.maximum(x0[ii], x0[jj])) \
+            & (xc < np.minimum(x1[ii], x1[jj]))
+        out.append(xc[inside])
+    return np.concatenate(out) if out else np.empty(0)
+
+
+def union_trapezoids(polys: list) -> tuple:
+    """Union of member polygons -> (quads, area).
+
+    ``polys``: list of members, each a list of closed (k,2) rings
+    filling even-odd. Returns ``(list of (4,2) CCW trapezoid vertex
+    arrays, exact union area)``. The trapezoids tile the union region
+    exactly (disjoint interiors); adjacent slabs bounded by the same
+    edge pair are merged into maximal runs.
+    """
+    x0, y0, x1, y1, pid = _union_edges(polys)
+    if len(x0) == 0:
+        return [], 0.0
+    xs = np.unique(np.concatenate([x0, x1, _crossing_xs(x0, y0, x1, y1)]))
+    if len(xs) < 2:
+        return [], 0.0
+    # edge e spans slabs [searchsorted(x0e) .. searchsorted(x1e)-1]
+    i0 = np.searchsorted(xs, x0)
+    i1 = np.searchsorted(xs, x1)
+    span = i1 - i0
+    reps = np.repeat(np.arange(len(x0)), span)           # edge id per inst
+    slab = np.repeat(i0, span) + _expand_offsets(span)   # slab id per inst
+    xl, xr = xs[slab], xs[slab + 1]
+    tpar = np.where(x1[reps] != x0[reps],
+                    1.0 / (x1[reps] - x0[reps]), 0.0)
+    yl = y0[reps] + (xl - x0[reps]) * tpar * (y1[reps] - y0[reps])
+    yr = y0[reps] + (xr - x0[reps]) * tpar * (y1[reps] - y0[reps])
+    ym = yl + yr
+    ip = pid[reps]
+    # sort by (slab, poly, ymid): within (slab, poly) instances
+    # alternate even-odd -> consecutive pairs bound covered intervals
+    order = np.lexsort((yl, ym, ip, slab))
+    slab, ip, yl, yr, ym = (a[order] for a in (slab, ip, yl, yr, ym))
+    eid = reps[order]
+    grp_new = np.ones(len(slab), bool)
+    grp_new[1:] = (slab[1:] != slab[:-1]) | (ip[1:] != ip[:-1])
+    rank = np.arange(len(slab)) - np.maximum.accumulate(
+        np.where(grp_new, np.arange(len(slab)), -1))
+    # an interval = an even-rank instance paired with the NEXT instance
+    # of the same group; a trailing unpaired lower (odd group size =
+    # degenerate ring) is dropped by the ~group-end condition
+    grp_end = np.append(grp_new[1:], True)
+    lo_idx = np.nonzero(((rank % 2) == 0) & ~grp_end)[0]
+    hi_idx = lo_idx + 1
+    if len(lo_idx) == 0:
+        return [], 0.0
+    # per-interval data (still per (slab, poly)); now union across polys
+    s_l = slab[lo_idx]
+    b_yl, b_yr, b_ym, b_eid = yl[lo_idx], yr[lo_idx], ym[lo_idx], eid[lo_idx]
+    t_yl, t_yr, t_ym, t_eid = yl[hi_idx], yr[hi_idx], ym[hi_idx], eid[hi_idx]
+    o2 = np.lexsort((b_ym, s_l))
+    s_l, b_yl, b_yr, b_ym, b_eid, t_yl, t_yr, t_ym, t_eid = (
+        a[o2] for a in (s_l, b_yl, b_yr, b_ym, b_eid,
+                        t_yl, t_yr, t_ym, t_eid))
+    # union-merge intervals within each slab: tight python sweep (the
+    # sweep state — which edge currently bounds the top — defeats a
+    # clean vectorization; counts here are per-group-kernel small)
+    quads = []
+    area_sum = 0.0
+    i = 0
+    n = len(s_l)
+    # merged intervals per slab -> (slab, bot edge data, top edge data)
+    merged = []  # (slab, b_eid, t_eid, byl, byr, tyl, tyr)
+    while i < n:
+        j = i
+        cur_t_ym = t_ym[i]
+        cur = [s_l[i], b_eid[i], t_eid[i], b_yl[i], b_yr[i],
+               t_yl[i], t_yr[i]]
+        j += 1
+        while j < n and s_l[j] == s_l[i] and b_ym[j] <= cur_t_ym:
+            if t_ym[j] > cur_t_ym:
+                cur_t_ym = t_ym[j]
+                cur[2], cur[5], cur[6] = t_eid[j], t_yl[j], t_yr[j]
+            j += 1
+        merged.append(cur)
+        i = j
+    if not merged:
+        return [], 0.0
+    m = np.array([[c[0], c[1], c[2]] for c in merged], np.int64)
+    my = np.array([[c[3], c[4], c[5], c[6]] for c in merged])
+    # horizontal merge: runs of consecutive slabs with same (bot, top)
+    o3 = np.lexsort((m[:, 0], m[:, 2], m[:, 1]))
+    m, my = m[o3], my[o3]
+    brk = np.ones(len(m), bool)
+    brk[1:] = (m[1:, 1] != m[:-1, 1]) | (m[1:, 2] != m[:-1, 2]) \
+        | (m[1:, 0] != m[:-1, 0] + 1)
+    run_id = np.cumsum(brk) - 1
+    for r in range(run_id[-1] + 1):
+        sel = np.nonzero(run_id == r)[0]
+        first, last = sel[0], sel[-1]
+        xlq, xrq = xs[m[first, 0]], xs[m[last, 0] + 1]
+        byl, tyl = my[first, 0], my[first, 2]
+        byr, tyr = my[last, 1], my[last, 3]
+        if xrq <= xlq:
+            continue
+        a = 0.5 * (xrq - xlq) * ((tyl - byl) + (tyr - byr))
+        if a <= 0:
+            continue
+        area_sum += a
+        quads.append(np.array([[xlq, byl], [xrq, byr],
+                               [xrq, tyr], [xlq, tyl]]))
+    return quads, area_sum
+
+
+def _expand_offsets(counts: np.ndarray) -> np.ndarray:
+    """[2,0,3] -> [0,1,0,1,2] (within-group arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    idx = np.arange(total)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return idx - starts
+
+
+def polygon_members(batch: GeomBatch, g: int) -> list:
+    """Polygon parts of geometry g as union-kernel members: one list
+    of closed rings (exterior + holes, even-odd fill) per part."""
+    members = []
+    for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+        if batch.part_kind[p] != KIND_POLYGON:
+            continue
+        rings = []
+        for ri in range(batch.part_ring_off[p], batch.part_ring_off[p + 1]):
+            s, e = batch.ring_coord_off[ri], batch.ring_coord_off[ri + 1]
+            if e - s >= 4:
+                rings.append(batch.coords[s:e])
+        if rings:
+            members.append(rings)
+    return members

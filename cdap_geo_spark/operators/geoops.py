@@ -33,17 +33,21 @@ from cdap_geo_spark.core import cells as C, geom as G, wkb as W
 # ---------------------------------------------------------------------------
 
 def st_group(df: DataFrame, key: str, geom_col: str = "geometry",
-             level: int | None = None) -> DataFrame:
+             level: int | None = None,
+             constructive: bool = True) -> DataFrame:
     """Dissolve geometries per key — the reverse of explode
     (``st_group``, ``cdap_geo/sedona.py:94-102``).
 
-    Without a constructive polygon-clipping library the v1 dissolve is
-    a *collection union*: per key, all parts are assembled into one
-    MultiPolygon/MultiPoint/etc WKB (geometrically equal to the true
-    union when members don't overlap — the common dissolve case), plus
-    the exact dissolved CELL COVER at ``level`` (cell-set union — the
-    semantic the engine's joins consume). Documented deviation: areas
-    of overlapping members double-count in ``union_area``.
+    ``constructive=True`` (default): polygon members are unioned with
+    the slab-decomposition kernel (:func:`core.geom.union_trapezoids`)
+    — ``geometry`` is a valid MultiPolygon tiling of the true union
+    and ``union_area`` is its EXACT area (overlaps counted once, like
+    shapely's ``unary_union``). Non-polygon members ride along as a
+    collection. ``constructive=False`` keeps the cheaper v0 collection
+    union (areas of overlapping members double-count). Either way the
+    dissolve is one ``applyInPandas`` per key — the shuffle carries
+    (key, geometry) only, and groups dissolve in parallel across
+    executors.
     """
     out_fields = [df.schema[key],
                   T.StructField("geometry", T.BinaryType()),
@@ -56,8 +60,7 @@ def st_group(df: DataFrame, key: str, geom_col: str = "geometry",
     def dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = [None if b is None else bytes(b) for b in pdf[geom_col]]
         batch = W.parse_wkb(blobs)
-        merged = _merge_blobs(blobs, batch)
-        area = float(G.area(batch).sum())
+        merged, area = _dissolve_blobs(blobs, batch, constructive)
         row = {pdf.columns[0]: pdf[key].iloc[0], "geometry": merged,
                "n_parts": int(batch.valid.sum()), "union_area": area}
         if level is not None:
@@ -67,6 +70,42 @@ def st_group(df: DataFrame, key: str, geom_col: str = "geometry",
 
     return df.select(key, geom_col).groupBy(key).applyInPandas(
         dissolve, schema=schema)
+
+
+def _quads_to_wkb(quads: list) -> bytes | None:
+    """(4,2) CCW trapezoids -> (Multi)Polygon WKB."""
+    if not quads:
+        return None
+    blobs = [W.polygon_to_wkb([np.vstack([q, q[:1]])]) for q in quads]
+    if len(blobs) == 1:
+        return blobs[0]
+    return W.multi_to_wkb(W.KIND_MULTIPOLYGON, blobs)
+
+
+def _dissolve_blobs(blobs, batch, constructive: bool):
+    """(merged WKB, union area) for one dissolve group."""
+    if not constructive:
+        return _merge_blobs(blobs, batch), float(G.area(batch).sum())
+    members = []
+    for g in range(len(batch)):
+        if batch.valid[g]:
+            members.extend(G.polygon_members(batch, g))
+    if not members:
+        return _merge_blobs(blobs, batch), 0.0
+    quads, area = G.union_trapezoids(members)
+    poly_wkb = _quads_to_wkb(quads)
+    # non-areal parts (points/lines) ride along as a collection
+    others = []
+    for b, ok, k in zip(blobs, batch.valid, batch.kinds):
+        if ok and int(k) in (W.KIND_POINT, W.KIND_LINESTRING,
+                             W.KIND_MULTIPOINT, W.KIND_MULTILINESTRING):
+            others.append(b)
+    if others:
+        rest = _merge_blobs(others, W.parse_wkb(others))
+        parts = [x for x in (poly_wkb, rest) if x is not None]
+        return (W.multi_to_wkb(W.KIND_COLLECTION, parts)
+                if len(parts) > 1 else parts[0] if parts else None), area
+    return poly_wkb, float(area)
 
 
 def _merge_blobs(blobs, batch) -> bytes | None:
@@ -123,8 +162,12 @@ def _split_multi(blob: bytes) -> list:
     return out
 
 
-def unary_union_udf(level: int | None = None):
-    """array<WKB> -> WKB collection union (``cdap_geo/functions.py:16-18``)."""
+def unary_union_udf(level: int | None = None, constructive: bool = True):
+    """array<WKB> -> WKB union (``cdap_geo/functions.py:16-18``).
+
+    ``constructive=True``: the shapely-``unary_union`` semantic —
+    polygon members dissolve into a valid MultiPolygon tiling via the
+    slab kernel, overlaps merged. ``False``: v0 collection assembly."""
     @pandas_udf(T.BinaryType())
     def _uu(arrs: pd.Series) -> pd.Series:
         out = []
@@ -134,9 +177,38 @@ def unary_union_udf(level: int | None = None):
                 continue
             blobs = [None if b is None else bytes(b) for b in arr]
             batch = W.parse_wkb(blobs)
-            out.append(_merge_blobs(blobs, batch))
+            out.append(_dissolve_blobs(blobs, batch, constructive)[0])
         return pd.Series(out)
     return _uu
+
+
+def make_valid_udf():
+    """WKB -> valid WKB (constructive MakeValid).
+
+    Each polygon part is re-interpreted even-odd through the slab
+    kernel: self-crossing rings split at their crossings, mis-wound
+    holes subtract, duplicate area merges — the same structural repair
+    shapely's ``make_valid`` applies to polygons (the reference's
+    ``st_valid``, ``cdap_geo/sedona.py:70-79``). Non-polygon
+    geometries pass through unchanged (points/lines are always valid
+    here after the decode-time guards)."""
+    @pandas_udf(T.BinaryType())
+    def _mv(s: pd.Series) -> pd.Series:
+        blobs = [None if v is None else bytes(v) for v in s]
+        batch = W.parse_wkb(blobs)
+        out = []
+        for g, b in enumerate(blobs):
+            if b is None or not batch.valid[g]:
+                out.append(None)
+                continue
+            members = G.polygon_members(batch, g)
+            if not members:
+                out.append(b)
+                continue
+            quads, _ = G.union_trapezoids(members)
+            out.append(_quads_to_wkb(quads) or b)
+        return pd.Series(out)
+    return _mv
 
 
 # ---------------------------------------------------------------------------
@@ -203,35 +275,77 @@ def st_pointify(resolution: float, as_struct: bool = True):
 # ---------------------------------------------------------------------------
 
 def st_buffer(radius: float, segments: int = 16):
-    """WKB -> WKB buffered geometry.
+    """WKB -> WKB buffered geometry (Minkowski sum with a disc).
 
-    Points buffer to a ``segments``-gon disc (exact up to the n-gon
-    approximation); other geometries buffer to their dilated bbox —
-    a DOCUMENTED v1 deviation (exact round-joint offsetting is out of
-    scope; the distance-join path never needs buffer geometry at all,
-    it uses exact distance refinement — ``sjoin predicate='distance'``).
+    Exact dilation identity: ``P ⊕ D = P ∪ (∂P ⊕ D)`` — the geometry
+    itself, a rectangle swept along every boundary edge, and a disc at
+    every vertex, all dissolved by the slab union kernel. The disc is
+    a ``segments``-gon (GEOS's quad-segment approximation; the
+    reference inherits the same from shapely's ``buffer``,
+    ``cdap_geo/sedona.py:81-85``). Positive radius only (erosion
+    raises); the distance-join path never needs buffer geometry at
+    all — it uses exact distance refinement (``predicate='distance'``).
+    Cost is O(E^2) pair tests per ROW (not per dataset): buffering
+    stays embarrassingly parallel across rows.
     """
+    if radius <= 0:
+        raise ValueError("st_buffer: positive radius only (erosion is "
+                         "not implemented; filter by distance instead)")
+
+    ang = np.linspace(0, 2 * np.pi, max(4, segments), endpoint=False)
+    cosa, sina = np.cos(ang), np.sin(ang)
+
+    def _disc(cx: float, cy: float) -> np.ndarray:
+        ring = np.column_stack([cx + radius * cosa, cy + radius * sina])
+        return np.vstack([ring, ring[:1]])
+
+    def _edge_rects(pts: np.ndarray, closed: bool) -> list:
+        a = pts[:-1] if closed else pts[:-1]
+        bq = pts[1:]
+        rects = []
+        for (ax, ay), (bx, by) in zip(a, bq):
+            dx, dy = bx - ax, by - ay
+            L = np.hypot(dx, dy)
+            if L == 0:
+                continue
+            nx, ny = -dy / L * radius, dx / L * radius
+            rects.append(np.array([[ax + nx, ay + ny], [bx + nx, by + ny],
+                                   [bx - nx, by - ny], [ax - nx, ay - ny],
+                                   [ax + nx, ay + ny]]))
+        return rects
+
     @pandas_udf(T.BinaryType())
     def _buf(s: pd.Series) -> pd.Series:
         batch = W.parse_wkb([None if v is None else bytes(v) for v in s])
-        b = batch.bounds()
         out = []
-        ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
         for g in range(len(batch)):
             if not batch.valid[g]:
                 out.append(None)
                 continue
-            if batch.kinds[g] == W.KIND_POINT:
-                cx, cy = b[g, 0], b[g, 1]
-                ring = np.column_stack([cx + radius * np.cos(ang),
-                                        cy + radius * np.sin(ang)])
-                ring = np.vstack([ring, ring[:1]])
-                out.append(W.polygon_to_wkb([ring]))
-            else:
-                out.append(W.boxes_to_wkb(
-                    np.array([b[g, 0] - radius]), np.array([b[g, 1] - radius]),
-                    np.array([b[g, 2] + radius]),
-                    np.array([b[g, 3] + radius]))[0])
+            members = [list(m) for m in G.polygon_members(batch, g)]
+            # boundary sweep: rects along edges + discs at vertices of
+            # every ring / line, discs at bare points
+            for p in range(batch.geom_part_off[g],
+                           batch.geom_part_off[g + 1]):
+                kind = int(batch.part_kind[p])
+                for ri in range(batch.part_ring_off[p],
+                                batch.part_ring_off[p + 1]):
+                    st, en = (batch.ring_coord_off[ri],
+                              batch.ring_coord_off[ri + 1])
+                    pts = batch.coords[st:en]
+                    if kind == W.KIND_POINT:
+                        members.append([_disc(pts[0, 0], pts[0, 1])])
+                        continue
+                    for r in _edge_rects(pts, kind == W.KIND_POLYGON):
+                        members.append([r])
+                    vtx = pts[:-1] if kind == W.KIND_POLYGON else pts
+                    for vx, vy in vtx:
+                        members.append([_disc(vx, vy)])
+            if not members:
+                out.append(None)
+                continue
+            quads, _ = G.union_trapezoids(members)
+            out.append(_quads_to_wkb(quads))
         return pd.Series(out)
     return _buf
 

@@ -280,3 +280,79 @@ def test_to_sdf_to_gdf_roundtrip(spark):
     back = compat.to_gdf(sdf)
     got = W.parse_wkb([bytes(v) for v in back.geometry])
     assert got.coords.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_st_group_constructive_overlap(spark):
+    """Overlapping members dissolve to the true union: area counted
+    ONCE (round-1 deviation removed — slab union kernel)."""
+    from cdap_geo_spark.core import geom as G
+    from cdap_geo_spark.operators.geoops import st_group
+    b1 = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                        np.array([10.0]), np.array([10.0]))[0]
+    b2 = W.boxes_to_wkb(np.array([5.0]), np.array([5.0]),
+                        np.array([15.0]), np.array([15.0]))[0]
+    df = spark.createDataFrame([("a", b1), ("a", b2)],
+                               "key string, geometry binary")
+    row = st_group(df, "key").collect()[0]
+    assert row.union_area == pytest.approx(175.0)  # 100+100-25
+    merged = W.parse_wkb([bytes(row.geometry)])
+    assert G.area(merged)[0] == pytest.approx(175.0)
+    np.testing.assert_allclose(merged.bounds()[0], [0, 0, 15, 15])
+
+
+def test_buffer_square_and_line_exact(spark):
+    """Minkowski dilation: area = A + perimeter*r + pi*r^2 (square),
+    2*L*r + pi*r^2 (segment) up to the n-gon disc approximation."""
+    from cdap_geo_spark.core import geom as G
+    from cdap_geo_spark.operators.geoops import st_buffer
+    sq = W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                        np.array([2.0]), np.array([2.0]))[0]
+    line = W.linestring_to_wkb(np.array([[0.0, 0.0], [10.0, 0.0]]))
+    df = spark.createDataFrame([(1, sq), (2, line)],
+                               "id long, geometry binary")
+    out = {r.id: r.b for r in
+           df.select("id", st_buffer(1.0, segments=64)(F.col("geometry"))
+                     .alias("b")).collect()}
+    b = W.parse_wkb([bytes(out[1]), bytes(out[2])])
+    areas = G.area(b)
+    assert areas[0] == pytest.approx(4 + 8 + np.pi, rel=0.005)
+    assert areas[1] == pytest.approx(20 + np.pi, rel=0.005)
+    with pytest.raises(ValueError):
+        st_buffer(-1.0)
+
+
+def test_buffer_polygon_with_hole(spark):
+    """Hole erodes by r (vanishes when 2r >= hole width)."""
+    from cdap_geo_spark.core import geom as G
+    from cdap_geo_spark.operators.geoops import st_buffer
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    pw = W.polygon_to_wkb([outer, hole])
+    df = spark.createDataFrame([(1, pw)], "id long, geometry binary")
+    out = df.select(st_buffer(0.5, segments=64)(F.col("geometry"))
+                    .alias("b")).collect()
+    b = W.parse_wkb([bytes(out[0].b)])
+    want = 100 + 40 * 0.5 + np.pi * 0.25 - 1.0  # hole erodes to 1x1
+    assert G.area(b)[0] == pytest.approx(want, rel=0.005)
+
+
+def test_make_valid_bowtie_and_miswound_hole(spark):
+    from cdap_geo_spark.core import geom as G
+    from cdap_geo_spark.operators.geoops import make_valid_udf
+    bow = W.polygon_to_wkb([np.array([[0, 0], [2, 2], [2, 0], [0, 2],
+                                      [0, 0]], float)])
+    # hole ring wound the same way as the exterior: even-odd still
+    # subtracts it (ring order, not winding, decides in WKB)
+    holey = W.polygon_to_wkb([
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+        np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)])
+    pt = W.point_to_wkb(7.0, 7.0)
+    df = spark.createDataFrame([(1, bow), (2, holey), (3, pt), (4, None)],
+                               "id long, geometry binary")
+    out = {r.id: r.b for r in
+           df.select("id", make_valid_udf()(F.col("geometry")).alias("b"))
+           .collect()}
+    assert G.area(W.parse_wkb([bytes(out[1])]))[0] == pytest.approx(2.0)
+    assert G.area(W.parse_wkb([bytes(out[2])]))[0] == pytest.approx(12.0)
+    assert bytes(out[3]) == pt  # non-polygon passes through
+    assert out[4] is None
