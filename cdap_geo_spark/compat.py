@@ -434,6 +434,15 @@ def _clip_geom_of(lb, rb, i):
                           [W.polygon_to_wkb([p]) for p in pieces])
 
 
+def st_valid(column) -> Column:
+    """``sedona.py:34-36``: NULL stays NULL (the reference substitutes
+    ``POINT EMPTY`` — no empty-point WKB notion here, a documented
+    deviation), anything else passes through constructive MakeValid
+    (even-odd structural repair via the slab kernel)."""
+    from cdap_geo_spark.operators.geoops import make_valid_udf
+    return make_valid_udf()(_c(column))
+
+
 def unary_union(column) -> Column:
     from cdap_geo_spark.operators.geoops import unary_union_udf
     return unary_union_udf()(_c(column))

@@ -191,19 +191,46 @@ def _pair_kernel(kernel, out_dtype):
     """Factorize BOTH sides: candidates repeat each doc ~once per
     overlapping region and each region across many docs, so parsing
     unique blobs only cuts WKB decode work by the duplication factor."""
+    prof = os.environ.get("CDAP_GEO_PROF")
+
     def run(l: pd.Series, r: pd.Series) -> np.ndarray:
+        import time as _time
+        t0 = _time.perf_counter()
         lcodes, lunique = pd.factorize(l, use_na_sentinel=True)
         rcodes, runique = pd.factorize(r, use_na_sentinel=True)
+        t1 = _time.perf_counter()
         lb = W.parse_wkb(_to_blob_list(pd.Series(lunique)))
         rb = W.parse_wkb(_to_blob_list(pd.Series(runique)))
+        t2 = _time.perf_counter()
         n = len(l)
         li = lcodes.astype(np.int64)
         ri = rcodes.astype(np.int64)
         valid_pair = (ri >= 0) & (li >= 0)
         out = np.zeros(n, out_dtype)
         if valid_pair.any():
-            res = kernel(lb, rb, li[valid_pair], ri[valid_pair])
-            out[valid_pair] = res
+            # Cache-sized kernel slices, NOT whole-batch: a 64k-pair
+            # gather touches tens of MB (coords + edge tables + masks);
+            # at 32 concurrent workers that working set thrashes the
+            # shared LLC and the per-pair cost exploded 13x (measured
+            # 313 us/pair vs 23 us/pair at 2 workers, BENCH/BASELINE.md).
+            # 2k-pair slices keep each worker's active set ~L2-sized:
+            # same-window A/B at sf0.1/local[32] cut the refine stage
+            # 110 s -> 24-44 s and per-pair kernel CPU 313 -> 29 us,
+            # and even the 2-worker run improved (117.8 -> 89.9 s).
+            # Arrow batches stay large (65536) — IPC amortization and
+            # cache behavior are decoupled by slicing HERE.
+            vi = np.flatnonzero(valid_pair)
+            chunk = int(os.environ.get("CDAP_GEO_KERNEL_CHUNK", "2048"))
+            if chunk <= 0:
+                chunk = len(vi)
+            for s in range(0, len(vi), chunk):
+                sl = vi[s:s + chunk]
+                out[sl] = kernel(lb, rb, li[sl], ri[sl])
+        if prof:
+            t3 = _time.perf_counter()
+            with open(f"{prof}.{os.getpid()}", "a") as f:
+                f.write(f"{n} {len(lunique)} {len(runique)} "
+                        f"{t1 - t0:.4f} {t2 - t1:.4f} {t3 - t2:.4f}\n")
         return out
     return run
 
