@@ -247,6 +247,23 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus rows in nearest-centroid inverted lists
+    (map-side assignment, corpus never shuffles), queries probe their
+    4 nearest lists, exact cosine re-rank on candidates. Centroids are
+    seeded unit directions — embedded as literals in the SQL oracle,
+    which reproduces assignment + probing + rank exactly."""
+    from cdap_geo_spark.operators.embeddings import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
+                    .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries_df, k=5, dim=64, n_clusters=16, nprobe=4)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("vec_id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.multimodal import (
         deterministic_fake_decode, extract_features)
@@ -311,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "media_features": _q_media_features,
         "fingerprints": _q_fingerprints,
         "event_windows": _q_event_windows,
@@ -481,6 +499,53 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
   LEFT JOIN sizes sb ON sb.doc_id = c.idb
   WHERE 2 * coalesce(ivs.i, 0)
         >= coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(ivs.i, 0)
+"""
+
+
+def _ivf_ann_sql(dim: int = 64, n_clusters: int = 16, nprobe: int = 4,
+                 seed: int = 11) -> str:
+    """Centroids regenerated here from the same seed and embedded as
+    literal arrays; assignment = rank-1 by cosine (ties by cid), query
+    probing = rank <= nprobe — exactly the Spark kernel's stable-argsort
+    order."""
+    from cdap_geo_spark.operators.embeddings import ivf_centroids
+    cents = ivf_centroids(dim, n_clusters, seed)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in cents[i]))
+        for i in range(n_clusters))
+    return f"""
+  WITH cents AS (SELECT * FROM (VALUES {cent_rows}) t(cid, cv)),
+  emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  ranked_cents AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv)
+                                       DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN cents c
+  ),
+  cass AS (SELECT vec_id, cid FROM ranked_cents WHERE rn = 1),
+  qprobe AS (
+    SELECT vec_id AS query_id, cid FROM ranked_cents
+    WHERE rn <= {nprobe} AND vec_id % 20 = 0
+  ),
+  cand AS (
+    SELECT q.query_id, a.vec_id,
+           list_cosine_similarity(eq.v, ec.v) AS cos
+    FROM qprobe q
+    JOIN cass a ON a.cid = q.cid
+    JOIN emb eq ON eq.vec_id = q.query_id
+    JOIN emb ec ON ec.vec_id = a.vec_id
+  ),
+  ranked AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM cand
+  )
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 5
 """
 
 
@@ -804,5 +869,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "minhash_pairs": _minhash_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "media_features": _MEDIA_SQL,
     }

@@ -101,3 +101,112 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank", "_cos"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-routed scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(dim: int, n_clusters: int = 16,
+                  seed: int = 11) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids.
+
+    Seeded random directions (not data-trained): identical on every
+    executor with no broadcast, and exactly recomputable by the SQL
+    oracle as literal arrays — the same determinism contract as the
+    LSH hyperplanes. For data-adapted centroids use :func:`ivf_train`.
+    """
+    rng = np.random.RandomState(seed)
+    c = rng.normal(size=(n_clusters, dim)).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train(corpus: DataFrame, *, dim: int, n_clusters: int = 16,
+              sample_rows: int = 4096, iters: int = 10, seed: int = 11,
+              corpus_id: str = "vec_id",
+              vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample.
+
+    Sample = first ``sample_rows`` by id (stable under re-runs, no
+    randomness from partitioning); init = seeded rows of the sample;
+    ``iters`` fixed Lloyd steps on the unit sphere. The sample is the
+    ONLY driver-side collect (bounded), training is a NumPy matmul
+    loop — at 100 TB you train on the same bounded sample and the
+    corpus is only ever touched by the map-side assignment pass.
+    """
+    pdf = (corpus.select(corpus_id, vec_col).orderBy(corpus_id)
+           .limit(sample_rows).toPandas())
+    mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]
+                    if v is not None and len(v) == dim])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                           1e-12)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for j in range(n_clusters):
+            sel = mat[assign == j]
+            if len(sel):
+                m = sel.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cents[j] = m / n
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow PUDF: embedding -> top-``nprobe`` centroid ids by cosine
+    (ties by centroid id — the order the SQL oracle reproduces with
+    ``ORDER BY cos DESC, cid``). One batch matmul; map-side only."""
+    cents = np.ascontiguousarray(centroids, np.float64)
+    dim = cents.shape[1]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mask = np.array([v is not None and len(v) == dim for v in vecs])
+        out = [None] * len(vecs)
+        if mask.any():
+            mat = np.stack([np.asarray(v, np.float64)
+                            for v, m in zip(vecs, mask) if m])
+            dots = mat @ cents.T
+            # stable argsort desc => ties resolve to the lower cid
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            it = iter(top)
+            for i, m in enumerate(mask):
+                if m:
+                    out[i] = [int(x) for x in next(it)]
+        return pd.Series(out)
+    return _assign
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
+             n_clusters: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None,
+             corpus_id: str = "vec_id", query_id: str = "query_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via inverted lists: corpus rows live in their
+    nearest-centroid list (ONE map-side assignment, no shuffle of the
+    corpus), queries probe their ``nprobe`` nearest lists, candidates
+    come from a list equi-join with the (small) query set broadcast,
+    and the exact cosine re-rank runs on candidates only. Recall rises
+    with ``nprobe`` at linear candidate cost — the IVF-flat recipe.
+    """
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_clusters)
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.element_at(ivf_assign_udf(cents, 1)(F.col(vec_col)), 1)
+        .alias("_list"))
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.explode(ivf_assign_udf(cents, nprobe)(F.col(vec_col)))
+        .alias("_list"))
+    cand = c.join(F.broadcast(q), "_list")
+    scored = cand.withColumn("_cos", cosine("_qv", "_cv"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(),
+                                             F.col(corpus_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "rank", "_cos"))

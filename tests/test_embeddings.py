@@ -48,3 +48,43 @@ def test_lsh_topk_recall(spark):
     # rank 1 must be the query itself (same bucket, cosine 1)
     r1 = got[got["rank"] == 1]
     assert (r1["query_id"] == r1["vec_id"]).all()
+
+
+def test_ivf_topk_recall_and_nprobe(spark):
+    """IVF routing: full-probe = exact brute force; recall rises with
+    nprobe; k-means trainer is deterministic."""
+    from cdap_geo_spark.operators.embeddings import (
+        cosine_topk, ivf_centroids, ivf_topk, ivf_train)
+    df, vecs = _emb_df(spark)
+    q = df.filter(F.col("vec_id") % 25 == 0) \
+          .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(df, q, k=4).toPandas()
+    # probing every list degenerates to exact search
+    full = ivf_topk(df, q, k=4, dim=16, n_clusters=8, nprobe=8).toPandas()
+    for qid in full.query_id.unique():
+        want = list(exact[exact.query_id == qid].sort_values("rank").vec_id)
+        got = list(full[full.query_id == qid].sort_values("rank").vec_id)
+        assert got == want, qid
+    # recall at nprobe=3 over 8 lists is imperfect but substantial
+    part = ivf_topk(df, q, k=4, dim=16, n_clusters=8, nprobe=3).toPandas()
+    hits = tot = 0
+    for qid in exact.query_id.unique():
+        want = set(exact[exact.query_id == qid].vec_id)
+        got = set(part[part.query_id == qid].vec_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5
+    # rank 1 is the query itself whenever its own list is probed
+    r1 = part[part["rank"] == 1]
+    assert (r1.query_id == r1.vec_id).all()
+    # trained centroids: deterministic across calls, unit-norm
+    c1 = ivf_train(df, dim=16, n_clusters=4, sample_rows=128, iters=5)
+    c2 = ivf_train(df, dim=16, n_clusters=4, sample_rows=128, iters=5)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+    trained = ivf_topk(df, q, k=4, dim=16, n_clusters=4, nprobe=4,
+                       centroids=c1).toPandas()
+    for qid in trained.query_id.unique():
+        want = list(exact[exact.query_id == qid].sort_values("rank").vec_id)
+        got = list(trained[trained.query_id == qid].sort_values("rank").vec_id)
+        assert got == want, qid

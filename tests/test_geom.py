@@ -238,3 +238,30 @@ def test_vertex_counts():
              W.polygon_to_wkb([[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]])]
     b = W.parse_wkb(blobs)
     assert G.vertex_counts(b).tolist() == [1, 5]
+
+
+def test_pair_kernel_chunk_invariance(monkeypatch):
+    """The cache-sized kernel slicing (udfs._pair_kernel) must be
+    result-invariant in the chunk size — slicing is a pure execution
+    detail."""
+    import os
+    import numpy as np
+    import pandas as pd
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.core import geom as G, wkb as W
+    from cdap_geo_spark.fixtures import doc_geometry_wkb
+
+    blobs = doc_geometry_wkb(np.arange(500, dtype=np.int64))
+    rng = np.random.default_rng(3)
+    li = rng.integers(0, 500, 3000)
+    ri = rng.integers(0, 500, 3000)
+    l = pd.Series([blobs[i] for i in li])
+    r = pd.Series([blobs[i] for i in ri])
+    outs = []
+    for chunk in ("0", "7", "256", "100000"):
+        monkeypatch.setenv("CDAP_GEO_KERNEL_CHUNK", chunk)
+        run = udfs._pair_kernel(G.pairs_intersect, bool)
+        outs.append(run(l, r))
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
+    assert outs[0].sum() > 0  # some self/near pairs intersect
