@@ -264,6 +264,20 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-bit LSH candidates
+    (same 4-bit band key in any of 4 bands; never all-pairs), exact
+    native-cosine verify >= 0.4. Oracle reproduces bands + verify from
+    the same seeded hyperplanes as literal arrays."""
+    from cdap_geo_spark.operators.embeddings import embedding_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = embedding_dup_pairs(emb, dim=64, threshold=0.4, bands=4,
+                              rows_per_band=4)
+    return out.select(F.col("ida").cast("long"),
+                      F.col("idb").cast("long"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.multimodal import (
         deterministic_fake_decode, extract_features)
@@ -329,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
+        "embed_dup": _q_embed_dup,
         "media_features": _q_media_features,
         "fingerprints": _q_fingerprints,
         "event_windows": _q_event_windows,
@@ -499,6 +514,40 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, k: int = 5,
   LEFT JOIN sizes sb ON sb.doc_id = c.idb
   WHERE 2 * coalesce(ivs.i, 0)
         >= coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(ivs.i, 0)
+"""
+
+
+def _embed_dup_sql(dim: int = 64, bands: int = 4, rows_per_band: int = 4,
+                   threshold: float = 0.4, seed: int = 5) -> str:
+    """Band keys recomputed from the same seeded hyperplanes; verify =
+    cosine >= threshold over DISTINCT band-coincident pairs."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bands * rows_per_band, dim)).astype(np.float64)
+    plane_rows = ", ".join(
+        "({}, {}, [{}])".format(i // rows_per_band, i % rows_per_band,
+                                ", ".join(repr(v) for v in planes[i]))
+        for i in range(bands * rows_per_band))
+    return f"""
+  WITH planes AS (SELECT * FROM (VALUES {plane_rows}) t(band, pi, pv)),
+  emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  bkt AS (
+    SELECT e.vec_id, p.band,
+           CAST(sum(CASE WHEN list_inner_product(e.v, p.pv) > 0
+                    THEN CAST(pow(2, p.pi) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS key
+    FROM emb e CROSS JOIN planes p GROUP BY 1, 2
+  ),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+    FROM bkt a JOIN bkt b ON a.band = b.band AND a.key = b.key
+    WHERE a.vec_id < b.vec_id
+  )
+  SELECT CAST(c.ida AS BIGINT) AS ida, CAST(c.idb AS BIGINT) AS idb
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.ida
+  JOIN emb eb ON eb.vec_id = c.idb
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
 """
 
 
@@ -870,5 +919,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
+        "embed_dup": _embed_dup_sql(),
         "media_features": _MEDIA_SQL,
     }

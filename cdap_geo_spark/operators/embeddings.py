@@ -210,3 +210,72 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, corpus_id, "rank", "_cos"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs (banded hyperplane LSH + exact verify)
+# ---------------------------------------------------------------------------
+
+def banded_signature_udf(dim: int, bands: int, rows_per_band: int,
+                         seed: int = 5):
+    """Arrow PUDF: embedding -> array of ``bands`` int band-keys
+    (each the sign-bit pattern of ``rows_per_band`` hyperplanes).
+    One matmul per batch; constants deterministic from ``seed`` so the
+    SQL oracle recomputes identical keys."""
+    n_planes = bands * rows_per_band
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+    powers = (np.int64(1) << np.arange(rows_per_band, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        mask = np.array([v is not None and len(v) == dim for v in vecs])
+        out = [None] * len(vecs)
+        if mask.any():
+            mat = np.stack([np.asarray(v, np.float64)
+                            for v, m in zip(vecs, mask) if m])
+            bits = (mat @ planes.T) > 0                # (m, bands*r)
+            keys = bits.reshape(len(mat), bands,
+                                rows_per_band) @ powers  # (m, bands)
+            it = iter(keys)
+            for i, m in enumerate(mask):
+                if m:
+                    out[i] = [int(x) for x in next(it)]
+        return pd.Series(out)
+    return _sig
+
+
+def embedding_dup_pairs(df: DataFrame, *, dim: int,
+                        threshold: float = 0.9, bands: int = 4,
+                        rows_per_band: int = 4, seed: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the vector analogue
+    of MinHash dedup: banded sign-bit LSH generates candidates (same
+    band key in ANY band -> sub-quadratic; never an all-pairs join),
+    exact cosine (native zip_with/aggregate, JVM codegen) verifies
+    ``>= threshold``. Output: distinct (id_a, id_b), id_a < id_b.
+
+    Scale: the corpus shuffles only (band, key, id) triples; verify
+    re-joins vectors by id. Raise ``rows_per_band`` as the corpus
+    grows (collision rate ~ n/2^r per band) and ``bands`` to recover
+    recall — the standard LSH operating curve.
+    """
+    sig = banded_signature_udf(dim, bands, rows_per_band, seed)
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"),
+                     sig(F.col(vec_col)).alias("_sig"))
+    keys = base.select(
+        "_id",
+        F.posexplode("_sig").alias("band", "key")).where(
+        F.col("key").isNotNull())
+    cand = (keys.toDF("ida", "band", "key")
+            .join(keys.toDF("idb", "band", "key"), ["band", "key"])
+            .filter(F.col("ida") < F.col("idb"))
+            .select("ida", "idb").dropDuplicates(["ida", "idb"]))
+    va = base.select(F.col("_id").alias("ida"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("idb"), F.col("_v").alias("_vb"))
+    verified = (cand.join(va, "ida").join(vb, "idb")
+                .withColumn("_cos", cosine("_va", "_vb"))
+                .filter(F.col("_cos") >= F.lit(float(threshold))))
+    return verified.select("ida", "idb")
