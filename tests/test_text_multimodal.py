@@ -89,3 +89,88 @@ def test_frame_sample_refs(spark):
     out = frame_sample_refs(df, every=10).collect()
     got = sorted((r.doc_id, r.frame_idx) for r in out)
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+
+
+def _mk_bmp(w, h, rgb):
+    """Uncompressed 24bpp bottom-up BMP with solid color."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    row = (bytes(rgb[::-1]) * w).ljust(stride, b"\0")
+    pix = row * h
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def _mk_wav(samples):
+    import struct
+    import numpy as np
+    data = np.asarray(samples, "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_decoders_roundtrip():
+    import numpy as np
+    from cdap_geo_spark.operators import multimodal as M
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(gray))[:, :, 0], gray)
+    # netpbm comments/whitespace in header
+    blob = b"P6\n# a comment\n 3 2\n255\n" + img.tobytes()
+    assert np.array_equal(M.decode_ppm(blob), img)
+    bmp = _mk_bmp(5, 4, (10, 200, 30))
+    arr = M.decode_bmp(bmp)
+    assert arr.shape == (4, 5, 3)
+    assert (arr == np.array([10, 200, 30], np.uint8)).all()
+    wav = _mk_wav([0, 100, -100, 32000])
+    out = M.decode_wav(wav)
+    assert out.shape == (4, 1) and out[3, 0] == 32000
+    # dispatch + codec formats still raise for injection
+    assert M.decode_auto(bmp).shape == (4, 5, 3)
+    with pytest.raises(ValueError):
+        M.decode_auto(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_extract_features_real_decode_mixed(spark):
+    import numpy as np
+    from cdap_geo_spark.operators import multimodal as M
+    img = np.full((4, 6, 3), 100, np.uint8)
+    rows = [(1, M.encode_ppm(img)),
+            (2, _mk_bmp(3, 2, (255, 0, 0))),
+            (3, _mk_wav([1000] * 64)),
+            (4, b"\xff\xd8\xff broken jpeg"),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = M.extract_features(df, decode=M.decode_auto,
+                             batch_limit=2).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out.decode_ok) == [True, True, True, False, False]
+    # ppm: mean per channel = 100, shape ride-along features
+    f1 = out.loc[1].features
+    assert f1[0] == pytest.approx(100.0) and f1[6] == 4 and f1[7] == 6
+    # wav: mono mean 1000, "h"=64 samples, "w"=1
+    f3 = out.loc[3].features
+    assert f3[0] == pytest.approx(1000.0) and f3[2] == 64
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+    from cdap_geo_spark.operators import multimodal as M
+    grad = np.arange(8, dtype=np.uint8)[None, :, None] * \
+        np.ones((8, 1, 3), np.uint8) * 30
+    rows = [(1, M.encode_ppm(grad)), (2, b"not media")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r for r in
+           M.resize_images(df, height=4, width=4,
+                           decode=M.decode_auto).collect()}
+    assert out[1].ok and not out[2].ok and out[2].resized is None
+    back = M.decode_ppm(bytes(out[1].resized))
+    assert back.shape == (4, 4, 3)
+    # nearest-neighbour picks columns 0,2,4,6 of the gradient
+    assert list(back[0, :, 0]) == [0, 60, 120, 180]
