@@ -1,0 +1,116 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The batch twins live in ``windows.py`` (lag/cumsum sessionize) and
+``operators/dedup.py`` (hash-groupBy exact dedup); these are their
+unbounded-source equivalents: per-key state survives micro-batches,
+GroupStateTimeout evicts idle keys so state stays bounded — the
+Structured Streaming contract a 100 TB/day event feed needs.
+
+Semantics note (standard for stateful streaming): rows are processed
+in arrival order per micro-batch (sorted by event time WITHIN each
+batch); cross-batch out-of-order data moves session boundaries — use
+the watermarked window aggregations in ``windows.py`` when event-time
+exactness matters more than session continuity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import (GroupState, GroupStateTimeout)
+
+SESSION_STATE = T.StructType([
+    T.StructField("last_epoch", T.LongType()),
+    T.StructField("session_seq", T.LongType()),
+])
+
+DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      idle_timeout_s: int = 7200) -> DataFrame:
+    """Streaming sessionize: per-user (last_ts, session_seq) state.
+
+    Output rows mirror :func:`windows.sessionize`: (user, event id,
+    epoch seconds, session_seq). State for users idle longer than
+    ``idle_timeout_s`` of processing time is dropped (their next event
+    starts a new session — consistent with any gap > the timeout).
+    """
+    gap_s = gap_minutes * 60
+    out_schema = T.StructType([
+        events.schema[user_col],
+        events.schema[id_col],
+        T.StructField("epoch", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last, seq = state.get if state.exists else (None, 0)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                [ts_col] + ([id_col] if id_col in pdf else []))
+            epochs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                      // 1_000_000_000)
+            seqs = []
+            for e in epochs:
+                if last is None or e - last > gap_s:
+                    seq += 1
+                last = int(e)
+                seqs.append(seq)
+            frames.append(pd.DataFrame({
+                user_col: pdf[user_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "epoch": epochs.to_numpy(),
+                "session_seq": seqs,
+            }))
+        state.update((last, seq))
+        state.setTimeoutDuration(idle_timeout_s * 1000)
+        for f in frames:
+            yield f
+
+    src = events.withColumn(ts_col, events[ts_col].cast("timestamp"))
+    return (src.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, SESSION_STATE,
+                                    "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def dedup_stream(df: DataFrame, *, key_col: str = "digest",
+                 id_col: str = "doc_id",
+                 idle_timeout_s: int | None = None) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row per key across
+    the whole stream (the batch ``exact_dedup`` keeper semantics,
+    ``operators/dedup.py``). State per key is one boolean; pass
+    ``idle_timeout_s`` to bound state on unbounded key spaces (keys
+    recurring after eviction re-emit — the documented trade of every
+    TTL'd dedup).
+    """
+    out_schema = T.StructType([df.schema[key_col], df.schema[id_col]])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_s
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs, state: GroupState):
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        seen = state.exists
+        for pdf in pdfs:
+            if seen or len(pdf) == 0:
+                continue
+            first = pdf.sort_values(id_col).iloc[:1]
+            seen = True
+            yield first[[key_col, id_col]]
+        if not state.exists:
+            state.update((True,))
+        if idle_timeout_s:
+            state.setTimeoutDuration(idle_timeout_s * 1000)
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, DEDUP_STATE,
+                                    "append", timeout))

@@ -1,0 +1,113 @@
+"""applyInPandasWithState operators: streaming sessionize matches the
+batch lag/cumsum twin, state carries across micro-batches, streaming
+dedup keeps exactly the batch keepers."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdap_geo_spark.streaming.stateful import (dedup_stream,
+                                               sessionize_stream)
+from cdap_geo_spark.streaming.windows import sessionize, \
+    stream_from_directory
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _events(spark):
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for k in range(6):
+            # sessions split at gaps > 30 min: events at 0,10,20 min
+            # then 2h, 2h10, 5h -> 3 sessions per user
+            mins = [0, 10, 20, 120, 130, 300][k]
+            rows.append((u, eid, T0 + dt.timedelta(minutes=mins)))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp")
+
+
+def _run_sessionize_stream(spark, tmp_path, files, name):
+    src = str(tmp_path / name)
+    ev = files[0]
+    import os
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(files):
+        f.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, files[0].schema)
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    ev = _events(spark)
+    got = _run_sessionize_stream(spark, tmp_path, [ev], "sess1") \
+        .sort_values("event_id").reset_index(drop=True)
+    want = sessionize(ev, gap_minutes=30).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(got.session_seq) == list(want.session_seq)
+    assert got.session_seq.max() == 3
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Split the feed at an INTRA-session point: a stateless engine
+    would restart numbering; the state must carry (last_ts, seq)
+    across micro-batches of ONE continuous query."""
+    import time
+    ev = _events(spark)
+    first = ev.filter(F.col("event_id") % 6 < 2)   # events 0,10 min
+    second = ev.filter(F.col("event_id") % 6 >= 2)
+    src = str(tmp_path / "sess2")
+    first.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, ev.schema)
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sess2")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second").start())
+
+    def rows():
+        return spark.sql("select count(*) c from sess2").collect()[0].c
+
+    def wait_for(n, timeout=90):
+        t0 = time.time()
+        while rows() < n:
+            assert time.time() - t0 < timeout, f"stuck at {rows()}/{n}"
+            time.sleep(1)
+
+    try:
+        wait_for(first.count())
+        second.coalesce(1).write.mode("append").parquet(src)
+        wait_for(ev.count())
+    finally:
+        q.stop()
+    got = spark.sql("select * from sess2").toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = sessionize(ev, gap_minutes=30).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(got.session_seq) == list(want.session_seq)
+
+
+def test_dedup_stream_keeps_batch_keepers(spark, tmp_path):
+    rows = [(i, f"d{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, digest string")
+    src = str(tmp_path / "dd")
+    # two micro-batch files: duplicates span the boundary
+    df.filter("doc_id < 20").coalesce(1).write.mode("append").parquet(src)
+    df.filter("doc_id >= 20").coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, df.schema)
+    q = (dedup_stream(stream, key_col="digest", id_col="doc_id")
+         .writeStream.format("memory").queryName("dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dd").toPandas() \
+        .sort_values("digest").reset_index(drop=True)
+    want = df.groupBy("digest").agg(F.min("doc_id").alias("doc_id")) \
+        .toPandas().sort_values("digest").reset_index(drop=True)
+    assert list(got.digest) == list(want.digest)
+    assert list(got.doc_id) == list(want.doc_id)
