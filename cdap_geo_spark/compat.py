@@ -586,25 +586,65 @@ def to_gdf(df: DataFrame) -> pd.DataFrame:
     return df.toPandas()
 
 
-def write_geoparquet(sdf: DataFrame, path: str, crs=27700, **kwargs) -> None:
-    """``write.py:101-124``: parquet + dataset geo metadata (crs, bbox,
-    encoding) as a sidecar instead of a parquet-footer rewrite. The
-    bbox is aggregated from the WRITTEN files (narrow read-back of the
-    geometry column only — never a second job over the source plan,
-    which could be expensive or non-deterministic), so the recorded
-    bbox always matches the data on disk."""
+def geoparquetify(path: str, geometry_column: str = "geometry",
+                  crs=None, encoding: str = "WKB") -> dict:
+    """``write.py:14-79``: patch the written dataset so GeoParquet
+    readers see it — the reference's 'hack spark parquet' trick,
+    re-done with the engine's own pieces: dataset bbox from a narrow
+    read-back of the written files (one aggregate), then the ``geo``
+    key is spliced into the FOOTER metadata of the part-00000 file via
+    pyarrow (read_table -> replace_schema_metadata -> write_table),
+    exactly the part the reference patches. Returns the metadata."""
     import json
     import os
-    sdf.write.mode("overwrite").parquet(path)
+    import pyarrow.parquet as pq
     from pyspark.sql import SparkSession
     spark = SparkSession.active()
-    written = spark.read.parquet(path).select("geometry")
-    b = udfs.st_bounds()(F.col("geometry"))
+    written = spark.read.parquet(path).select(geometry_column)
+    b = udfs.st_bounds()(_c(geometry_column))
     row = written.select(b.alias("_b")).agg(
         F.min("_b.minx"), F.min("_b.miny"),
         F.max("_b.maxx"), F.max("_b.maxy")).collect()[0]
-    meta = {"primary_column": "geometry", "encoding": "WKB",
-            "crs": crs, "bbox": list(row), "schema_version": "0.1.0"}
+    geo_metadata = {
+        "primary_column": geometry_column,
+        "columns": {geometry_column: {
+            "crs": crs, "encoding": encoding, "bbox": list(row)}},
+        "schema_version": "0.1.0",
+        "creator": {"library": "cdap_geo_spark"},
+    }
+    part0 = None
+    for f in sorted(os.listdir(path)):
+        if "part-00000" in f and f.endswith(".parquet"):
+            part0 = os.path.join(path, f)
+            break
+    if part0 is None:
+        raise FileNotFoundError(f"no part-00000 parquet under {path}")
+    table = pq.read_table(part0)
+    meta = dict(table.schema.metadata or {})
+    meta[b"geo"] = json.dumps(geo_metadata).encode("utf-8")
+    # patched footer goes to a NEW filename: the session's shared
+    # FileStatusCache keeps the old part-0 length keyed by path, and an
+    # in-place rewrite (the reference's approach) makes the very next
+    # Spark read seek past a stale EOF. A fresh name misses the cache.
+    patched = part0.replace(".parquet", "-geo.parquet")
+    pq.write_table(table.replace_schema_metadata(meta), patched)
+    os.remove(part0)
+    spark.catalog.refreshByPath(path)
+    return geo_metadata
+
+
+def write_geoparquet(sdf: DataFrame, path: str, crs=27700, **kwargs) -> None:
+    """``write.py:101-124``: parquet write + :func:`geoparquetify`
+    footer patch + a sidecar JSON copy (the sidecar survives
+    re-compactions that drop custom footer keys). The bbox is
+    aggregated from the WRITTEN files (narrow read-back of the
+    geometry column only — never a second job over the source plan,
+    which could be expensive or non-deterministic), so the recorded
+    metadata always matches the data on disk."""
+    import json
+    import os
+    sdf.write.mode("overwrite").parquet(path)
+    meta = geoparquetify(path, crs=crs)
     with open(os.path.join(path, "_geo_metadata.json"), "w") as f:
         json.dump(meta, f)
 

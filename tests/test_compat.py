@@ -216,3 +216,33 @@ def test_unpersist_registry(spark):
     assert len(compat._PERSISTED) <= compat._PERSIST_CAP
     compat.unpersist_all()
     assert not compat._PERSISTED
+
+
+def test_write_geoparquet_footer_and_sidecar(spark, tmp_path):
+    """geoparquetify splices the 'geo' key into the part-0 parquet
+    FOOTER (the reference's pyarrow hack, write.py:14-79) and the
+    dataset stays Spark-readable; bbox comes from the written data."""
+    import json
+    import os
+    import numpy as np
+    import pyarrow.parquet as pq
+    import cdap_geo_spark.compat as compat
+    from cdap_geo_spark.core import wkb as W
+
+    blobs = W.points_to_wkb(np.array([10.0, 30.0]), np.array([5.0, 25.0]))
+    df = spark.createDataFrame([(1, blobs[0]), (2, blobs[1])],
+                               "id long, geometry binary")
+    path = str(tmp_path / "gp")
+    compat.write_geoparquet(df, path, crs=27700)
+    part0 = next(os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if "part-00000" in f and f.endswith("-geo.parquet"))
+    meta = pq.read_schema(part0).metadata
+    geo = json.loads(meta[b"geo"])
+    assert geo["primary_column"] == "geometry"
+    col = geo["columns"]["geometry"]
+    assert col["encoding"] == "WKB" and col["crs"] == 27700
+    assert col["bbox"] == [10.0, 5.0, 30.0, 25.0]
+    # sidecar mirrors the footer; Spark still reads the dataset
+    side = json.load(open(os.path.join(path, "_geo_metadata.json")))
+    assert side == geo
+    assert spark.read.parquet(path).count() == 2
