@@ -124,6 +124,60 @@ def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         udfs.st_area()(F.col("geometry")).cast("long").alias("area"))
 
 
+def _q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minkowski buffer under the oracle gate: buffer each region box
+    by r with a 4-segment disc (diamond caps) and measure the CONSTRUCTED
+    geometry's area with the slab kernel; the oracle is the closed form
+    A + P*r + 2*r^2 (a 4-gon disc has area 2 r^2). Rounded to 2 dp —
+    the slab interpolation of the 45-degree cap edges carries ~1e-5
+    absolute FP noise at this coordinate scale."""
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.operators.geoops import st_buffer
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    sub = regions.filter(F.col("region_id") % 10 == 0)
+    buffered = sub.select(
+        F.col("region_id").cast("long"),
+        st_buffer(500.0, segments=4)(F.col("geometry")).alias("g"))
+    return buffered.select(
+        "region_id",
+        F.round(udfs.st_area()(F.col("g")), 2).alias("buf_area"))
+
+
+def _q_pointify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-centre rasterization count per region box; the oracle is
+    pure floor arithmetic (res=333 keeps centres off integer box
+    edges, so PIP boundary semantics can't differ)."""
+    from cdap_geo_spark.operators.geoops import st_pointify
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    sub = regions.filter(F.col("region_id") % 10 == 0)
+    pf = st_pointify(333.0)(F.col("geometry"))
+    return sub.select(F.col("region_id").cast("long"),
+                      pf["count"].cast("long").alias("n_points"))
+
+
+def _q_intersection_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused pairwise clip area over the bbox-join pairs (doc boxes x
+    region boxes); oracle = the rect-overlap closed form. Integer
+    coordinates keep both sides FP-exact."""
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.operators.sjoin import sjoin
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    dboxes = R.doc_boxes(spark, sf_dir)
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    pairs = sjoin(dboxes, regions, left_id="doc_id", right_id="region_id",
+                  predicate="bbox")
+    area = udfs.st_intersection_area()(F.col("geometry"),
+                                       F.col("geometry_right"))
+    return pairs.select(F.col("doc_id").cast("long"),
+                        F.col("region_id").cast("long"),
+                        area.cast("long").alias("ia"))
+
+
 def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constructive dissolve (st_group / unary_union): union region
     boxes per group key; union_area counts overlaps ONCE (slab
@@ -330,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "knn": _q_knn,
         "region_area": _q_region_area,
+        "buffer_area": _q_buffer_area,
+        "pointify_count": _q_pointify_count,
+        "intersection_area": _q_intersection_area,
         "dissolve": _q_dissolve,
         "global_bbox": _q_global_bbox,
         "groupmax": _q_groupmax,
@@ -743,6 +800,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(region_id AS BIGINT) AS region_id,
                  CAST((maxx - minx) * (maxy - miny) AS BIGINT) AS area
           FROM b
+        """,
+        "buffer_area": f"""
+          WITH b AS ({_BOXES})
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 ROUND((maxx - minx) * (maxy - miny)
+                       + 2 * ((maxx - minx) + (maxy - miny)) * 500
+                       + 2 * 500 * 500, 2) AS buf_area
+          FROM b WHERE region_id % 10 = 0
+        """,
+        "pointify_count": f"""
+          WITH b AS ({_BOXES}),
+          d AS (SELECT region_id, maxx - minx AS w, maxy - miny AS h
+                FROM b WHERE region_id % 10 = 0)
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 CAST((CASE WHEN w > 166.5
+                            THEN FLOOR((w - 166.5) / 333) + 1 ELSE 0 END)
+                    * (CASE WHEN h > 166.5
+                            THEN FLOOR((h - 166.5) / 333) + 1 ELSE 0 END)
+                   AS BIGINT) AS n_points
+          FROM d
+        """,
+        "intersection_area": f"""
+          WITH d AS ({_DBOXES}), b AS ({_BOXES})
+          SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                 CAST(b.region_id AS BIGINT) AS region_id,
+                 CAST(GREATEST(0, LEAST(d.maxx, b.maxx)
+                                  - GREATEST(d.minx, b.minx))
+                    * GREATEST(0, LEAST(d.maxy, b.maxy)
+                                  - GREATEST(d.miny, b.miny))
+                   AS BIGINT) AS ia
+          FROM d JOIN b
+            ON NOT (d.minx > b.maxx OR d.miny > b.maxy
+                 OR d.maxx < b.minx OR d.maxy < b.miny)
         """,
         "dissolve": f"""
           WITH b AS ({_BOXES}),
