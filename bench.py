@@ -131,19 +131,17 @@ def main():
 
     warm_s = warmup(spark, docs_path, regs_path)
 
-    # relational queries first, headline last — an intermittent
-    # local-mode stall follows large mapInPandas jobs in this sandbox
-    # (~60s, CPU idle; not present on fresh sessions). Headline = MIN
-    # of 3: the host's deliverable throughput decays within a session
+    # headline FIRST (right after the untimed warm-up), query sweep
+    # after: the host's deliverable throughput DECAYS within a session
     # by 3-6x (measured 63 s / 218 s / 370 s for three back-to-back
     # identical runs, and the same drift in BENCH/BASELINE.md's
-    # envelope probes), so the minimum is the only statistic that
-    # reflects plan cost rather than sandbox weather; all 3 runs are
-    # reported in headline_runs.
-    queries = relational_queries(spark)
+    # envelope probes), so a headline measured after a ~6-minute query
+    # sweep reflects sandbox weather, not plan cost. Headline = MIN of
+    # 3 for the same reason; all 3 runs are reported in headline_runs.
     runs = sorted((headline(spark, docs_path, regs_path)
                    for _ in range(3)), key=lambda h: h["seconds"])
     h = runs[0]
+    queries = relational_queries(spark)
     queries["sjoin_tile_headline"] = h["seconds"]
 
     result = {

