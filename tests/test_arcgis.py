@@ -92,3 +92,58 @@ def test_remote_catalog(spark):
     df = A.read_remote(spark, "region", fetch=fetch_region)
     assert df.columns == ["Region", "geometry"]
     assert df.collect()[0].Region == "North"
+
+
+def test_dl_packages_tidied():
+    from cdap_geo_spark.sources import os_api
+
+    def fake(url):
+        assert "key=K" in url
+        return [
+            {"id": 1, "name": "pkgA", "url": "u1", "createdOn": "2021",
+             "productId": "P1", "productName": "Product 1",
+             "versions": [
+                 {"id": 10, "createdOn": "2021-01", "supplyType": "Full",
+                  "reason": "INITIAL", "format": "GPKG"},
+                 {"id": 11, "createdOn": "2021-06", "supplyType": "Full",
+                  "reason": "UPDATE", "format": "GPKG"}]},
+            {"id": 2, "name": "pkgB", "url": "u2", "createdOn": "2022",
+             "productId": "P2", "productName": "Product 2",
+             "versions": [
+                 {"id": 20, "createdOn": "2022-01",
+                  "supplyType": "Change Only", "reason": "UPDATE",
+                  "format": "GPKG"}]},
+        ]
+
+    raw = os_api.dl_packages("K", fetch=fake)
+    assert len(raw) == 3 and "version-supplyType" in raw.columns
+    tidy = os_api.dl_packages_tidied("K", fetch=fake)
+    # latest version per product, Full only -> pkgA version 11 only
+    assert list(tidy.id_version) == [11]
+    assert list(tidy["product"]) == ["Product 1"]
+    # untidied options
+    all_rows = os_api.dl_packages_tidied("K", latest=False, full=False,
+                                         fetch=fake)
+    assert len(all_rows) == 3
+
+
+def test_compat_st_intersection(spark):
+    import numpy as np
+    import cdap_geo_spark.compat as compat
+    from cdap_geo_spark.core import geom as G, wkb as W
+
+    l = spark.createDataFrame(
+        [(1, W.boxes_to_wkb(np.array([0.0]), np.array([0.0]),
+                            np.array([10.0]), np.array([10.0]))[0])],
+        "doc_id long, geometry binary")
+    r = spark.createDataFrame(
+        [(7, W.boxes_to_wkb(np.array([5.0]), np.array([5.0]),
+                            np.array([20.0]), np.array([20.0]))[0]),
+         (8, W.boxes_to_wkb(np.array([50.0]), np.array([50.0]),
+                            np.array([60.0]), np.array([60.0]))[0])],
+        "region_id long, geometry binary")
+    out = compat.st_intersection(l, r, level=12).collect()
+    assert len(out) == 1 and out[0].region_id == 7
+    clip = W.parse_wkb([bytes(out[0].geometry_intersection)])
+    assert G.area(clip)[0] == pytest.approx(25.0)
+    np.testing.assert_allclose(clip.bounds()[0], [5, 5, 10, 10])
