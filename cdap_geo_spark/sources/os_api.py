@@ -46,3 +46,51 @@ def dl_packages_tidied(key: str, latest: bool = True, full: bool = True,
     if full:
         df = df.query('supplyType == "Full"')
     return df
+
+
+# ---------------------------------------------------------------------------
+# Maps API (XYZ raster tiles)
+# ---------------------------------------------------------------------------
+
+AVAILABLE_LAYERS = [
+    "Road_3857", "Road_27700",
+    "Outdoor_3857", "Outdoor_27700",
+    "Light_3857", "Light_27700",
+    "Leisure_27700",
+]
+
+
+class OSTileProvider(dict):
+    """XYZ raster tile source descriptor (``cdap_geo/os.py:17-49``).
+
+    The reference subclasses ``xyzservices.TileProvider`` (absent
+    here); a TileProvider IS a dict of (name, url-template, max_zoom,
+    attribution) — contextily/folium accept any mapping with these
+    keys, so a plain dict subclass keeps the same downstream contract.
+    ``tile_url(z, x, y)`` resolves a concrete tile; fetching the PNG
+    is the caller's concern (no network in this sandbox). The vector
+    side of raster<->vector assignment lives in ``operators/tiles.py``
+    (computed (z, x, y) ids per geometry).
+    """
+
+    def __init__(self, key: str, layer: str = "Light_3857", **kwargs):
+        if layer not in AVAILABLE_LAYERS:
+            raise AssertionError(
+                f"{layer} not in AvailableLayers: "
+                f"{', '.join(AVAILABLE_LAYERS)}")
+        if layer.endswith("_27700"):
+            import warnings
+            warnings.warn(f"{layer}, CRS=EPSG:27700 is not recognised "
+                          "by contextily or folium.")
+        super().__init__({
+            "name": f"OS Maps {layer}",
+            "url": ("https://api.os.uk/maps/raster/v1/zxy/"
+                    f"{layer}/{{z}}/{{x}}/{{y}}.png?key={key}"),
+            "max_zoom": 16,
+            "attribution": "Contains OS data (c) Crown copyright and "
+                           "database right",
+            **kwargs,
+        })
+
+    def tile_url(self, z: int, x: int, y: int) -> str:
+        return self["url"].format(z=z, x=x, y=y)

@@ -147,3 +147,16 @@ def test_compat_st_intersection(spark):
     clip = W.parse_wkb([bytes(out[0].geometry_intersection)])
     assert G.area(clip)[0] == pytest.approx(25.0)
     np.testing.assert_allclose(clip.bounds()[0], [5, 5, 10, 10])
+
+
+def test_os_tile_provider():
+    import pytest as _pt
+    from cdap_geo_spark.sources.os_api import OSTileProvider
+    p = OSTileProvider("K", "Light_3857")
+    assert p["name"] == "OS Maps Light_3857" and p["max_zoom"] == 16
+    assert p.tile_url(3, 4, 2) == \
+        "https://api.os.uk/maps/raster/v1/zxy/Light_3857/3/4/2.png?key=K"
+    with _pt.raises(AssertionError):
+        OSTileProvider("K", "Nope_1234")
+    with _pt.warns(UserWarning):
+        OSTileProvider("K", "Leisure_27700")
