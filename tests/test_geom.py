@@ -265,3 +265,78 @@ def test_pair_kernel_chunk_invariance(monkeypatch):
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
     assert outs[0].sum() > 0  # some self/near pairs intersect
+
+
+# ---------------------------------------------------------------------------
+# slab-union kernel property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    import numpy as np
+
+    def _box_ring(x0, y0, w, h):
+        return np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h], [x0, y0]], float)
+
+    def _tri_ring(x0, y0, dx1, dy1, dx2, dy2):
+        return np.array([[x0, y0], [x0 + dx1, y0 + dy1],
+                         [x0 + dx2, y0 + dy2], [x0, y0]], float)
+
+    _coords = st.integers(min_value=0, max_value=40)
+    _sizes = st.integers(min_value=1, max_value=15)
+
+    _boxes = st.tuples(_coords, _coords, _sizes, _sizes)
+    _tris = st.tuples(_coords, _coords,
+                      st.integers(min_value=-12, max_value=12),
+                      st.integers(min_value=1, max_value=12),
+                      st.integers(min_value=1, max_value=12),
+                      st.integers(min_value=-12, max_value=12))
+
+    def _raster_area(members, lo=-15, hi=60, n=600):
+        """Independent oracle: point-in-polygon rasterization using the
+        even-odd crossing rule per member (same fill convention, totally
+        different algorithm)."""
+        from cdap_geo_spark.core.geom import points_in_rings
+        xs = np.linspace(lo + 1e-4, hi, n)
+        ys = np.linspace(lo + 2e-4, hi, n)
+        gx, gy = np.meshgrid(xs, ys)
+        gx, gy = gx.ravel(), gy.ravel()
+        cov = np.zeros(len(gx), bool)
+        for rings in members:
+            # even-odd over this member's rings
+            inside = np.zeros(len(gx), int)
+            for r in rings:
+                inside += points_in_rings(gx, gy, [r]).astype(int)
+            cov |= (inside % 2) == 1
+        cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+        return cov.sum() * cell
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(_boxes, min_size=1, max_size=6),
+           st.lists(_tris, min_size=0, max_size=4))
+    def test_union_trapezoids_matches_raster(boxes, tris):
+        from cdap_geo_spark.core.geom import union_trapezoids
+        members = [[_box_ring(*b)] for b in boxes]
+        for t in tris:
+            ring = _tri_ring(*t)
+            # skip degenerate (collinear) triangles
+            a2 = ((ring[1, 0] - ring[0, 0]) * (ring[2, 1] - ring[0, 1])
+                  - (ring[1, 1] - ring[0, 1]) * (ring[2, 0] - ring[0, 0]))
+            if abs(a2) > 1e-9:
+                members.append([ring])
+        quads, area = union_trapezoids(members)
+        # exact area vs the independent raster (resolution-limited)
+        approx = _raster_area(members)
+        assert area == pytest.approx(approx, abs=25.0)
+        # the quads re-fed through the kernel tile the SAME region:
+        # union of the tiling has the identical exact area
+        if quads:
+            requads, rearea = union_trapezoids(
+                [[np.vstack([q, q[:1]])] for q in quads])
+            assert rearea == pytest.approx(area, rel=1e-9)
