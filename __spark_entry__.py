@@ -333,17 +333,30 @@ def _q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode under the oracle gate: each doc gets a genuine P5
+    netpbm payload built natively (header + constant pixel byte, both
+    pure functions of doc_id), extract_features runs the pure-NumPy
+    netpbm parser (multimodal.decode_auto), and the oracle recomputes
+    mean/h/w from the same arithmetic."""
     from cdap_geo_spark.operators.multimodal import (
-        deterministic_fake_decode, extract_features)
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.encode("text", "utf-8").alias("media"))
-    out = extract_features(d, decode=deterministic_fake_decode)
-    # features[6]/[7] are the decoded frame's (h, w) — pure functions
-    # of the payload bytes, so the SQL oracle can recompute them
+        decode_auto, extract_features)
+    d = _docs(spark, sf_dir)
+    w = F.pmod(F.col("doc_id"), F.lit(8)) + 2
+    h = F.pmod(F.col("doc_id"), F.lit(5)) + 2
+    pix_char = F.chr(F.pmod(F.col("doc_id"), F.lit(26)) + 97)
+    media = F.encode(F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"), F.repeat(pix_char, (w * h).cast("int"))),
+        "utf-8")
+    out = extract_features(d.select("doc_id", media.alias("media")),
+                           decode=decode_auto)
+    # features: [mean, std, h, w, ...] for single-channel frames
     return out.select(F.col("doc_id").cast("long"), "decode_ok",
                       F.size("features").alias("feat_dim"),
-                      F.element_at("features", 7).cast("long").alias("h"),
-                      F.element_at("features", 8).cast("long").alias("w"))
+                      F.element_at("features", 1).cast("long")
+                      .alias("mean_px"),
+                      F.element_at("features", 3).cast("long").alias("h"),
+                      F.element_at("features", 4).cast("long").alias("w"))
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,30 +738,13 @@ _FINGERPRINTS_SQL = """
 """
 
 _MEDIA_SQL = """
-  WITH s AS (
-    SELECT doc_id, text, len(text) AS n FROM documents
-  ),
-  hh AS (
-    SELECT doc_id,
-           coalesce((SELECT sum(ord(substr(s2.text, CAST(i AS INT), 1)))
-                     FROM generate_series(1, 16) g(i)
-                     WHERE i <= s2.n), 0) AS sum_head,
-           coalesce((SELECT sum(ord(substr(s2.text,
-                                           CAST(greatest(s2.n - 16, 0) + i
-                                                AS INT), 1)))
-                     FROM generate_series(1, 16) g(i)
-                     WHERE greatest(s2.n - 16, 0) + i <= s2.n), 0) AS sum_tail,
-           s2.n
-    FROM s s2
-  )
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          TRUE AS decode_ok,
          16 AS feat_dim,
-         CAST(CASE WHEN n = 0 THEN 2 ELSE sum_head % 8 + 2 END
-              AS BIGINT) AS h,
-         CAST(CASE WHEN n = 0 THEN 2 ELSE sum_tail % 8 + 2 END
-              AS BIGINT) AS w
-  FROM hh
+         CAST(doc_id % 26 + 97 AS BIGINT) AS mean_px,
+         CAST(doc_id % 5 + 2 AS BIGINT) AS h,
+         CAST(doc_id % 8 + 2 AS BIGINT) AS w
+  FROM documents
 """
 
 
