@@ -111,14 +111,21 @@ def warmup(spark, docs_path: str, regs_path: str) -> float:
 
 def relational_queries(spark) -> dict:
     """Per-query wall seconds for the driver-contract queries at the
-    bench sf dir (documents/part tables)."""
+    bench sf dir (documents/part tables). The 3 slowest queries are
+    re-run once and reported as min-of-2 — host throughput drifts
+    several-fold within a session (see main()), and the slow tail is
+    where one unlucky stall most distorts the regression signal."""
     import __spark_entry__ as E
-    out = {}
-    for name, fn in E.queries().items():
+    qs = E.queries()
+
+    def run(name):
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    out = {name: run(name) for name in qs}
+    for name in sorted(out, key=out.get, reverse=True)[:3]:
+        out[name] = min(out[name], run(name))
     return out
 
 
@@ -156,6 +163,7 @@ def main():
         "rows_per_sec": h["rows_per_sec"],
         "warmup_s": warm_s,
         "headline_runs": [r["seconds"] for r in runs],
+        "headline_median": runs[len(runs) // 2]["seconds"],
     }
     print(json.dumps(result))
     spark.stop()

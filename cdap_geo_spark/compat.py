@@ -530,18 +530,21 @@ def st_intersection(df0: DataFrame, df1: DataFrame,
         intersection(F.col("geometry"), F.col(right_geom)))
 
 
-#: persisted compat-join inputs, newest last. Bounded: repeated compat
-#: joins in one session no longer leak cached relations (round-1 wrong
-#: #4) — the oldest entries are unpersisted once the registry is full.
+#: persisted compat-join inputs, newest last. The persist pins
+#: ``monotonically_increasing_id`` values across the exploded
+#: cell-index branch and the final payload join — evicting an input
+#: BEFORE its join materializes could recompute ids inconsistently
+#: between branches (silently wrong rows), so registration never
+#: evicts; callers release memory with :func:`unpersist_all` (or rely
+#: on Spark's own LRU block eviction, which only drops MEMORY-tier
+#: copies, never the id agreement — lineage recompute happens at most
+#: once per branch within one job).
 _PERSISTED: list = []
-_PERSIST_CAP = 4
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
     _PERSISTED.append(df)
-    while len(_PERSISTED) > _PERSIST_CAP:
-        _PERSISTED.pop(0).unpersist()
     return df
 
 
@@ -600,6 +603,40 @@ def to_sdf(data, spark=None) -> DataFrame:
 def to_gdf(df: DataFrame) -> pd.DataFrame:
     """Spark DF -> pandas with raw WKB bytes (``convert.py:66-70``)."""
     return df.toPandas()
+
+
+def gdf_intersects(pdf: pd.DataFrame, other: bytes,
+                   geometry_column: str = "geometry") -> pd.DataFrame:
+    """Driver-local filter parity (``functions.py:43-44``): rows whose
+    WKB geometry intersects the scalar ``other`` WKB — the reference's
+    ``gdf[gdf.intersects(other)]`` over a pandas frame of WKB bytes
+    (e.g. :func:`to_gdf` output) with the engine's exact kernel."""
+    import numpy as np
+    from cdap_geo_spark.core import geom as G, wkb as W
+    blobs = [None if v is None else bytes(v) for v in pdf[geometry_column]]
+    lb = W.parse_wkb(blobs)
+    rb = W.parse_wkb([other] * len(blobs))
+    ids = np.arange(len(blobs))
+    mask = G.pairs_intersect(lb, rb, ids, ids)
+    return pdf[np.asarray(mask, bool)]
+
+
+def gdf_intersection(pdf: pd.DataFrame, other: bytes,
+                     geometry_column: str = "geometry") -> pd.DataFrame:
+    """Driver-local clip parity (``functions.py:46-47``): intersecting
+    rows with their geometry replaced by the clipped region (same
+    constructive kernel as :func:`intersection`; rows whose clip is
+    empty/None are kept with None geometry, mirroring the reference's
+    ``clip`` keeping the frame's rows)."""
+    from cdap_geo_spark.core import wkb as W
+    sub = gdf_intersects(pdf, other, geometry_column)
+    blobs = [None if v is None else bytes(v) for v in sub[geometry_column]]
+    lb = W.parse_wkb(blobs)
+    rb = W.parse_wkb([other] * len(blobs))
+    out = sub.copy()
+    out[geometry_column] = [_clip_geom_of(lb, rb, i)
+                            for i in range(len(blobs))]
+    return out
 
 
 def geoparquetify(path: str, geometry_column: str = "geometry",

@@ -629,6 +629,126 @@ def _reemit_parts(single) -> list:
     return parts
 
 
+def st_subdivide_explode(df: DataFrame, *, max_vertices: int = 256,
+                         geom_col: str = "geometry",
+                         id_col: str = "doc_id") -> DataFrame:
+    """TRUE vertex-bounded subdivision — the reference's
+    ``ST_SubDivideExplode(geometry, maxVertices)``
+    (``cdap_geo/sedona.py:80-85``): one row per piece, every polygon
+    piece carrying at most ``max_vertices`` vertices, the pieces'
+    union exactly tiling the original (pieces meet only on the
+    bisection lines, so areas sum to the original's).
+
+    Algorithm (the PostGIS ST_Subdivide recursion, public semantics):
+    while a polygon exceeds the budget, bisect its bbox across the
+    longer axis and clip each ring by both halves
+    (Sutherland–Hodgman; clipping exterior and hole rings
+    independently preserves even-odd coverage, since p ∈ clip(R) ⟺
+    p ∈ R for p inside the window). Each level halves the search
+    window, so a million-vertex polygon becomes ~n/max_vertices
+    bounded work units in O(n log n) — the reason this operator exists
+    at 100 TB: downstream kernels (sjoin refinement, clip, buffer) see
+    bounded rows instead of one giant geometry in one task.
+
+    LineStrings split into ``max_vertices``-point chains sharing an
+    endpoint; points pass through. Unlike :func:`subdivide_by_cells`
+    (which bounds work per CELL, round-2 gap #1), the bound here is on
+    the actual vertex count.
+    """
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField("piece_idx", T.IntegerType()),
+                           T.StructField("geometry", T.BinaryType())])
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = [None if v is None else bytes(v) for v in pdf[geom_col]]
+            batch = W.parse_wkb(blobs)
+            ids, pidx, geoms = [], [], []
+            for g in range(len(batch)):
+                if not batch.valid[g]:
+                    continue
+                pieces = _subdivide_geom(batch, g, max_vertices)
+                ids.extend([pdf[id_col].iloc[g]] * len(pieces))
+                pidx.extend(range(len(pieces)))
+                geoms.extend(pieces)
+            yield pd.DataFrame({id_col: ids, "piece_idx": pidx,
+                                "geometry": geoms})
+
+    return df.select(id_col, geom_col).mapInPandas(gen, schema=schema)
+
+
+def _subdivide_geom(batch, g: int, max_vertices: int) -> list:
+    """WKB pieces (each <= max_vertices) of geometry ``g``."""
+    pieces: list = []
+    for p in range(batch.geom_part_off[g], batch.geom_part_off[g + 1]):
+        kind = int(batch.part_kind[p])
+        rings = []
+        for ri in range(batch.part_ring_off[p], batch.part_ring_off[p + 1]):
+            s, e = batch.ring_coord_off[ri], batch.ring_coord_off[ri + 1]
+            rings.append(np.asarray(batch.coords[s:e], dtype=float))
+        if kind == W.KIND_POINT and rings:
+            pieces.append(W.point_to_wkb(rings[0][0][0], rings[0][0][1]))
+        elif kind == W.KIND_LINESTRING and rings:
+            cs = rings[0]
+            if len(cs) <= max_vertices:
+                pieces.append(W.linestring_to_wkb(cs))
+            else:
+                step = max(2, max_vertices)
+                for s0 in range(0, len(cs) - 1, step - 1):
+                    chunk = cs[s0:s0 + step]
+                    if len(chunk) >= 2:
+                        pieces.append(W.linestring_to_wkb(chunk))
+        elif kind == W.KIND_POLYGON and rings:
+            _subdivide_rings(rings, max_vertices, pieces, 0)
+    return pieces
+
+
+def _subdivide_rings(rings: list, max_vertices: int, out: list,
+                     depth: int) -> None:
+    nv = sum(len(r) - 1 for r in rings)
+    if nv <= max_vertices or depth > 48:
+        out.append(W.polygon_to_wkb(_oriented(rings)))
+        return
+    ext = rings[0]
+    minx, miny = ext[:, 0].min(), ext[:, 1].min()
+    maxx, maxy = ext[:, 0].max(), ext[:, 1].max()
+    if maxx - minx >= maxy - miny:
+        mid = 0.5 * (minx + maxx)
+        halves = [np.array([[minx, miny], [mid, miny], [mid, maxy],
+                            [minx, maxy], [minx, miny]]),
+                  np.array([[mid, miny], [maxx, miny], [maxx, maxy],
+                            [mid, maxy], [mid, miny]])]
+    else:
+        mid = 0.5 * (miny + maxy)
+        halves = [np.array([[minx, miny], [maxx, miny], [maxx, mid],
+                            [minx, mid], [minx, miny]]),
+                  np.array([[minx, mid], [maxx, mid], [maxx, maxy],
+                            [minx, maxy], [minx, mid]])]
+    for win in halves:
+        cext = G._clip_ring(ext, win)
+        if cext is None or len(cext) < 3:
+            continue   # exterior misses this half -> holes do too
+        clipped = [np.vstack([cext, cext[:1]])]
+        for hole in rings[1:]:
+            ch = G._clip_ring(hole, win)
+            if ch is not None and len(ch) >= 3:
+                clipped.append(np.vstack([ch, ch[:1]]))
+        _subdivide_rings(clipped, max_vertices, out, depth + 1)
+
+
+def _oriented(rings: list) -> list:
+    """Exterior CCW, holes CW (signed-shoelace normalize)."""
+    out = []
+    for i, r in enumerate(rings):
+        x, y = r[:-1, 0], r[:-1, 1]
+        sa = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        want_ccw = (i == 0)
+        if (sa < 0) == want_ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
 def subdivide_by_cells(df: DataFrame, *, level: int,
                        geom_col: str = "geometry",
                        id_col: str = "doc_id") -> DataFrame:

@@ -22,7 +22,9 @@ planner heuristics — no Catalyst extension needed):
 * ``salt=k`` spreads hot cells (dense geographies) over k shuffle
   keys: the left side gets a deterministic salt from its id, the right
   side is replicated k ways — result set is provably salt-invariant
-  (property-tested);
+  (property-tested). ``salt='auto'`` (default) runs a bounded
+  hot-cell census (:func:`_auto_salt`) on the non-broadcast path and
+  picks ``ceil(hot_share * parallelism)`` itself — no hand tuning;
 * ``how='marked'`` on a polygon right side flags cells wholly inside
   the polygon (``cdap_geo/_indexing.py:290-304``): candidates produced
   by such cells skip the exact-refinement kernel when the left cover
@@ -48,6 +50,38 @@ DEFAULT_LEVEL = C.LEVEL_100KM  # ~131 km cells ≈ the reference's 100 km grid
 #: is rows × cells-per-geometry ≈ a few hundred bytes each, so 250k
 #: rows stays well under a 256 MB broadcast even for multi-cell covers.
 BROADCAST_PROBE_ROWS = 250_000
+
+#: ``salt='auto'`` (the default) censuses the hottest cell on a
+#: bounded sample of the indexed LEFT side when the join is NOT
+#: broadcast; the sample never exceeds this many indexed rows.
+SALT_SAMPLE_ROWS = 100_000
+#: replication factor ceiling — salting replicates the right side
+#: ``salt``-fold, so unbounded salts would trade skew for volume.
+MAX_AUTO_SALT = 32
+
+
+def _auto_salt(l_indexed: DataFrame, parallelism: int) -> int:
+    """Pick the salt factor from a bounded hot-cell census.
+
+    The shuffle join partitions by ``cell_id``; one dense-geography
+    cell holding share ``s`` of the left rows caps speed-up at ``1/s``
+    regardless of cluster size. Salting the left id across ``k`` keys
+    splits that cell's rows ``k`` ways, so the smallest sufficient
+    ``k`` is ``ceil(s * parallelism)`` (hot cell back under one
+    healthy partition's share). ``s`` comes from a ``limit``-bounded
+    sample of the already-indexed relation — same idea as
+    :func:`hot_cells`, but reusing the join's own cell cover and never
+    scanning the full input (safe against a 100 TB left side).
+    """
+    import math
+    stats = (l_indexed.select("cell_id").limit(SALT_SAMPLE_ROWS)
+             .groupBy("cell_id").count()
+             .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+             .first())
+    if not stats or not stats.n:
+        return 1
+    share = stats.mx / stats.n
+    return int(min(MAX_AUTO_SALT, max(1, math.ceil(share * parallelism))))
 
 
 def _index_side(df: DataFrame, id_col: str, geom_col: str, level: int,
@@ -118,7 +152,7 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
                 left_how: str | None = None, right_how: str | None = None,
                 pad: float = 1.0,
                 broadcast: bool | str = "auto",
-                salt: int = 1,
+                salt: int | str = "auto",
                 dedup: bool = True,
                 distance: float | None = None,
                 keep_distance: bool = False,
@@ -155,8 +189,6 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
         # 31.7 s). The probe is bounded — safe against a 100 TB right.
         n = right.limit(BROADCAST_PROBE_ROWS + 1).count()
         broadcast = n <= BROADCAST_PROBE_ROWS
-        if broadcast and salt > 1:
-            salt = 1  # broadcast join has no shuffle keys to skew
 
     l = _index_side(left, left_id, left_geom, level, lh, pad,
                     keep_geom=(predicate != "bbox"), dilate=dilate_l)
@@ -174,6 +206,15 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
     r = r.withColumnsRenamed({
         "_minx": "_rminx", "_miny": "_rminy",
         "_maxx": "_rmaxx", "_maxy": "_rmaxy", "_inside": "_rinside"})
+
+    if salt == "auto":
+        # broadcast joins have no shuffle keys to skew; otherwise let
+        # the bounded hot-cell census pick the factor (round-2 left
+        # this knob manual — the planner now closes the loop itself)
+        salt = 1 if broadcast is True else _auto_salt(
+            l, left.sparkSession.sparkContext.defaultParallelism)
+    elif broadcast is True:
+        salt = 1
 
     join_keys = ["cell_id"]
     if salt > 1:

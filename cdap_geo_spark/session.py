@@ -69,17 +69,27 @@ def _tune_malloc_env() -> None:
 
 def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              master: str | None = None) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[4,4,4096]`` runs 4 SEPARATE executor JVMs with 4
+    cores each (the sandbox's closest analogue to the north rule's
+    multi-executor cluster; ``cores`` should then be the TOTAL so
+    shuffle partitioning is sized correctly)."""
     _tune_malloc_env()
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
     b = (SparkSession.builder.appName(app)
-         .master(f"local[{cores}]")
+         .master(master or f"local[{cores}]")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "24g")))
+    if master and master.startswith("local-cluster"):
+        b = (b.config("spark.executor.memory",
+                      os.environ.get("SPARK_EXECUTOR_MEMORY", "4g"))
+             .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC"))
     for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
         b = b.config(k, v)
     return b.getOrCreate()

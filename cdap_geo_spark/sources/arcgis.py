@@ -39,15 +39,17 @@ def default_fetch(url: str) -> dict:
 
 def paths_arcgis(url: str, batch: int, count: int) -> list:
     """Page URLs covering objectIds [1, count] in ``batch`` chunks —
-    the reference's enumeration (``remotes.py:9-25``), including its
-    half-open ``range(l, u)`` quirk (objectId ``l+batch`` is picked up
-    as the start of the next page)."""
+    the reference's enumeration (``remotes.py:9-25``) with its
+    final-page off-by-one corrected: the reference's half-open
+    ``range(l, min(l+batch, count))`` silently drops objectId
+    ``count`` (one feature per layer lost); here the last page is
+    inclusive of it."""
     b = "/FeatureServer/0/query?"
     f0, f1 = url.split(b)
     f0 += b
     paths = []
-    for lo in range(1, count, batch):
-        hi = min(lo + batch, count)
+    for lo in range(1, count + 1, batch):
+        hi = min(lo + batch, count + 1)
         oid = "objectIds=" + ",".join(str(x) for x in range(lo, hi)) + "&"
         paths.append(f0 + oid + f1)
     return paths

@@ -51,28 +51,34 @@ def sessionize_stream(events: DataFrame, *, gap_minutes: int = 30,
             state.remove()
             return
         last, seq = state.get if state.exists else (None, 0)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(
-                [ts_col] + ([id_col] if id_col in pdf else []))
-            epochs = (pd.to_datetime(pdf[ts_col]).astype("int64")
-                      // 1_000_000_000)
-            seqs = []
-            for e in epochs:
-                if last is None or e - last > gap_s:
-                    seq += 1
-                last = int(e)
-                seqs.append(seq)
-            frames.append(pd.DataFrame({
-                user_col: pdf[user_col].to_numpy(),
-                id_col: pdf[id_col].to_numpy(),
-                "epoch": epochs.to_numpy(),
-                "session_seq": seqs,
-            }))
+        # applyInPandasWithState may deliver one key's micro-batch as
+        # SEVERAL chunks; event-time order must hold across the whole
+        # batch, so concatenate (group-bounded) before sorting
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last, seq))
+            state.setTimeoutDuration(idle_timeout_s * 1000)
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+            else chunks[0]
+        pdf = pdf.sort_values(
+            [ts_col] + ([id_col] if id_col in pdf else []))
+        epochs = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                  // 1_000_000_000)
+        seqs = []
+        for e in epochs:
+            if last is None or e - last > gap_s:
+                seq += 1
+            last = int(e)
+            seqs.append(seq)
         state.update((last, seq))
         state.setTimeoutDuration(idle_timeout_s * 1000)
-        for f in frames:
-            yield f
+        yield pd.DataFrame({
+            user_col: pdf[user_col].to_numpy(),
+            id_col: pdf[id_col].to_numpy(),
+            "epoch": epochs.to_numpy(),
+            "session_seq": seqs,
+        })
 
     src = events.withColumn(ts_col, events[ts_col].cast("timestamp"))
     return (src.groupBy(user_col)
@@ -99,16 +105,22 @@ def dedup_stream(df: DataFrame, *, key_col: str = "digest",
         if getattr(state, "hasTimedOut", False):
             state.remove()
             return
-        seen = state.exists
-        for pdf in pdfs:
-            if seen or len(pdf) == 0:
-                continue
-            first = pdf.sort_values(id_col).iloc[:1]
-            seen = True
-            yield first[[key_col, id_col]]
         if not state.exists:
-            state.update((True,))
-        if idle_timeout_s:
+            # min-id across the WHOLE micro-batch (chunks may split a
+            # key's rows): the batch exact_dedup keeper is the global
+            # min id, so scan every chunk before choosing
+            best = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                first = pdf.sort_values(id_col).iloc[:1]
+                if best is None or (first[id_col].iloc[0]
+                                    < best[id_col].iloc[0]):
+                    best = first
+            if best is not None:
+                yield best[[key_col, id_col]]
+                state.update((True,))
+        if state.exists and idle_timeout_s:
             state.setTimeoutDuration(idle_timeout_s * 1000)
 
     return (df.groupBy(key_col)

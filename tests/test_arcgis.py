@@ -43,14 +43,15 @@ def _make_fake_fetch(n_features):
 
 def test_paths_arcgis_pagination():
     paths = A.paths_arcgis(URL, 20, N_FEATURES)
-    # reference enumeration: range(1, count, batch), half-open pages
+    # reference enumeration with the final-page off-by-one corrected:
+    # every objectId in [1, count] appears exactly once, in order
     assert len(paths) == 3
     assert "objectIds=1,2" in paths[0] and paths[0].endswith("f=json")
     ids = []
     for p in paths:
         ids += [int(x) for x in
                 p.split("objectIds=")[1].split("&")[0].split(",")]
-    assert ids == sorted(set(ids))  # no overlap, ordered
+    assert ids == list(range(1, N_FEATURES + 1))  # full, no overlap
     assert A.count_url(URL).endswith("returnCountOnly=true&f=json")
 
 

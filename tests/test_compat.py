@@ -213,7 +213,11 @@ def test_unpersist_registry(spark):
                               "rid long, geometry binary")
     for _ in range(6):
         compat.join(l, r).count()
-    assert len(compat._PERSISTED) <= compat._PERSIST_CAP
+    # registration never evicts (an eviction before the join
+    # materializes could recompute monotonically_increasing_id
+    # inconsistently across branches — round-3 ADVICE #2); release is
+    # explicit via unpersist_all
+    assert len(compat._PERSISTED) == 12
     compat.unpersist_all()
     assert not compat._PERSISTED
 
@@ -246,3 +250,21 @@ def test_write_geoparquet_footer_and_sidecar(spark, tmp_path):
     side = json.load(open(os.path.join(path, "_geo_metadata.json")))
     assert side == geo
     assert spark.read.parquet(path).count() == 2
+
+
+def test_gdf_intersects_and_intersection_shims(spark):
+    # reference functions.py:43-47 driver-local parity over WKB frames
+    import pandas as pd
+    from cdap_geo_spark import compat
+    from cdap_geo_spark.core import geom as G, wkb as W
+    boxes = [W.polygon_to_wkb([[[i * 10, 0], [i * 10 + 8, 0],
+                                [i * 10 + 8, 8], [i * 10, 8],
+                                [i * 10, 0]]]) for i in range(5)]
+    pdf = pd.DataFrame({"rid": range(5), "geometry": boxes})
+    window = W.polygon_to_wkb([[[5, -1], [25, -1], [25, 9], [5, 9],
+                                [5, -1]]])
+    hit = compat.gdf_intersects(pdf, window)
+    assert list(hit.rid) == [0, 1, 2]
+    clip = compat.gdf_intersection(pdf, window)
+    areas = G.area(W.parse_wkb([bytes(b) for b in clip.geometry]))
+    assert areas == pytest.approx([3 * 8, 8 * 8, 5 * 8])

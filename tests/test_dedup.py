@@ -115,3 +115,35 @@ def test_ngram_jaccard_exact_counts(spark):
             if 100 * len(sa & sb) >= 50 * len(sa | sb):
                 want.add((a, b))
     assert set(zip(got.id_a, got.id_b)) == want
+
+
+def test_dedup_pipelines_leak_no_persisted_rdds(spark):
+    # round-2 wrong #4: minhash/simhash persisted relations and never
+    # released them. The redesigned pipelines persist nothing (they
+    # rely on ReuseExchange for shared subplans), so the storage
+    # registry must stay empty after full materialization.
+    from cdap_geo_spark.operators.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs,
+                                                simhash_pairs)
+    df = _corpus(spark, n_base=10)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    minhash_lsh_pairs(df, threshold=0.5).count()
+    simhash_pairs(df, max_hamming=3).count()
+    ngram_jaccard_pairs(df, k=3, threshold_pct=50).count()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before
+
+
+def test_simhash_native_matches_python_band_structure(spark):
+    # the native-md5 pipeline and the Python splitmix path must agree
+    # on the PAIR SET for planted near-dups (hash family differs, the
+    # banded-candidate + hamming-verify semantics must not)
+    from cdap_geo_spark.operators.dedup import simhash_pairs
+    df = _corpus(spark, n_base=8)
+    native = simhash_pairs(df, max_hamming=0)
+    python = simhash_pairs(df, max_hamming=0, token_hash="splitmix")
+    # hamming 0 = identical token multiset votes -> exact dup pairs,
+    # which both hash families must find identically
+    a = {(r.id_a, r.id_b) for r in native.collect()}
+    b = {(r.id_a, r.id_b) for r in python.collect()}
+    assert a == b

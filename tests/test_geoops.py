@@ -356,3 +356,64 @@ def test_make_valid_bowtie_and_miswound_hole(spark):
     assert G.area(W.parse_wkb([bytes(out[2])]))[0] == pytest.approx(12.0)
     assert bytes(out[3]) == pt  # non-polygon passes through
     assert out[4] is None
+
+
+def test_st_subdivide_explode_vertex_bound_and_area(spark):
+    # a 120-vertex star polygon with a square hole: every piece must
+    # carry <= 32 vertices and the pieces must tile the original
+    # exactly (disjoint interiors separated by bisection lines)
+    from cdap_geo_spark.core import geom as G
+    from cdap_geo_spark.operators.geoops import st_subdivide_explode
+    th = np.linspace(0, 2 * np.pi, 121)[:-1]
+    r = np.where(np.arange(120) % 2 == 0, 100.0, 60.0)
+    ext = np.c_[r * np.cos(th), r * np.sin(th)]
+    ext = np.vstack([ext, ext[:1]])
+    hole = np.array([[-10, -10], [10, -10], [10, 10], [-10, 10], [-10, -10]],
+                    float)
+    wkb = W.polygon_to_wkb([ext, hole])
+    df = spark.createDataFrame([("d1", wkb)], "doc_id string, geometry binary")
+    out = st_subdivide_explode(df, max_vertices=32).toPandas()
+    assert len(out) > 1
+    pieces = W.parse_wkb([bytes(b) for b in out.geometry])
+    assert int(G.vertex_counts(pieces).max()) <= 32
+    orig = W.parse_wkb([wkb])
+    assert np.isclose(G.area(pieces).sum(), G.area(orig)[0], rtol=1e-9)
+
+
+def test_st_subdivide_small_geoms_pass_through(spark):
+    from cdap_geo_spark.operators.geoops import st_subdivide_explode
+    tri = W.polygon_to_wkb([[[0, 0], [10, 0], [0, 10], [0, 0]]])
+    pt = W.point_to_wkb(3.0, 4.0)
+    line = W.linestring_to_wkb(np.c_[np.arange(300.0), np.arange(300.0)])
+    df = spark.createDataFrame(
+        [("t", tri), ("p", pt), ("l", line), ("n", None)],
+        "doc_id string, geometry binary")
+    out = st_subdivide_explode(df, max_vertices=100).toPandas()
+    assert set(out[out.doc_id == "t"].piece_idx) == {0}   # unchanged
+    assert len(out[out.doc_id == "p"]) == 1
+    assert len(out[out.doc_id == "l"]) >= 3               # 300-pt chain split
+    assert len(out[out.doc_id == "n"]) == 0
+
+
+def test_st_subdivide_sjoin_result_unchanged(spark):
+    # subdividing the right side must not change the sjoin pair set
+    from cdap_geo_spark.operators.geoops import st_subdivide_explode
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    rng = np.random.RandomState(7)
+    th = np.linspace(0, 2 * np.pi, 41)[:-1]
+    r = np.where(np.arange(40) % 2 == 0, 9000.0, 5000.0)
+    ext = np.c_[r * np.cos(th) + 50_000, r * np.sin(th) + 50_000]
+    poly = W.polygon_to_wkb([np.vstack([ext, ext[:1]])])
+    regions = spark.createDataFrame([(1, poly)],
+                                    "region_id long, geometry binary")
+    pts = [(int(i), W.point_to_wkb(float(rng.uniform(35_000, 65_000)),
+                                   float(rng.uniform(35_000, 65_000))))
+           for i in range(200)]
+    docs = spark.createDataFrame(pts, "doc_id long, geometry binary")
+    base = {(x.doc_id, x.region_id)
+            for x in sjoin_pairs(docs, regions, level=9).collect()}
+    sub = st_subdivide_explode(regions, max_vertices=16, id_col="region_id")
+    got = {(x.doc_id, x.region_id)
+           for x in sjoin_pairs(docs, sub.select("region_id", "geometry"),
+                                level=9).collect()}
+    assert got == base

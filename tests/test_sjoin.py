@@ -80,6 +80,27 @@ def test_sjoin_salt_invariance(spark, small_world, base_pairs):
                                   right_id="region_id")) == base_pairs
 
 
+def test_sjoin_auto_salt_invariance(spark, small_world, base_pairs):
+    # the planner's own census-picked salt (broadcast disabled so the
+    # auto path actually runs) must not change the result set
+    dg, rr, _ = small_world
+    assert _pairs_set(sjoin_pairs(dg, rr, level=7, salt="auto",
+                                  broadcast=False, left_id="doc_id",
+                                  right_id="region_id")) == base_pairs
+
+
+def test_auto_salt_census_scales_with_skew(spark):
+    # all rows in one cell -> share 1 -> salt = min(parallelism, cap);
+    # near-uniform cells -> salt collapses to 1
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.operators.sjoin import (MAX_AUTO_SALT, _auto_salt)
+    hot = spark.range(2000).select(F.lit(42).alias("cell_id"))
+    p = spark.sparkContext.defaultParallelism
+    assert _auto_salt(hot, p) == min(p, MAX_AUTO_SALT)
+    uniform = spark.range(2000).select((F.col("id") % 1000).alias("cell_id"))
+    assert _auto_salt(uniform, p) <= 2
+
+
 def test_sjoin_broadcast_equals_shuffle(spark, small_world, base_pairs):
     dg, rr, _ = small_world
     assert _pairs_set(sjoin_pairs(dg, rr, level=7, broadcast=True,
