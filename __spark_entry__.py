@@ -147,6 +147,33 @@ def _q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(udfs.st_area()(F.col("g")), 2).alias("buf_area"))
 
 
+def _q_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-bounded subdivision under the oracle gate: buffer each
+    region box (4-segment Minkowski disc -> octagon, 8 vertices),
+    st_subdivide_explode(max_vertices=5) forces real recursive
+    bisection, then the piece areas are summed back per region. The
+    oracle is the SAME closed form as buffer_area (A + P*r + 2*r^2,
+    exactly integer for integer boxes) — a correct subdivision must
+    tile the buffer exactly, so the sum reproduces it."""
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.operators.geoops import (st_buffer,
+                                                 st_subdivide_explode)
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    sub = regions.filter(F.col("region_id") % 10 == 0)
+    buffered = sub.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        st_buffer(500.0, segments=4)(F.col("geometry")).alias("geometry"))
+    pieces = st_subdivide_explode(buffered, max_vertices=5,
+                                  id_col="region_id")
+    return (pieces
+            .select("region_id",
+                    udfs.st_area()(F.col("geometry")).alias("_a"))
+            .groupBy("region_id")
+            .agg(F.round(F.sum("_a"), 0).cast("long").alias("buf_area")))
+
+
 def _q_pointify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-centre rasterization count per region box; the oracle is
     pure floor arithmetic (res=333 keeps centres off integer box
@@ -400,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "region_area": _q_region_area,
         "buffer_area": _q_buffer_area,
+        "subdivide_area": _q_subdivide_area,
         "pointify_count": _q_pointify_count,
         "intersection_area": _q_intersection_area,
         "dissolve": _q_dissolve,
@@ -807,6 +835,14 @@ def oracle_sql() -> dict[str, str]:
                        + 2 * 500 * 500, 2) AS buf_area
           FROM b WHERE region_id % 10 = 0
         """,
+        "subdivide_area": f"""
+          WITH b AS ({_BOXES})
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 CAST((maxx - minx) * (maxy - miny)
+                      + 2 * ((maxx - minx) + (maxy - miny)) * 500
+                      + 2 * 500 * 500 AS BIGINT) AS buf_area
+          FROM b WHERE region_id % 10 = 0
+        """,
         "pointify_count": f"""
           WITH b AS ({_BOXES}),
           d AS (SELECT region_id, maxx - minx AS w, maxy - miny AS h
@@ -944,9 +980,14 @@ def oracle_sql() -> dict[str, str]:
           FROM v
         """,
         "ngram_jaccard": """
+          -- jaccard over distinct 60-bit md5-prefix gram hashes: the
+          -- exact value the engine's gram_hashes() computes JVM-side
+          -- (the minhash-oracle pattern); identical distinct-set
+          -- cardinalities up to shared md5 collisions
           WITH sh AS (
             SELECT DISTINCT doc_id AS id,
-                   substr(lower(text), CAST(i AS INT), 3) AS sh
+                   CAST(concat('0x', substr(md5(substr(lower(text),
+                        CAST(i AS INT), 3)), 1, 15)) AS BIGINT) AS sh
             FROM documents, generate_series(1, 2000) g(i)
             WHERE i <= len(text) - 2
           ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),

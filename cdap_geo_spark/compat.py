@@ -514,6 +514,28 @@ def st_intersects(df0: DataFrame, df1: DataFrame, **kwargs) -> DataFrame:
         .select(*[c for c in df0.columns])
 
 
+def st_explode(df: DataFrame, col: str = "geometry",
+               maxVerticies: int = 256) -> DataFrame:
+    """``sedona.py:80-85`` parity (``ST_SubDivideExplode``): one row
+    per subdivision piece of <= ``maxVerticies`` vertices, all other
+    columns replicated. Sedona's generator expression becomes a
+    DataFrame transform here (keyed by a tracked synthetic id, like
+    the reference's own cached-id pattern); the subdivision itself is
+    :func:`~cdap_geo_spark.operators.geoops.st_subdivide_explode`
+    (recursive bbox-bisection clip, true vertex bound — NOT the
+    cell-bounded approximation round 2 shipped)."""
+    from cdap_geo_spark.operators.geoops import st_subdivide_explode
+    tmp = df.withColumn("_cg_xid", F.monotonically_increasing_id())
+    tmp = _persist_tracked(tmp)
+    pieces = st_subdivide_explode(
+        tmp.select("_cg_xid", F.col(col).alias("geometry")),
+        max_vertices=maxVerticies, id_col="_cg_xid")
+    pieces = pieces.withColumnRenamed("geometry", col) \
+        if col != "geometry" else pieces
+    return (tmp.drop(col).join(pieces, "_cg_xid")
+            .drop("_cg_xid", "piece_idx"))
+
+
 def st_intersection(df0: DataFrame, df1: DataFrame,
                     rsuffix: str = "_right", **kwargs) -> DataFrame:
     """``sedona.py:111-116``: intersecting pairs with a NEW geometry

@@ -97,7 +97,8 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
                         threshold_pct: int = 40,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_df: int | None = None,
-                        prefix_filter: bool = True) -> DataFrame:
+                        prefix_filter: bool = True,
+                        hashed: bool = True) -> DataFrame:
     """(id_a, id_b, inter, uni) for pairs with jaccard >= threshold_pct/100
     over distinct character k-grams; id_a < id_b.
 
@@ -125,9 +126,23 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     than that many docs (changes semantics; off by default).
     ``prefix_filter=False`` falls back to the plain inverted-index
     count (useful for tiny inputs / property tests).
+
+    ``hashed=True`` (default) computes the SAME jaccard over each
+    doc's distinct 60-bit md5-prefix GRAM-HASH set
+    (:func:`gram_hashes`) instead of the raw gram strings: join keys,
+    prefix entries and verify arrays are all 8-byte longs (cheaper
+    hashing/compares/shuffles than UTF8 strings), and the SQL oracle
+    recomputes the identical hash (the minhash-oracle pattern), so
+    checkability is unchanged. Distinct-set identity is preserved up
+    to md5 collisions — and both engines share the same collisions by
+    construction. ``hashed=False`` keeps the raw-string variant.
     """
-    arr = df.select(F.col(id_col).alias("_id"),
-                    shingles(F.col(text_col), k).alias("_arr"))
+    if hashed:
+        arr = df.select(F.col(id_col).alias("_id"),
+                        gram_hashes(F.col(text_col), k).alias("_arr"))
+    else:
+        arr = df.select(F.col(id_col).alias("_id"),
+                        shingles(F.col(text_col), k).alias("_arr"))
     sh = arr.select("_id", F.explode("_arr").alias("sh"))
     if max_df is not None:
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df) \

@@ -596,37 +596,49 @@ def st_dump(df: DataFrame, geom_col: str = "geometry",
         for pdf in batches:
             blobs = [None if v is None else bytes(v) for v in pdf[geom_col]]
             batch = W.parse_wkb(blobs)
+            # batch-level emission straight off the offset arrays — no
+            # per-geometry slice_batch copies (round-2 wrong #6): one
+            # np.repeat for ownership, per-part WKB assembly only
+            valid = np.flatnonzero(batch.valid)
+            p0 = batch.geom_part_off[valid]
+            p1 = batch.geom_part_off[valid + 1]
+            owner = np.repeat(valid, p1 - p0)
+            parts_all = np.concatenate(
+                [np.arange(a, b) for a, b in zip(p0, p1)]) \
+                if len(valid) else np.zeros(0, np.int64)
             ids, pidx, geoms = [], [], []
-            for g in range(len(batch)):
-                if not batch.valid[g]:
+            id_np = pdf[id_col].to_numpy()
+            last_o, ctr = -1, 0
+            for o, p in zip(owner, parts_all):
+                blob = _part_wkb(batch, int(p))
+                if blob is None:
                     continue
-                single = W.slice_batch(batch, np.array([g]))
-                parts = _reemit_parts(single)
-                for j, blob in enumerate(parts):
-                    ids.append(pdf[id_col].iloc[g])
-                    pidx.append(j)
-                    geoms.append(blob)
+                if o != last_o:
+                    last_o, ctr = o, 0
+                ids.append(id_np[o])
+                pidx.append(ctr)
+                geoms.append(blob)
+                ctr += 1
             yield pd.DataFrame({id_col: ids, "part_idx": pidx,
                                 "geometry": geoms})
 
     return df.select(id_col, geom_col).mapInPandas(gen, schema=schema)
 
 
-def _reemit_parts(single) -> list:
-    parts = []
-    for p in range(single.geom_part_off[0], single.geom_part_off[1]):
-        k = int(single.part_kind[p])
-        rings = []
-        for ri in range(single.part_ring_off[p], single.part_ring_off[p + 1]):
-            s, e = single.ring_coord_off[ri], single.ring_coord_off[ri + 1]
-            rings.append(single.coords[s:e])
-        if k == W.KIND_POINT and rings:
-            parts.append(W.point_to_wkb(rings[0][0][0], rings[0][0][1]))
-        elif k == W.KIND_LINESTRING and rings:
-            parts.append(W.linestring_to_wkb(rings[0]))
-        elif k == W.KIND_POLYGON:
-            parts.append(W.polygon_to_wkb(rings))
-    return parts
+def _part_wkb(batch, p: int):
+    """WKB of one part, read in place from the batch offset arrays."""
+    k = int(batch.part_kind[p])
+    rings = []
+    for ri in range(batch.part_ring_off[p], batch.part_ring_off[p + 1]):
+        s, e = batch.ring_coord_off[ri], batch.ring_coord_off[ri + 1]
+        rings.append(batch.coords[s:e])
+    if k == W.KIND_POINT and rings:
+        return W.point_to_wkb(rings[0][0][0], rings[0][0][1])
+    if k == W.KIND_LINESTRING and rings:
+        return W.linestring_to_wkb(rings[0])
+    if k == W.KIND_POLYGON:
+        return W.polygon_to_wkb(rings)
+    return None
 
 
 def st_subdivide_explode(df: DataFrame, *, max_vertices: int = 256,

@@ -92,4 +92,18 @@ def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,
              .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC"))
     for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if master and master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own python workers, which
+        # do NOT inherit the driver's sys.path — ship the package the
+        # way a real cluster does (`spark-submit --py-files`, north
+        # rule): zip cdap_geo_spark and addPyFile it.
+        import shutil
+        import tempfile
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_base = os.path.join(tempfile.gettempdir(),
+                                f"cdap_geo_spark_pyfiles_{os.getpid()}")
+        shutil.make_archive(zip_base, "zip", root_dir=root,
+                            base_dir="cdap_geo_spark")
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+    return spark

@@ -80,7 +80,12 @@ print("RESULT " + json.dumps(res))
 spark.stop()
 """
 
-PROBE_SNIPPET = r"""
+def make_probe_snippet(pairs) -> str:
+    import json as _json
+    return _PROBE_TEMPLATE % (_json.dumps(pairs),)
+
+
+_PROBE_TEMPLATE = r"""
 import subprocess, sys, time, json
 CPU = "x=0\nfor i in range(20_000_000): x+=i"
 MEM = ("import numpy as np\n"
@@ -100,7 +105,9 @@ for name, code in (("cpu", CPU), ("mem", MEM)):
         effs[f"{lo}->{hi}"] = round(rates[hi] / (hi / lo * rates[lo]), 3)
     out[name] = effs
 print("PROBE " + json.dumps(out))
-""" % (json.dumps(PAIRS),)
+"""
+
+PROBE_SNIPPET = make_probe_snippet(PAIRS)
 
 
 def run_once(cores: int, sf: float) -> dict:
@@ -114,8 +121,9 @@ def run_once(cores: int, sf: float) -> dict:
                        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def probe_envelope() -> dict:
-    out = subprocess.run([sys.executable, "-c", PROBE_SNIPPET],
+def probe_envelope(pairs=None) -> dict:
+    snippet = make_probe_snippet(pairs) if pairs else PROBE_SNIPPET
+    out = subprocess.run([sys.executable, "-c", snippet],
                          capture_output=True, text=True, timeout=900)
     for line in out.stdout.splitlines():
         if line.startswith("PROBE "):

@@ -101,7 +101,7 @@ def main():
     sf = bench_sf()
     reps = []
     for rep in range(REPEATS):
-        env = probe_envelope()
+        env = probe_envelope(pairs=[(4, 16), (8, 32)])
         print(f"rep {rep} envelope: {json.dumps(env)}", flush=True)
         runs = {}
         for label, master, cores in SIZES:
@@ -121,8 +121,11 @@ def main():
                         if runs[lo].get("pudf_probe_s") else None)
             ceiling = max(x for x in (jvm_eff, pudf_eff, 1e-9)
                           if x is not None)
+            tkey = f"{runs[lo]['cores']}->{runs[hi]['cores']}"
+            mem_env = (env.get("mem") or {}).get(tkey) or 1.0
             effs[f"{lo}->{hi}"] = {
                 "raw": round(eff, 3),
+                "vs_mem_envelope": round(eff / mem_env, 3),
                 "spark_jvm_ceiling": round(jvm_eff, 3) if jvm_eff else None,
                 "spark_pudf_ceiling": round(pudf_eff, 3)
                 if pudf_eff else None,

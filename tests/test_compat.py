@@ -268,3 +268,23 @@ def test_gdf_intersects_and_intersection_shims(spark):
     clip = compat.gdf_intersection(pdf, window)
     areas = G.area(W.parse_wkb([bytes(b) for b in clip.geometry]))
     assert areas == pytest.approx([3 * 8, 8 * 8, 5 * 8])
+
+
+def test_st_explode_compat_keeps_payload(spark):
+    # sedona.py:80-85 parity: pieces bounded by maxVerticies, payload
+    # columns replicated, total area preserved
+    from cdap_geo_spark.core import geom as G
+    th = np.linspace(0, 2 * np.pi, 41)[:-1]
+    r = np.where(np.arange(40) % 2 == 0, 100.0, 60.0)
+    ext = np.c_[r * np.cos(th), r * np.sin(th)]
+    wkb = W.polygon_to_wkb([np.vstack([ext, ext[:1]])])
+    df = spark.createDataFrame([("a", 7, wkb)],
+                               "name string, tag long, geometry binary")
+    out = compat.st_explode(df, maxVerticies=12).toPandas()
+    assert len(out) > 1
+    assert set(out.name) == {"a"} and set(out.tag) == {7}
+    pieces = W.parse_wkb([bytes(b) for b in out.geometry])
+    assert int(G.vertex_counts(pieces).max()) <= 12
+    orig = W.parse_wkb([wkb])
+    assert np.isclose(G.area(pieces).sum(), G.area(orig)[0], rtol=1e-9)
+    compat.unpersist_all()
