@@ -150,7 +150,7 @@ def _q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertex-bounded subdivision under the oracle gate: buffer each
     region box (4-segment Minkowski disc -> octagon, 8 vertices),
-    st_subdivide_explode(max_vertices=5) forces real recursive
+    st_subdivide_explode(max_vertices=8) forces real recursive
     bisection, then the piece areas are summed back per region. The
     oracle is the SAME closed form as buffer_area (A + P*r + 2*r^2,
     exactly integer for integer boxes) — a correct subdivision must
@@ -165,7 +165,7 @@ def _q_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffered = sub.select(
         F.col("region_id").cast("long").alias("region_id"),
         st_buffer(500.0, segments=4)(F.col("geometry")).alias("geometry"))
-    pieces = st_subdivide_explode(buffered, max_vertices=5,
+    pieces = st_subdivide_explode(buffered, max_vertices=8,
                                   id_col="region_id")
     return (pieces
             .select("region_id",

@@ -665,8 +665,19 @@ def st_subdivide_explode(df: DataFrame, *, max_vertices: int = 256,
     LineStrings split into ``max_vertices``-point chains sharing an
     endpoint; points pass through. Unlike :func:`subdivide_by_cells`
     (which bounds work per CELL, round-2 gap #1), the bound here is on
-    the actual vertex count.
+    the actual stored-coordinate count (the ``vertex_counts`` /
+    ``geometry_length`` convention, closing point included).
+
+    ``max_vertices`` must be >= 8 (the PostGIS-style minimum: a
+    rect-window clip needs room for 4 window corners + crossings +
+    the closing point). The bound is guaranteed up to the recursion
+    depth cap (48 halvings = a 2^48 window reduction); only
+    pathological micro-slivers from near-degenerate vertices can
+    reach the cap and emit a slightly-over piece.
     """
+    if max_vertices < 8:
+        raise ValueError("max_vertices must be >= 8 "
+                         f"(got {max_vertices})")
     schema = T.StructType([df.schema[id_col],
                            T.StructField("piece_idx", T.IntegerType()),
                            T.StructField("geometry", T.BinaryType())])
@@ -717,7 +728,10 @@ def _subdivide_geom(batch, g: int, max_vertices: int) -> list:
 
 def _subdivide_rings(rings: list, max_vertices: int, out: list,
                      depth: int) -> None:
-    nv = sum(len(r) - 1 for r in rings)
+    # stored-coordinate count (closing duplicate included) — the same
+    # convention vertex_counts/geometry_length report, so the bound a
+    # caller asserts with those is the bound enforced here
+    nv = sum(len(r) for r in rings)
     if nv <= max_vertices or depth > 48:
         out.append(W.polygon_to_wkb(_oriented(rings)))
         return

@@ -80,3 +80,21 @@ def test_sdf_autopartition_partition_by(spark):
     df = spark.range(1_000_000).withColumn("k", F.col("id") % 7).coalesce(1)
     out = sdf_autopartition(df, partition_by="k")
     assert out.rdd.getNumPartitions() > 1
+
+
+def test_similarity_ops_have_no_single_partition_exchange(spark):
+    # round-2 regression class: ngram_jaccard's dictionary encoding ran
+    # a global no-partition window = one SinglePartition exchange = one
+    # task owning the whole corpus. Pin ALL similarity pipelines to
+    # zero single-partition exchanges.
+    from cdap_geo_spark.operators.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs,
+                                                simhash_pairs)
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} alpha bravo charlie") for i in range(30)],
+        "doc_id long, text string").repartition(4)
+    for out in (ngram_jaccard_pairs(df, k=3, threshold_pct=40),
+                minhash_lsh_pairs(df, threshold=0.5),
+                simhash_pairs(df, max_hamming=3)):
+        plan = _plan(out)
+        assert "SinglePartition" not in plan, plan[:2000]
