@@ -293,6 +293,49 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("inter").cast("long"), F.col("uni").cast("long"))
 
 
+#: stratified-sample thresholds: computed ONCE in python and embedded
+#: verbatim in both the Spark filter and the SQL oracle, so the two
+#: engines compare against bit-identical integers
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+SAMPLE_SEED = 17
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum corpus sampling: keep-decision =
+    md5(doc_id:seed) 60-bit prefix < fraction*2^60 — map-side only,
+    retry/resume-stable (the decision rides the row, not partition
+    RNG state). Oracle recomputes the identical hash threshold."""
+    from cdap_geo_spark.operators.text import stratified_sample
+    out = stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACTIONS,
+                            strata_col="lang", seed=SAMPLE_SEED)
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus vocabulary top-k: explode -> map-side-partial
+    hash-groupBy (shuffle bounded by vocabulary) -> distributed
+    TakeOrderedAndProject top-k; ties by token."""
+    from cdap_geo_spark.operators.text import vocab_topk
+    out = vocab_topk(_docs(spark, sf_dir), k=20)
+    return out.select("token", F.col("count").cast("long"),
+                      F.col("rank").cast("long"))
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: ngram-jaccard pair graph ->
+    connected components (iterative min-label propagation with
+    per-round localCheckpoint — the dedup endgame: one keeper per
+    component). Oracle: recursive-CTE transitive closure over the
+    same pair set."""
+    from cdap_geo_spark.operators.dedup import (dedup_components,
+                                                ngram_jaccard_pairs)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                                threshold_pct=40)
+    out = dedup_components(pairs)
+    return out.select(F.col("node").cast("long"),
+                      F.col("component").cast("long"))
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -438,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "vocab_topk": _q_vocab_topk,
         "cosine_topk": _q_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -778,6 +824,32 @@ _MEDIA_SQL = """
 """
 
 
+#: jaccard over distinct 60-bit md5-prefix gram hashes: the exact
+#: value the engine's gram_hashes() computes JVM-side (the
+#: minhash-oracle pattern); identical distinct-set cardinalities up
+#: to shared md5 collisions
+_NGRAM_SQL = """
+  WITH sh AS (
+    SELECT DISTINCT doc_id AS id,
+           CAST(concat('0x', substr(md5(substr(lower(text),
+                CAST(i AS INT), 3)), 1, 15)) AS BIGINT) AS sh
+    FROM documents, generate_series(1, 2000) g(i)
+    WHERE i <= len(text) - 2
+  ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+  pair AS (
+    SELECT a.id AS ida, b.id AS idb, count(*) AS inter
+    FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+    GROUP BY 1, 2)
+  SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+         CAST(inter AS BIGINT) AS inter,
+         CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+  FROM pair
+  JOIN sizes sa ON sa.id = ida
+  JOIN sizes sb ON sb.id = idb
+  WHERE 100 * inter >= 40 * (sa.sz + sb.sz - inter)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sjoin_pip": _SJOIN_PIP_SQL,
@@ -979,29 +1051,47 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'fr' END AS lang_pred
           FROM v
         """,
-        "ngram_jaccard": """
-          -- jaccard over distinct 60-bit md5-prefix gram hashes: the
-          -- exact value the engine's gram_hashes() computes JVM-side
-          -- (the minhash-oracle pattern); identical distinct-set
-          -- cardinalities up to shared md5 collisions
-          WITH sh AS (
-            SELECT DISTINCT doc_id AS id,
-                   CAST(concat('0x', substr(md5(substr(lower(text),
-                        CAST(i AS INT), 3)), 1, 15)) AS BIGINT) AS sh
-            FROM documents, generate_series(1, 2000) g(i)
-            WHERE i <= len(text) - 2
-          ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-          pair AS (
-            SELECT a.id AS ida, b.id AS idb, count(*) AS inter
-            FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
-            GROUP BY 1, 2)
-          SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
-                 CAST(inter AS BIGINT) AS inter,
-                 CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
-          FROM pair
-          JOIN sizes sa ON sa.id = ida
-          JOIN sizes sb ON sb.id = idb
-          WHERE 100 * inter >= 40 * (sa.sz + sb.sz - inter)
+        "ngram_jaccard": _NGRAM_SQL,
+        "stratified_sample": f"""
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+          FROM documents
+          WHERE CAST(concat('0x', substr(md5(concat(
+                       CAST(doc_id AS VARCHAR), ':',
+                       '{SAMPLE_SEED}')), 1, 15)) AS BIGINT)
+                < CASE lang
+                    {' '.join(f"WHEN '{s}' THEN {int(f * (1 << 60))}"
+                              for s, f in SAMPLE_FRACTIONS.items())}
+                    ELSE 0 END
+        """,
+        "vocab_topk": r"""
+          WITH toks AS (
+            SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '')) AS token
+            FROM documents
+          ),
+          c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+          SELECT token, CAST(cnt AS BIGINT) AS count,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                      AS BIGINT) AS rank
+          FROM c
+          QUALIFY rank <= 20
+        """,
+        "dup_clusters": f"""
+          -- connected components of the near-dup pair graph via
+          -- recursive-CTE transitive closure (dup clusters are small,
+          -- so the closure stays bounded); component = min reachable
+          WITH RECURSIVE np AS ({_NGRAM_SQL}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM np
+                    UNION SELECT id_b, id_a FROM np),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          )
+          SELECT CAST(src AS BIGINT) AS node,
+                 CAST(least(src, min(dst)) AS BIGINT) AS component
+          FROM reach GROUP BY src
         """,
         "cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id,

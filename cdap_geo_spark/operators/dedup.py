@@ -447,3 +447,80 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col("ida").alias("id_a"),
                     F.col("idb").alias("id_b"), "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
+                     id_b: str = "id_b",
+                     max_rounds: int = 50) -> DataFrame:
+    """(node, component): connected components of the near-dup pair
+    graph — the dedup endgame (one keeper per component).
+    ``component`` = the MIN node id reachable from ``node``.
+
+    Iterative min-label propagation (the DataFrame form of the classic
+    large-graph CC algorithms — Kiveris et al.'s star contractions
+    converge faster on power-law graphs, but dup clusters are small
+    and dense, where plain propagation converges in
+    O(log diameter) rounds):
+
+      label(v) <- min(label(v), min over neighbours u of label(u))
+
+    per round, as one grouped aggregation over the (undirected)
+    edge list joined with current labels. Every round
+    ``localCheckpoint(eager=True)`` truncates the lineage (the same
+    iterative-loop discipline as kNN — without it the plan doubles
+    per round). Converges when no label changes; rounds are bounded
+    by ``max_rounds``.
+
+    Scale: state = one (node, label) row per node; a round = 1 join
+    (edges x labels, shuffled on node ids) + 1 groupBy — both
+    hash-partitioned, no driver-side data, no broadcast of anything
+    corpus-sized. Dup-cluster diameters are tiny (most are cliques
+    from a shared source doc), so rounds ~ 2-4 in practice.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"),
+                         F.col(id_b).alias("dst"))
+    # undirected: propagate both ways
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+    sym = sym.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    labels = (sym.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        # neighbour minimum per node (edges carry src->dst; labels of
+        # dst flow to src), then min with own label
+        nbr = (sym.join(labels.withColumnsRenamed(
+                    {"node": "dst", "label": "_dl"}), "dst")
+               .groupBy("src").agg(F.min("_dl").alias("_nl")))
+        new_labels = (labels.join(nbr.withColumnRenamed("src", "node"),
+                                  "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("_nl", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "_new")
+                   .join(labels, "node")
+                   .filter(F.col("_new") != F.col("label")).limit(1)
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_survivors_by_components(df: DataFrame, pairs: DataFrame, *,
+                                  id_col: str = "doc_id",
+                                  id_a: str = "id_a",
+                                  id_b: str = "id_b") -> DataFrame:
+    """Keep one doc per near-dup component (the min id) plus every doc
+    that appears in no pair — the standard near-dedup survivor set."""
+    comp = dedup_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+                 .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

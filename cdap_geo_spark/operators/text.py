@@ -154,3 +154,63 @@ def winnow_fingerprints(k: int = 5, window: int = 4,
             out.append([int(v) for v in sel])
         return pd.Series(out)
     return _fp
+
+
+# ---------------------------------------------------------------------------
+# corpus sampling / vocabulary (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df, fractions: dict, *, strata_col: str = "lang",
+                      id_col: str = "doc_id", seed: int = 17,
+                      default_fraction: float = 0.0):
+    """Deterministic per-stratum sampling — the language/source quota
+    pass every training-data pipeline runs before tokenization.
+
+    Row keep-test: ``md5(id || ':' || seed)``'s 60-bit prefix compared
+    against ``fraction * 2^60`` — a pure map-side filter (no shuffle,
+    no RNG state, stable under retries/resume, exactly recomputable by
+    the SQL oracle). Unlike ``df.sample``'s per-partition RNG, the
+    decision rides the ROW (id), so repartitioning, AQE re-plans or
+    task retries can never change the sample — the property a
+    resumable 100 TB pipeline needs.
+
+    ``fractions`` maps stratum value -> fraction in [0, 1]; strata not
+    in the map get ``default_fraction``.
+    """
+    scale = 1 << 60
+    h = F.conv(F.substring(
+        F.md5(F.encode(F.concat_ws(":", F.col(id_col).cast("string"),
+                                   F.lit(str(seed))), "UTF-8")),
+        1, 15), 16, 10).cast("long")
+    thr = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(frac * scale))
+        thr = F.when(F.col(strata_col) == stratum, t) if thr is None \
+            else thr.when(F.col(strata_col) == stratum, t)
+    thr = (thr.otherwise(F.lit(int(default_fraction * scale)))
+           if thr is not None
+           else F.lit(int(default_fraction * scale)))
+    return df.filter(h < thr)
+
+
+def vocab_topk(df, *, k: int = 100, text_col: str = "text",
+               min_count: int = 1):
+    """(token, count, rank): the exact top-k whitespace tokens by
+    corpus frequency, ties broken by token — the vocabulary-building
+    pass. explode -> hash-groupBy (map-side partial aggregation: the
+    shuffle carries one (token, partial_count) row per token per map
+    partition, bounded by vocabulary not corpus) -> one final
+    window rank over the token-count relation (vocab-sized)."""
+    from pyspark.sql import Window
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("token")).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("count")) \
+                 .filter(F.col("count") >= min_count)
+    # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
+    # top-k (per-partition bounded heaps merged at the driver), never
+    # a full sort or a single-partition exchange over the vocabulary.
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(k)
+    # rank assignment runs on the k-row result only
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -147,3 +147,21 @@ def test_simhash_native_matches_python_band_structure(spark):
     a = {(r.id_a, r.id_b) for r in native.collect()}
     b = {(r.id_a, r.id_b) for r in python.collect()}
     assert a == b
+
+
+def test_dedup_components_chain_and_survivors(spark):
+    # a chain 1-2-3-4 plus an isolated pair 10-11: propagation must
+    # cross the whole chain (diameter > 1 round), min id labels all
+    from cdap_geo_spark.operators.dedup import (
+        dedup_components, dedup_survivors_by_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i, f"t{i}") for i in
+                                  [1, 2, 3, 4, 7, 10, 11]],
+                                 "doc_id long, text string")
+    surv = sorted(r.doc_id for r in
+                  dedup_survivors_by_components(docs, pairs).collect())
+    # keepers: 1 (chain), 10 (pair), 7 (no pairs)
+    assert surv == [1, 7, 10]

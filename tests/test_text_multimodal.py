@@ -174,3 +174,32 @@ def test_resize_images_end_to_end(spark):
     assert back.shape == (4, 4, 3)
     # nearest-neighbour picks columns 0,2,4,6 of the gradient
     assert list(back[0, :, 0]) == [0, 60, 120, 180]
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    from cdap_geo_spark.operators.text import stratified_sample
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fr = {"en": 0.5, "de": 0.2}
+    a = sorted(r.doc_id for r in stratified_sample(df, fr).collect())
+    # identical under a different partitioning (the df.sample failure
+    # mode this operator exists to avoid)
+    b = sorted(r.doc_id for r in
+               stratified_sample(df.repartition(13), fr).collect())
+    assert a == b and len(a) > 0
+    langs = {r.lang for r in stratified_sample(df, fr).collect()}
+    assert "fr" not in langs  # default fraction 0
+    # rates in the right ballpark (md5 uniformity)
+    n_en = sum(1 for r in stratified_sample(df, fr).collect()
+               if r.lang == "en")
+    assert 30 <= n_en <= 70  # 100 en docs at 0.5
+
+
+def test_vocab_topk_exact_counts_and_ties(spark):
+    from cdap_geo_spark.operators.text import vocab_topk
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb aa dd"), (3, "  aa   bb  ")],
+        "doc_id long, text string")
+    out = {r.token: (r["count"], r.rank)
+           for r in vocab_topk(df, k=3).collect()}
+    assert out == {"aa": (4, 1), "bb": (3, 2), "cc": (1, 3)}
