@@ -129,9 +129,32 @@ def relational_queries(spark) -> dict:
     return out
 
 
+def host_envelope() -> dict:
+    """~20 s probe of what the BOX currently delivers for multiprocess
+    memory-bound work at 8 vs 32 procs (1.0 = perfect 4x). Recorded in
+    the output JSON because this host's deliverable bandwidth past ~8
+    threads swings between ~1.0 and ~0.02 across 10-minute windows
+    (BENCH/BASELINE.md) — a headline number is only interpretable next
+    to the window it was measured in."""
+    import subprocess
+    code = ("import numpy as np\n"
+            "a = np.ones(8_000_000)\n"
+            "for _ in range(4): s = (a * 1.000001).sum()")
+    rates = {}
+    for n in (8, 32):
+        t0 = time.time()
+        ps = [subprocess.Popen([sys.executable, "-c", code])
+              for _ in range(n)]
+        for p in ps:
+            p.wait()
+        rates[n] = n / (time.time() - t0)
+    return {"mem_env_8_to_32": round(rates[32] / (4 * rates[8]), 3)}
+
+
 def main():
     from cdap_geo_spark.session import get_spark
     sf = sf_of(SF_DIR)
+    env = host_envelope()
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     docs_path, regs_path = ensure_fixtures(spark, sf)
@@ -164,6 +187,7 @@ def main():
         "warmup_s": warm_s,
         "headline_runs": [r["seconds"] for r in runs],
         "headline_median": runs[len(runs) // 2]["seconds"],
+        "host_envelope": env,
     }
     print(json.dumps(result))
     spark.stop()
