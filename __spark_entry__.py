@@ -325,13 +325,14 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: ngram-jaccard pair graph ->
     connected components (iterative min-label propagation with
     per-round localCheckpoint — the dedup endgame: one keeper per
-    component). Clustering threshold 60% — the usual near-dup cut,
-    and it keeps the edge list ~10x smaller than the 40% pair query's
-    (850k vs 7.9M at sf0.1). Oracle: recursive-CTE transitive closure
-    over the same pair set."""
+    component). Clustering over 5-gram jaccard >= 60% — the
+    conventional near-dup cut (5-gram shingles like minhash; the k=3
+    pair QUERY keeps its tiny gram space as a verify-path stress
+    test, but as a clustering signal 3-grams saturate). Oracle:
+    recursive-CTE transitive closure over the same pair set."""
     from cdap_geo_spark.operators.dedup import (dedup_components,
                                                 ngram_jaccard_pairs)
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), k=5,
                                 threshold_pct=60)
     out = dedup_components(pairs)
     return out.select(F.col("node").cast("long"),
@@ -830,14 +831,14 @@ _MEDIA_SQL = """
 #: value the engine's gram_hashes() computes JVM-side (the
 #: minhash-oracle pattern); identical distinct-set cardinalities up
 #: to shared md5 collisions
-def _ngram_sql(pct: int) -> str:
+def _ngram_sql(pct: int, k: int = 3) -> str:
     return f"""
   WITH sh AS (
     SELECT DISTINCT doc_id AS id,
            CAST(concat('0x', substr(md5(substr(lower(text),
-                CAST(i AS INT), 3)), 1, 15)) AS BIGINT) AS sh
+                CAST(i AS INT), {k})), 1, 15)) AS BIGINT) AS sh
     FROM documents, generate_series(1, 2000) g(i)
-    WHERE i <= len(text) - 2
+    WHERE i <= len(text) - {k - 1}
   ), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
   pair AS (
     SELECT a.id AS ida, b.id AS idb, count(*) AS inter
@@ -1087,7 +1088,7 @@ def oracle_sql() -> dict[str, str]:
           -- connected components of the near-dup pair graph via
           -- recursive-CTE transitive closure (dup clusters are small,
           -- so the closure stays bounded); component = min reachable
-          WITH RECURSIVE np AS ({_ngram_sql(60)}),
+          WITH RECURSIVE np AS ({_ngram_sql(60, k=5)}),
           edges AS (SELECT id_a AS src, id_b AS dst FROM np
                     UNION SELECT id_b, id_a FROM np),
           reach(src, dst) AS (

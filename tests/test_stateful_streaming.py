@@ -111,3 +111,44 @@ def test_dedup_stream_keeps_batch_keepers(spark, tmp_path):
         .toPandas().sort_values("digest").reset_index(drop=True)
     assert list(got.digest) == list(want.digest)
     assert list(got.doc_id) == list(want.doc_id)
+
+
+def test_manifest_sink_idempotent_and_committed_reads(spark, tmp_path):
+    """Idempotent foreachBatch sink: replayed batch ids are skipped,
+    uncommitted straggler dirs are invisible to read_committed."""
+    import json
+    import os
+    import pandas as pd
+    from cdap_geo_spark.streaming.sink import (
+        manifest_batch_writer, read_committed, sink_stats,
+        start_manifest_sink)
+    src = str(tmp_path / "msrc")
+    os.makedirs(src)
+    pd.DataFrame({"event_id": [1, 2, 3], "v": [10, 20, 30]}) \
+        .to_parquet(os.path.join(src, "a.parquet"))
+    sdf = spark.readStream.schema("event_id long, v long").parquet(src)
+    out = str(tmp_path / "mout")
+    q = start_manifest_sink(sdf, out,
+                            checkpoint=str(tmp_path / "mckpt"),
+                            query_name="msink1")
+    q.awaitTermination(120)
+    got = read_committed(spark, out)
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+    stats = sink_stats(out)
+    assert stats["rows"] == 3 and stats["n_batches"] >= 1
+
+    # crash-replay simulation: re-invoking the writer with an already
+    # committed batch id must be a no-op (no duplicate rows)
+    writer = manifest_batch_writer(out)
+    committed = stats["batches"][0]["batch_id"]
+    writer(spark.createDataFrame([(99, 0)], "event_id long, v long"),
+           committed)
+    assert read_committed(spark, out).count() == 3
+
+    # an uncommitted straggler directory is invisible
+    frag = spark.createDataFrame([(7, 7)], "event_id long, v long")
+    frag.write.parquet(os.path.join(out, "batch=12345"))
+    assert read_committed(spark, out).count() == 3
+    # ...until a (re)run commits it
+    writer(frag, 12345)
+    assert read_committed(spark, out).count() == 4
