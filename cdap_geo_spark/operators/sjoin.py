@@ -60,7 +60,57 @@ SALT_SAMPLE_ROWS = 100_000
 MAX_AUTO_SALT = 32
 
 
-def _auto_salt(l_indexed: DataFrame, parallelism: int) -> int:
+def _census_sample(l_indexed: DataFrame,
+                   sample_rows: int = SALT_SAMPLE_ROWS) -> DataFrame:
+    """Scattered bounded sample of ``cell_id`` for the hot-cell census.
+
+    A ``limit(N)`` draws rows from whichever partitions Spark scans
+    first — on the engine's OWN recommended at-rest layout (``ingest``
+    range-clusters on cell_id, ``io.py``) that is one geographic
+    corner, so the census either sees one cell at ~100% share
+    (over-salts) or misses the true hot cell entirely. Instead take an
+    equal quota of rows from EVERY partition: a mapInPandas generator
+    consumes up to ``OVERSAMPLE x quota`` rows per partition (a few
+    Arrow batches — the lazy iterator never pulls the rest of the
+    upstream decode, bounded even against a 100 TB left side) and
+    yields a seeded uniform subsample of ``quota`` of them, so the
+    within-partition sort order (clustering puts equal cells in runs)
+    doesn't bias the sample toward partition prefixes.
+
+    Residual bias, stated honestly: a hot run confined entirely to the
+    unread tail of one partition is still invisible — but on a
+    range-clustered layout a cell with share >= 1/num_partitions spans
+    a partition boundary (so some partition STARTS inside it), and
+    cells below that share don't need salting in the first place.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_parts = max(1, l_indexed.rdd.getNumPartitions())
+    quota = max(64, sample_rows // n_parts)
+    oversample = 8
+
+    def take_quota(batches):
+        rng = np.random.RandomState(0xC3115)
+        chunks, seen = [], 0
+        for pdf in batches:
+            chunks.append(pdf["cell_id"])
+            seen += len(pdf)
+            if seen >= oversample * quota:
+                break
+        if not chunks:
+            return
+        cells = pd.concat(chunks, ignore_index=True)
+        if len(cells) > quota:
+            cells = cells.iloc[rng.choice(len(cells), quota, replace=False)]
+        yield pd.DataFrame({"cell_id": cells.to_numpy()})
+
+    return l_indexed.select("cell_id").mapInPandas(
+        take_quota, schema="cell_id long")
+
+
+def _auto_salt(l_indexed: DataFrame, parallelism: int,
+               sample_rows: int = SALT_SAMPLE_ROWS) -> int:
     """Pick the salt factor from a bounded hot-cell census.
 
     The shuffle join partitions by ``cell_id``; one dense-geography
@@ -68,13 +118,15 @@ def _auto_salt(l_indexed: DataFrame, parallelism: int) -> int:
     regardless of cluster size. Salting the left id across ``k`` keys
     splits that cell's rows ``k`` ways, so the smallest sufficient
     ``k`` is ``ceil(s * parallelism)`` (hot cell back under one
-    healthy partition's share). ``s`` comes from a ``limit``-bounded
-    sample of the already-indexed relation — same idea as
-    :func:`hot_cells`, but reusing the join's own cell cover and never
-    scanning the full input (safe against a 100 TB left side).
+    healthy partition's share). ``s`` comes from a per-partition-quota
+    sample of the already-indexed relation (:func:`_census_sample`) —
+    same idea as :func:`hot_cells`, but reusing the join's own cell
+    cover, never scanning the full input, and unbiased under
+    range-clustered layouts (the round-3 ``limit()`` census provably
+    mis-estimated on exactly the ``ingest`` layout).
     """
     import math
-    stats = (l_indexed.select("cell_id").limit(SALT_SAMPLE_ROWS)
+    stats = (_census_sample(l_indexed, sample_rows)
              .groupBy("cell_id").count()
              .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
              .first())

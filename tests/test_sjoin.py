@@ -101,6 +101,43 @@ def test_auto_salt_census_scales_with_skew(spark):
     assert _auto_salt(uniform, p) <= 2
 
 
+def test_auto_salt_census_unbiased_on_clustered_layout(spark):
+    # The engine's own recommended at-rest layout range-clusters on
+    # cell_id (io.py ingest): the hot cell then lives in ONE partition,
+    # typically not the first. The round-3 limit() census read only the
+    # first partitions and missed it; the per-partition-quota census
+    # must find it regardless of which partition holds the hot cell.
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.operators.sjoin import _auto_salt
+    # 10k rows; ids >= 9000 share cell 10_000_000 (10% hot share), the
+    # rest are unique cells below it -> range clustering puts the hot
+    # cell in the LAST partition.
+    df = (spark.range(10_000)
+          .select(F.when(F.col("id") >= 9000, F.lit(10_000_000))
+                  .otherwise(F.col("id")).alias("cell_id"))
+          .repartitionByRange(8, "cell_id")
+          .sortWithinPartitions("cell_id"))
+    salt = _auto_salt(df, parallelism=32, sample_rows=1000)
+    # true hot share 10% x parallelism 32 -> expect ~ceil(3.2)=4;
+    # accept the stratified sample's rounding but NOT a miss (salt=1)
+    assert 2 <= salt <= 8
+
+
+def test_census_sample_bounded_and_scattered(spark):
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.operators.sjoin import _census_sample
+    df = (spark.range(100_000)
+          .select(F.col("id").alias("cell_id"))
+          .repartitionByRange(8, "cell_id"))
+    sample = _census_sample(df, sample_rows=800).toPandas()
+    # quota = max(64, 800//8) = 100 per partition, 8 partitions
+    assert len(sample) <= 8 * 100
+    # scattered: rows drawn from every eighth of the key range
+    assert sample["cell_id"].nunique() > 0
+    buckets = (sample["cell_id"] // 12_500).nunique()
+    assert buckets == 8
+
+
 def test_sjoin_broadcast_equals_shuffle(spark, small_world, base_pairs):
     dg, rr, _ = small_world
     assert _pairs_set(sjoin_pairs(dg, rr, level=7, broadcast=True,
