@@ -455,32 +455,43 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
 
 def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                      id_b: str = "id_b",
-                     max_rounds: int = 50) -> DataFrame:
+                     max_rounds: int = 50,
+                     on_nonconverged: str = "raise") -> DataFrame:
     """(node, component): connected components of the near-dup pair
     graph — the dedup endgame (one keeper per component).
     ``component`` = the MIN node id reachable from ``node``.
 
-    Iterative min-label propagation (the DataFrame form of the classic
-    large-graph CC algorithms — Kiveris et al.'s star contractions
-    converge faster on power-law graphs, but dup clusters are small
-    and dense, where plain propagation converges in
-    O(log diameter) rounds):
+    Iterative min-label propagation WITH pointer jumping. Plain
+    propagation (label(v) <- min over neighbours) needs O(diameter)
+    rounds — a silent hazard on chain-shaped components. Each round
+    here therefore adds the pointer-jumping shortcut of the classic
+    PRAM/MapReduce CC algorithms (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"):
 
       label(v) <- min(label(v), min over neighbours u of label(u))
+      label(v) <- label(label(v))          # shortcut: hop to the
+                                           # label's own label
 
-    per round, as one grouped aggregation over the (undirected)
-    edge list joined with current labels. Every round
+    The shortcut roughly doubles the distance information carried per
+    round, giving O(log diameter) rounds on paths (property-tested on
+    a 200-node chain) while staying a pure equi-join plan. Every round
     ``localCheckpoint(eager=True)`` truncates the lineage (the same
     iterative-loop discipline as kNN — without it the plan doubles
-    per round). Converges when no label changes; rounds are bounded
-    by ``max_rounds``.
+    per round). Converges when no label changes; if ``max_rounds``
+    exhausts first the result would be WRONG, so the operator refuses
+    to return it silently: ``on_nonconverged='raise'`` (default)
+    raises RuntimeError, ``'warn'`` emits a warning and returns the
+    partial labels (for exploratory use only).
 
-    Scale: state = one (node, label) row per node; a round = 1 join
-    (edges x labels, shuffled on node ids) + 1 groupBy — both
-    hash-partitioned, no driver-side data, no broadcast of anything
-    corpus-sized. Dup-cluster diameters are tiny (most are cliques
-    from a shared source doc), so rounds ~ 2-4 in practice.
+    Scale: state = one (node, label) row per node; a round = 2 joins
+    (edges x labels on node ids; labels x labels for the shortcut) +
+    1 groupBy — all hash-partitioned, no driver-side data, no
+    broadcast of anything corpus-sized. Dup-cluster diameters are
+    tiny (most are cliques from a shared source doc), so rounds ~ 2-4
+    in practice.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     edges = pairs.select(F.col(id_a).alias("src"),
                          F.col(id_b).alias("dst"))
     # undirected: propagate both ways
@@ -491,16 +502,27 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_rounds):
         # neighbour minimum per node (edges carry src->dst; labels of
         # dst flow to src), then min with own label
         nbr = (sym.join(labels.withColumnsRenamed(
                     {"node": "dst", "label": "_dl"}), "dst")
                .groupBy("src").agg(F.min("_dl").alias("_nl")))
-        new_labels = (labels.join(nbr.withColumnRenamed("src", "node"),
-                                  "node", "left")
+        prop = (labels.join(nbr.withColumnRenamed("src", "node"),
+                            "node", "left")
+                .select("node",
+                        F.least("label", F.coalesce("_nl", "label"))
+                        .alias("label")))
+        # pointer jumping: label(v) <- label(label(v)). Labels are
+        # always node ids (mins over reachable sets), so the self-join
+        # always matches; left+coalesce guards the root's own row.
+        ll = prop.select(F.col("node").alias("label"),
+                         F.col("label").alias("_ll"))
+        new_labels = (prop.join(ll, "label", "left")
                       .select("node",
-                              F.least("label", F.coalesce("_nl", "label"))
+                              F.least(F.col("label"),
+                                      F.coalesce("_ll", "label"))
                               .alias("label"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.withColumnRenamed("label", "_new")
@@ -510,7 +532,16 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (f"dedup_components did not converge within "
+               f"{max_rounds} rounds — labels would be wrong; raise "
+               f"max_rounds (rounds needed ~ log2(component diameter))")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -165,3 +165,32 @@ def test_dedup_components_chain_and_survivors(spark):
                   dedup_survivors_by_components(docs, pairs).collect())
     # keepers: 1 (chain), 10 (pair), 7 (no pairs)
     assert surv == [1, 7, 10]
+
+
+def test_dedup_components_long_path_converges_in_log_rounds(spark):
+    # a 200-node path has diameter 199: plain min-label propagation
+    # would need ~199 rounds; the pointer-jumping shortcut must close
+    # it well inside the default max_rounds=50 (expected ~log2(199)+e)
+    from cdap_geo_spark.operators.dedup import dedup_components
+    n = 200
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    got = dedup_components(pairs, max_rounds=16)
+    comps = {r.component for r in got.collect()}
+    assert comps == {0}
+
+
+def test_dedup_components_never_returns_wrong_labels_silently(spark):
+    import pytest
+    from cdap_geo_spark.operators.dedup import dedup_components
+    n = 64
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    # 1 round cannot close a 63-diameter path even with shortcutting
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_rounds=1).collect()
+    # warn mode: partial labels returned, but loudly
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup_components(pairs, max_rounds=1,
+                               on_nonconverged="warn")
+        assert out.count() == n
