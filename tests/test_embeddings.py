@@ -116,3 +116,28 @@ def test_embedding_dup_pairs_vs_bruteforce(spark):
     assert len(pairs & planted) >= 8
     # symmetric dedup: ida < idb always, no self pairs
     assert (got.ida < got.idb).all()
+
+
+def test_probe_broadcast_bounded_fallback_equality(spark):
+    """A query set above the broadcast threshold must take the plain
+    shuffle-join path and return the same results as the broadcast
+    path (threshold forced tiny so the fallback runs on test data)."""
+    from cdap_geo_spark.operators.embeddings import (
+        _probe_small, cosine_topk, ivf_topk, lsh_topk)
+    df, _ = _emb_df(spark, n=120, dim=16)
+    q = df.filter(F.col("vec_id") % 10 == 0) \
+          .select(F.col("vec_id").alias("query_id"), "embedding")
+    assert _probe_small(q, 1000) is True
+    assert _probe_small(q, 3) is False
+
+    def key(pdf):
+        return sorted(map(tuple, pdf[["query_id", "vec_id", "rank"]]
+                          .itertuples(index=False)))
+
+    for fn, kw in [(cosine_topk, {}),
+                   (lsh_topk, {"dim": 16, "n_planes": 8, "probes": 2}),
+                   (ivf_topk, {"dim": 16, "n_clusters": 8, "nprobe": 2})]:
+        bc = fn(df, q, k=3, broadcast_queries=True, **kw).toPandas()
+        no = fn(df, q, k=3, broadcast_queries="auto",
+                broadcast_threshold=2, **kw).toPandas()
+        assert key(bc) == key(no), fn.__name__

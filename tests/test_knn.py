@@ -52,3 +52,29 @@ def test_knn_k1_and_sparse_region(spark):
     # c3 (200100, 200000) is marginally closer to (500000, 900000)
     # than c2 (200000, 200000): 761537 m vs 761577 m
     assert list(got.sort_values("rank").doc_id) == ["c3", "c2"]
+
+
+def test_knn_non_broadcast_path_matches(spark):
+    # force the shuffle-join probe path with a tiny threshold: results
+    # must equal the broadcast path (and the auto planner must pick
+    # non-broadcast without erroring)
+    corpus = fixtures.documents(spark, 300, partitions=4)
+    from cdap_geo_spark import docs as D
+    corpus = D.with_geometry(corpus).select("doc_id", "geometry").cache()
+    queries = fixtures.knn_queries(spark, 8).cache()
+    bc = knn_join(queries, corpus, k=3, level=9,
+                  broadcast_queries=True).toPandas()
+    no = knn_join(queries, corpus, k=3, level=9,
+                  broadcast_queries="auto",
+                  broadcast_threshold=2).toPandas()
+    key = lambda p: sorted(map(tuple, p[["query_id", "doc_id", "rank"]]
+                               .itertuples(index=False)))
+    assert key(bc) == key(no)
+
+
+def test_annulus_cells_arithmetic():
+    from cdap_geo_spark.operators.knn import _annulus_cells
+    assert _annulus_cells(0, 0) == 1
+    assert _annulus_cells(0, 1) == 9
+    assert _annulus_cells(1, 2) == 24      # 5^2 - 1
+    assert _annulus_cells(3, 6) == 13 ** 2 - 5 ** 2
