@@ -56,6 +56,48 @@ def test_pointify_box_coverage(spark):
     assert 0.4 < out2["mean"] < 0.6
 
 
+def test_pointify_chunked_exactness(spark, monkeypatch):
+    # tiny chunk bound must not change ANY output (count/mean/points)
+    from cdap_geo_spark.operators import geoops
+    tri = W.polygon_to_wkb([[[0, 0], [10, 0], [0, 10], [0, 0]]])
+    df = spark.createDataFrame([(1, tri)], "id long, geometry binary")
+    full = df.select(geoops.st_pointify(1.0)(F.col("geometry"))
+                     .alias("p")).collect()[0].p
+    monkeypatch.setattr(geoops, "POINTIFY_CHUNK_POINTS", 7)
+    tiny = df.select(geoops.st_pointify(1.0)(F.col("geometry"))
+                     .alias("p")).collect()[0].p
+    assert tiny["count"] == full["count"]
+    assert tiny["mean"] == pytest.approx(full["mean"])
+    assert [bytes(b) for b in tiny["points"]] == \
+           [bytes(b) for b in full["points"]]
+
+
+def test_pointify_giant_bbox_memory_bounded():
+    # a thin sliver whose bbox is 30,000 x 30,000 units at resolution
+    # 10 = a 9M-point grid. Unchunked, the meshgrid alone is
+    # 9M x 8 B x ~5 float64 arrays ~ 360 MB in one shot (the round-3
+    # per-row OOM); chunked it must stay under a fixed 64 MB ceiling
+    # while producing the same (few) inside points. tracemalloc sees
+    # NumPy's allocations through the Python allocator domain.
+    import tracemalloc
+
+    import pandas as pd
+
+    from cdap_geo_spark.operators import geoops
+    tri = W.polygon_to_wkb(
+        [[[0, 0], [30_000, 30_000], [0, 6], [0, 0]]])
+    fn = geoops.st_pointify(10.0, as_struct=True)
+    compute = fn.func  # the raw pandas function behind the UDF
+    tracemalloc.start()
+    out = compute(pd.Series([tri]))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    counts = out["count"] if isinstance(out, pd.DataFrame) else out[0]
+    # sliver area = 30000*6/2 = 90,000 units^2 -> ~900 cells at res 10
+    assert 0 < counts[0] <= 6000
+    assert peak < 64 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
 def test_buffer_point_disc(spark):
     from cdap_geo_spark.operators.geoops import st_buffer
     from cdap_geo_spark.core import geom as G
