@@ -31,6 +31,46 @@ def sdf_force_execute(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def sdf_unique(df: DataFrame, col: str) -> list:
+    """Distinct values of one column, collected driver-side — verbatim
+    semantics of the reference's ``sdf_unique``
+    (``cdap_geo/utils.py:61-62``). Driver-bounded only by the column's
+    cardinality; for corpus-cardinality columns prefer keeping the
+    ``distinct()`` relation distributed."""
+    return df.select(col).distinct().collect()
+
+
+def sdf_memsize(df: DataFrame) -> int:
+    """Estimated in-memory size of the relation in bytes.
+
+    Name parity with the reference's ``sdf_memsize``
+    (``cdap_geo/utils.py:66-69``), which reserializes the whole RDD
+    through the JVM ``SizeEstimator`` — a full scan plus a pickle
+    round-trip per row. Here the estimate comes from Catalyst's
+    optimized-plan statistics (the same source ``sdf_autopartition``
+    uses): zero jobs, safe at any scale, and it reflects parquet
+    min/max-pruned scans rather than the pickled-Python
+    representation. Absolute numbers therefore differ from the
+    reference; ratios between relations are comparable."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    return int(str(stats.sizeInBytes()))
+
+
+def sdf_print_stats(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Print ``name: Count=…, Size=…, Parts=…`` and return the frame —
+    the reference's debug helper (``cdap_geo/utils.py:71-78``), minus
+    its stack-frame variable-name sniffing (pass ``name=``). Count is
+    one job; Size/Parts are plan-side (no extra scan, unlike the
+    reference's SizeEstimator pass)."""
+    if name is None:
+        name = "sdf"
+    count = df.count()
+    size = sdf_memsize(df)
+    parts = df.rdd.getNumPartitions()
+    print(f"{name}:  Count={count},  Size={size},  Parts={parts}")
+    return df
+
+
 def sdf_autopartition(df: DataFrame, partition_by=None, *,
                       count_ratio: float = 1e-6,
                       mem_ratio: float = 1 / 1024 ** 2,

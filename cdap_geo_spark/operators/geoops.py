@@ -887,3 +887,37 @@ def unpack_gpb_header():
         return pd.DataFrame(rows, columns=["magic", "version", "flags",
                                            "srs_id", "envelope"])
     return _hdr
+
+
+# ---------------------------------------------------------------------------
+# geometry_flatten / geometry_length (reference misc.py parity)
+# ---------------------------------------------------------------------------
+
+def geometry_flatten(blob: bytes):
+    """Recursively yield the atomic components of one WKB geometry —
+    name parity with the reference's ``geometry_flatten``
+    (``cdap_geo/misc.py:20-28``), which yields shapely parts (a
+    polygon yields its exterior then its interiors; multi-geometries
+    recurse; points/lines yield themselves). Here each component is a
+    ``(kind, coords)`` tuple: ``kind`` one of ``'point' | 'line' |
+    'ring'`` and ``coords`` an (n, 2) float64 array. Driver-local
+    (one geometry); the distributed vertex-cost signal is
+    ``udfs.st_num_points`` / ``core.geom.vertex_counts``.
+    """
+    batch = W.parse_wkb([bytes(blob)])
+    if not len(batch) or not batch.valid[0]:
+        return
+    names = {W.KIND_POINT: "point", W.KIND_LINESTRING: "line",
+             W.KIND_POLYGON: "ring"}
+    for p in range(batch.geom_part_off[0], batch.geom_part_off[1]):
+        kind = names.get(int(batch.part_kind[p]), "ring")
+        for r in range(batch.part_ring_off[p], batch.part_ring_off[p + 1]):
+            c0, c1 = batch.ring_coord_off[r], batch.ring_coord_off[r + 1]
+            yield (kind, batch.coords[c0:c1])
+
+
+def geometry_length(blob: bytes) -> int:
+    """Total coordinate count of one WKB geometry — the reference's
+    ``geometry_length`` (``cdap_geo/misc.py:30-32``: sum of
+    ``len(g.coords)`` over the flattened parts)."""
+    return sum(len(coords) for _, coords in geometry_flatten(blob))

@@ -459,3 +459,29 @@ def test_st_subdivide_sjoin_result_unchanged(spark):
            for x in sjoin_pairs(docs, sub.select("region_id", "geometry"),
                                 level=9).collect()}
     assert got == base
+
+
+def test_geometry_flatten_and_length():
+    from cdap_geo_spark.operators.geoops import (geometry_flatten,
+                                                 geometry_length)
+    # polygon with a hole: exterior ring + interior ring, like the
+    # reference's exterior-then-interiors order
+    poly = W.polygon_to_wkb([
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]],
+    ])
+    parts = list(geometry_flatten(poly))
+    assert [k for k, _ in parts] == ["ring", "ring"]
+    assert [len(c) for _, c in parts] == [5, 5]
+    assert geometry_length(poly) == 10
+
+    pt = W.point_to_wkb(3.0, 4.0)
+    parts = list(geometry_flatten(pt))
+    assert parts[0][0] == "point" and parts[0][1].tolist() == [[3.0, 4.0]]
+    assert geometry_length(pt) == 1
+
+    mp = W.multi_to_wkb(W.KIND_MULTIPOINT,
+                        W.points_to_wkb(np.array([1.0, 2.0]),
+                                        np.array([1.0, 2.0])))
+    assert [k for k, _ in geometry_flatten(mp)] == ["point", "point"]
+    assert geometry_length(mp) == 2

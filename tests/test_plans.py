@@ -98,3 +98,17 @@ def test_similarity_ops_have_no_single_partition_exchange(spark):
                 simhash_pairs(df, max_hamming=3)):
         plan = _plan(out)
         assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_sdf_unique_memsize_print_stats(spark, capsys):
+    from cdap_geo_spark.functions.relational import (
+        sdf_memsize, sdf_print_stats, sdf_unique)
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "id long, k string")
+    vals = sorted(r.k for r in sdf_unique(df, "k"))
+    assert vals == ["a", "b"]
+    assert sdf_memsize(df) > 0
+    out = sdf_print_stats(df, name="t")
+    assert out is df
+    printed = capsys.readouterr().out
+    assert "t:  Count=3," in printed and "Parts=" in printed
