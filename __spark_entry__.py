@@ -434,6 +434,43 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.element_at("features", 4).cast("long").alias("w"))
 
 
+def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PNG codec under the oracle gate: each doc gets a REAL
+    zlib-compressed PNG (gray ramp rows; per-row filter type cycles
+    over the five PNG filters, so inflate + every unfilter path runs
+    inside the job), decode_auto decodes it in extract_features, and
+    the oracle recomputes mean/h/w from the same closed-form
+    arithmetic (row means are dyadic rationals, exact in float32)."""
+    import numpy as np
+    import pandas as pd
+
+    from cdap_geo_spark.operators.multimodal import (
+        decode_auto, encode_png, extract_features)
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h = 2 + 2 * (did % 2)
+                w = did % 8 + 2
+                vals = (did * 7 + 31 * np.arange(h)) % 256
+                img = np.repeat(vals[:, None], w, axis=1).astype(np.uint8)
+                blobs.append(encode_png(
+                    img, filters=[(r * 2) % 5 for r in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    src = d.mapInPandas(gen, schema="doc_id long, media binary")
+    out = extract_features(src, decode=decode_auto)
+    return out.select(F.col("doc_id").cast("long"), "decode_ok",
+                      F.size("features").alias("feat_dim"),
+                      F.element_at("features", 1).cast("double")
+                      .alias("mean_px"),
+                      F.element_at("features", 3).cast("long").alias("h"),
+                      F.element_at("features", 4).cast("long").alias("w"))
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import winnow_fingerprints
     d = _docs(spark, sf_dir)
@@ -494,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "embed_dup": _q_embed_dup,
         "media_features": _q_media_features,
+        "png_features": _q_png_features,
         "fingerprints": _q_fingerprints,
         "event_windows": _q_event_windows,
         "sessionize": _q_sessionize,
@@ -815,6 +853,26 @@ _FINGERPRINTS_SQL = """
   UNION ALL
   SELECT CAST(doc_id AS BIGINT) AS doc_id, wm AS fp FROM short
 """
+
+#: png_features oracle: the Spark side encodes h rows of constant
+#: pixel (doc_id*7 + 31*r) % 256 (h in {2,4}, so the mean is a sum of
+#: <=4 bytes over a power-of-two divisor — exact in float32) and
+#: decodes through the real PNG path; the oracle needs only the
+#: closed-form row means.
+_PNG_SQL = """
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         TRUE AS decode_ok,
+         16 AS feat_dim,
+         CASE WHEN doc_id % 2 = 0
+              THEN ((doc_id*7) % 256 + (doc_id*7 + 31) % 256) / 2.0
+              ELSE ((doc_id*7) % 256 + (doc_id*7 + 31) % 256
+                    + (doc_id*7 + 62) % 256 + (doc_id*7 + 93) % 256) / 4.0
+         END AS mean_px,
+         CAST(doc_id % 2 * 2 + 2 AS BIGINT) AS h,
+         CAST(doc_id % 8 + 2 AS BIGINT) AS w
+  FROM documents
+"""
+
 
 _MEDIA_SQL = """
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1147,4 +1205,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_ann_sql(),
         "embed_dup": _embed_dup_sql(),
         "media_features": _MEDIA_SQL,
+        "png_features": _PNG_SQL,
     }

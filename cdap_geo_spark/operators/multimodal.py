@@ -104,6 +104,154 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (palette type 3 unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(blob: bytes):
+    """Yield (type, data) chunks, CRC-checked (PNG spec layout)."""
+    import zlib
+    pos = 8
+    while pos + 8 <= len(blob):
+        size = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + size]
+        crc = int.from_bytes(blob[pos + 8 + size:pos + 12 + size], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA) ->
+    (h, w, channels) uint8. Pure NumPy + stdlib zlib: chunk walk,
+    IDAT inflate, per-scanline unfilter (all five PNG filter types;
+    Sub as a per-lane cumulative sum, Up vectorized, Average/Paeth
+    byte loops over the one sequential dimension). Palette (color
+    type 3), 16-bit and Adam7-interlaced payloads raise ValueError.
+    """
+    import zlib
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(bytes(blob)):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError("palette PNG unsupported")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    ch = _PNG_CHANNELS[ctype_n]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:   # Sub: rec[x] = row[x] + rec[x-ch] -> lane cumsum
+            rec = (row.reshape(w, ch).astype(np.int64).cumsum(axis=0)
+                   % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:   # Up
+            rec = row + prev
+        elif f == 3:   # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:   # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (row[x] + _paeth_predict(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filters=0) -> bytes:
+    """(h, w[, channels]) uint8 -> PNG bytes (round-trips
+    :func:`decode_png`). ``filters``: one filter type 0-4 for every
+    scanline, or a per-row list — encoding with varied filters is how
+    the tests (and the oracle-gated query) exercise every unfilter
+    path. All five filters vectorize at encode time (they read only
+    already-reconstructed bytes)."""
+    import zlib
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    rec = arr.astype(np.uint8).reshape(h, w * ch)
+    flist = [int(filters)] * h if np.isscalar(filters) else list(filters)
+    lines = bytearray()
+    zero = np.zeros(w * ch, np.uint8)
+    for y in range(h):
+        cur = rec[y].astype(np.int16)
+        up = (rec[y - 1] if y else zero).astype(np.int16)
+        left = np.zeros(w * ch, np.int16)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(w * ch, np.int16)
+        upleft[ch:] = up[:-ch]
+        f = flist[y]
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = cur - left
+        elif f == 2:
+            raw = cur - up
+        elif f == 3:
+            raw = cur - ((left + up) >> 1)
+        elif f == 4:
+            p = left + up - upleft
+            pa, pb, pc = (abs(p - left), abs(p - up), abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, upleft))
+            raw = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        lines.append(f)
+        lines.extend((raw & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + ctype + data +
+                (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big") +
+            bytes([8, ctype_n, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(lines), 6)) +
+            chunk(b"IEND", b""))
+
+
 def decode_wav(blob: bytes) -> np.ndarray:
     """PCM 16-bit RIFF/WAVE -> (n_samples, n_channels) int16."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -129,12 +277,14 @@ def decode_wav(blob: bytes) -> np.ndarray:
 
 
 def decode_auto(blob: bytes) -> np.ndarray:
-    """Magic-byte dispatch: netpbm / BMP / WAV decoded for real; codec
-    formats (JPEG/PNG/...) raise NotImplementedError (inject decode=)."""
+    """Magic-byte dispatch: netpbm / BMP / PNG / WAV decoded for real;
+    remaining codec formats (JPEG/MP4/...) raise (inject decode=)."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:8] == _PNG_MAGIC:
+        return decode_png(blob)
     if blob[:4] == b"RIFF":
         return decode_wav(blob)
     # ValueError, not NotImplementedError: under decode_auto an
@@ -143,7 +293,7 @@ def decode_auto(blob: bytes) -> np.ndarray:
     # that fails the whole job loudly.
     raise ValueError(
         "no lib-free decoder for this payload; inject decode= for "
-        "codec formats (JPEG/PNG/MP4)")
+        "codec formats (JPEG/MP4)")
 
 
 def resize_nearest(arr: np.ndarray, height: int, width: int) -> np.ndarray:
