@@ -571,9 +571,40 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def unpersist_all() -> None:
-    """Release every relation the compat layer has cached."""
+    """Release every relation the compat layer has cached.
+
+    The registry grows for the life of the session by design (see
+    ``_PERSISTED``), so long-lived sessions doing many compat joins
+    MUST call this between batches of work — or wrap each batch in
+    :func:`join_scope`, which releases automatically."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+
+
+def join_scope():
+    """Context manager bounding the compat layer's persist registry.
+
+    Inputs persisted by compat joins inside the ``with`` block are
+    unpersisted on exit (only the ones added inside the block —
+    relations persisted before it are untouched). Materialize or
+    write the join OUTPUT inside the block: after exit its inputs may
+    be recomputed with fresh ``monotonically_increasing_id`` values.
+
+        with compat.join_scope():
+            out = compat.join(a, b)
+            out.write.parquet(...)
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        mark = len(_PERSISTED)
+        try:
+            yield
+        finally:
+            while len(_PERSISTED) > mark:
+                _PERSISTED.pop().unpersist()
+    return _scope()
 
 
 def _full_join(left, right, predicate, lsuffix, rsuffix, level=None,

@@ -52,9 +52,20 @@ def _dir_metrics(d: str) -> tuple:
                            for f in files)
 
 
-def manifest_batch_writer(path: str, *, mode: str = "overwrite"):
+def manifest_batch_writer(path: str):
     """A ``foreachBatch`` function writing idempotent per-batch
-    parquet under ``path`` with a commit log (see module doc)."""
+    parquet under ``path`` with a commit log (see module doc).
+
+    The per-batch write mode is HARD-CODED to overwrite: it is the
+    only mode consistent with the commit protocol (a batch that wrote
+    files and crashed before its commit-log line is replayed, and the
+    replay must clobber the half-written directory, never append to
+    it). ``path`` and the commit log use local-filesystem ``os.*`` IO:
+    driver-local or driver-mounted paths only (NFS/fuse mounts work;
+    ``s3://``-style URIs do not — put the checkpoint and sink on a
+    mounted filesystem, or replace the three ``os`` touchpoints with
+    your object-store client).
+    """
     os.makedirs(path, exist_ok=True)
     log_path = os.path.join(path, "_commits.jsonl")
 
@@ -63,7 +74,7 @@ def manifest_batch_writer(path: str, *, mode: str = "overwrite"):
             return  # replay of a committed batch: exactly-once skip
         out_dir = os.path.join(path, f"batch={batch_id}")
         rows = batch_df.count()
-        batch_df.write.mode(mode).parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(out_dir)
         n_files, n_bytes = _dir_metrics(out_dir)
         with open(log_path, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": rows,

@@ -288,3 +288,17 @@ def test_st_explode_compat_keeps_payload(spark):
     orig = W.parse_wkb([wkb])
     assert np.isclose(G.area(pieces).sum(), G.area(orig)[0], rtol=1e-9)
     compat.unpersist_all()
+
+
+def test_join_scope_releases_persists(spark):
+    from cdap_geo_spark import fixtures, docs as D
+    dd = D.with_geometry(fixtures.documents(spark, 40, partitions=2)) \
+        .select("doc_id", "geometry")
+    rr = fixtures.regions(spark, 10).select(F.col("region_id"), "geometry")
+    compat.unpersist_all()
+    base = len(compat._PERSISTED)
+    with compat.join_scope():
+        out = compat.join(dd, rr)
+        assert out.count() >= 0
+        assert len(compat._PERSISTED) > base
+    assert len(compat._PERSISTED) == base
