@@ -151,10 +151,55 @@ def host_envelope() -> dict:
     return {"mem_env_8_to_32": round(rates[32] / (4 * rates[8]), 3)}
 
 
+#: envelope gate: a window whose 8->32-proc memory-bandwidth scaling
+#: reads below this is hypervisor-degraded (BENCH/BASELINE.md records
+#: swings 1.0 <-> 0.02 on ~10-minute windows); headline numbers
+#: measured inside such a window reflect sandbox weather, not plan
+#: cost (round-3 published 99.5 s from an 0.296 window vs the same
+#: build's 18.5-20.6 s in fair windows).
+ENVELOPE_GATE = 0.5
+#: bounded retry budget: probe -> (run | sleep) cycles
+MAX_WINDOW_ATTEMPTS = 5
+#: seconds to wait before re-probing after a degraded window
+WINDOW_RETRY_SLEEP = 60
+
+
+def gated_headline(spark, docs_path: str, regs_path: str) -> dict:
+    """Run the headline inside an envelope-gated window.
+
+    Probe the host immediately before each attempt; only when the
+    probe reads >= ENVELOPE_GATE run the timed series (min of 3).
+    Degraded windows are recorded and retried (bounded). If every
+    attempt is degraded, the least-bad window's series is published
+    anyway but stamped ``weather_degraded: true`` with an
+    envelope-normalized rows/sec estimate alongside — the artifact
+    then says what it is instead of misrepresenting the build.
+    """
+    probes = []
+    for attempt in range(MAX_WINDOW_ATTEMPTS):
+        env = host_envelope()["mem_env_8_to_32"]
+        probes.append(env)
+        if env >= ENVELOPE_GATE:
+            runs = sorted((headline(spark, docs_path, regs_path)
+                           for _ in range(3)), key=lambda h: h["seconds"])
+            env_after = host_envelope()["mem_env_8_to_32"]
+            return {"runs": runs, "envelope_before": env,
+                    "envelope_after": env_after, "probes": probes,
+                    "weather_degraded": False}
+        if attempt < MAX_WINDOW_ATTEMPTS - 1:
+            time.sleep(WINDOW_RETRY_SLEEP)
+    # every window degraded: publish best-effort, stamped
+    runs = sorted((headline(spark, docs_path, regs_path)
+                   for _ in range(2)), key=lambda h: h["seconds"])
+    env_after = host_envelope()["mem_env_8_to_32"]
+    return {"runs": runs, "envelope_before": probes[-1],
+            "envelope_after": env_after, "probes": probes,
+            "weather_degraded": True}
+
+
 def main():
     from cdap_geo_spark.session import get_spark
     sf = sf_of(SF_DIR)
-    env = host_envelope()
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     docs_path, regs_path = ensure_fixtures(spark, sf)
@@ -165,11 +210,10 @@ def main():
     # after: the host's deliverable throughput DECAYS within a session
     # by 3-6x (measured 63 s / 218 s / 370 s for three back-to-back
     # identical runs, and the same drift in BENCH/BASELINE.md's
-    # envelope probes), so a headline measured after a ~6-minute query
-    # sweep reflects sandbox weather, not plan cost. Headline = MIN of
-    # 3 for the same reason; all 3 runs are reported in headline_runs.
-    runs = sorted((headline(spark, docs_path, regs_path)
-                   for _ in range(3)), key=lambda h: h["seconds"])
+    # envelope probes). The gate (gated_headline) retries degraded
+    # windows instead of publishing them.
+    g = gated_headline(spark, docs_path, regs_path)
+    runs = g["runs"]
     h = runs[0]
     queries = relational_queries(spark)
     queries["sjoin_tile_headline"] = h["seconds"]
@@ -187,8 +231,17 @@ def main():
         "warmup_s": warm_s,
         "headline_runs": [r["seconds"] for r in runs],
         "headline_median": runs[len(runs) // 2]["seconds"],
-        "host_envelope": env,
+        "host_envelope": {"mem_env_8_to_32": g["envelope_before"],
+                          "after_headline": g["envelope_after"],
+                          "window_probes": g["probes"]},
+        "envelope_gate": ENVELOPE_GATE,
+        "weather_degraded": g["weather_degraded"],
     }
+    if g["weather_degraded"]:
+        # crude de-rating: what the same series would deliver at
+        # parity bandwidth — an ESTIMATE, labeled as such
+        result["rows_per_sec_env_normalized_estimate"] = round(
+            h["rows_per_sec"] / max(g["envelope_before"], 0.05), 1)
     print(json.dumps(result))
     spark.stop()
 
