@@ -198,8 +198,19 @@ def gated_headline(spark, docs_path: str, regs_path: str) -> dict:
 
 
 def main():
+    import argparse
+
     from cdap_geo_spark.session import get_spark
-    sf = sf_of(SF_DIR)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the per-query sweep (scale-up runs at "
+                         "sf values that have no driver tables)")
+    ap.add_argument("--sf", type=float, default=None,
+                    help="override the scale factor implied by "
+                         "$SPARK_GRAFT_SF_DIR (fixtures are "
+                         "self-generated at any sf)")
+    args = ap.parse_args()
+    sf = args.sf if args.sf is not None else sf_of(SF_DIR)
     spark = get_spark(app="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     docs_path, regs_path = ensure_fixtures(spark, sf)
@@ -215,7 +226,7 @@ def main():
     g = gated_headline(spark, docs_path, regs_path)
     runs = g["runs"]
     h = runs[0]
-    queries = relational_queries(spark)
+    queries = {} if args.headline_only else relational_queries(spark)
     queries["sjoin_tile_headline"] = h["seconds"]
 
     result = {
