@@ -17,9 +17,12 @@ Algorithm (distance-certified iterative expansion):
 4. final rank: ``row_number() over (partition by query order by dist,
    corpus_id) <= k`` — ties broken deterministically by corpus id.
 
-The driver loop iterates over ring radii (doubling the step after the
-first hit round) — each round is one narrow equi-join; candidate
-accumulation stays columnar. At 100 TB the corpus index is written
+The driver loop iterates over ring radii — the FIRST annulus is
+density-seeded (:func:`_seed_radius`: sized so its inscribed disk
+expects ``SEED_SAFETY*k`` points, certifying most queries in one
+round; the unseeded ``[0,0]`` round can never certify since its bound
+is d_k <= 0), then the radius doubles per round. Each round is one
+narrow equi-join; candidate accumulation stays columnar. At 100 TB the corpus index is written
 cell-clustered (repartitionByRange on cell_id) so ring joins prune to
 the touched cells via parquet min/max stats.
 """
@@ -38,12 +41,43 @@ from cdap_geo_spark.core import cells as C
 #: (VERDICT r3 "What's wrong #3").
 BROADCAST_PROBE_ROWS = 250_000
 
+#: density seeding: size the FIRST annulus so its inscribed disk is
+#: expected to hold ``SEED_SAFETY x k`` corpus points — then d_k <=
+#: hi*cellsize certifies most queries in ONE round instead of the
+#: guaranteed-wasted ``[0,0]`` round (whose certification bound is
+#: d_k <= 0, unsatisfiable for a non-coincident neighbour).
+SEED_SAFETY = 4.0
+#: seed-radius ceiling in cells: (2*hi+1)^2 ring cells per pending
+#: query is the probe fan-out, so an ultra-sparse corpus caps the
+#: seed and pays extra (geometrically growing) rounds instead of a
+#: quadratic first-round probe.
+MAX_SEED_RADIUS = 16
+
 
 def _annulus_cells(lo: int, hi: int) -> int:
     """Cell count of the Chebyshev annulus [lo, hi] around one cell."""
     outer = (2 * hi + 1) ** 2
     inner = (2 * lo - 1) ** 2 if lo > 0 else 0
     return outer - inner
+
+
+def _seed_radius(n_corpus: int, area: float, k: int, cellsize: float) -> int:
+    """Initial Chebyshev radius (in cells) for ring expansion.
+
+    Uniform-density estimate: the inscribed disk of the annulus
+    ``[0, hi]`` has radius ``hi*cellsize``; choose the smallest ``hi``
+    whose disk is expected to hold ``SEED_SAFETY*k`` points, so the
+    round-1 certification test ``d_k <= hi*cellsize`` usually passes.
+    A skewed corpus only costs extra rounds for sparse-area queries —
+    the certification bound itself is density-free, so correctness
+    never depends on this estimate.
+    """
+    import math
+    if n_corpus <= 0 or area <= 0 or cellsize <= 0:
+        return 0
+    density = n_corpus / area
+    r_needed = math.sqrt(SEED_SAFETY * max(k, 1) / (math.pi * density))
+    return int(min(MAX_SEED_RADIUS, math.ceil(r_needed / cellsize)))
 
 
 def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
@@ -89,9 +123,31 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             n_pending = n if n <= cap else None  # None = too big
         else:
             n_pending = None
+        # density-seed the first annulus (one agg over the persisted
+        # index — it materializes the persist round 1 pays anyway)
+        cstat = corp.agg(
+            F.count("*").alias("n"),
+            F.min("_cx").alias("x0"), F.max("_cx").alias("x1"),
+            F.min("_cy").alias("y0"), F.max("_cy").alias("y1")).first()
+        if not cstat or not cstat["n"]:
+            # empty corpus: no neighbour exists — return the empty
+            # result instead of spinning max_rounds of empty joins
+            from pyspark.sql import types as T
+            pending.unpersist()
+            schema = T.StructType([
+                q.schema[query_id],
+                T.StructField(corpus_id, corp.schema[corpus_id].dataType),
+                T.StructField("dist", T.DoubleType()),
+                T.StructField("rank", T.IntegerType(), nullable=False),
+            ])
+            return queries.sparkSession.createDataFrame([], schema)
+        area = max((cstat["x1"] - cstat["x0"]) * (cstat["y1"] - cstat["y0"]),
+                   cs * cs)
+        hi0 = _seed_radius(cstat["n"], area, k, cs)
         acc = None
-        # geometric annulus schedule: [0,0], [1,2], [3,6], [7,14], ...
-        lo, hi = 0, 0
+        # geometric annulus schedule seeded at the density-derived
+        # radius: [0,hi0], [hi0+1, 2*hi0+2], ...
+        lo, hi = 0, hi0
         rounds = 0
         dist = udfs.st_point_distance()(
             F.col("_qx"), F.col("_qy"), F.col("_cx"), F.col("_cy"))
@@ -118,12 +174,16 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             # feeds next round's acc, so without truncation the logical
             # plan doubles per round (classic iterative-algorithm trap).
             w = Window.partitionBy(query_id).orderBy("_dist", corpus_id)
+            # lazy checkpoint: the stats agg below is this round's
+            # first action on acc and materializes it — eager=True
+            # would spend a whole extra job per round on the same work
             new_acc = merged.withColumn("_rn", F.row_number().over(w)) \
                             .filter(F.col("_rn") <= k).drop("_rn") \
-                            .localCheckpoint(eager=True)
-            if acc is not None:
-                acc.unpersist()
-            acc = new_acc
+                            .localCheckpoint(eager=False)
+            # the OLD acc's blocks feed new_acc's lineage (checkpoint
+            # truncation makes them unrecomputable) — release it only
+            # AFTER the count below materializes new_acc
+            prev_acc, acc = acc, new_acc
             # done: k candidates AND certified (d_k <= hi*cs: every
             # unexplored cell is at Chebyshev ring >= hi+1, so no
             # unseen point can be closer than hi*cellsize)
@@ -133,8 +193,13 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
                 (F.col("_n") >= k) & (F.col("_dk") <= F.lit(float(hi) * cs)))
             pending_next = pending.join(done_q.select(query_id),
                                         query_id, "left_anti") \
-                                  .localCheckpoint(eager=True)
+                                  .localCheckpoint(eager=False)
+            # count() is the first action of the round: it materializes
+            # BOTH lazy checkpoints (acc feeds done_q feeds this join),
+            # so the next round starts from stored blocks
             n_pending = pending_next.count()
+            if prev_acc is not None:
+                prev_acc.unpersist()
             pending.unpersist()
             pending = pending_next
             if n_pending == 0:

@@ -78,3 +78,35 @@ def test_annulus_cells_arithmetic():
     assert _annulus_cells(0, 1) == 9
     assert _annulus_cells(1, 2) == 24      # 5^2 - 1
     assert _annulus_cells(3, 6) == 13 ** 2 - 5 ** 2
+
+
+def test_knn_empty_corpus_short_circuits(spark):
+    from pyspark.sql import functions as F
+    from cdap_geo_spark import udfs
+    corpus = spark.createDataFrame(
+        [], "doc_id string, geometry binary")
+    queries = spark.createDataFrame(
+        [("q1", 5.0, 9.0)], "query_id string, x double, y double"
+    ).select("query_id", udfs.st_point()(F.col("x"), F.col("y")).alias("geometry"))
+    got = knn_join(queries, corpus, k=3, level=9).toPandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["query_id", "doc_id", "dist", "rank"]
+
+
+def test_seed_radius():
+    import math
+    from cdap_geo_spark.operators.knn import (
+        MAX_SEED_RADIUS, SEED_SAFETY, _seed_radius)
+    # degenerate inputs never seed
+    assert _seed_radius(0, 1e12, 5, 1000.0) == 0
+    assert _seed_radius(100, 0.0, 5, 1000.0) == 0
+    # dense corpus: inscribed disk of one cell already expects >> 4k
+    # points, so the seed stays at the smallest certifiable radius (1)
+    assert _seed_radius(1_000_000, 1e10, 5, 16384.0) == 1
+    # sparse corpus: radius grows like 1/sqrt(density) ...
+    r = _seed_radius(1_000, 1e12, 5, 1000.0)
+    expect = math.ceil(
+        math.sqrt(SEED_SAFETY * 5 / (math.pi * 1_000 / 1e12)) / 1000.0)
+    assert r == min(MAX_SEED_RADIUS, expect) and r > 1
+    # ... but is capped: ultra-sparse pays rounds, not a quadratic probe
+    assert _seed_radius(10, 1e14, 50, 100.0) == MAX_SEED_RADIUS
