@@ -490,6 +490,25 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_events").cast("long"))
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static spatial enrich (``streaming/enrich.py``) run on
+    its batch twin — the operator executes the IDENTICAL map-side plan
+    per micro-batch (stream-static broadcast cell join + bbox
+    prefilter + exact refine), so the batch run oracle-gates the
+    streaming plan; the streaming execution itself is pinned by
+    ``tests/test_enrich_stream.py`` against this same result."""
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark.streaming.enrich import spatial_enrich_stream
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir)) \
+        .select("doc_id", "geometry")
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = spatial_enrich_stream(docs, regions, level=8)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.streaming.windows import sessionize
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
@@ -535,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "event_windows": _q_event_windows,
         "sessionize": _q_sessionize,
+        "stream_enrich": _q_stream_enrich,
     }
 
 
@@ -919,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sjoin_pip": _SJOIN_PIP_SQL,
         "sjoin_pip_salted": _SJOIN_PIP_SQL,
+        "stream_enrich": _SJOIN_PIP_SQL,
         "sjoin_bbox": f"""
           WITH d AS ({_DBOXES}), b AS ({_BOXES})
           SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
