@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from cdap_geo_spark.core.lifetime import (track_checkpoint,
+                                           unpersist_checkpoint)
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -148,12 +150,13 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     # the corpus per site — the same re-derivation trap measured 2.7x
     # on simhash. Stored blocks are (id, distinct-gram array): the
     # relation every downstream join reads anyway.
-    arr = arr.localCheckpoint()
+    arr = track_checkpoint(arr.localCheckpoint())
     sh = arr.select("_id", F.explode("_arr").alias("sh"))
     if max_df is not None:
         keep = sh.groupBy("sh").count().filter(F.col("count") <= max_df) \
                  .select("sh")
-        sh = sh.join(keep, "sh").localCheckpoint()  # AQE broadcasts keep
+        sh = track_checkpoint(
+            sh.join(keep, "sh").localCheckpoint())  # AQE broadcasts keep
         sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
         sets = sh.groupBy("_id").agg(F.collect_list("sh").alias("_arr"))
     else:
@@ -193,9 +196,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     # holds the per-document rank window (a full shuffle of the
     # exploded shingle relation) — re-deriving it would run that
     # shuffle twice
-    pref = pos.filter(F.col("_pos") <= plen) \
-              .select("_id", "sh", "_pos", "sz") \
-              .localCheckpoint()
+    pref = track_checkpoint(
+        pos.filter(F.col("_pos") <= plen)
+           .select("_id", "sh", "_pos", "sz")
+           .localCheckpoint())
     a = pref.toDF("ida", "sh", "pa", "sza")
     b = pref.toDF("idb", "sh", "pb", "szb")
     pct = F.lit(threshold_pct)
@@ -319,6 +323,7 @@ def minhash_lsh_pairs(df: DataFrame, *, num_perm: int = 64, bands: int = 16,
             .withColumn("_sig",
                         minhash_signature_from_hashes(num_perm)(F.col("_hs"))) \
             .localCheckpoint()
+    sig = track_checkpoint(sig)
 
     # band key = md5 of the comma-joined band slice (NOT F.hash: md5 is
     # the engine-independent choice the SQL oracle can recompute)
@@ -449,8 +454,9 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
     subtree to analyze/codegen, and re-deriving it per site tripled
     the wall time (measured 19.5s -> 7.1s at sf0.01 on 8 cores).
     """
-    sh = simhash_rel(df, id_col=id_col, text_col=text_col,
-                     token_hash=token_hash).localCheckpoint()
+    sh = track_checkpoint(
+        simhash_rel(df, id_col=id_col, text_col=text_col,
+                    token_hash=token_hash).localCheckpoint())
     bands_df = sh.select("_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("sh", 48 - i * 16)
@@ -550,11 +556,13 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                    .join(labels, "node")
                    .filter(F.col("_new") != F.col("label")).limit(1)
                    .count())
-        labels.unpersist()
+        unpersist_checkpoint(labels)   # superseded round's blocks
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    unpersist_checkpoint(sym)    # loop-only relation; release eagerly
+    track_checkpoint(labels)     # survives for the caller; scoped release
     if not converged:
         msg = (f"dedup_components did not converge within "
                f"{max_rounds} rounds — labels would be wrong; raise "

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from cdap_geo_spark.core.lifetime import track_checkpoint
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -310,10 +311,11 @@ def embedding_dup_pairs(df: DataFrame, *, dim: int,
     # sites (key explode + both verify sides) and the Arrow signature
     # UDF would otherwise re-run per site — same re-derivation trap as
     # minhash/simhash (operators/dedup.py), measured 2.7x there
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.col(vec_col).cast("array<double>").alias("_v"),
-                     sig(F.col(vec_col)).alias("_sig")) \
-             .localCheckpoint()
+    base = track_checkpoint(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"),
+                  sig(F.col(vec_col)).alias("_sig"))
+          .localCheckpoint())
     keys = base.select(
         "_id",
         F.posexplode("_sig").alias("band", "key")).where(

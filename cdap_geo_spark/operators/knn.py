@@ -29,6 +29,8 @@ the touched cells via parquet min/max stats.
 
 from __future__ import annotations
 
+from cdap_geo_spark.core.lifetime import (track_checkpoint,
+                                           unpersist_checkpoint)
 from pyspark.sql import DataFrame, Window, functions as F
 
 from cdap_geo_spark import udfs
@@ -199,13 +201,15 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             # so the next round starts from stored blocks
             n_pending = pending_next.count()
             if prev_acc is not None:
-                prev_acc.unpersist()
-            pending.unpersist()
+                unpersist_checkpoint(prev_acc)
+            unpersist_checkpoint(pending)
             pending = pending_next
             if n_pending == 0:
                 break
             lo, hi = hi + 1, hi * 2 + 2
             rounds += 1
+        unpersist_checkpoint(pending)  # loop-only; materialized by its count
+        track_checkpoint(acc)        # feeds the result; scoped release
         w = Window.partitionBy(query_id).orderBy("_dist", corpus_id)
         out = acc.withColumn("rank", F.row_number().over(w)) \
                  .filter(F.col("rank") <= k) \
