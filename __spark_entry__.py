@@ -509,6 +509,33 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("region_id").cast("long"))
 
 
+def _q_sjoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs as sjoin_pip, but through the bucketed at-rest
+    layout: both sides' cell indexes persisted bucketBy(cell_id) so
+    the join itself runs with ZERO shuffle of either side
+    (operators/bucketed.py; the only Exchange left is the narrow
+    pair dedup). Oracle: identical SQL to sjoin_pip — proves the
+    exchange-free plan returns the same rows."""
+    import tempfile
+
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.bucketed import (index_to_bucketed_table,
+                                                   sjoin_bucketed)
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    root = tempfile.mkdtemp(prefix="cdap_geo_bucketed_")
+    index_to_bucketed_table(docs, "bench_bt_docs", id_col="doc_id",
+                            level=8, buckets=16, path=f"{root}/docs")
+    index_to_bucketed_table(regions, "bench_bt_regions", id_col="region_id",
+                            level=8, buckets=16, path=f"{root}/regions")
+    out = sjoin_bucketed(spark, "bench_bt_docs", "bench_bt_regions",
+                         left_id="doc_id", right_id="region_id")
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.streaming.windows import sessionize
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
@@ -523,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
         "sjoin_pip_salted": _q_sjoin_pip_salted,
+        "sjoin_bucketed": _q_sjoin_bucketed,
         "sjoin_bbox": _q_sjoin_bbox,
         "distance_join": _q_distance_join,
         "tile_assign": _q_tile_assign,
@@ -939,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sjoin_pip": _SJOIN_PIP_SQL,
         "sjoin_pip_salted": _SJOIN_PIP_SQL,
+        "sjoin_bucketed": _SJOIN_PIP_SQL,
         "stream_enrich": _SJOIN_PIP_SQL,
         "sjoin_bbox": f"""
           WITH d AS ({_DBOXES}), b AS ({_BOXES})

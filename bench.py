@@ -118,9 +118,17 @@ def relational_queries(spark) -> dict:
     import __spark_entry__ as E
     qs = E.queries()
 
+    from cdap_geo_spark.core.lifetime import checkpoint_scope
+
     def run(name):
         t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # scope releases each query's localCheckpoint blocks as soon as
+        # the noop write materializes — without it, 34 queries' worth of
+        # fingerprint relations accumulate until driver GC and the tail
+        # of the sweep runs under avoidable storage-memory pressure
+        with checkpoint_scope():
+            qs[name](spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
         return round(time.time() - t0, 3)
 
     out = {name: run(name) for name in qs}

@@ -278,7 +278,24 @@ def sjoin_pairs(left: DataFrame, right: DataFrame, *,
 
     rside = F.broadcast(r) if broadcast is True else r
     cand = l.join(rside, on=join_keys, how="inner")
+    return refine_candidates(
+        cand, left_id=left_id, right_id=right_id, predicate=predicate,
+        distance=distance, left_geom_c=left_geom_c, right_geom=right_geom,
+        fast_path_ok=fast_path_ok, dedup=dedup,
+        keep_distance=keep_distance, keep_left_geom=keep_left_geom)
 
+
+def refine_candidates(cand: DataFrame, *, left_id: str, right_id: str,
+                      predicate: str, distance: float | None,
+                      left_geom_c: str, right_geom: str,
+                      fast_path_ok: bool, dedup: bool,
+                      keep_distance: bool = False,
+                      keep_left_geom: bool = False) -> DataFrame:
+    """Prefilter + exact refinement over a cell-joined candidate
+    relation (shared by :func:`sjoin_pairs` and the bucketed join in
+    :mod:`cdap_geo_spark.operators.bucketed` — both produce the same
+    candidate schema: ids, ``_l*``/``_r*`` bounds, ``_rinside``,
+    geometry blobs)."""
     # bbox-overlap prefilter — native, codegen'd; strict inequalities
     # exactly as the reference (touching bboxes remain candidates,
     # cdap_geo/index_bbox.py:56-61). For distance joins the test is

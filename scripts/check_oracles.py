@@ -34,10 +34,15 @@ def main():
     qs, os_ = E.queries(), E.oracle_sql()
     failures = 0
     only = sys.argv[2:] or list(qs)
+    from cdap_geo_spark.core.lifetime import checkpoint_scope
     for name in only:
         fn = qs[name]
         t0 = time.time()
-        got = fn(spark, SF_DIR).toPandas()
+        # release each query's checkpoint blocks once toPandas lands —
+        # a 34-query sweep otherwise holds every fingerprint relation
+        # until driver GC
+        with checkpoint_scope():
+            got = fn(spark, SF_DIR).toPandas()
         t1 = time.time()
         if name not in os_:
             print(f"{name}: rows={len(got)} (rows-only) {t1-t0:.1f}s")

@@ -1,0 +1,88 @@
+"""Bucketed co-located spatial join: result parity with sjoin_pairs
+plus the structural property the layout buys — a join plan with ZERO
+Exchange nodes (Catalyst proves co-partitioning from the catalog's
+bucket spec, so neither side shuffles)."""
+
+import pytest
+
+from cdap_geo_spark import docs as D, fixtures
+from cdap_geo_spark.operators.bucketed import (index_to_bucketed_table,
+                                               plan_has_no_exchange,
+                                               sjoin_bucketed)
+from cdap_geo_spark.operators.sjoin import sjoin_pairs
+
+
+@pytest.fixture(scope="module")
+def bucketed_world(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    docs = D.with_geometry(fixtures.documents(spark, 250, partitions=4))
+    regions = fixtures.regions(spark, 60)
+    index_to_bucketed_table(
+        docs, "bt_docs", id_col="doc_id", level=9, buckets=8,
+        path=str(root / "docs"))
+    index_to_bucketed_table(
+        regions, "bt_regions", id_col="region_id", level=9, buckets=8,
+        path=str(root / "regions"))
+    yield docs, regions
+    for t in ("bt_docs", "bt_regions"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _pairs(df):
+    return set(map(tuple, df.select("doc_id", "region_id").collect()))
+
+
+def test_bucketed_join_matches_sjoin_pairs(spark, bucketed_world):
+    docs, regions = bucketed_world
+    want = _pairs(sjoin_pairs(docs, regions, left_id="doc_id",
+                              right_id="region_id", level=9))
+    got = _pairs(sjoin_bucketed(spark, "bt_docs", "bt_regions",
+                                left_id="doc_id", right_id="region_id"))
+    assert got == want and len(got) > 0
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, bucketed_world):
+    # disable broadcast so Catalyst must pick sort-merge: the property
+    # under test is that the bucketed layout alone removes the shuffle
+    saved = [spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+             spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = sjoin_bucketed(spark, "bt_docs", "bt_regions",
+                               left_id="doc_id", right_id="region_id",
+                               dedup=False)
+        assert plan_has_no_exchange(pairs)
+        # sanity: the SAME join over unbucketed relations DOES shuffle
+        docs, regions = bucketed_world
+        shuffled = sjoin_pairs(docs, regions, left_id="doc_id",
+                               right_id="region_id", level=9,
+                               broadcast=False, salt=1, dedup=False)
+        assert not plan_has_no_exchange(shuffled)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved[0])
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       saved[1])
+
+
+def test_bucketed_bbox_predicate(spark, bucketed_world, tmp_path):
+    docs, regions = bucketed_world
+    want = _pairs(sjoin_pairs(docs, regions, left_id="doc_id",
+                              right_id="region_id", level=9,
+                              predicate="bbox", left_how="bbox",
+                              right_how="bbox"))
+    # bbox tables: covers computed with how='bbox' on both sides
+    index_to_bucketed_table(docs, "bt_docs_bbox", id_col="doc_id",
+                            level=9, how="bbox", buckets=8,
+                            path=str(tmp_path / "docs_bbox"))
+    index_to_bucketed_table(regions, "bt_regions_bbox", id_col="region_id",
+                            level=9, how="bbox", buckets=8,
+                            path=str(tmp_path / "regions_bbox"))
+    try:
+        got = _pairs(sjoin_bucketed(spark, "bt_docs_bbox", "bt_regions_bbox",
+                                    left_id="doc_id", right_id="region_id",
+                                    predicate="bbox", left_how="bbox"))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs_bbox")
+        spark.sql("DROP TABLE IF EXISTS bt_regions_bbox")
