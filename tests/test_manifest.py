@@ -74,3 +74,10 @@ def test_ingest_clusters_and_resumes(spark, tmp_path):
     full = with_cell_id(dd, level=8)
     assert sub.count() == cell_range_filter(full, 0, 0, 100_000, 100_000,
                                             level=8).count()
+    # ...and the predicate reaches the parquet SCAN (PushedFilters), so
+    # on the range-clustered layout the reader skips row groups via
+    # footer min/max stats instead of filtering post-scan
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "cell_id" in pushed
