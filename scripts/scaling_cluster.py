@@ -191,14 +191,21 @@ physically deliver 4x) and 1->4 / 2->8 at 4 cores per executor.
 
 All reps: {json.dumps(summary['reps'])}
 """
-    text = ""
+    # replace ONLY this section: everything before the marker stays,
+    # and any LATER section (next "\n## " heading after the marker)
+    # is re-attached below — a run must never truncate unrelated
+    # sections appended after this one.
+    text, tail = "", ""
     if os.path.exists(path):
         with open(path) as f:
             text = f.read()
         if marker in text:
-            text = text.split(marker)[0]
+            text, rest = text.split(marker, 1)
+            nxt = rest.find("\n## ")
+            if nxt != -1:
+                tail = rest[nxt:]
     with open(path, "w") as f:
-        f.write(text + body)
+        f.write(text + body + tail)
 
 
 if __name__ == "__main__":
