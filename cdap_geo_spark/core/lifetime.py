@@ -36,13 +36,24 @@ later actions on those results fail with missing-block errors.
 """
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-#: ids of checkpointed RDDs, in creation order (ints — never objects,
-#: see module docstring)
-_TRACKED: list = []
+#: per-thread registry of checkpointed RDD ids, in creation order
+#: (ints — never objects, see module docstring). Thread-local because
+#: Spark drivers routinely submit jobs from several threads: a scope
+#: on one thread must never release (or re-own) checkpoints another
+#: thread is still building on.
+_TLS = threading.local()
+
+
+def _tracked() -> list:
+    ids = getattr(_TLS, "ids", None)
+    if ids is None:
+        ids = _TLS.ids = []
+    return ids
 
 
 def _checkpoint_rdd(df: DataFrame):
@@ -58,10 +69,11 @@ def _checkpoint_rdd(df: DataFrame):
 
 
 def track_checkpoint(df: DataFrame) -> DataFrame:
-    """Register a localCheckpoint'ed DataFrame for scoped release."""
+    """Register a localCheckpoint'ed DataFrame for scoped release
+    (on the calling thread's registry)."""
     rdd = _checkpoint_rdd(df)
     if rdd is not None:
-        _TRACKED.append(rdd.id())
+        _tracked().append(rdd.id())
     return df
 
 
@@ -101,14 +113,14 @@ def _release(ids) -> None:
 
 
 def release_checkpoints() -> None:
-    """Unpersist every tracked checkpoint still alive.
+    """Unpersist every checkpoint tracked on THIS thread still alive.
 
     Call between batches in long-lived sessions, AFTER materializing
     all results of the previous batch (see module docstring).
     """
-    global _TRACKED
-    ids, _TRACKED = _TRACKED, []
-    _release(ids)
+    ids = _tracked()
+    taken, ids[:] = ids[:], []
+    _release(taken)
 
 
 @contextmanager
@@ -122,13 +134,14 @@ def checkpoint_scope():
             n = pairs.count()          # fully consumed inside
         # fingerprint blocks are gone here
 
-    Only checkpoints created INSIDE the block are released — nesting
-    and interleaving with GC-paced callers is safe.
+    Only checkpoints created INSIDE the block — on this thread — are
+    released; nesting, other threads' scopes, and interleaving with
+    GC-paced callers are all safe.
     """
-    global _TRACKED
-    mark = len(_TRACKED)
+    ids = _tracked()
+    mark = len(ids)
     try:
         yield
     finally:
-        tail, _TRACKED = _TRACKED[mark:], _TRACKED[:mark]
+        tail, ids[mark:] = ids[mark:], []
         _release(tail)

@@ -182,6 +182,43 @@ def test_knn_and_components_checkpoints_release_in_scope(spark):
     assert _persisted_ids(spark) - before == set()
 
 
+def test_checkpoint_scope_is_thread_isolated(spark):
+    # Spark drivers submit jobs from several threads; a scope on one
+    # thread must never release checkpoints another thread created
+    import threading
+
+    from cdap_geo_spark.core.lifetime import (checkpoint_scope,
+                                              release_checkpoints,
+                                              track_checkpoint)
+
+    before = _persisted_ids(spark)
+    other: dict = {}
+
+    def worker():
+        mine_before = _persisted_ids(spark)
+        df = track_checkpoint(spark.range(10).localCheckpoint())
+        other["ids"] = _persisted_ids(spark) - mine_before
+        assert df.count() == 10
+
+    with checkpoint_scope():
+        track_checkpoint(spark.range(5).localCheckpoint()).count()
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+    # the worker thread's checkpoint must SURVIVE the main scope
+    assert other["ids"] & _persisted_ids(spark) == other["ids"]
+    # ...until its own thread releases it
+    t2 = threading.Thread(target=release_checkpoints)
+    t2.start()
+    t2.join()
+    # worker tracked on its own registry, so main-thread release is a
+    # no-op for it; t2 ran release on a THIRD thread (empty registry),
+    # so the block is still alive — release it via the live map
+    from cdap_geo_spark.core.lifetime import _release
+    _release(other["ids"])
+    assert _persisted_ids(spark) & other["ids"] == set()
+
+
 def test_simhash_native_matches_python_band_structure(spark):
     # the native-md5 pipeline and the Python splitmix path must agree
     # on the PAIR SET for planted near-dups (hash family differs, the
