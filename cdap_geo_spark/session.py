@@ -81,9 +81,17 @@ def get_spark(app: str = "cdap_geo_spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    import tempfile
     b = (SparkSession.builder.appName(app)
          .master(master or f"local[{cores}]")
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         # bucketed tables (operators/bucketed.py) register in the
+         # in-memory catalog; point the default warehouse at tmp so a
+         # path-less saveAsTable never drops spark-warehouse/ into cwd
+         .config("spark.sql.warehouse.dir",
+                 os.environ.get("SPARK_WAREHOUSE_DIR",
+                                os.path.join(tempfile.gettempdir(),
+                                             "cdap_geo_warehouse")))
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "24g")))
     if master and master.startswith("local-cluster"):
