@@ -289,8 +289,23 @@ def write_md(summary):
         "All reps: " + json.dumps(reps),
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve sections this writer does not own (the local-cluster
+    # protocol's section, per-round evidence records, ...): re-attach
+    # everything from the first foreign "## " heading onward — a run
+    # must never truncate content other tooling appended.
+    own = {"## Evidence chain: raw -> envelope -> Spark ceiling",
+           "## Engine-side scaling work this round"}
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read().splitlines()
+        for i, line in enumerate(existing):
+            if line.startswith("## ") and line.strip() not in own:
+                tail = "\n" + "\n".join(existing[i:]) + "\n"
+                break
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
