@@ -65,6 +65,33 @@ def test_bucketed_join_plan_has_no_exchange(spark, bucketed_world):
                        saved[1])
 
 
+def test_bucketed_distance_predicate(spark, bucketed_world, tmp_path):
+    # distance joins need the LEFT table written with dilate=d (the
+    # same lossless cover dilation sjoin_pairs applies at plan time)
+    d = 5_000.0
+    docs, regions = bucketed_world
+    want = set(map(tuple, sjoin_pairs(
+        docs, regions, left_id="doc_id", right_id="region_id", level=9,
+        predicate="distance", distance=d).select("doc_id", "region_id")
+        .collect()))
+    index_to_bucketed_table(docs, "bt_docs_dist", id_col="doc_id",
+                            level=9, how="bbox", dilate=d, buckets=8,
+                            path=str(tmp_path / "docs_dist"))
+    index_to_bucketed_table(regions, "bt_regions_dist", id_col="region_id",
+                            level=9, how="bbox", buckets=8,
+                            path=str(tmp_path / "regions_dist"))
+    try:
+        got = set(map(tuple, sjoin_bucketed(
+            spark, "bt_docs_dist", "bt_regions_dist",
+            left_id="doc_id", right_id="region_id",
+            predicate="distance", left_how="bbox", distance=d)
+            .select("doc_id", "region_id").collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs_dist")
+        spark.sql("DROP TABLE IF EXISTS bt_regions_dist")
+
+
 def test_bucketed_bbox_predicate(spark, bucketed_world, tmp_path):
     docs, regions = bucketed_world
     want = _pairs(sjoin_pairs(docs, regions, left_id="doc_id",
