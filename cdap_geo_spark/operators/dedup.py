@@ -95,12 +95,95 @@ def token_hash64(tok: Column) -> Column:
 # exact n-gram jaccard (PPJoin prefix filtering, fully distributed)
 # ---------------------------------------------------------------------------
 
+def _bucket_count_sketch(buckets: int):
+    """Pandas-UDF factory: per-row histogram of ``gram & (buckets-1)``
+    over an ``array<long>`` gram-hash column, PACKED for codegen:
+    counts are clipped to 7 bits and packed 8-per-long little-endian,
+    returning ``array<long>`` of length ``buckets/8 + 1`` whose LAST
+    element is the total clipping overflow ``sum(count - min(count,
+    127))``. One vectorized ``np.bincount`` per row, computed ONCE
+    map-side over the checkpointed gram relation (Arrow-batched — no
+    per-row Python UDF).
+
+    Packing (not an ``array<int>``) is what keeps the per-match bound
+    in whole-stage codegen: higher-order functions (``zip_with`` /
+    ``aggregate``) are interpreted per row, and the measured overhead
+    at sf0.1/t=60% was ~2 µs × 5M match rows ≈ 10 s regardless of
+    array length; :func:`_packed_minsum` replaces them with flat
+    bitwise long arithmetic. The overflow word keeps the bound
+    lossless under clipping: ``min(cx,cy) <= min(ĉx,ĉy) + (cx-ĉx) +
+    (cy-ĉy)`` per bucket, so ``inter <= Σ min(ĉx,ĉy) + OVx + OVy``."""
+    if buckets & (buckets - 1) or buckets < 8:
+        raise ValueError(
+            f"sketch_buckets must be a power of 2 and >= 8: {buckets}")
+    mask = buckets - 1
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def f(arrs: pd.Series) -> pd.Series:
+        def one(a):
+            c = np.bincount(np.asarray(a, dtype=np.int64) & mask,
+                            minlength=buckets)
+            clipped = np.minimum(c, 127).astype(np.uint8)
+            packed = clipped.view("<u8").astype(np.int64)
+            return np.append(packed, int(c.sum() - clipped.sum()))
+        return arrs.map(one)
+    return f
+
+
+def _packed_minsum(ska: Column, skb: Column, buckets: int) -> Column:
+    """``Σ_b min(ĉx[b], ĉy[b]) + OVx + OVy`` over two packed sketches —
+    a lossless upper bound on ``|x ∩ y|`` (every shared gram lands in
+    the same bucket on both sides; see :func:`_bucket_count_sketch`
+    for the clipping correction). Pure codegen'd long arithmetic:
+    per packed long, byte lanes are split into even/odd 16-bit
+    half-lanes, compared with a guard bit at half-lane bit 8 (all
+    operands stay positive and < 2^57, so the arithmetic is ANSI-safe
+    — no signed overflow), lane-wise ``min`` selected by mask, and the
+    16-bit half-lane sums accumulated across all longs (max 2·16·127
+    per lane — no cross-lane carry) before one final lane fold."""
+    nlongs = buckets // 8
+    EVEN = F.lit(0x00FF00FF00FF00FF)   # even byte lanes, widened to 16b
+    GUARD = F.lit(0x0100010001000100)  # borrow guard at half-lane bit 8
+    ONES = F.lit(0x0001000100010001)
+    LANE = F.lit(0xFFFF)
+
+    def lane_min(a_h, b_h):
+        # per 16-bit half-lane (values <= 0x7F): min(a, b); the mask
+        # complement is an XOR against the lane field (no unary ~ on
+        # Columns)
+        ge = F.shiftrightunsigned((a_h.bitwiseOR(GUARD) - b_h), 8) \
+              .bitwiseAND(ONES)
+        msk = ge * F.lit(0xFF)             # 0xFF in half-lanes where a>=b
+        inv = msk.bitwiseXOR(EVEN)         # 0xFF where a <  b
+        return b_h.bitwiseAND(msk).bitwiseOR(a_h.bitwiseAND(inv))
+
+    acc = None
+    for i in range(nlongs):
+        a = F.element_at(ska, i + 1)
+        b = F.element_at(skb, i + 1)
+        a_e, b_e = a.bitwiseAND(EVEN), b.bitwiseAND(EVEN)
+        a_o = F.shiftrightunsigned(a, 8).bitwiseAND(EVEN)
+        b_o = F.shiftrightunsigned(b, 8).bitwiseAND(EVEN)
+        part = lane_min(a_e, b_e) + lane_min(a_o, b_o)
+        acc = part if acc is None else acc + part
+    total = (acc.bitwiseAND(LANE)
+             + F.shiftrightunsigned(acc, 16).bitwiseAND(LANE)
+             + F.shiftrightunsigned(acc, 32).bitwiseAND(LANE)
+             + F.shiftrightunsigned(acc, 48).bitwiseAND(LANE))
+    return (total
+            + F.element_at(ska, nlongs + 1)
+            + F.element_at(skb, nlongs + 1))
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
                         threshold_pct: int = 40,
                         id_col: str = "doc_id", text_col: str = "text",
                         max_df: int | None = None,
                         prefix_filter: bool = True,
-                        hashed: bool = True) -> DataFrame:
+                        hashed: bool = True,
+                        sketch: bool | None = None,
+                        sketch_buckets: int = 128,
+                        _return_candidates: bool = False) -> DataFrame:
     """(id_a, id_b, inter, uni) for pairs with jaccard >= threshold_pct/100
     over distinct character k-grams; id_a < id_b.
 
@@ -138,6 +221,38 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     checkability is unchanged. Distinct-set identity is preserved up
     to md5 collisions — and both engines share the same collisions by
     construction. ``hashed=False`` keeps the raw-string variant.
+
+    **High-threshold candidate culls (round 5, both LOSSLESS — output
+    rows are provably identical, the SQL oracle is unchanged):** the
+    round-4 profile measured an 18,000:1 false-candidate ratio at
+    k=5/t=60% (4.60M candidates → 256 true pairs; exact verify = 63%
+    of the 32 s wall). Two extra filters close that gap:
+
+    1. **Count-sketch pre-verify bound, evaluated inside the join
+       stage** (``sketch=True``; default auto-on when
+       ``threshold_pct >= 55``). Each doc carries a ``sketch_buckets``
+       -bucket histogram of its gram hashes (mod buckets) ON the
+       prefix relation, so for every prefix match the exact bound
+       ``inter(x,y) <= sum_b min(cx[b], cy[b])`` (counts are exact,
+       every shared gram lands in the same bucket on both sides) is
+       checked in codegen BEFORE the pair ever reaches the candidate
+       shuffle or the full-array verify join. For ~290-gram docs at
+       t=60% the expected unrelated-pair bound (~186 at B=128) sits
+       several σ below the required overlap (~221), so ~99% of false
+       candidates die here at the cost of +4·B bytes per prefix row
+       — linear in corpus size, vs the superlinear candidate set it
+       removes. Auto-off at low thresholds, where most candidates are
+       true pairs and the bound rarely fires.
+    2. **Aggregated PPJoin bound** (always on): the per-match
+       positional bound ``1 + min(sz - pos)`` is monotone-decreasing
+       in position, so the matches that survive it are a position-
+       prefix of the pair's common-prefix tokens; grouping them gives
+       the streaming-PPJoin accumulated bound ``c + min(sza - pa_max,
+       szb - pb_max)`` (Xiao et al. WWW'08), valid because every
+       common token before the last surviving match is itself a
+       counted match. This replaces the round-4 ``dropDuplicates``
+       with a same-shuffle ``groupBy`` that also tightens multi-match
+       pairs for free.
     """
     if hashed:
         arr = df.select(F.col(id_col).alias("_id"),
@@ -192,6 +307,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
             - F.floor((F.col("sz") * threshold_pct + 99) / 100) + 1)
     pos = ranked.withColumn("_pos", F.row_number().over(w)) \
                 .join(sizes, "_id")
+    use_sketch = sketch if sketch is not None else threshold_pct >= 55
     # materialized ONCE: pref feeds both join sides, and its lineage
     # holds the per-document rank window (a full shuffle of the
     # exploded shingle relation) — re-deriving it would run that
@@ -209,14 +325,52 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     # (100+pct)*inter >= pct*(sza+szb); the loosest — first — match of
     # any qualifying pair passes, so no true pair is lost)
     ub = F.least(F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")) + 1
-    matches = (a.join(b, "sh")
-               .filter((F.col("ida") < F.col("idb"))
-                       & (F.lit(100) * F.col("sza") >= pct * F.col("szb"))
-                       & (F.lit(100) * F.col("szb") >= pct * F.col("sza"))
-                       & ((F.lit(100) + pct) * ub
-                          >= pct * (F.col("sza") + F.col("szb")))))
-    # distinct pairs (map-side partial agg keeps the shuffle narrow)
-    cand = matches.select("ida", "idb").dropDuplicates(["ida", "idb"])
+    cond = ((F.col("ida") < F.col("idb"))
+            & (F.lit(100) * F.col("sza") >= pct * F.col("szb"))
+            & (F.lit(100) * F.col("szb") >= pct * F.col("sza"))
+            & ((F.lit(100) + pct) * ub
+               >= pct * (F.col("sza") + F.col("szb"))))
+    matches = a.join(b, "sh").filter(cond) \
+               .select("ida", "idb", "pa", "pb", "sza", "szb")
+    # distinct pairs via the SAME shuffle dropDuplicates would run,
+    # but aggregating the streaming-PPJoin accumulated bound: c prefix
+    # matches survived (a position-prefix of the common tokens — see
+    # docstring), so inter <= c + min(sza - max(pa), szb - max(pb));
+    # max(pa) and max(pb) come from the same match row because the
+    # global (df, sh) order ranks both docs identically.
+    grp = matches.groupBy("ida", "idb").agg(
+        F.count("*").alias("_c"),
+        F.max("pa").alias("_mpa"), F.max("pb").alias("_mpb"),
+        F.first("sza").alias("_gsza"), F.first("szb").alias("_gszb"))
+    aggub = F.col("_c") + F.least(F.col("_gsza") - F.col("_mpa"),
+                                  F.col("_gszb") - F.col("_mpb"))
+    cand = grp.filter((F.lit(100) + pct) * aggub
+                      >= pct * (F.col("_gsza") + F.col("_gszb"))) \
+              .select("ida", "idb", "_gsza", "_gszb")
+    if use_sketch:
+        # count-sketch cull per DEDUPED pair, in its own lean stage.
+        # Placement matters: evaluated inside the prefix self-join the
+        # fused join+bound method exceeded the JIT's 8K-bytecode inline
+        # limit and ran interpreted (measured 29.5 s vs 3.0 s for the
+        # slim join at sf0.1/t=60%); here the stage is just two id
+        # equi-joins (AQE broadcasts the docs-scale sketch relation
+        # when small, shuffles the 16-byte pair rows otherwise) plus
+        # the packed-long bound, which stays JIT-compiled (~0.1 µs/row)
+        sk = track_checkpoint(arr.select(
+            "_id",
+            _bucket_count_sketch(sketch_buckets)("_arr").alias("_sk"))
+            .localCheckpoint())
+        skub = _packed_minsum(F.col("ska"), F.col("skb"), sketch_buckets)
+        cand = (cand
+                .join(sk.toDF("ida", "ska"), "ida")
+                .join(sk.toDF("idb", "skb"), "idb")
+                .filter((F.lit(100) + pct) * skub
+                        >= pct * (F.col("_gsza") + F.col("_gszb")))
+                .select("ida", "idb"))
+    else:
+        cand = cand.select("ida", "idb")
+    if _return_candidates:          # profiling/test hook: the pair set
+        return cand                 # that reaches the exact verify stage
     # exact verify over full distinct-shingle arrays — native
     # array_intersect, no Python. Plain joins: when the sets relation
     # is small AQE broadcasts it; at corpus scale it degrades to a
@@ -529,40 +683,44 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
-    converged = False
+    labels_cp = labels          # the checkpointed frame (plan root =
+    converged = False           # LogicalRDD) — what lifetime ops need
     for _ in range(max_rounds):
         # neighbour minimum per node (edges carry src->dst; labels of
         # dst flow to src), then min with own label
         nbr = (sym.join(labels.withColumnsRenamed(
                     {"node": "dst", "label": "_dl"}), "dst")
                .groupBy("src").agg(F.min("_dl").alias("_nl")))
-        prop = (labels.join(nbr.withColumnRenamed("src", "node"),
-                            "node", "left")
-                .select("node",
-                        F.least("label", F.coalesce("_nl", "label"))
+        prop = (labels.withColumnRenamed("label", "_old")
+                .join(nbr.withColumnRenamed("src", "node"),
+                      "node", "left")
+                .select("node", "_old",
+                        F.least("_old", F.coalesce("_nl", "_old"))
                         .alias("label")))
         # pointer jumping: label(v) <- label(label(v)). Labels are
         # always node ids (mins over reachable sets), so the self-join
         # always matches; left+coalesce guards the root's own row.
         ll = prop.select(F.col("node").alias("label"),
                          F.col("label").alias("_ll"))
-        new_labels = (prop.join(ll, "label", "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce("_ll", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("label", "_new")
-                   .join(labels, "node")
-                   .filter(F.col("_new") != F.col("label")).limit(1)
-                   .count())
-        unpersist_checkpoint(labels)   # superseded round's blocks
-        labels = new_labels
+        new_full = (prop.join(ll, "label", "left")
+                    .select("node", "_old",
+                            F.least(F.col("label"),
+                                    F.coalesce("_ll", "label"))
+                            .alias("label"))
+                    .withColumn("_chg", F.col("label") != F.col("_old"))
+                    .localCheckpoint(eager=True))
+        # convergence check reads the round's OWN checkpointed blocks
+        # (the old-label column rides the round), not a fresh join
+        # against the previous labels — one fewer shuffle job per round
+        changed = new_full.filter("_chg").limit(1).count()
+        unpersist_checkpoint(labels_cp)   # superseded round's blocks
+        labels_cp = new_full
+        labels = new_full.select("node", "label")
         if changed == 0:
             converged = True
             break
-    unpersist_checkpoint(sym)    # loop-only relation; release eagerly
-    track_checkpoint(labels)     # survives for the caller; scoped release
+    unpersist_checkpoint(sym)      # loop-only relation; release eagerly
+    track_checkpoint(labels_cp)    # survives for the caller; scoped release
     if not converged:
         msg = (f"dedup_components did not converge within "
                f"{max_rounds} rounds — labels would be wrong; raise "

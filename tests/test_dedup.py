@@ -279,3 +279,61 @@ def test_dedup_components_never_returns_wrong_labels_silently(spark):
         out = dedup_components(pairs, max_rounds=1,
                                on_nonconverged="warn")
         assert out.count() == n
+
+
+def test_packed_minsum_matches_numpy(spark):
+    """SWAR packed min-sum == numpy reference over random count
+    vectors, including clipping overflow (counts > 127) — the bound
+    must equal sum(min(clip_a, clip_b)) + overflow_a + overflow_b
+    exactly, or the sketch cull is not provably lossless."""
+    from cdap_geo_spark.operators.dedup import (_bucket_count_sketch,
+                                                _packed_minsum)
+    rng = np.random.RandomState(11)
+    B = 128
+
+    def pack(counts):
+        clipped = np.minimum(counts, 127).astype(np.uint8)
+        packed = clipped.view("<u8").astype(np.int64)
+        return ([int(v) for v in packed]
+                + [int(counts.sum() - clipped.sum())])
+
+    rows, want = [], []
+    for trial in range(200):
+        scale = rng.choice([1, 3, 10, 200])
+        ca = rng.poisson(scale, B).astype(np.int64)
+        cb = rng.poisson(scale, B).astype(np.int64)
+        if trial % 9 == 0:                      # force overflow lanes
+            ca[rng.randint(B)] = rng.randint(128, 4000)
+        clip_a, clip_b = np.minimum(ca, 127), np.minimum(cb, 127)
+        want.append(int(np.minimum(clip_a, clip_b).sum()
+                        + (ca - clip_a).sum() + (cb - clip_b).sum()))
+        rows.append((pack(ca), pack(cb)))
+    df = spark.createDataFrame(rows, "ska: array<long>, skb: array<long>")
+    got = [r[0] for r in df.select(
+        _packed_minsum(F.col("ska"), F.col("skb"), B).alias("v")).collect()]
+    assert got == want
+
+
+def test_ngram_sketch_cull_lossless_and_effective(spark):
+    """The count-sketch cull must (a) change NOTHING about the output
+    pairs at any threshold, and (b) shrink the candidate set reaching
+    the exact verify stage at a high threshold."""
+    from cdap_geo_spark.operators.dedup import ngram_jaccard_pairs
+    df = _corpus(spark, n_base=60, seed=7).cache()
+
+    def pairs(**kw):
+        out = ngram_jaccard_pairs(df, k=5, threshold_pct=60, **kw)
+        return sorted(tuple(r) for r in out.collect())
+
+    base = pairs(prefix_filter=False)
+    assert pairs(sketch=True) == base
+    assert pairs(sketch=False) == base
+    # auto rule: t=60 >= 55 turns the sketch on
+    assert pairs() == base
+
+    n_on = ngram_jaccard_pairs(df, k=5, threshold_pct=60, sketch=True,
+                               _return_candidates=True).count()
+    n_off = ngram_jaccard_pairs(df, k=5, threshold_pct=60, sketch=False,
+                                _return_candidates=True).count()
+    assert len(base) <= n_on <= n_off     # lossless: never below truth
+    assert n_on < n_off                   # and actually culls
