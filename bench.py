@@ -137,6 +137,25 @@ def relational_queries(spark) -> dict:
     return out
 
 
+def bucketed_split(spark) -> dict:
+    """The sjoin_bucketed sweep entry times write+join together (the
+    oracle query must be self-contained); the layout's value is the
+    REPEATED join with the one-off write already paid. Report both
+    phases separately (round-5 VERDICT #3): the join-only time should
+    beat the shuffle-path sjoin_pip."""
+    import __spark_entry__ as E
+    t0 = time.time()
+    E.write_bucketed_bench_tables(spark, SF_DIR)
+    write_s = round(time.time() - t0, 3)
+    from cdap_geo_spark.operators.bucketed import sjoin_bucketed
+    t0 = time.time()
+    sjoin_bucketed(spark, "bench_bt_docs", "bench_bt_regions",
+                   left_id="doc_id", right_id="region_id") \
+        .write.format("noop").mode("overwrite").save()
+    join_s = round(time.time() - t0, 3)
+    return {"write_tables_s": write_s, "join_only_s": join_s}
+
+
 def host_envelope() -> dict:
     """~20 s probe of what the BOX currently delivers for multiprocess
     memory-bound work at 8 vs 32 procs (1.0 = perfect 4x). Recorded in
@@ -256,6 +275,8 @@ def main():
         "envelope_gate": ENVELOPE_GATE,
         "weather_degraded": g["weather_degraded"],
     }
+    if not args.headline_only:
+        result["sjoin_bucketed_split"] = bucketed_split(spark)
     if g["weather_degraded"]:
         # crude de-rating: what the same series would deliver at
         # parity bandwidth — an ESTIMATE, labeled as such

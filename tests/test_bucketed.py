@@ -113,3 +113,112 @@ def test_bucketed_bbox_predicate(spark, bucketed_world, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_docs_bbox")
         spark.sql("DROP TABLE IF EXISTS bt_regions_bbox")
+
+
+def test_bucketed_layout_mismatch_raises(spark, bucketed_world, tmp_path):
+    # round-5 ADVICE: a level-8 table joined to a level-9 table used
+    # to silently return wrong pairs; recorded TBLPROPERTIES now make
+    # it raise, as does contradicting the recorded left cover.
+    docs, regions = bucketed_world
+    index_to_bucketed_table(docs, "bt_docs_l8", id_col="doc_id",
+                            level=8, buckets=8,
+                            path=str(tmp_path / "docs_l8"))
+    try:
+        with pytest.raises(ValueError, match="level"):
+            sjoin_bucketed(spark, "bt_docs_l8", "bt_regions",
+                           left_id="doc_id", right_id="region_id")
+        with pytest.raises(ValueError, match="left_how"):
+            sjoin_bucketed(spark, "bt_docs", "bt_regions",
+                           left_id="doc_id", right_id="region_id",
+                           left_how="bbox")
+        # distance join against a left table not dilated by d
+        with pytest.raises(ValueError, match="dilate"):
+            sjoin_bucketed(spark, "bt_docs", "bt_regions",
+                           left_id="doc_id", right_id="region_id",
+                           predicate="distance", distance=5_000.0)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs_l8")
+
+
+def test_bucketed_salt_layout_balances_hot_cell(spark, tmp_path):
+    """Coordinated-salt skew layout: a layer whose rows pile into one
+    cell (a) triggers the write-time census warning unsalted, and
+    (b) written with salt=s (+ replicate_salt on the partner) spreads
+    the hot cell across buckets — max bucket <= 4x mean instead of
+    one bucket carrying ~everything — while the join stays
+    exchange-free and returns sjoin_pairs-identical rows."""
+    import warnings as W
+
+    from pyspark.sql import functions as F
+
+    # hot layer: ~5/6 of 360 docs in one tiny neighbourhood (one cell)
+    docs = D.with_geometry(fixtures.documents(spark, 360, partitions=4))
+    spot = bytes(docs.limit(1).collect()[0]["geometry"])
+    hot = docs.withColumn(
+        "geometry",
+        F.when(F.crc32(F.col("doc_id")) % 6 != 0, F.lit(spot))
+        .otherwise(F.col("geometry")))
+    regions = fixtures.regions(spark, 40)
+
+    with pytest.warns(RuntimeWarning, match="hottest cell"):
+        stats = index_to_bucketed_table(
+            hot, "bt_hot_plain", id_col="doc_id", level=9, buckets=8,
+            path=str(tmp_path / "hot_plain"))
+    assert stats["max_cell_rows"] > 8 * stats["mean_cell_rows"]
+
+    S = 8
+    with W.catch_warnings():
+        W.simplefilter("ignore")               # salted: no census warn
+        index_to_bucketed_table(
+            hot, "bt_hot_salted", id_col="doc_id", level=9, buckets=8,
+            salt=S, path=str(tmp_path / "hot_salted"))
+    index_to_bucketed_table(
+        regions, "bt_reg_repl", id_col="region_id", level=9, buckets=8,
+        salt=S, replicate_salt=True, path=str(tmp_path / "reg_repl"))
+    try:
+        # (b1) bucket balance of the salted hot table
+        per_bucket = (spark.table("bt_hot_salted")
+                      .groupBy(F.regexp_extract(
+                          F.input_file_name(), r"_(\d{5})\.", 1)
+                          .alias("f"))
+                      .count().select("count").collect())
+        sizes = sorted(r[0] for r in per_bucket)
+        assert max(sizes) <= 4 * (sum(sizes) / len(sizes))
+        # unsalted control: one bucket holds the hot cell
+        per_bucket0 = (spark.table("bt_hot_plain")
+                       .groupBy(F.regexp_extract(
+                           F.input_file_name(), r"_(\d{5})\.", 1)
+                           .alias("f"))
+                       .count().select("count").collect())
+        sizes0 = sorted(r[0] for r in per_bucket0)
+        assert max(sizes0) > 3 * (sum(sizes0) / len(sizes0))
+        # (b2) join parity + still exchange-free
+        want = _pairs(sjoin_pairs(hot, regions, left_id="doc_id",
+                                  right_id="region_id", level=9))
+        got_df = sjoin_bucketed(spark, "bt_hot_salted", "bt_reg_repl",
+                                left_id="doc_id", right_id="region_id")
+        assert _pairs(got_df) == want and len(want) > 0
+        saved = [spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+                 spark.conf.get(
+                     "spark.sql.adaptive.autoBroadcastJoinThreshold")]
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
+        try:
+            nodedup = sjoin_bucketed(
+                spark, "bt_hot_salted", "bt_reg_repl",
+                left_id="doc_id", right_id="region_id", dedup=False)
+            assert plan_has_no_exchange(nodedup)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           saved[0])
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", saved[1])
+        # salt coordination is validated: salted x salted (no
+        # replicated side) must raise
+        with pytest.raises(ValueError, match="replicate_salt"):
+            sjoin_bucketed(spark, "bt_hot_salted", "bt_hot_salted",
+                           left_id="doc_id", right_id="doc_id")
+    finally:
+        for t in ("bt_hot_plain", "bt_hot_salted", "bt_reg_repl"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
