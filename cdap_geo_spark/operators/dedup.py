@@ -670,6 +670,12 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
     broadcast of anything corpus-sized. Dup-cluster diameters are
     tiny (most are cliques from a shared source doc), so rounds ~ 2-4
     in practice.
+
+    **Lifetime contract**: the returned DataFrame is backed by a
+    tracked ``localCheckpoint`` (no recomputable lineage). When run
+    inside a :func:`cdap_geo_spark.core.lifetime.checkpoint_scope`,
+    materialize it fully (count/collect/write) BEFORE the scope
+    closes — actions after the scope fail with missing-block errors.
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")

@@ -88,9 +88,20 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
              query_geom: str = "geometry", corpus_geom: str = "geometry",
              max_rounds: int = 12,
              broadcast_queries: bool | str = "auto",
-             broadcast_threshold: int = BROADCAST_PROBE_ROWS) -> DataFrame:
+             broadcast_threshold: int = BROADCAST_PROBE_ROWS,
+             require_points: bool = True) -> DataFrame:
     """(query_id, doc_id, dist, rank<=k) for point queries over a point
     corpus. Exact (certified by the ring bound), deterministic ties.
+
+    **Input contract (round 5)**: both sides must be POINTS — the ring
+    bound certifies point-to-point distance only; a box/polygon input
+    would silently rank by its bounds' min-corner distance.
+    ``require_points=True`` (default) therefore validates both
+    relations (one extra ``max`` over aggregates the plan already
+    runs / a persisted relation) and raises on any non-degenerate
+    extent. ``require_points=False`` opts into the documented
+    corner-distance semantics for callers who meant it (e.g. tiny
+    boxes from a lossy decode).
 
     ``broadcast_queries='auto'`` (default) decides PER ROUND: the
     probe relation is pending queries x annulus cells, whose exact
@@ -99,6 +110,12 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
     that product stays under ``broadcast_threshold`` — a large query
     set at wide expansion falls back to a plain shuffle equi-join on
     cell_id instead of overflowing the broadcast.
+
+    **Lifetime contract**: the returned DataFrame is backed by a
+    tracked ``localCheckpoint`` (no recomputable lineage). When run
+    inside a :func:`cdap_geo_spark.core.lifetime.checkpoint_scope`,
+    materialize it fully (count/collect/write) BEFORE the scope
+    closes — actions after the scope fail with missing-block errors.
     """
     cs = C.cell_size(level)
 
@@ -106,12 +123,14 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
     q = queries.select(
         F.col(query_id),
         qb["minx"].alias("_qx"), qb["miny"].alias("_qy"),
+        (qb["maxx"] - qb["minx"] + qb["maxy"] - qb["miny"]).alias("_qext"),
     ).where(F.col("_qx").isNotNull())
 
     cb = udfs.st_bounds()(F.col(corpus_geom))
     corp = corpus.select(
         F.col(corpus_id),
         cb["minx"].alias("_cx"), cb["miny"].alias("_cy"),
+        (cb["maxx"] - cb["minx"] + cb["maxy"] - cb["miny"]).alias("_cext"),
         udfs.st_cell_point(level)(F.col(corpus_geom)).alias("cell_id"),
     ).where(F.col("cell_id").isNotNull())
     corp = corp.persist()
@@ -130,7 +149,23 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
         cstat = corp.agg(
             F.count("*").alias("n"),
             F.min("_cx").alias("x0"), F.max("_cx").alias("x1"),
-            F.min("_cy").alias("y0"), F.max("_cy").alias("y1")).first()
+            F.min("_cy").alias("y0"), F.max("_cy").alias("y1"),
+            F.max("_cext").alias("ext")).first()
+        if require_points:
+            if cstat and cstat["ext"] is not None and cstat["ext"] > 0:
+                raise ValueError(
+                    "knn_join corpus contains non-point geometries "
+                    f"(max bounds extent {cstat['ext']:.3g}): the ring "
+                    "bound certifies point-to-point distance only — "
+                    "pointify/centroid the corpus first, or pass "
+                    "require_points=False to accept min-corner "
+                    "distance semantics")
+            qext = pending.agg(F.max("_qext").alias("ext")).first()
+            if qext and qext["ext"] is not None and qext["ext"] > 0:
+                raise ValueError(
+                    "knn_join queries contain non-point geometries "
+                    f"(max bounds extent {qext['ext']:.3g}): see the "
+                    "corpus message — same contract")
         if not cstat or not cstat["n"]:
             # empty corpus: no neighbour exists — return the empty
             # result instead of spinning max_rounds of empty joins

@@ -177,7 +177,8 @@ def test_knn_and_components_checkpoints_release_in_scope(spark):
         corpus = D.with_geometry(fixtures.documents(spark, 120)) \
                   .select("doc_id", "geometry")
         queries = fixtures.knn_queries(spark, 3)
-        got = knn_join(queries, corpus, k=3, level=9)
+        got = knn_join(queries, corpus, k=3, level=9,
+                       require_points=False)
         assert got.count() == 9
     assert _persisted_ids(spark) - before == set()
 

@@ -14,7 +14,8 @@ def test_knn_matches_bruteforce(spark):
     corpus = D.with_geometry(corpus).select("doc_id", "geometry").cache()
     queries = fixtures.knn_queries(spark, 12).cache()
     k = 5
-    got = knn_join(queries, corpus, k=k, level=9).toPandas()
+    got = knn_join(queries, corpus, k=k, level=9,
+                   require_points=False).toPandas()
 
     # brute force
     qp = queries.toPandas()
@@ -62,9 +63,9 @@ def test_knn_non_broadcast_path_matches(spark):
     from cdap_geo_spark import docs as D
     corpus = D.with_geometry(corpus).select("doc_id", "geometry").cache()
     queries = fixtures.knn_queries(spark, 8).cache()
-    bc = knn_join(queries, corpus, k=3, level=9,
+    bc = knn_join(queries, corpus, k=3, level=9, require_points=False,
                   broadcast_queries=True).toPandas()
-    no = knn_join(queries, corpus, k=3, level=9,
+    no = knn_join(queries, corpus, k=3, level=9, require_points=False,
                   broadcast_queries="auto",
                   broadcast_threshold=2).toPandas()
     key = lambda p: sorted(map(tuple, p[["query_id", "doc_id", "rank"]]
@@ -110,3 +111,28 @@ def test_seed_radius():
     assert r == min(MAX_SEED_RADIUS, expect) and r > 1
     # ... but is capped: ultra-sparse pays rounds, not a quadratic probe
     assert _seed_radius(10, 1e14, 50, 100.0) == MAX_SEED_RADIUS
+
+
+def test_knn_rejects_non_point_corpus(spark):
+    """Round-5 contract: a box/polygon corpus used to silently rank by
+    bounds min-corner distance; it must raise unless the caller opts
+    into that semantics explicitly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdap_geo_spark import fixtures
+    from cdap_geo_spark.operators.knn import knn_join
+
+    queries = fixtures.knn_queries(spark, 3)
+    boxes = fixtures.regions(spark, 30).withColumnRenamed(
+        "region_id", "doc_id")
+    with pytest.raises(ValueError, match="non-point"):
+        knn_join(queries, boxes, k=2, level=9).count()
+    # opt-in keeps the documented corner-distance behaviour
+    got = knn_join(queries, boxes, k=2, level=9,
+                   require_points=False)
+    assert got.count() == 6
+    # and a point corpus still validates clean
+    pts = fixtures.knn_queries(spark, 80).select(
+        F.col("query_id").alias("doc_id"), "geometry")
+    assert knn_join(queries, pts, k=2, level=9).count() == 6
