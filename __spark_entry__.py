@@ -380,14 +380,19 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus rows in nearest-centroid inverted lists
     (map-side assignment, corpus never shuffles), queries probe their
     4 nearest lists, exact cosine re-rank on candidates. Centroids are
-    seeded unit directions — embedded as literals in the SQL oracle,
-    which reproduces assignment + probing + rank exactly."""
-    from cdap_geo_spark.operators.embeddings import ivf_topk
+    TRAINED (round 5): deterministic spherical k-means on a bounded
+    id-ordered sample — the oracle retrains the identical centroids
+    from the same parquet sample (ivf_train_parquet) and embeds them
+    as literals, so assignment + probing + rank stay exactly
+    recomputable."""
+    from cdap_geo_spark.operators.embeddings import ivf_topk, ivf_train
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .repartition(spark.sparkContext.defaultParallelism)
+    cents = ivf_train(emb, dim=64, n_clusters=16)
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
-    out = ivf_topk(emb, queries_df, k=5, dim=64, n_clusters=16, nprobe=4)
+    out = ivf_topk(emb, queries_df, k=5, dim=64, n_clusters=16, nprobe=4,
+                   centroids=cents)
     return out.select(F.col("query_id").cast("long"),
                       F.col("vec_id").cast("long"),
                       F.col("rank").cast("long"))
@@ -804,12 +809,21 @@ def _embed_dup_sql(dim: int = 64, bands: int = 4, rows_per_band: int = 4,
 
 def _ivf_ann_sql(dim: int = 64, n_clusters: int = 16, nprobe: int = 4,
                  seed: int = 11) -> str:
-    """Centroids regenerated here from the same seed and embedded as
-    literal arrays; assignment = rank-1 by cosine (ties by cid), query
-    probing = rank <= nprobe — exactly the Spark kernel's stable-argsort
-    order."""
-    from cdap_geo_spark.operators.embeddings import ivf_centroids
-    cents = ivf_centroids(dim, n_clusters, seed)
+    """TRAINED centroids (round 5) re-derived here from the same
+    id-ordered parquet sample via the same NumPy k-means
+    (ivf_train_parquet — no SparkSession in the oracle path) and
+    embedded as literal arrays; assignment = rank-1 by cosine (ties by
+    cid), query probing = rank <= nprobe — exactly the Spark kernel's
+    stable-argsort order. The sample comes from the SF dir the driver
+    compares at (sf0.01), overridable via SPARK_GRAFT_ORACLE_SF_DIR
+    for sweeps at other scales."""
+    import os as _os
+
+    from cdap_geo_spark.operators.embeddings import ivf_train_parquet
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                             "/root/testdata/sf0.01")
+    cents = ivf_train_parquet(f"{sf_dir}/embeddings.parquet",
+                              dim=dim, n_clusters=n_clusters, seed=seed)
     cent_rows = ", ".join(
         "({}, [{}])".format(i, ", ".join(repr(v) for v in cents[i]))
         for i in range(n_clusters))

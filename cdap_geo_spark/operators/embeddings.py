@@ -173,6 +173,15 @@ def ivf_train(corpus: DataFrame, *, dim: int, n_clusters: int = 16,
            .limit(sample_rows).toPandas())
     mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]
                     if v is not None and len(v) == dim])
+    return _spherical_kmeans(mat, n_clusters, iters, seed)
+
+
+def _spherical_kmeans(mat: np.ndarray, n_clusters: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Fixed-iteration Lloyd on the unit sphere — pure NumPy, shared
+    verbatim by the Spark sampler (:func:`ivf_train`) and the
+    Spark-free oracle twin (:func:`ivf_train_parquet`) so both train
+    BIT-IDENTICAL centroids from the same sample."""
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                            1e-12)
     rng = np.random.RandomState(seed)
@@ -187,6 +196,23 @@ def ivf_train(corpus: DataFrame, *, dim: int, n_clusters: int = 16,
                 if n > 1e-12:
                     cents[j] = m / n
     return cents
+
+
+def ivf_train_parquet(path: str, *, dim: int, n_clusters: int = 16,
+                      sample_rows: int = 4096, iters: int = 10,
+                      seed: int = 11, corpus_id: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """:func:`ivf_train` without a SparkSession: the oracle-SQL
+    generator trains the SAME centroids from the same parquet sample
+    (sorted by id, first ``sample_rows``) via pyarrow, then embeds
+    them as literal arrays — keeping the ivf_ann oracle exactly
+    recomputable with data-adapted centroids."""
+    import pyarrow.parquet as pq
+    pdf = (pq.read_table(path, columns=[corpus_id, vec_col])
+           .to_pandas().sort_values(corpus_id).head(sample_rows))
+    mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]
+                    if v is not None and len(v) == dim])
+    return _spherical_kmeans(mat, n_clusters, iters, seed)
 
 
 def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):

@@ -14,6 +14,9 @@ import __spark_entry__ as E
 from cdap_geo_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# data-adapted oracles (trained IVF centroids) sample the compared SF
+import os as _os                                               # noqa: E402
+_os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 

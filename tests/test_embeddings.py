@@ -141,3 +141,41 @@ def test_probe_broadcast_bounded_fallback_equality(spark):
         no = fn(df, q, k=3, broadcast_queries="auto",
                 broadcast_threshold=2, **kw).toPandas()
         assert key(bc) == key(no), fn.__name__
+
+
+def test_ivf_trained_centroids_recall_and_oracle_parity(spark):
+    """Round-5 VERDICT #8: trained IVF centroids. (a) The Spark-free
+    parquet trainer must reproduce ivf_train's centroids BIT-exactly
+    (that identity is what keeps the ivf_ann oracle recomputable);
+    (b) trained centroids must beat the seeded unit directions on
+    recall@5 against the exact cosine_topk baseline (or at least
+    match a high floor) on the driver embeddings table."""
+    import numpy as np
+
+    from cdap_geo_spark.operators.embeddings import (
+        cosine_topk, ivf_centroids, ivf_topk, ivf_train,
+        ivf_train_parquet)
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    trained = ivf_train(emb, dim=64, n_clusters=16)
+    twin = ivf_train_parquet(path, dim=64, n_clusters=16)
+    assert np.array_equal(trained, twin)
+    assert not np.allclose(trained, ivf_centroids(64, 16))
+
+    queries = emb.filter("vec_id % 10 = 0") \
+                 .selectExpr("vec_id as query_id", "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(cents):
+        got = {(r.query_id, r.vec_id)
+               for r in ivf_topk(emb, queries, k=5, dim=64,
+                                 n_clusters=16, nprobe=4,
+                                 centroids=cents).collect()}
+        return len(got & exact) / len(exact)
+
+    r_trained = recall(trained)
+    r_seeded = recall(ivf_centroids(64, 16))
+    assert r_trained >= max(r_seeded - 0.02, 0.6)
+    assert r_trained >= 0.6
