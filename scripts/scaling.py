@@ -300,10 +300,21 @@ def write_md(summary):
     if os.path.exists(path):
         with open(path) as f:
             existing = f.read().splitlines()
-        for i, line in enumerate(existing):
-            if line.startswith("## ") and line.strip() not in own:
-                tail = "\n" + "\n".join(existing[i:]) + "\n"
-                break
+        # keep only FOREIGN sections (round-5 ADVICE: a foreign section
+        # appearing before an own one must not drag stale own sections
+        # into the preserved tail and duplicate them below the freshly
+        # written copies) — splice per-section by heading
+        keep: list = []
+        keeping = False
+        for line in existing:
+            if line.startswith("## "):
+                keeping = line.strip() not in own
+            elif not keep and not line.startswith("## "):
+                continue    # preamble before the first heading: ours
+            if keeping:
+                keep.append(line)
+        if keep:
+            tail = "\n" + "\n".join(keep) + "\n"
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
 
