@@ -277,14 +277,17 @@ def write_md(summary):
         "",
         "## Engine-side scaling work this round",
         "",
-        "Stage-localized the 32-thread collapse to the exact-refine pair",
-        "kernel: whole-batch gathers (tens of MB active set per worker)",
-        "thrashed the shared LLC — 313 us/pair at local[32] vs 23 us/pair",
-        "at local[2] for identical work. Fix: 2k-pair kernel slices inside",
-        "each 64k Arrow batch (udfs._pair_kernel). Refine stage at",
-        "sf0.1/local[32]: 110 s -> 24-44 s; local[2] improved too",
-        "(117.8 -> 89.9 s kernel time). After the fix the 2->8 raw",
-        "efficiency roughly doubled (0.198 -> 0.51).",
+        "Round 4 stage-localized the 32-thread collapse to the",
+        "exact-refine pair kernel (2k-pair kernel slices inside each 64k",
+        "Arrow batch, udfs._pair_kernel: refine at sf0.1/local[32]",
+        "110 s -> 24-44 s; 2->8 raw efficiency 0.198 -> 0.51). Round 5's",
+        "scaling-relevant change is off this headline path: the",
+        "ngram-jaccard verify stage — the operator whose candidate set",
+        "grows superlinearly with corpus size — now culls false",
+        "candidates 62x (4.60M -> 73.7k at sf0.1 k=5/t=60%) through a",
+        "lossless packed count-sketch bound, so the only superlinear",
+        "relation in the dedup pipeline shrinks to ~true-pair scale",
+        "before it touches a shuffle or the full-array verify join.",
         "",
         "All reps: " + json.dumps(reps),
     ]
