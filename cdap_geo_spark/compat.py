@@ -762,3 +762,63 @@ def ingest(spark, docs: DataFrame, path_out: str,
     level = int(np.clip(round(np.log2(C.WORLD_SIZE / bng_resolution)), 0,
                         C.MAX_LEVEL))
     return _ingest(spark, docs, path_out, level=level, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# driver utilities (cdap_geo/utils.py:35-53,93-111 parity names)
+# ---------------------------------------------------------------------------
+
+def get_tree_size(path: str) -> int:
+    """Sum of file sizes under a directory tree in bytes
+    (``cdap_geo/utils.py:35-42``, the PEP 471 scandir recipe)."""
+    import os
+    total = 0
+    for entry in os.scandir(path):
+        if entry.is_dir(follow_symlinks=False):
+            total += get_tree_size(entry.path)
+        else:
+            total += entry.stat(follow_symlinks=False).st_size
+    return total
+
+
+def get_size(path: str) -> int:
+    """File or tree size in bytes (``cdap_geo/utils.py:45-53``). The
+    reference's Databricks ``dbfs:/`` rewrite is out of scope (no
+    proprietary filesystems here); plain paths only."""
+    import os
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return get_tree_size(path)
+    raise FileNotFoundError(path)
+
+
+def nowarn(fn):
+    """Decorator: suppress warnings for one call
+    (``cdap_geo/utils.py:93-100``). Scoped with ``catch_warnings``
+    instead of the reference's global simplefilter flip, so it cannot
+    clobber a caller's warning configuration."""
+    import functools
+    import warnings
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return fn(*args, **kwargs)
+    return wrap
+
+
+def tictoc(fn):
+    """Decorator: print the call's wall seconds
+    (``cdap_geo/utils.py:103-111``)."""
+    import functools
+    import time as _time
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        start = _time.time()
+        result = fn(*args, **kwargs)
+        print(f"{fn.__name__}:  {_time.time() - start:f}s")
+        return result
+    return wrap

@@ -302,3 +302,32 @@ def test_join_scope_releases_persists(spark):
         assert out.count() >= 0
         assert len(compat._PERSISTED) > base
     assert len(compat._PERSISTED) == base
+
+
+def test_utils_trio(tmp_path, capsys):
+    from cdap_geo_spark.compat import get_size, nowarn, tictoc
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 100)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.bin").write_bytes(b"y" * 23)
+    assert get_size(str(tmp_path / "a.bin")) == 100
+    assert get_size(str(tmp_path)) == 123
+
+    import warnings
+
+    @nowarn
+    def noisy():
+        warnings.warn("boo", RuntimeWarning)
+        return 7
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # unsuppressed warn raises
+        assert noisy() == 7                 # nowarn shields it
+
+    @tictoc
+    def timed():
+        return 42
+
+    assert timed() == 42
+    assert "timed:" in capsys.readouterr().out
