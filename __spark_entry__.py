@@ -529,6 +529,39 @@ def _q_sjoin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("region_id").cast("long"))
 
 
+def _q_sjoin_bucketed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coordinated-salt SKEW layout under the correctness gate:
+    docs written salt=4 (rows spread over (cell_id, _salt) buckets —
+    a hot cell lands in 4 buckets, not 1), regions written salt=4 +
+    replicate_salt (one copy per salt value), joined exchange-free on
+    (cell_id, _salt). Oracle: identical SQL to sjoin_pip — proves the
+    salted layout returns the same rows as the plain shuffle join."""
+    import os
+    import tempfile
+
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.bucketed import (index_to_bucketed_table,
+                                                   sjoin_bucketed)
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"cdap_geo_bucketed_salted_{os.path.basename(sf_dir.rstrip('/'))}")
+    index_to_bucketed_table(docs, "bench_bts_docs", id_col="doc_id",
+                            level=8, buckets=16, salt=4, census=False,
+                            path=f"{root}/docs")
+    index_to_bucketed_table(regions, "bench_bts_regions",
+                            id_col="region_id", level=8, buckets=16,
+                            salt=4, replicate_salt=True, census=False,
+                            path=f"{root}/regions")
+    out = sjoin_bucketed(spark, "bench_bts_docs", "bench_bts_regions",
+                         left_id="doc_id", right_id="region_id")
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
 def write_bucketed_bench_tables(spark: SparkSession, sf_dir: str) -> None:
     """Build (or rebuild) the two bucketed index tables the
     sjoin_bucketed query joins. Split out so bench.py can time the
@@ -572,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_pip": _q_sjoin_pip,
         "sjoin_pip_salted": _q_sjoin_pip_salted,
         "sjoin_bucketed": _q_sjoin_bucketed,
+        "sjoin_bucketed_salted": _q_sjoin_bucketed_salted,
         "sjoin_bbox": _q_sjoin_bbox,
         "distance_join": _q_distance_join,
         "tile_assign": _q_tile_assign,
@@ -998,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_pip": _SJOIN_PIP_SQL,
         "sjoin_pip_salted": _SJOIN_PIP_SQL,
         "sjoin_bucketed": _SJOIN_PIP_SQL,
+        "sjoin_bucketed_salted": _SJOIN_PIP_SQL,
         "stream_enrich": _SJOIN_PIP_SQL,
         "sjoin_bbox": f"""
           WITH d AS ({_DBOXES}), b AS ({_BOXES})
