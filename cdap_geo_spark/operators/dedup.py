@@ -361,11 +361,35 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
             _bucket_count_sketch(sketch_buckets)("_arr").alias("_sk"))
             .localCheckpoint())
         skub = _packed_minsum(F.col("ska"), F.col("skb"), sketch_buckets)
+        # The bound must be evaluated in a PROJECT, not a filter: a
+        # filter referencing both join sides gets folded into the
+        # BroadcastHashJoin/SortMergeJoin CONDITION, where whole-stage
+        # codegen can neither split methods nor share subexpressions —
+        # the ~400-op SWAR tree re-inlines every reused mask and blows
+        # Janino's 64KB method limit, silently degrading the ENTIRE
+        # fused stage (joins + exact verify + aggregate) to
+        # interpreted execution (observed: 'Code grows beyond 64 KB'
+        # fallback at every SF). In a Project, Spark's subexpression
+        # elimination extracts each reused subtree into its own
+        # generated method and the stage stays JIT-compiled. The
+        # filter is pinned ABOVE the Project by an always-false
+        # disjunct on a nondeterministic column (mono-id is >= 0, so
+        # `< -1` never fires): Catalyst only pushes predicates through
+        # a project whose fields are ALL deterministic, so the alias
+        # is never substituted back into the join condition — and the
+        # reference must live in the CONDITION, or column pruning
+        # drops the barrier column and re-enables the push (a plain
+        # rand() disjunct doesn't survive either: Spark 4 range-folds
+        # rand comparisons). Semantically a no-op; plan pytest-pinned.
         cand = (cand
                 .join(sk.toDF("ida", "ska"), "ida")
                 .join(sk.toDF("idb", "skb"), "idb")
-                .filter((F.lit(100) + pct) * skub
-                        >= pct * (F.col("_gsza") + F.col("_gszb")))
+                .select("ida", "idb", "_gsza", "_gszb",
+                        skub.alias("_skub"),
+                        F.monotonically_increasing_id().alias("_bar"))
+                .filter(((F.lit(100) + pct) * F.col("_skub")
+                         >= pct * (F.col("_gsza") + F.col("_gszb")))
+                        | (F.col("_bar") < F.lit(-1)))
                 .select("ida", "idb"))
     else:
         cand = cand.select("ida", "idb")

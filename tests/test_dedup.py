@@ -338,3 +338,25 @@ def test_ngram_sketch_cull_lossless_and_effective(spark):
                                 _return_candidates=True).count()
     assert len(base) <= n_on <= n_off     # lossless: never below truth
     assert n_on < n_off                   # and actually culls
+
+
+def test_ngram_sketch_bound_stays_out_of_join_condition(spark):
+    """Plan-shape pin for the Janino 64KB fix: the packed SWAR bound
+    must be evaluated in a PROJECT (where codegen splits subexpression
+    methods), never folded into a join condition (where it cannot be
+    split and trips 'Code grows beyond 64 KB', degrading the whole
+    fused stage to interpreted execution). The barrier is the
+    mono-id no-op disjunct in the filter — if a future optimizer rule
+    or refactor re-enables the pushdown, this test catches it."""
+    from cdap_geo_spark.operators.dedup import ngram_jaccard_pairs
+    df = _corpus(spark, n_base=40, seed=13)
+    cand = ngram_jaccard_pairs(df, k=5, threshold_pct=60, sketch=True,
+                               _return_candidates=True)
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    # the SWAR bound uses shiftrightunsigned; every occurrence must be
+    # inside a Project node, and no Join node's condition may carry it
+    for line in plan.splitlines():
+        if "shiftrightunsigned" in line:
+            assert line.lstrip(" :+-").startswith("Project"), line
+    # and the barrier filter survived optimization
+    assert "monotonically_increasing_id" in plan
