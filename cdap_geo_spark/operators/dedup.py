@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from cdap_geo_spark.core.lifetime import (track_checkpoint,
                                            unpersist_checkpoint)
+from cdap_geo_spark.functions.relational import ensure_min_parallelism
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -254,12 +255,16 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
        with a same-shuffle ``groupBy`` that also tightens multi-match
        pairs for free.
     """
+    # widen a narrow scan BEFORE the gram stage: the md5 gram hashing
+    # is the operator's dominant map cost and must not serialize on a
+    # one-file input (measured 8.3 s -> 1.3 s at sf0.1; no-op at scale)
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_t")))
     if hashed:
-        arr = df.select(F.col(id_col).alias("_id"),
-                        gram_hashes(F.col(text_col), k).alias("_arr"))
+        arr = src.select("_id", gram_hashes(F.col("_t"), k).alias("_arr"))
     else:
-        arr = df.select(F.col(id_col).alias("_id"),
-                        shingles(F.col(text_col), k).alias("_arr"))
+        arr = src.select("_id", shingles(F.col("_t"), k).alias("_arr"))
     # materialized ONCE: arr feeds ~5 plan sites (df-explode, sizes,
     # both verify sides) and the shingle PUDF would otherwise re-scan
     # the corpus per site — the same re-derivation trap measured 2.7x
@@ -496,8 +501,12 @@ def minhash_lsh_pairs(df: DataFrame, *, num_perm: int = 64, bands: int = 16,
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sig = df.select(F.col(id_col).alias("_id"),
-                    gram_hashes(F.col(text_col), k).alias("_hs")) \
+    # widen narrow scans before the gram+signature map stage (the
+    # single-input-file trap; no-op on well-partitioned inputs)
+    sig = ensure_min_parallelism(
+            df.select(F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_t"))) \
+            .select("_id", gram_hashes(F.col("_t"), k).alias("_hs")) \
             .withColumn("_sig",
                         minhash_signature_from_hashes(num_perm)(F.col("_hs"))) \
             .localCheckpoint()
@@ -558,9 +567,13 @@ def simhash_rel(df: DataFrame, *, id_col: str = "doc_id",
         return df.select(F.col(id_col).alias("_id"),
                          _simhash_python_udf(token_hash, seed)
                          (F.col(text_col)).alias("sh"))
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")) \
+    # widen narrow scans first: the per-token md5 votes are computed
+    # map-side BEFORE the groupBy shuffle, so a one-file input would
+    # serialize the whole hashing stage on one core (no-op at scale)
+    toks = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))) \
+        .select("_id",
+                F.explode(F.split(F.lower(F.col("_t")), r"\s+")).alias("tok")) \
         .filter(F.col("tok") != "")
     hv = token_hash64(F.col("tok"))
     bit = [F.shiftrightunsigned(hv, 63 - j).bitwiseAND(F.lit(1))
