@@ -49,8 +49,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(digest, keeper_id, n_dupes): groups of byte-identical
     (normalized) texts; keeper = min id. Survivors = keepers."""
-    return (df.select(doc_digest(F.col(text_col)).alias("digest"),
-                      F.col(id_col))
+    return (ensure_min_parallelism(df.select(F.col(text_col),
+                                             F.col(id_col)))
+            .select(doc_digest(F.col(text_col)).alias("digest"),
+                    F.col(id_col))
             .groupBy("digest")
             .agg(F.min(id_col).alias("keeper"),
                  F.count("*").alias("n_docs")))

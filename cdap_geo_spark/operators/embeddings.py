@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from cdap_geo_spark.core.lifetime import track_checkpoint
+from cdap_geo_spark.functions.relational import ensure_min_parallelism
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -60,8 +61,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, *, k: int,
     """
     q = queries.select(F.col(query_id),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
-    c = corpus.select(F.col(corpus_id),
-                      F.col(vec_col).cast("array<double>").alias("_cv"))
+    # widen a narrow corpus scan: with a broadcast query side the
+    # |C|x|Q| dot products run on the CORPUS partitioning, so a
+    # one-file input serializes the whole scoring stage (no-op on
+    # well-partitioned inputs — see ensure_min_parallelism)
+    c = ensure_min_parallelism(
+        corpus.select(F.col(corpus_id),
+                      F.col(vec_col).cast("array<double>").alias("_cv")))
     if broadcast_queries == "auto":
         broadcast_queries = _probe_small(q, broadcast_threshold)
     joined = c.crossJoin(F.broadcast(q) if broadcast_queries else q)
@@ -111,9 +117,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
     still never rebuckets, it just shuffles (bucket, id, vec) once.
     """
     sig = hyperplane_signature_udf(dim, n_planes)
-    c = corpus.select(F.col(corpus_id),
-                      F.col(vec_col).cast("array<double>").alias("_cv"),
-                      sig(F.col(vec_col)).alias("_bucket"))
+    # signature PUDF + candidate scoring run on the corpus
+    # partitioning when the probe side broadcasts — widen narrow scans
+    # FIRST (the signature keeps the ORIGINAL dtype: float32 vs double
+    # dot products can differ in sign near zero, changing buckets)
+    c = ensure_min_parallelism(
+            corpus.select(F.col(corpus_id), F.col(vec_col))) \
+        .select(F.col(corpus_id),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+                sig(F.col(vec_col)).alias("_bucket"))
     q = queries.select(F.col(query_id),
                        F.col(vec_col).cast("array<double>").alias("_qv"),
                        sig(F.col(vec_col)).alias("_b0"))
@@ -258,11 +270,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *, k: int, dim: int,
     """
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_clusters)
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        F.element_at(ivf_assign_udf(cents, 1)(F.col(vec_col)), 1)
-        .alias("_list"))
+    # centroid assignment + candidate scoring run on the corpus
+    # partitioning when the probe side broadcasts — widen narrow scans
+    # FIRST (assignment keeps the ORIGINAL dtype so list routing is
+    # bit-identical to the un-widened plan)
+    c = ensure_min_parallelism(
+            corpus.select(F.col(corpus_id), F.col(vec_col))) \
+        .select(F.col(corpus_id),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+                F.element_at(ivf_assign_udf(cents, 1)(F.col(vec_col)), 1)
+                .alias("_list"))
     qbase = queries.select(
         F.col(query_id),
         F.col(vec_col).cast("array<double>").alias("_qv"))
@@ -338,7 +355,9 @@ def embedding_dup_pairs(df: DataFrame, *, dim: int,
     # UDF would otherwise re-run per site — same re-derivation trap as
     # minhash/simhash (operators/dedup.py), measured 2.7x there
     base = track_checkpoint(
-        df.select(F.col(id_col).alias("_id"),
+        ensure_min_parallelism(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col)))
+          .select("_id",
                   F.col(vec_col).cast("array<double>").alias("_v"),
                   sig(F.col(vec_col)).alias("_sig"))
           .localCheckpoint())
