@@ -231,15 +231,19 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     k=5/t=60% (4.60M candidates → 256 true pairs; exact verify = 63%
     of the 32 s wall). Two extra filters close that gap:
 
-    1. **Count-sketch pre-verify bound, evaluated inside the join
-       stage** (``sketch=True``; default auto-on when
-       ``threshold_pct >= 55``). Each doc carries a ``sketch_buckets``
-       -bucket histogram of its gram hashes (mod buckets) ON the
-       prefix relation, so for every prefix match the exact bound
-       ``inter(x,y) <= sum_b min(cx[b], cy[b])`` (counts are exact,
-       every shared gram lands in the same bucket on both sides) is
-       checked in codegen BEFORE the pair ever reaches the candidate
-       shuffle or the full-array verify join. For ~290-gram docs at
+    1. **Count-sketch pre-verify bound, evaluated per deduped pair in
+       a JIT-compiled Project stage** (``sketch=True``; default
+       auto-on when ``threshold_pct >= 55``). Each doc carries a
+       ``sketch_buckets``-bucket histogram of its gram hashes (mod
+       buckets), joined onto the deduped candidate pairs, so the exact
+       bound ``inter(x,y) <= sum_b min(cx[b], cy[b])`` (counts are
+       exact, every shared gram lands in the same bucket on both
+       sides) kills ~99% of false candidates BEFORE the full-array
+       verify join. The bound lives in a Project — NOT the join
+       condition or a plain filter, both of which Catalyst would fold
+       into the join, where codegen cannot split the ~400-op SWAR
+       expression and trips Janino's 64KB method limit (see the
+       in-code comment at the plan-barrier construction). For ~290-gram docs at
        t=60% the expected unrelated-pair bound (~186 at B=128) sits
        several σ below the required overlap (~221), so ~99% of false
        candidates die here at the cost of +4·B bytes per prefix row
