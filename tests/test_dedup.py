@@ -360,3 +360,50 @@ def test_ngram_sketch_bound_stays_out_of_join_condition(spark):
             assert line.lstrip(" :+-").startswith("Project"), line
     # and the barrier filter survived optimization
     assert "monotonically_increasing_id" in plan
+
+
+def test_dict_verify_equivalence_and_bounded_fallback(spark, monkeypatch):
+    """The broadcast-dict exact verify must (a) produce bit-identical
+    (inter, uni) rows to the native array_intersect joins on both
+    operators that use it, and (b) REFUSE to collect when the gram
+    relation exceeds the bounded-probe caps, falling back to the
+    native join path — the property that makes it safe at corpus
+    scale (the dict is a small-corpus fast path, never a broadcast
+    of an unbounded relation)."""
+    from cdap_geo_spark.operators import dedup
+    df = _corpus(spark, n_base=40, seed=5).cache()
+
+    def pairs(op, **kw):
+        return sorted(tuple(r) for r in op(df, **kw).collect())
+
+    on = pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
+               dict_verify=True)
+    off = pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
+                dict_verify=False)
+    assert on == off and len(on) > 0
+
+    mh_on = pairs(dedup.minhash_lsh_pairs, dict_verify=True)
+    mh_off = pairs(dedup.minhash_lsh_pairs, dict_verify=False)
+    assert mh_on == mh_off and len(mh_on) > 0
+
+    # the default is OFF (measured: native joins win warm) — the
+    # helper must refuse unless explicitly enabled
+    from pyspark.sql import functions as F
+    rel = df.select(F.col("doc_id").alias("_id"),
+                    dedup.gram_hashes(F.col("text"), 3).alias("_arr"))
+    cand = rel.select(F.col("_id").alias("ida")) \
+              .crossJoin(rel.select(F.col("_id").alias("idb"))).limit(1)
+    assert dedup._exact_inter_sizes(cand, rel) is None
+    assert pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40) == off
+
+    # even when enabled, the bounded probe must refuse above the doc
+    # cap — the property that makes it safe at corpus scale
+    monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_DOCS", 3)
+    assert dedup._exact_inter_sizes(cand, rel, enabled=True) is None
+    assert pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
+                 dict_verify=True) == off
+
+    # same refusal on the byte cap
+    monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_DOCS", 10 ** 9)
+    monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_BYTES", 8)
+    assert dedup._exact_inter_sizes(cand, rel, enabled=True) is None
