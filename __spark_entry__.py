@@ -279,6 +279,29 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_spaces", "n_the")
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import repetition_features
+    out = repetition_features(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long"), "n_2grams",
+                      "n_distinct_2grams", "max_2gram_count",
+                      "n_dup_2gram_instances")
+
+
+#: decontamination probe: a deterministic pseudo-eval-set carved from
+#: the corpus itself (every 37th doc) — shared by the Spark query and
+#: the SQL oracle so both engines see the identical probe
+DECONTAM_PROBE_MOD = 37
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import contamination_scores
+    d = _docs(spark, sf_dir)
+    probe = d.filter(F.col("doc_id") % DECONTAM_PROBE_MOD == 0)
+    out = contamination_scores(d, probe)
+    return out.select(F.col("doc_id").cast("long"),
+                      "n_distinct_2grams", "n_probe_2grams")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import lang_votes
     out = lang_votes(_docs(spark, sf_dir))
@@ -622,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
+        "repetition": _q_repetition,
+        "decontaminate": _q_decontaminate,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1204,6 +1229,51 @@ def oracle_sql() -> dict[str, str]:
                      AS n_the
           FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
                 FROM documents)
+        """,
+        "repetition": """
+          WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+          ), g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM t
+          ), c AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+          )
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_2grams,
+                 CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+                 CAST(max(cnt) AS BIGINT) AS max_2gram_count,
+                 CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                      AS BIGINT) AS n_dup_2gram_instances
+          FROM c GROUP BY doc_id
+        """,
+        "decontaminate": f"""
+          WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS grams
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents)
+          ), p AS (
+            SELECT DISTINCT unnest(grams) AS g FROM t
+            WHERE doc_id % {DECONTAM_PROBE_MOD} = 0
+          ), cg AS (
+            SELECT doc_id, unnest(grams) AS g FROM t
+          ), h AS (
+            SELECT cg.doc_id, count(*) AS n_probe
+            FROM cg JOIN p USING (g) GROUP BY cg.doc_id
+          )
+          SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                 CAST(len(grams) AS BIGINT) AS n_distinct_2grams,
+                 CAST(coalesce(h.n_probe, 0) AS BIGINT) AS n_probe_2grams
+          FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         """,
         "lang_id": """
           WITH v AS (

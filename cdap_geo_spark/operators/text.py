@@ -55,6 +55,142 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def word_2grams(text: Column) -> Column:
+    """Array of space-joined word 2-grams over whitespace tokens —
+    native slice/zip_with, no Python. Docs with fewer than two tokens
+    yield an empty array."""
+    toks = F.split(F.trim(text), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(toks) >= 2, pairs) \
+            .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        how: str = "explode") -> DataFrame:
+    """Gopher-style intra-document repetition signals over word
+    2-grams (Rae et al. 2021 §A1.1 use duplicate-n-gram fractions as
+    a core quality filter; cdap_geo has no text ops — this extends the
+    engine for training-data pipelines): per doc,
+
+    - ``n_2grams``            total 2-gram instances,
+    - ``n_distinct_2grams``   distinct 2-grams,
+    - ``max_2gram_count``     occurrences of the most repeated 2-gram,
+    - ``n_dup_2gram_instances`` instances of 2-grams occurring > once.
+
+    All integers (bit-comparable to the SQL oracle). Docs with < 2
+    tokens produce no row on either engine.
+
+    Two plans, identical outputs (pytest-pinned):
+
+    - ``how='explode'`` (default): explode → groupBy(doc, gram) →
+      groupBy(doc). Scale story: a doc's grams arrive in one input
+      partition, so map-side partial aggregation collapses the first
+      shuffle to one row per (doc, DISTINCT gram) — the same bounded
+      relation every dedup operator here shuffles — and the second
+      groupBy is one row per doc.
+    - ``how='mapside'``: ZERO shuffle — sort the gram array per row
+      and fold one ``F.aggregate`` run-length pass over it inside
+      whole-stage codegen. The per-row cost is the array_sort; at
+      100 TB this is the plan that never exchanges anything.
+    """
+    grams = word_2grams(F.col(text_col))
+    if how == "mapside":
+        def _merge(acc, x):
+            run_done = acc["dup"] + F.when(acc["run"] > 1,
+                                           acc["run"]).otherwise(F.lit(0))
+            return (
+                F.when(acc["run"] == 0,                  # first element
+                       F.struct(x.alias("prev"),
+                                F.lit(1).cast("long").alias("run"),
+                                F.lit(1).cast("long").alias("nd"),
+                                acc["mx"].alias("mx"),
+                                acc["dup"].alias("dup")))
+                 .when(x == acc["prev"],                 # run continues
+                       F.struct(acc["prev"].alias("prev"),
+                                (acc["run"] + 1).alias("run"),
+                                acc["nd"].alias("nd"),
+                                acc["mx"].alias("mx"),
+                                acc["dup"].alias("dup")))
+                 .otherwise(                             # run ends
+                       F.struct(x.alias("prev"),
+                                F.lit(1).cast("long").alias("run"),
+                                (acc["nd"] + 1).alias("nd"),
+                                F.greatest(acc["mx"], acc["run"])
+                                 .alias("mx"),
+                                run_done.alias("dup"))))
+
+        def _finish(acc):
+            return F.struct(
+                acc["nd"].alias("nd"),
+                F.greatest(acc["mx"], acc["run"]).alias("mx"),
+                (acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+                               .otherwise(F.lit(0))).alias("dup"))
+
+        # NOT lit(None).cast(struct).withField(...): withField on a
+        # NULL struct stays NULL and the fold would never start
+        zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("nd"),
+                        F.lit(0).cast("long").alias("mx"),
+                        F.lit(0).cast("long").alias("dup"))
+        st = F.aggregate(F.array_sort(grams), zero, _merge, _finish)
+        return (df.select(F.col(id_col),
+                          F.size(grams).cast("long").alias("n_2grams"),
+                          st.alias("_st"))
+                  .filter(F.col("n_2grams") >= 1)
+                  .select(id_col, "n_2grams",
+                          F.col("_st.nd").alias("n_distinct_2grams"),
+                          F.col("_st.mx").alias("max_2gram_count"),
+                          F.col("_st.dup").alias("n_dup_2gram_instances")))
+    g = df.select(F.col(id_col), F.explode(grams).alias("_g"))
+    c = g.groupBy(id_col, "_g").agg(F.count("*").alias("_cnt"))
+    return c.groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_2grams"),
+        F.count("*").cast("long").alias("n_distinct_2grams"),
+        F.max("_cnt").cast("long").alias("max_2gram_count"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0))
+         .cast("long").alias("n_dup_2gram_instances"))
+
+
+def contamination_scores(corpus: DataFrame, probe: DataFrame, *,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Eval-set decontamination scores: for every corpus doc, how many
+    of its DISTINCT word 2-grams appear anywhere in the probe corpus
+    (the benchmark/eval set being protected). The standard n-gram
+    decontamination pass of LLM training pipelines, reduced to two
+    relational facts per doc — ``n_distinct_2grams`` and
+    ``n_probe_2grams`` — so the caller picks its own threshold
+    (e.g. drop when ``100 * n_probe >= 80 * n_distinct``).
+
+    Zero-hit and gram-less docs keep their row (left join), so the
+    output is exactly one row per corpus doc.
+
+    Scale story: the probe side is reduced to DISTINCT grams — an
+    eval set is tiny relative to a 100 TB corpus, so AQE broadcasts
+    it under the hit join, degrading to a shuffle equi-join when it
+    is not. The corpus side is one row per (doc, distinct gram) —
+    the same bounded relation the dedup operators shuffle — and the
+    hit count is a grouped agg with map-side partials. Never
+    all-pairs, no Python anywhere.
+    """
+    grams = F.array_distinct(word_2grams(F.col(text_col)))
+    pg = probe.select(F.explode(grams).alias("_g")).distinct()
+    cg = corpus.select(F.col(id_col), F.explode(grams).alias("_g"))
+    sizes = corpus.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_distinct_2grams"))
+    hits = cg.join(pg, "_g").groupBy(id_col) \
+             .agg(F.count("*").alias("_hits"))
+    return (sizes.join(hits, id_col, "left")
+                 .select(id_col, "n_distinct_2grams",
+                         F.coalesce(F.col("_hits"), F.lit(0))
+                          .cast("long").alias("n_probe_2grams")))
+
+
 def lang_votes(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word vote counts per language + argmax prediction.
 

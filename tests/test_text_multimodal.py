@@ -284,3 +284,53 @@ def test_png_rejects_unsupported():
     bad[-5] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
+
+
+def test_repetition_features_paths_match_brute_force(spark):
+    """Both plans (partial-agg explode and zero-shuffle mapside fold)
+    must agree with a Python Counter on every edge: duplicate grams,
+    <2-token docs (no row), empty text, ragged whitespace, all-same."""
+    from collections import Counter
+    from cdap_geo_spark.operators.text import repetition_features
+    rows = [(0, "a b a b a"), (1, "x"), (2, ""), (3, "  p  q   p q  "),
+            (4, "w w w w"), (5, "u v"),
+            (6, "the cat sat on the cat mat the cat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def brute(t):
+        toks = t.split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            return None
+        c = Counter(grams)
+        return (len(grams), len(c), max(c.values()),
+                sum(v for v in c.values() if v > 1))
+
+    want = {i: brute(t) for i, t in rows if brute(t) is not None}
+    for how in ("explode", "mapside"):
+        got = {r[0]: tuple(r[1:])
+               for r in repetition_features(df, how=how).collect()}
+        assert got == want, how
+
+
+def test_contamination_scores_match_brute_force(spark):
+    """Decontamination facts vs a Python set intersection: probe hits
+    count DISTINCT grams only, zero-hit and gram-less docs keep their
+    row, and probe docs score 100% against themselves."""
+    from cdap_geo_spark.operators.text import contamination_scores
+    rows = [(0, "a b c d"), (1, "b c x y"), (2, "zz qq"),
+            (3, ""), (4, "a b a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    probe = df.filter(F.col("doc_id") == 0)
+
+    def grams(t):
+        toks = t.split()
+        return {f"{x} {y}" for x, y in zip(toks, toks[1:])}
+
+    pg = grams(rows[0][1])
+    want = {i: (len(grams(t)), len(grams(t) & pg)) for i, t in rows}
+    got = {r[0]: (r[1], r[2])
+           for r in contamination_scores(df, probe).collect()}
+    assert got == want
+    assert got[0] == (3, 3)      # probe vs itself: fully contaminated
+    assert got[3] == (0, 0)      # gram-less doc keeps its row
