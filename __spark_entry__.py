@@ -299,7 +299,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = d.filter(F.col("doc_id") % DECONTAM_PROBE_MOD == 0)
     out = contamination_scores(d, probe)
     return out.select(F.col("doc_id").cast("long"),
-                      "n_distinct_2grams", "n_probe_2grams")
+                      "n_distinct_ngrams", "n_probe_ngrams")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,8 +1271,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cg JOIN p USING (g) GROUP BY cg.doc_id
           )
           SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-                 CAST(len(grams) AS BIGINT) AS n_distinct_2grams,
-                 CAST(coalesce(h.n_probe, 0) AS BIGINT) AS n_probe_2grams
+                 CAST(len(grams) AS BIGINT) AS n_distinct_ngrams,
+                 CAST(coalesce(h.n_probe, 0) AS BIGINT) AS n_probe_ngrams
           FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         """,
         "lang_id": """

@@ -55,17 +55,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
-def word_2grams(text: Column) -> Column:
-    """Array of space-joined word 2-grams over whitespace tokens —
-    native slice/zip_with, no Python. Docs with fewer than two tokens
-    yield an empty array."""
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Array of space-joined word n-grams over whitespace tokens —
+    native zip_with (n=2) or sequence+transform+slice, no Python.
+    Docs with fewer than n tokens yield an empty array (the guard
+    matters twice: ``sequence(1, m)`` DESCENDS when m < 1 — same trap
+    as :func:`shingles` — and ``split('')`` yields ``['']``, which
+    would count one phantom token on empty text)."""
     toks = F.split(F.trim(text), r"\s+")
-    pairs = F.zip_with(
-        F.slice(toks, F.lit(1), F.size(toks) - 1),
-        F.slice(toks, F.lit(2), F.size(toks) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(F.size(toks) >= 2, pairs) \
+    if n == 2:      # two aligned slices beat per-index slicing
+        grams = F.zip_with(
+            F.slice(toks, F.lit(1), F.size(toks) - 1),
+            F.slice(toks, F.lit(2), F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when((F.length(F.trim(text)) > 0) & (F.size(toks) >= n),
+                  grams) \
             .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+
+
+def word_2grams(text: Column) -> Column:
+    """Array of space-joined word 2-grams (``word_ngrams(text, 2)``)."""
+    return word_ngrams(text, 2)
 
 
 def repetition_features(df: DataFrame, text_col: str = "text",
@@ -158,14 +172,16 @@ def repetition_features(df: DataFrame, text_col: str = "text",
 
 def contamination_scores(corpus: DataFrame, probe: DataFrame, *,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         n: int = 2) -> DataFrame:
     """Eval-set decontamination scores: for every corpus doc, how many
-    of its DISTINCT word 2-grams appear anywhere in the probe corpus
+    of its DISTINCT word n-grams appear anywhere in the probe corpus
     (the benchmark/eval set being protected). The standard n-gram
-    decontamination pass of LLM training pipelines, reduced to two
-    relational facts per doc — ``n_distinct_2grams`` and
-    ``n_probe_2grams`` — so the caller picks its own threshold
-    (e.g. drop when ``100 * n_probe >= 80 * n_distinct``).
+    decontamination pass of LLM training pipelines (production passes
+    use n of 8-13), reduced to two relational facts per doc —
+    ``n_distinct_ngrams`` and ``n_probe_ngrams`` — so the caller picks
+    its own threshold (e.g. drop when ``100 * n_probe >= 80 *
+    n_distinct``).
 
     Zero-hit and gram-less docs keep their row (left join), so the
     output is exactly one row per corpus doc.
@@ -178,17 +194,17 @@ def contamination_scores(corpus: DataFrame, probe: DataFrame, *,
     hit count is a grouped agg with map-side partials. Never
     all-pairs, no Python anywhere.
     """
-    grams = F.array_distinct(word_2grams(F.col(text_col)))
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
     pg = probe.select(F.explode(grams).alias("_g")).distinct()
     cg = corpus.select(F.col(id_col), F.explode(grams).alias("_g"))
     sizes = corpus.select(
-        F.col(id_col), F.size(grams).cast("long").alias("n_distinct_2grams"))
+        F.col(id_col), F.size(grams).cast("long").alias("n_distinct_ngrams"))
     hits = cg.join(pg, "_g").groupBy(id_col) \
              .agg(F.count("*").alias("_hits"))
     return (sizes.join(hits, id_col, "left")
-                 .select(id_col, "n_distinct_2grams",
+                 .select(id_col, "n_distinct_ngrams",
                          F.coalesce(F.col("_hits"), F.lit(0))
-                          .cast("long").alias("n_probe_2grams")))
+                          .cast("long").alias("n_probe_ngrams")))
 
 
 def lang_votes(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -334,3 +334,32 @@ def test_contamination_scores_match_brute_force(spark):
     assert got == want
     assert got[0] == (3, 3)      # probe vs itself: fully contaminated
     assert got[3] == (0, 0)      # gram-less doc keeps its row
+
+
+def test_word_ngrams_general_n_and_decontaminate_n3(spark):
+    """word_ngrams(n) must match Python zip-slicing for n in {1,2,3,5},
+    including the descending-sequence guard (< n tokens -> empty), and
+    contamination_scores(n=3) must match a brute-force set overlap."""
+    from cdap_geo_spark.operators.text import (contamination_scores,
+                                               word_ngrams)
+    texts = ["a b c d e", "a b", "x", "", "p q p q p"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+
+    def brute_grams(t, n):
+        toks = t.split()
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    for n in (1, 2, 3, 5):
+        got = [r[0] for r in
+               df.select(word_ngrams(F.col("text"), n)).collect()]
+        assert got == [brute_grams(t, n) for t in texts], n
+
+    probe = df.filter(F.col("doc_id") == 0)
+    want = {}
+    for i, t in enumerate(texts):
+        g = set(brute_grams(t, 3))
+        want[i] = (len(g), len(g & set(brute_grams(texts[0], 3))))
+    got = {r[0]: (r[1], r[2])
+           for r in contamination_scores(df, probe, n=3).collect()}
+    assert got == want
