@@ -116,6 +116,20 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_knn_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.knn import knn_join
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    queries = R.doc_boxes(spark, sf_dir) \
+               .selectExpr("doc_id as query_id", "geometry")
+    corpus = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = knn_join(queries, corpus, k=3, level=8, max_rounds=60,
+                   corpus_id="region_id", how="box")
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("region_id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
 def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark import udfs
     from cdap_geo_spark.sources import relational as R
@@ -633,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": _q_distance_join,
         "tile_assign": _q_tile_assign,
         "knn": _q_knn,
+        "knn_box": _q_knn_box,
         "region_area": _q_region_area,
         "buffer_area": _q_buffer_area,
         "subdivide_area": _q_subdivide_area,
@@ -1097,6 +1112,23 @@ def oracle_sql() -> dict[str, str]:
                  CAST(doc_id AS BIGINT) AS doc_id,
                  CAST(rank AS BIGINT) AS rank
           FROM ranked WHERE rank <= 5
+        """,
+        "knn_box": f"""
+          WITH q AS ({_DBOXES}), c AS ({_BOXES}), ranked AS (
+            SELECT q.doc_id AS query_id, c.region_id,
+                   row_number() OVER (
+                     PARTITION BY q.doc_id
+                     ORDER BY
+                       greatest(q.minx - c.maxx, c.minx - q.maxx, 0)
+                         * greatest(q.minx - c.maxx, c.minx - q.maxx, 0)
+                       + greatest(q.miny - c.maxy, c.miny - q.maxy, 0)
+                         * greatest(q.miny - c.maxy, c.miny - q.maxy, 0),
+                       c.region_id) AS rank
+            FROM q CROSS JOIN c)
+          SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(region_id AS BIGINT) AS region_id,
+                 CAST(rank AS BIGINT) AS rank
+          FROM ranked WHERE rank <= 3
         """,
         "region_area": f"""
           WITH b AS ({_BOXES})

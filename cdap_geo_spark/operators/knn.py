@@ -89,7 +89,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
              max_rounds: int = 12,
              broadcast_queries: bool | str = "auto",
              broadcast_threshold: int = BROADCAST_PROBE_ROWS,
-             require_points: bool = True) -> DataFrame:
+             require_points: bool = True,
+             how: str = "point") -> DataFrame:
     """(query_id, doc_id, dist, rank<=k) for point queries over a point
     corpus. Exact (certified by the ring bound), deterministic ties.
 
@@ -102,6 +103,31 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
     extent. ``require_points=False`` opts into the documented
     corner-distance semantics for callers who meant it (e.g. tiny
     boxes from a lossy decode).
+
+    **``how='box'`` (round 5d)**: exact kNN under BOUNDING-BOX distance
+    (box-to-box min Euclidean distance; exact for axis-aligned box
+    geometries, a bbox approximation for general polygons — the
+    honest upgrade over the validated-out corner-distance trap).
+    Differences from point mode, each load-bearing for soundness:
+
+    - the corpus indexes into its full cell COVER (explode — a box
+      appears under every cell it touches), so a near box can never
+      hide behind a far min-corner;
+    - probes ring around the query's cover RECTANGLE
+      (``st_ring_cells_rect``, same floor/ceil arithmetic as the
+      corpus cover so the two grids align);
+    - candidates dedup on (query, corpus) before top-k — one box can
+      arrive from several cover cells;
+    - certification is STRICT (``d_k < hi*cellsize``): an unseen box
+      has every cover cell at Chebyshev ring >= hi+1, hence distance
+      >= hi*cellsize, and the strict compare removes the
+      boundary-equality tie (a box ending exactly on a cell edge)
+      that the point mode tolerates as measure-zero;
+    - the per-round broadcast decision uses a bounded count of the
+      actual probe relation (ring size varies per query box, so the
+      closed-form annulus arithmetic no longer applies).
+
+    ``require_points`` is ignored in box mode.
 
     ``broadcast_queries='auto'`` (default) decides PER ROUND: the
     probe relation is pending queries x annulus cells, whose exact
@@ -117,22 +143,41 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
     materialize it fully (count/collect/write) BEFORE the scope
     closes — actions after the scope fail with missing-block errors.
     """
+    if how not in ("point", "box"):
+        raise ValueError(f"knn_join how must be 'point' or 'box': {how!r}")
+    box = how == "box"
     cs = C.cell_size(level)
 
     qb = udfs.st_bounds()(F.col(query_geom))
-    q = queries.select(
-        F.col(query_id),
-        qb["minx"].alias("_qx"), qb["miny"].alias("_qy"),
-        (qb["maxx"] - qb["minx"] + qb["maxy"] - qb["miny"]).alias("_qext"),
-    ).where(F.col("_qx").isNotNull())
-
     cb = udfs.st_bounds()(F.col(corpus_geom))
-    corp = corpus.select(
-        F.col(corpus_id),
-        cb["minx"].alias("_cx"), cb["miny"].alias("_cy"),
-        (cb["maxx"] - cb["minx"] + cb["maxy"] - cb["miny"]).alias("_cext"),
-        udfs.st_cell_point(level)(F.col(corpus_geom)).alias("cell_id"),
-    ).where(F.col("cell_id").isNotNull())
+    if box:
+        q = queries.select(
+            F.col(query_id),
+            qb["minx"].alias("_qminx"), qb["miny"].alias("_qminy"),
+            qb["maxx"].alias("_qmaxx"), qb["maxy"].alias("_qmaxy"),
+        ).where(F.col("_qminx").isNotNull())
+        q_cols = ["_qminx", "_qminy", "_qmaxx", "_qmaxy"]
+        corp = corpus.select(
+            F.col(corpus_id),
+            cb["minx"].alias("_cminx"), cb["miny"].alias("_cminy"),
+            cb["maxx"].alias("_cmaxx"), cb["maxy"].alias("_cmaxy"),
+            F.explode(udfs.st_cells(level, "bbox", pad=0.0)(
+                F.col(corpus_geom))).alias("cell_id"))
+        c_cols = ["_cminx", "_cminy", "_cmaxx", "_cmaxy"]
+    else:
+        q = queries.select(
+            F.col(query_id),
+            qb["minx"].alias("_qx"), qb["miny"].alias("_qy"),
+            (qb["maxx"] - qb["minx"] + qb["maxy"] - qb["miny"]).alias("_qext"),
+        ).where(F.col("_qx").isNotNull())
+        q_cols = ["_qx", "_qy"]
+        corp = corpus.select(
+            F.col(corpus_id),
+            cb["minx"].alias("_cx"), cb["miny"].alias("_cy"),
+            (cb["maxx"] - cb["minx"] + cb["maxy"] - cb["miny"]).alias("_cext"),
+            udfs.st_cell_point(level)(F.col(corpus_geom)).alias("cell_id"),
+        ).where(F.col("cell_id").isNotNull())
+        c_cols = ["_cx", "_cy"]
     corp = corp.persist()
     try:
         pending = q.persist()
@@ -146,12 +191,21 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             n_pending = None
         # density-seed the first annulus (one agg over the persisted
         # index — it materializes the persist round 1 pays anyway)
-        cstat = corp.agg(
-            F.count("*").alias("n"),
-            F.min("_cx").alias("x0"), F.max("_cx").alias("x1"),
-            F.min("_cy").alias("y0"), F.max("_cy").alias("y1"),
-            F.max("_cext").alias("ext")).first()
-        if require_points:
+        if box:
+            # exploded cover: distinct boxes for the density estimate
+            # (approx — the seed is a heuristic, the bound is exact)
+            cstat = corp.agg(
+                F.approx_count_distinct(corpus_id).alias("n"),
+                F.min("_cminx").alias("x0"), F.max("_cmaxx").alias("x1"),
+                F.min("_cminy").alias("y0"), F.max("_cmaxy").alias("y1")
+            ).first()
+        else:
+            cstat = corp.agg(
+                F.count("*").alias("n"),
+                F.min("_cx").alias("x0"), F.max("_cx").alias("x1"),
+                F.min("_cy").alias("y0"), F.max("_cy").alias("y1"),
+                F.max("_cext").alias("ext")).first()
+        if require_points and not box:
             if cstat and cstat["ext"] is not None and cstat["ext"] > 0:
                 raise ValueError(
                     "knn_join corpus contains non-point geometries "
@@ -186,25 +240,51 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
         # radius: [0,hi0], [hi0+1, 2*hi0+2], ...
         lo, hi = 0, hi0
         rounds = 0
-        dist = udfs.st_point_distance()(
-            F.col("_qx"), F.col("_qy"), F.col("_cx"), F.col("_cy"))
+        if box:
+            # exact box-to-box min distance, fully native arithmetic
+            dx = F.greatest(F.col("_qminx") - F.col("_cmaxx"),
+                            F.col("_cminx") - F.col("_qmaxx"), F.lit(0.0))
+            dy = F.greatest(F.col("_qminy") - F.col("_cmaxy"),
+                            F.col("_cminy") - F.col("_qmaxy"), F.lit(0.0))
+            dist = F.sqrt(dx * dx + dy * dy)
+        else:
+            dist = udfs.st_point_distance()(
+                F.col("_qx"), F.col("_qy"), F.col("_cx"), F.col("_cy"))
         while rounds < max_rounds:
-            ring = udfs.st_ring_cells(level)(
-                F.col("_qx"), F.col("_qy"), F.lit(lo), F.lit(hi))
+            if box:
+                ring = udfs.st_ring_cells_rect(level)(
+                    F.col("_qminx"), F.col("_qminy"),
+                    F.col("_qmaxx"), F.col("_qmaxy"),
+                    F.lit(lo), F.lit(hi))
+            else:
+                ring = udfs.st_ring_cells(level)(
+                    F.col("_qx"), F.col("_qy"), F.lit(lo), F.lit(hi))
             probes = pending.select(
-                query_id, "_qx", "_qy", F.explode(ring).alias("cell_id"))
+                query_id, *q_cols, F.explode(ring).alias("cell_id"))
             if broadcast_queries == "auto":
-                bc = (n_pending is not None and
-                      n_pending * _annulus_cells(lo, hi)
-                      <= broadcast_threshold)
+                if box:
+                    # ring size varies per query box: bounded count of
+                    # the actual probe relation (reads <= cap+1 rows)
+                    bc = (probes.limit(broadcast_threshold + 1).count()
+                          <= broadcast_threshold)
+                else:
+                    bc = (n_pending is not None and
+                          n_pending * _annulus_cells(lo, hi)
+                          <= broadcast_threshold)
             else:
                 bc = bool(broadcast_queries)
             if bc:
                 probes = F.broadcast(probes)
             found = probes.join(corp, "cell_id") \
-                .select(query_id, "_qx", "_qy", corpus_id, "_cx", "_cy") \
+                .select(query_id, *q_cols, corpus_id, *c_cols) \
                 .withColumn("_dist", dist)
             merged = found if acc is None else acc.unionByName(found)
+            if box:
+                # a box arrives once per touched cover cell (within a
+                # round and across annuli); duplicate pairs would
+                # double-count in the top-k window. Rows of one pair
+                # are identical, so dropDuplicates is exact.
+                merged = merged.dropDuplicates([query_id, corpus_id])
             # keep only each query's current top-k — bounds the
             # accumulator to k rows per query between rounds.
             # localCheckpoint truncates the lineage: acc feeds pending
@@ -226,8 +306,14 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             # unseen point can be closer than hi*cellsize)
             stats = acc.groupBy(query_id).agg(
                 F.count("*").alias("_n"), F.max("_dist").alias("_dk"))
-            done_q = stats.filter(
-                (F.col("_n") >= k) & (F.col("_dk") <= F.lit(float(hi) * cs)))
+            # box mode certifies STRICTLY (see docstring): unseen
+            # boxes are >= hi*cs away, and < removes the
+            # boundary-equality tie the point mode tolerates
+            if box:
+                certified = F.col("_dk") < F.lit(float(hi) * cs)
+            else:
+                certified = F.col("_dk") <= F.lit(float(hi) * cs)
+            done_q = stats.filter((F.col("_n") >= k) & certified)
             pending_next = pending.join(done_q.select(query_id),
                                         query_id, "left_anti") \
                                   .localCheckpoint(eager=False)

@@ -307,3 +307,42 @@ def st_ring_cells(level: int):
             out.append(C.encode(level, gx[m], gy[m]))
         return pd.Series(out)
     return _ring
+
+
+def st_ring_cells_rect(level: int):
+    """(minx, miny, maxx, maxy, lo:int, hi:int) -> array<long> cells
+    whose Chebyshev distance from the BOX's cover rectangle lies in
+    [lo, hi] — the annulus probe for box-mode kNN. The base rectangle
+    reproduces :func:`cells.cover_bbox`'s pad=0 floor/ceil arithmetic
+    exactly, so ring cells align with the corpus-side cover index
+    (misaligned conventions would make the certification bound
+    unsound at cell boundaries)."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _ring(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+              maxy: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
+        cs = C.cell_size(level)
+        n = 1 << level
+        x1 = np.clip(np.floor((minx.to_numpy(np.float64) - C.WORLD_X0) / cs),
+                     0, n - 1).astype(np.int64)
+        y1 = np.clip(np.floor((miny.to_numpy(np.float64) - C.WORLD_Y0) / cs),
+                     0, n - 1).astype(np.int64)
+        x2 = np.clip(np.ceil((maxx.to_numpy(np.float64) - C.WORLD_X0) / cs),
+                     1, n).astype(np.int64)
+        y2 = np.clip(np.ceil((maxy.to_numpy(np.float64) - C.WORLD_Y0) / cs),
+                     1, n).astype(np.int64)
+        bx = x1 + np.maximum(x2 - x1, 1) - 1
+        by = y1 + np.maximum(y2 - y1, 1) - 1
+        los = lo.to_numpy(np.int64)
+        his = hi.to_numpy(np.int64)
+        out = []
+        for ax0, ay0, ax1, ay1, l_, h_ in zip(x1, y1, bx, by, los, his):
+            xs = np.arange(max(ax0 - h_, 0), min(ax1 + h_, n - 1) + 1)
+            ys = np.arange(max(ay0 - h_, 0), min(ay1 + h_, n - 1) + 1)
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            dx = np.maximum(np.maximum(ax0 - gx, gx - ax1), 0)
+            dy = np.maximum(np.maximum(ay0 - gy, gy - ay1), 0)
+            cheb = np.maximum(dx, dy)
+            m = (cheb >= l_) & (cheb <= h_)
+            out.append(C.encode(level, gx[m], gy[m]))
+        return pd.Series(out)
+    return _ring

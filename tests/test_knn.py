@@ -136,3 +136,73 @@ def test_knn_rejects_non_point_corpus(spark):
     pts = fixtures.knn_queries(spark, 80).select(
         F.col("query_id").alias("doc_id"), "geometry")
     assert knn_join(queries, pts, k=2, level=9).count() == 6
+
+
+def _random_boxes(spark, n, seed, prefix, max_side=40000.0, min_side=10.0):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cdap_geo_spark import udfs
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0, 600000, n)
+    y = rng.uniform(0, 1200000, n)
+    if max_side <= 0:
+        w = h = np.zeros(n)          # point-degenerate boxes
+    else:
+        w = rng.uniform(min_side, max_side, n)
+        h = rng.uniform(min_side, max_side, n)
+    rows = [(f"{prefix}{i}", float(x[i]), float(y[i]),
+             float(x[i] + w[i]), float(y[i] + h[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "gid string, minx double, miny double, maxx double, maxy double")
+    return df.select("gid", "minx", "miny", "maxx", "maxy",
+                     udfs.st_box()(F.col("minx"), F.col("miny"),
+                                   F.col("maxx"), F.col("maxy"))
+                         .alias("geometry"))
+
+
+def test_knn_box_matches_bruteforce(spark):
+    """Box-mode kNN vs the O(n^2) box-to-box distance oracle: exact
+    ranks AND distances, including dist-0 overlapping pairs (many
+    zero ties broken by corpus id) and queries in sparse corners."""
+    import numpy as np
+    corpus = _random_boxes(spark, 120, 3, "c").cache()
+    queries = _random_boxes(spark, 25, 7, "q").cache()
+    k = 4
+    got = knn_join(queries.selectExpr("gid as query_id", "geometry"),
+                   corpus.selectExpr("gid as doc_id", "geometry"),
+                   k=k, level=8, max_rounds=60, how="box").toPandas()
+
+    qp = queries.toPandas()
+    cp = corpus.toPandas()
+
+    def boxdist(q, c):
+        dx = max(q.minx - c.maxx, c.minx - q.maxx, 0.0)
+        dy = max(q.miny - c.maxy, c.miny - q.maxy, 0.0)
+        return float(np.hypot(dx, dy))
+
+    for q in qp.itertuples():
+        d = [(boxdist(q, c), c.gid) for c in cp.itertuples()]
+        want = sorted(d)[:k]
+        sub = got[got.query_id == q.gid].sort_values("rank")
+        have = [(round(float(r.dist), 6), r.doc_id) for r in sub.itertuples()]
+        assert have == [(round(dd, 6), g) for dd, g in want], q.gid
+        # certified exactness must include zero-distance overlaps
+    assert (got.dist == 0).any()   # the fixture produces overlaps
+
+
+def test_knn_box_degenerate_boxes_match_point_mode(spark):
+    """Point-degenerate boxes (minx==maxx, miny==maxy) under how='box'
+    must reproduce the point mode's (id, rank, dist) exactly."""
+    corpus = _random_boxes(spark, 150, 11, "c", max_side=0.0) \
+        .selectExpr("gid as doc_id", "geometry").cache()
+    queries = _random_boxes(spark, 8, 13, "q", max_side=0.0) \
+        .selectExpr("gid as query_id", "geometry").cache()
+    pt = knn_join(queries, corpus, k=3, level=9, max_rounds=40,
+                  require_points=False).toPandas()
+    bx = knn_join(queries, corpus, k=3, level=9,
+                  how="box", max_rounds=40).toPandas()
+    key = ["query_id", "rank"]
+    pt = pt.sort_values(key).reset_index(drop=True)
+    bx = bx.sort_values(key).reset_index(drop=True)
+    assert list(pt.doc_id) == list(bx.doc_id)
+    assert np.allclose(pt.dist, bx.dist)
