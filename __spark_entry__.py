@@ -573,12 +573,23 @@ def _q_sjoin_bucketed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate_salt (one copy per salt value), joined exchange-free on
     (cell_id, _salt). Oracle: identical SQL to sjoin_pip — proves the
     salted layout returns the same rows as the plain shuffle join."""
+    from cdap_geo_spark.operators.bucketed import sjoin_bucketed
+    write_salted_bench_tables(spark, sf_dir)
+    out = sjoin_bucketed(spark, "bench_bts_docs", "bench_bts_regions",
+                         left_id="doc_id", right_id="region_id")
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("region_id").cast("long"))
+
+
+def write_salted_bench_tables(spark: SparkSession, sf_dir: str) -> None:
+    """The coordinated-salt layout's one-off writes (docs salt=4,
+    regions salt=4 replicated), shared by the oracle query and the
+    bench's write/join split timing."""
     import os
     import tempfile
 
     from cdap_geo_spark import docs as D
-    from cdap_geo_spark.operators.bucketed import (index_to_bucketed_table,
-                                                   sjoin_bucketed)
+    from cdap_geo_spark.operators.bucketed import index_to_bucketed_table
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
@@ -593,10 +604,6 @@ def _q_sjoin_bucketed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                             id_col="region_id", level=8, buckets=16,
                             salt=4, replicate_salt=True, census=False,
                             path=f"{root}/regions")
-    out = sjoin_bucketed(spark, "bench_bts_docs", "bench_bts_regions",
-                         left_id="doc_id", right_id="region_id")
-    return out.select(F.col("doc_id").cast("long"),
-                      F.col("region_id").cast("long"))
 
 
 def write_bucketed_bench_tables(spark: SparkSession, sf_dir: str) -> None:

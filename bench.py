@@ -153,7 +153,19 @@ def bucketed_split(spark) -> dict:
                    left_id="doc_id", right_id="region_id") \
         .write.format("noop").mode("overwrite").save()
     join_s = round(time.time() - t0, 3)
-    return {"write_tables_s": write_s, "join_only_s": join_s}
+    # same split for the coordinated-salt skew layout (x4 replicated
+    # regions): its join-only steady state is the number that matters
+    t0 = time.time()
+    E.write_salted_bench_tables(spark, SF_DIR)
+    swrite_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    sjoin_bucketed(spark, "bench_bts_docs", "bench_bts_regions",
+                   left_id="doc_id", right_id="region_id") \
+        .write.format("noop").mode("overwrite").save()
+    sjoin_s = round(time.time() - t0, 3)
+    return {"write_tables_s": write_s, "join_only_s": join_s,
+            "salted_write_tables_s": swrite_s,
+            "salted_join_only_s": sjoin_s}
 
 
 def host_envelope() -> dict:
