@@ -417,6 +417,11 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
        counted match. This replaces the round-4 ``dropDuplicates``
        with a same-shuffle ``groupBy`` that also tightens multi-match
        pairs for free.
+
+    ``dict_verify=True`` (round 5d, opt-in) swaps the exact-verify
+    stage for the bounded broadcast-dict kernel — see
+    :func:`_exact_inter_sizes` for the measured A/B that keeps the
+    native joins the default.
     """
     # widen a narrow scan BEFORE the gram stage: the md5 gram hashing
     # is the operator's dominant map cost and must not serialize on a
