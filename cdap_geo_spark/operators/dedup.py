@@ -107,13 +107,90 @@ def token_hash64(tok: Column) -> Column:
 VERIFY_DICT_MAX_DOCS = 500_000
 VERIFY_DICT_MAX_BYTES = 256 << 20
 
-#: per-worker transient cap for the mapper's gathered grams (A+B
-#: sides combined). Arrow batches arrive at up to 65,536 pairs (~38M
-#: gathered grams at ~290 grams/doc across both sides) and the key
-#: merge holds ~4 same-length int64 temporaries, so an uncapped batch
-#: would cost ~1.2 GB × n_workers; chunking pairs inside the batch
-#: bounds the transient to ~130 MB regardless of batch size.
-_VERIFY_CHUNK_GRAMS = 4_000_000
+#: per-worker transient cap for the bitset mapper, in uint64 WORDS per
+#: pair chunk. Arrow batches arrive at up to 65,536 pairs; the kernel
+#: holds ~4 chunk×nwords uint64 temporaries (two gathered operand
+#: blocks, the AND, one popcount scratch), so chunking pairs to
+#: 4M words bounds the transient to ~130 MB regardless of batch size
+#: or vocabulary width.
+_VERIFY_CHUNK_WORDS = 4_000_000
+
+#: docs cap for the ALL-PAIRS bitset regime (ngram_jaccard_pairs
+#: ``allpairs``): n²/2 pair evaluations at the measured ~0.9M
+#: pairs/s/core (6-word vocab) put 20k docs at ~200M pairs ≈ 7 s on 32
+#: cores — the regime is a dense-corpus fast path, never the scale
+#: path. Above the cap the operator keeps the distributed prefix join.
+ALLPAIRS_MAX_DOCS = 20_000
+
+#: all-pairs task granularity: docs are split into ⌈n/B⌉ index blocks
+#: and one task evaluates one (block_i, block_j) pair — B=512 gives
+#: 55 tasks at 5k docs (saturates local[32]) and a ≤ B²·nwords-word
+#: kernel transient per task.
+_ALLPAIRS_BLOCK = 512
+
+
+def _popcount_rows(v: "np.ndarray") -> "np.ndarray":
+    """Row-sum popcount over a 2-D uint64 array: 4-pass SWAR
+    (numpy<2 has no ``bitwise_count``), no data-dependent branches."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    v = v - ((v >> np.uint64(1)) & m1)
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return ((v * h) >> np.uint64(56)).sum(axis=-1).astype(np.int64)
+
+
+def _dict_caps_ok(rel: DataFrame, arr_col: str) -> bool:
+    """Bounded probe: may ``rel`` (id, gram-array) be collected at
+    all? An agg over ``limit(cap+1)`` — never an unbounded scan — so
+    at corpus scale this is the ONLY job the fast paths run before
+    refusing."""
+    probe = rel.limit(VERIFY_DICT_MAX_DOCS + 1).agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(arr_col)).alias("g")).collect()[0]
+    return (probe["n"] <= VERIFY_DICT_MAX_DOCS
+            and (probe["g"] or 0) * 8 <= VERIFY_DICT_MAX_BYTES)
+
+
+def _collect_bit_matrix(rel: DataFrame, arr_col: str):
+    """Collect ``rel`` (id, gram-array) and build the per-doc BITSET
+    matrix: grams are dense-ranked into a contiguous bit space
+    (``np.unique``) and each doc becomes a row of ``nwords =
+    ceil(nbits/64)`` uint64 words. Returns ``(ids, lens, mat)`` with
+    rows sorted by id VALUE (so index order == id order — the
+    all-pairs enumerator's ``i < j ⇒ id_i < id_j`` invariant; the
+    verify dict doesn't care), or ``None`` when the dense matrix
+    would exceed ``VERIFY_DICT_MAX_BYTES`` (wide vocabularies, e.g.
+    64-bit hashed grams over a diverse corpus, where nbits ~ total
+    distinct grams). Callers MUST have passed :func:`_dict_caps_ok`
+    first — this function collects."""
+    rows = sorted(rel.select("_id", arr_col).collect(),
+                  key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=object)
+    lens = np.fromiter((len(r[1]) if r[1] is not None else 0
+                        for r in rows), dtype=np.int64, count=len(rows))
+    indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    flat = np.empty(int(indptr[-1]), dtype=np.int64)
+    for i, r in enumerate(rows):
+        if lens[i]:
+            flat[indptr[i]:indptr[i + 1]] = np.asarray(r[1], dtype=np.int64)
+    # dense-rank the gram values into a contiguous bit space; per-row
+    # slices need no order at all (set bits commute)
+    uniq, flat = np.unique(flat, return_inverse=True)
+    nwords = (len(uniq) + 63) // 64 if len(uniq) else 1
+    if len(rows) * nwords * 8 > VERIFY_DICT_MAX_BYTES:
+        return None
+    mat = np.zeros((len(rows), nwords), dtype=np.uint64)
+    row_idx = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+    flat = flat.astype(np.uint64)
+    # bitwise_or.at, not fancy-assign: several grams of one doc share
+    # a word, and fancy assignment keeps only the last write
+    np.bitwise_or.at(mat, (row_idx, (flat >> np.uint64(6)).astype(np.int64)),
+                     np.uint64(1) << (flat & np.uint64(63)))
+    return ids, lens, mat
 
 
 def _exact_inter_sizes(cand: DataFrame, rel: DataFrame, *,
@@ -135,60 +212,49 @@ def _exact_inter_sizes(cand: DataFrame, rel: DataFrame, *,
     per-pair allocation. Sorting per row changes nothing semantically
     — the arrays are distinct SETS; ``inter``/``uni`` are order-free.
 
-    Kernel choice is MEASURED, not assumed — and the measurement made
-    this path OPT-IN (``enabled=True``), never the default. v1 (a
+    Kernel choice is MEASURED, not assumed. Recorded history: v1 (a
     vectorized masked lower-bound loop over the batch: ~log2(max|doc|)
     numpy passes, each allocating where/compare temporaries) LOST to
     the native joins 2x at sf0.1 k=3/t=40 (within-session A/B:
     180.5/88.3 s vs 74.0/42.7 s e2e) — ~63 full passes over the
-    19M-gram gather is pure memory traffic. v2 (this code) does the
-    set-intersection with ONE C-level ``np.searchsorted`` over
-    composed keys instead: grams are dense-ranked once at build time
-    (``np.unique`` — the byte cap guarantees ranks < 2^25, far under
-    the 31 bits available), each chunk gathers both sides' ranks and
-    composes ``pair_idx << 32 | rank`` keys, which are globally
-    sorted by construction, so one merge-shaped searchsorted + one
-    bincount finishes the chunk (~6 passes, batch-size-independent
-    via _VERIFY_CHUNK_GRAMS chunking). v2's within-session A/B at the
-    same config: on 57.7/54.1 s vs off 75.5/37.1 s — notably STABLE
-    under host-bandwidth weather (the Arrow pair stream is the only
-    cross-boundary traffic) but still ~1.5x behind the warm native
-    path, whose array_intersect runs entirely inside whole-stage
-    codegen with an AQE-broadcast build side. Kept as an explicit
-    escape hatch (and as the recorded negative result); the default
-    path is the native joins.
+    gram gather is pure memory traffic. v2 replaced the loop with ONE
+    C-level ``np.searchsorted`` over ``pair_idx << 32 | dense_rank``
+    composed keys (~6 passes, chunked): stable under host-bandwidth
+    weather but still ~1.5x behind the warm native path (on 57.7/54.1
+    s vs off 75.5/37.1 s), whose array_intersect runs entirely inside
+    whole-stage codegen — so v2 stayed opt-in. v3 (this code) drops
+    the per-pair gram gather entirely: grams are dense-ranked once at
+    build time (``np.unique``), each doc becomes a BITSET over the
+    rank space (nwords = ceil(nbits/64) uint64 words), and the exact
+    intersection of a pair is ``popcount(row_a & row_b)`` — a gather
+    of 2 fixed-width rows, one AND, and a 4-pass SWAR popcount, all
+    flat uint64 lanes with no per-pair allocation. Microbench: 10.9M
+    pairs x 6 words = 0.9M pairs/s on ONE core (~12 s), vs the native
+    verify's measured ~56 core-µs/pair (~43 s on 32 cores) at the
+    same sf0.1 k=3/t=40 config — a ~150x per-core kernel gap, because
+    the corpus vocabulary is narrow (377 distinct trigrams → 6 words)
+    while the per-doc arrays are ~143 elements.
 
-    Scale story: the dict path is a bounded fast path ONLY — above
-    the caps the probe refuses even when ``enabled=True`` and the
-    caller keeps the shuffle-based verify. The pair relation itself
+    Scale story: the dict path is a bounded fast path ONLY — the
+    probe refuses unless BOTH the collected gram relation (docs and
+    total-gram caps, checked by a bounded ``limit(cap+1)`` agg before
+    any collect) AND the dense bit matrix (ndocs x nwords x 8 bytes,
+    known only after ``np.unique``) fit ``VERIFY_DICT_MAX_BYTES``.
+    Wide vocabularies (e.g. 64-bit hashed grams over a diverse corpus,
+    where nbits ~ total distinct grams) blow the matrix cap and fall
+    back to the native array-attach joins; the pair relation itself
     never collects.
     """
     if enabled is not True:
         return None
-    probe = rel.limit(VERIFY_DICT_MAX_DOCS + 1).agg(
-        F.count("*").alias("n"),
-        F.sum(F.size(arr_col)).alias("g")).collect()[0]
-    if (probe["n"] > VERIFY_DICT_MAX_DOCS
-            or (probe["g"] or 0) * 8 > VERIFY_DICT_MAX_BYTES):
+    if not _dict_caps_ok(rel, arr_col):
         return None
-    rows = rel.select("_id", arr_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=object)
-    lens = np.fromiter((len(r[1]) if r[1] is not None else 0
-                        for r in rows), dtype=np.int64, count=len(rows))
-    indptr = np.zeros(len(rows) + 1, dtype=np.int64)
-    np.cumsum(lens, out=indptr[1:])
-    flat = np.empty(int(indptr[-1]), dtype=np.int64)
-    for i, r in enumerate(rows):
-        if lens[i]:
-            flat[indptr[i]:indptr[i + 1]] = np.sort(
-                np.asarray(r[1], dtype=np.int64))
-    # dense-rank the gram values: per-row slices stay sorted (rank is
-    # order-preserving) and every rank fits 31 bits (byte cap bounds
-    # total grams, hence distinct grams, to 32M)
-    _, flat = np.unique(flat, return_inverse=True)
-    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    built = _collect_bit_matrix(rel, arr_col)
+    if built is None:
+        return None     # vocabulary too wide for the dense bit matrix
+    ids, lens, mat = built
     spark = cand.sparkSession
-    bc = spark.sparkContext.broadcast((ids, indptr, flat))
+    bc = spark.sparkContext.broadcast((ids, lens, mat))
 
     out_schema = T.StructType([
         cand.schema["ida"], cand.schema["idb"],
@@ -196,17 +262,9 @@ def _exact_inter_sizes(cand: DataFrame, rel: DataFrame, *,
         T.StructField("uni", T.LongType())])
 
     def mapper(batches):
-        dids, dindptr, dflat = bc.value
+        dids, dlens, dmat = bc.value
         idx = pd.Index(dids)
-        dlens = np.diff(dindptr)
-
-        def gather(docs, lens, m):
-            # ranks of each doc's grams, concatenated in pair order
-            offs = np.cumsum(lens)
-            pos = np.arange(m, dtype=np.int64) + np.repeat(
-                dindptr[docs] - np.concatenate(([0], offs[:-1])), lens)
-            return dflat[pos]
-
+        chunk = max(1, _VERIFY_CHUNK_WORDS // dmat.shape[1])
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -216,31 +274,11 @@ def _exact_inter_sizes(cand: DataFrame, rel: DataFrame, *,
             if (ai < 0).any() or (bi < 0).any():
                 raise ValueError(
                     "verify dict is missing a candidate doc id")
+            inter = np.empty(n, dtype=np.int64)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                inter[s:e] = _popcount_rows(dmat[ai[s:e]] & dmat[bi[s:e]])
             la, lb = dlens[ai], dlens[bi]
-            inter = np.zeros(n, dtype=np.int64)
-            # chunk pairs so the gathered-gram transient stays bounded
-            cw = np.cumsum(la + lb)
-            start = 0
-            while start < n:
-                base = cw[start - 1] if start else 0
-                stop = max(start + 1, int(np.searchsorted(
-                    cw, base + _VERIFY_CHUNK_GRAMS, side="right")))
-                sla, slb = la[start:stop], lb[start:stop]
-                ma, mb = int(sla.sum()), int(slb.sum())
-                if mb and ma:
-                    nc = stop - start
-                    pid_a = np.repeat(np.arange(nc, dtype=np.int64), sla)
-                    pid_b = np.repeat(np.arange(nc, dtype=np.int64), slb)
-                    a_keys = (pid_a << 32) | gather(ai[start:stop], sla, ma)
-                    b_keys = (pid_b << 32) | gather(bi[start:stop], slb, mb)
-                    # a_keys ascend globally (pair-major, rank-minor):
-                    # one merge-shaped searchsorted finds every B key
-                    loc = np.searchsorted(a_keys, b_keys)
-                    found = (loc < ma) & (
-                        a_keys[np.minimum(loc, ma - 1)] == b_keys)
-                    inter[start:stop] = np.bincount(
-                        pid_b, weights=found, minlength=nc).astype(np.int64)
-                start = stop
             yield pd.DataFrame({
                 "ida": pdf["ida"].to_numpy(),
                 "idb": pdf["idb"].to_numpy(),
@@ -248,6 +286,89 @@ def _exact_inter_sizes(cand: DataFrame, rel: DataFrame, *,
                 "uni": la + lb - inter})
 
     return cand.select("ida", "idb").mapInPandas(mapper, out_schema)
+
+
+def _allpairs_wins(n_docs: int, vocab: int, prefix_total: int) -> bool:
+    """Regime cost test for :func:`ngram_jaccard_pairs`: by
+    Cauchy-Schwarz, the prefix self-join materializes ``Σ_g c_g² ≥
+    P²/V`` match rows (P = total prefix entries, V = vocabulary size) —
+    a LOWER bound on the join's work before the pair groupBy even
+    runs. When that bound already reaches the total pair count
+    ``n²/2``, filtered enumeration cannot beat exhaustive enumeration
+    on row count, and each all-pairs "row" (one bitset AND+popcount,
+    no shuffle) is far cheaper than a shuffled join row — so the
+    all-pairs regime wins. Dense similar corpora with narrow
+    vocabularies (the measured sf0.1 trigram corpus: V=377,
+    P²/V ≈ 40× n²/2) switch; diverse corpora (V in the millions)
+    keep the distributed prefix join, which is the scale path."""
+    return vocab > 0 and 2 * prefix_total * prefix_total >= vocab * n_docs * n_docs
+
+
+def _allpairs_bitset_pairs(rel: DataFrame, *, threshold_pct: int,
+                           arr_col: str = "_arr") -> DataFrame | None:
+    """Exact jaccard over ALL doc pairs via the broadcast bitset
+    matrix: docs are split into index blocks of ``_ALLPAIRS_BLOCK``
+    and one task evaluates one (block_i ≤ block_j) pair with a
+    vectorized 3-D ``AND`` + SWAR popcount — no candidate join, no
+    shuffle, output only the pairs passing the integer threshold
+    test. Returns ``None`` when the dense matrix refuses
+    (:func:`_collect_bit_matrix`); the CALLER enforces the docs cap
+    (``ALLPAIRS_MAX_DOCS``) with a bounded probe before calling.
+
+    ``id_a < id_b`` by value: the matrix rows are sorted by id, so
+    the block-grid's ``global_index_a < global_index_b`` invariant is
+    the id order. Zero-gram docs are excluded before the build (they
+    produce no gram rows in the join regimes either — a 0/0 jaccard
+    is no pair, matching the SQL oracle)."""
+    spark = rel.sparkSession
+    built = _collect_bit_matrix(rel.filter(F.size(arr_col) > 0), arr_col)
+    if built is None:
+        return None
+    ids, lens, mat = built
+    id_type = rel.schema["_id"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type), T.StructField("id_b", id_type),
+        T.StructField("inter", T.LongType()),
+        T.StructField("uni", T.LongType())])
+    n = len(ids)
+    if n < 2:
+        return spark.createDataFrame([], out_schema)
+    bc = spark.sparkContext.broadcast((ids, lens, mat))
+    nblk = (n + _ALLPAIRS_BLOCK - 1) // _ALLPAIRS_BLOCK
+    grid = [(i, j) for i in range(nblk) for j in range(i, nblk)]
+    bdf = spark.createDataFrame(grid, "bi long, bj long").repartition(
+        min(len(grid), spark.sparkContext.defaultParallelism * 2))
+    blk = _ALLPAIRS_BLOCK
+    pct = int(threshold_pct)
+
+    def mapper(batches):
+        dids, dlens, dmat = bc.value
+        nwords = dmat.shape[1]
+        for pdf in batches:
+            for bi, bj in zip(pdf["bi"].to_numpy(), pdf["bj"].to_numpy()):
+                a0, a1 = int(bi) * blk, min((int(bi) + 1) * blk, len(dids))
+                b0, b1 = int(bj) * blk, min((int(bj) + 1) * blk, len(dids))
+                bm = dmat[b0:b1]
+                lb = dlens[b0:b1]
+                # chunk A-rows so the 3-D AND transient stays bounded
+                step = max(1, _VERIFY_CHUNK_WORDS // max(len(bm) * nwords, 1))
+                for s in range(a0, a1, step):
+                    e = min(s + step, a1)
+                    inter = _popcount_rows(
+                        dmat[s:e, None, :] & bm[None, :, :])
+                    uni = dlens[s:e, None] + lb[None, :] - inter
+                    ok = 100 * inter >= pct * uni
+                    if bi == bj:
+                        # same block: upper triangle only (i < j)
+                        ok &= (np.arange(s, e)[:, None]
+                               < np.arange(b0, b1)[None, :])
+                    ii, jj = np.nonzero(ok)
+                    if len(ii):
+                        yield pd.DataFrame({
+                            "id_a": dids[s + ii], "id_b": dids[b0 + jj],
+                            "inter": inter[ii, jj], "uni": uni[ii, jj]})
+
+    return bdf.mapInPandas(mapper, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +464,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
                         sketch: bool | None = None,
                         sketch_buckets: int = 128,
                         dict_verify: bool | None = None,
+                        allpairs: bool | None = None,
                         _return_candidates: bool = False) -> DataFrame:
     """(id_a, id_b, inter, uni) for pairs with jaccard >= threshold_pct/100
     over distinct character k-grams; id_a < id_b.
@@ -422,6 +544,22 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
     stage for the bounded broadcast-dict kernel — see
     :func:`_exact_inter_sizes` for the measured A/B that keeps the
     native joins the default.
+
+    **All-pairs bitset regime (round 5e, auto):** profiling the
+    sf0.1 k=3/t=40 bench config showed candidate GENERATION, not
+    verify, dominating (~40 s of the ~44 s wall): with a 377-gram
+    vocabulary the prefix self-join materializes Σ_g c_g² ≥ P²/V ≈
+    5×10⁸ match rows to find 10.9M candidates among 12.5M total
+    pairs (73% of which are true pairs — filtering is pointless at
+    this density). When a bounded probe proves the corpus small
+    (``ALLPAIRS_MAX_DOCS``, byte cap) AND the match-row lower bound
+    reaches n²/2 (:func:`_allpairs_wins`), the operator switches to
+    exhaustive enumeration over the broadcast bitset matrix
+    (:func:`_allpairs_bitset_pairs`): one AND+popcount per pair, no
+    join, no shuffle, bit-identical output. ``allpairs=False`` opts
+    out; ``allpairs=True`` forces (still cap-bounded). Diverse
+    corpora (vocab ≫ prefix-length²) and corpus-scale inputs never
+    switch — the distributed prefix join remains the scale path.
     """
     # widen a narrow scan BEFORE the gram stage: the md5 gram hashing
     # is the operator's dominant map cost and must not serialize on a
@@ -470,14 +608,42 @@ def ngram_jaccard_pairs(df: DataFrame, *, k: int = 3,
         return out.filter(F.lit(100) * F.col("inter")
                           >= F.lit(threshold_pct) * F.col("uni"))
 
+    # prefix length = sz - ceil(pct*sz/100) + 1 (integer ceil)
+    plen = (F.col("sz")
+            - F.floor((F.col("sz") * threshold_pct + 99) / 100) + 1)
+
+    # ---- all-pairs bitset regime (bounded, auto) -------------------
+    # Gate order keeps every decision job bounded: (1) a limit(cap+1)
+    # probe on docs + total grams — at corpus scale this fails first
+    # and is the ONLY job spent; (2) only on a provably small corpus,
+    # two cheap aggs feed the _allpairs_wins cost test (see its
+    # docstring — the prefix join's match-row LOWER bound P²/V vs the
+    # total pair count n²/2). allpairs=True forces (still cap-bound),
+    # allpairs=False never probes.
+    if allpairs is not False and not _return_candidates:
+        probe = sets.limit(ALLPAIRS_MAX_DOCS + 1).agg(
+            F.count("*").alias("n"),
+            F.sum(F.size("_arr")).alias("g")).collect()[0]
+        if (probe["n"] <= ALLPAIRS_MAX_DOCS
+                and (probe["g"] or 0) * 8 <= VERIFY_DICT_MAX_BYTES):
+            if allpairs is True:
+                go = True
+            else:
+                st = sizes.agg(F.sum(plen).alias("p"),
+                               F.count("*").alias("n")).collect()[0]
+                vocab = sh.select("sh").distinct().count()
+                go = _allpairs_wins(st["n"], vocab, int(st["p"] or 0))
+            if go:
+                out = _allpairs_bitset_pairs(
+                    sets, threshold_pct=threshold_pct)
+                if out is not None:
+                    return out
+
     # document frequency per shingle — grouped agg (map-side partial),
     # output bounded by |alphabet|^k, never by corpus size
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
     ranked = sh.join(dfreq, "sh")   # AQE broadcasts the small dfreq side
     w = Window.partitionBy("_id").orderBy("_df", "sh")
-    # prefix length = sz - ceil(pct*sz/100) + 1 (integer ceil)
-    plen = (F.col("sz")
-            - F.floor((F.col("sz") * threshold_pct + 99) / 100) + 1)
     pos = ranked.withColumn("_pos", F.row_number().over(w)) \
                 .join(sizes, "_id")
     use_sketch = sketch if sketch is not None else threshold_pct >= 55

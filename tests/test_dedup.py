@@ -376,10 +376,12 @@ def test_dict_verify_equivalence_and_bounded_fallback(spark, monkeypatch):
     def pairs(op, **kw):
         return sorted(tuple(r) for r in op(df, **kw).collect())
 
+    # allpairs=False: the regime switch would otherwise route around
+    # the verify stage this test exists to exercise
     on = pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
-               dict_verify=True)
+               dict_verify=True, allpairs=False)
     off = pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
-                dict_verify=False)
+                dict_verify=False, allpairs=False)
     assert on == off and len(on) > 0
 
     mh_on = pairs(dedup.minhash_lsh_pairs, dict_verify=True)
@@ -401,9 +403,76 @@ def test_dict_verify_equivalence_and_bounded_fallback(spark, monkeypatch):
     monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_DOCS", 3)
     assert dedup._exact_inter_sizes(cand, rel, enabled=True) is None
     assert pairs(dedup.ngram_jaccard_pairs, k=3, threshold_pct=40,
-                 dict_verify=True) == off
+                 dict_verify=True, allpairs=False) == off
 
     # same refusal on the byte cap
     monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_DOCS", 10 ** 9)
     monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_BYTES", 8)
     assert dedup._exact_inter_sizes(cand, rel, enabled=True) is None
+
+
+def test_allpairs_regime_equivalence_caps_and_decision(spark, monkeypatch):
+    """The all-pairs bitset regime must (a) produce bit-identical
+    pairs to the prefix-join path at several (k, threshold) configs,
+    (b) refuse above its bounded caps — even when forced — falling
+    back to the distributed prefix join (the scale path), (c) plan
+    with NO join when active (exhaustive enumeration is a broadcast +
+    mapInPandas, no shuffle), and (d) exclude zero-gram docs (a 0/0
+    jaccard is no pair, matching the SQL oracle)."""
+    from cdap_geo_spark.operators import dedup
+    df = _corpus(spark, n_base=40, seed=7).cache()
+
+    def pairs(**kw):
+        return sorted(tuple(r) for r in
+                      dedup.ngram_jaccard_pairs(df, **kw).collect())
+
+    for k, t in ((3, 40), (5, 60)):
+        on = pairs(k=k, threshold_pct=t, allpairs=True)
+        off = pairs(k=k, threshold_pct=t, allpairs=False)
+        auto = pairs(k=k, threshold_pct=t)
+        assert on == off == auto and len(on) > 0
+
+    # active regime: no Join node anywhere in the optimized plan
+    plan = dedup.ngram_jaccard_pairs(df, k=3, threshold_pct=40,
+                                     allpairs=True) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+    # zero-gram docs (text shorter than k) never pair — all regimes
+    from pyspark.sql import functions as F
+    df2 = df.unionByName(spark.createDataFrame(
+        [(100001, "ab"), (100002, "ab"), (100003, "")],
+        "doc_id long, text string"))
+    base = pairs(k=3, threshold_pct=40, allpairs=False)
+    for kw in ({"allpairs": True}, {}):
+        got = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+            df2, k=3, threshold_pct=40, **kw).collect())
+        assert got == base
+        assert not any(r[0] >= 100001 or r[1] >= 100001 for r in got)
+
+    # docs cap: forced allpairs must still refuse and fall back —
+    # plan carries a join again, results unchanged
+    monkeypatch.setattr(dedup, "ALLPAIRS_MAX_DOCS", 3)
+    capped = dedup.ngram_jaccard_pairs(df, k=3, threshold_pct=40,
+                                       allpairs=True)
+    assert "Join" in capped._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(tuple(r) for r in capped.collect()) == base
+
+    # byte cap refuses the same way
+    monkeypatch.setattr(dedup, "ALLPAIRS_MAX_DOCS", 10 ** 9)
+    monkeypatch.setattr(dedup, "VERIFY_DICT_MAX_BYTES", 8)
+    assert pairs(k=3, threshold_pct=40, allpairs=True) == base
+
+
+def test_allpairs_wins_decision():
+    """_allpairs_wins: switch iff the prefix join's match-row lower
+    bound P²/V reaches the total pair count n²/2."""
+    from cdap_geo_spark.operators.dedup import _allpairs_wins
+    # measured sf0.1 shape: n=5000, V=377, P=87*5000 -> ~40x over
+    assert _allpairs_wins(5000, 377, 87 * 5000)
+    # diverse vocabulary: V far above avg_prefix² -> keep prefix join
+    assert not _allpairs_wins(5000, 1_000_000, 87 * 5000)
+    # boundary: P²·2 == V·n² exactly -> switch (>=)
+    assert _allpairs_wins(10, 2, 10)      # 2·100 >= 2·100
+    assert not _allpairs_wins(10, 3, 10)  # 200 < 300
+    assert not _allpairs_wins(10, 0, 10)  # empty vocab: nothing to do
