@@ -644,6 +644,71 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("session_seq").cast("long"))
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the flagship spatial join: per region box,
+    count / token-sum / token-max of the interleaved documents whose
+    geometry span falls inside it (empty regions kept at zero). The
+    value payload joins back AFTER the cell-cover join — it never
+    rides the spatial shuffle."""
+    from cdap_geo_spark import docs as D
+    from cdap_geo_spark.operators.text import token_count
+    from cdap_geo_spark.operators.zonal import zonal_stats
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = D.with_geometry(R.interleaved_docs(spark, sf_dir))
+    text = F.filter("spans", lambda s: s["kind"] == F.lit("text"))[0]["text"]
+    docs = docs.select("doc_id", "geometry",
+                       token_count(text).cast("long").alias("n_tokens"))
+    regions = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = zonal_stats(docs, regions, value_col="n_tokens", level=8)
+    return out.select(F.col("region_id").cast("long"),
+                      F.col("n_rows").alias("n_docs"),
+                      F.col("sum_value").alias("sum_tokens"),
+                      F.col("max_value").alias("max_tokens"))
+
+
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: the tile_assign grid (10x10 over the doc
+    frame) aggregated one level up (factor 2 -> 5x5 parents)."""
+    from cdap_geo_spark.operators.tiles import assign_tiles, tile_rollup
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    pts = R.doc_points(spark, sf_dir).select("doc_id", "geometry")
+    assigned = assign_tiles(pts, bbox=(0, 0, 700_000, 1_300_000), splits=10)
+    out = tile_rollup(assigned, resolutions=(70_000, 130_000), factor=2)
+    return out.select("parent_tile_id", F.col("n_rows").alias("n_docs"),
+                      "n_child_tiles",
+                      F.col("max_child_rows").alias("max_child_docs"))
+
+
+def _q_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdap_geo_spark.operators.text import shared_ngram_stats
+    out = shared_ngram_stats(_docs(spark, sf_dir), n=2, min_docs=2)
+    return out.select(F.col("doc_id").cast("long"),
+                      "n_distinct_ngrams", "n_shared_ngrams")
+
+
+#: SemDeDup config shared by the Spark query and the SQL oracle
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_CLUSTERS = 16
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: trained spherical-k-means clusters (identical
+    centroids re-derived by the oracle from the same parquet sample,
+    the ivf_ann pattern), then a duplicate flag for any vector with a
+    lower-id cluster-mate at cosine >= threshold."""
+    from cdap_geo_spark.operators.embeddings import ivf_train, semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    cents = ivf_train(emb, dim=64, n_clusters=SEMDEDUP_CLUSTERS)
+    out = semantic_dedup(emb, dim=64, threshold=SEMDEDUP_THRESHOLD,
+                         n_clusters=SEMDEDUP_CLUSTERS, centroids=cents)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("cluster_id").cast("long"),
+                      F.col("is_dup").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
@@ -685,6 +750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "sessionize": _q_sessionize,
         "stream_enrich": _q_stream_enrich,
+        "zonal_stats": _q_zonal_stats,
+        "tile_rollup": _q_tile_rollup,
+        "shared_ngrams": _q_shared_ngrams,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -941,6 +1010,47 @@ def _ivf_ann_sql(dim: int = 64, n_clusters: int = 16, nprobe: int = 4,
          CAST(vec_id AS BIGINT) AS vec_id,
          CAST(rank AS BIGINT) AS rank
   FROM ranked WHERE rank <= 5
+"""
+
+
+def _semantic_dedup_sql(dim: int = 64, seed: int = 11) -> str:
+    """Trained centroids embedded as literals (identical derivation to
+    ``_ivf_ann_sql``); cluster = rank-1 by cosine (ties by cid), dup =
+    EXISTS a lower-id cluster-mate at cosine >= threshold."""
+    import os as _os
+
+    from cdap_geo_spark.operators.embeddings import ivf_train_parquet
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                             "/root/testdata/sf0.01")
+    cents = ivf_train_parquet(f"{sf_dir}/embeddings.parquet",
+                              dim=dim, n_clusters=SEMDEDUP_CLUSTERS,
+                              seed=seed)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(v) for v in cents[i]))
+        for i in range(SEMDEDUP_CLUSTERS))
+    return f"""
+  WITH cents AS (SELECT * FROM (VALUES {cent_rows}) t(cid, cv)),
+  emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  ranked_cents AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv)
+                                       DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN cents c
+  ),
+  cass AS (SELECT vec_id, cid FROM ranked_cents WHERE rn = 1),
+  dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM cass a JOIN cass b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {SEMDEDUP_THRESHOLD}
+  )
+  SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+         CAST(c.cid AS BIGINT) AS cluster_id,
+         CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+  FROM cass c LEFT JOIN dup d ON c.vec_id = d.vec_id
 """
 
 
@@ -1430,4 +1540,71 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup": _embed_dup_sql(),
         "media_features": _MEDIA_SQL,
         "png_features": _PNG_SQL,
+        "zonal_stats": f"""
+          WITH pts AS ({_PTS}), boxes AS ({_BOXES}),
+          tok AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+          ),
+          hit AS (
+            SELECT b.region_id, t.n_tokens
+            FROM pts p
+            JOIN boxes b
+              ON p.x >= b.minx AND p.x <= b.maxx
+             AND p.y >= b.miny AND p.y <= b.maxy
+            JOIN tok t ON t.doc_id = p.doc_id
+          )
+          SELECT CAST(b.region_id AS BIGINT) AS region_id,
+                 CAST(count(h.n_tokens) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(h.n_tokens), 0) AS BIGINT) AS sum_tokens,
+                 CAST(coalesce(max(h.n_tokens), 0) AS BIGINT) AS max_tokens
+          FROM boxes b LEFT JOIN hit h ON b.region_id = h.region_id
+          GROUP BY 1
+        """,
+        "tile_rollup": f"""
+          WITH p AS ({_PTS}),
+          fine AS (
+            SELECT CAST(floor(x / 70000) AS BIGINT) AS fx,
+                   CAST(floor(y / 130000) AS BIGINT) AS fy,
+                   count(*) AS n
+            FROM p GROUP BY 1, 2
+          )
+          SELECT CAST(CAST(floor(fx / 2.0) AS BIGINT) * 140000 AS VARCHAR)
+                 || '-' ||
+                 CAST(CAST(floor(fy / 2.0) AS BIGINT) * 260000 AS VARCHAR)
+                     AS parent_tile_id,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_child_tiles,
+                 CAST(max(n) AS BIGINT) AS max_child_docs
+          FROM fine GROUP BY 1
+        """,
+        "shared_ngrams": """
+          WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS grams
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents
+                  WHERE len(trim(text)) > 0)
+          ), dg AS (
+            SELECT doc_id, unnest(grams) AS g FROM t
+          ), freq AS (
+            SELECT g, count(*) AS df FROM dg GROUP BY g
+          ), shared AS (
+            SELECT dg.doc_id, count(*) AS n_shared
+            FROM dg JOIN freq ON dg.g = freq.g AND freq.df >= 2
+            GROUP BY dg.doc_id
+          )
+          SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                 CAST(len(grams) AS BIGINT) AS n_distinct_ngrams,
+                 CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_ngrams
+          FROM t LEFT JOIN shared s ON t.doc_id = s.doc_id
+          WHERE len(grams) > 0
+        """,
+        "semantic_dedup": _semantic_dedup_sql(),
     }

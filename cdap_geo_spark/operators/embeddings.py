@@ -375,3 +375,65 @@ def embedding_dup_pairs(df: DataFrame, *, dim: int,
                 .withColumn("_cos", cosine("_va", "_vb"))
                 .filter(F.col("_cos") >= F.lit(float(threshold))))
     return verified.select("ida", "idb")
+
+
+def semantic_dedup(df: DataFrame, *, dim: int, threshold: float,
+                   n_clusters: int = 16,
+                   centroids: np.ndarray | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then mark as duplicate any document
+    whose cosine similarity to a LOWER-id document in the SAME cluster
+    reaches ``threshold``. Output: one row per input vector —
+    ``(id, cluster_id, is_dup)`` with ``is_dup`` ∈ {0, 1}; survivors
+    are the ``is_dup = 0`` rows.
+
+    This is the deterministic pairwise-to-any-lower-id variant (the
+    paper's greedy keep-one-per-group chain is order-dependent and
+    inherently sequential within a cluster; anchoring on the id order
+    makes the flag a pure EXISTS, parallel and exactly recomputable by
+    the SQL oracle). Relative to :func:`embedding_dup_pairs` the
+    candidate bound comes from the CLUSTER partition, not LSH bands:
+    cost is Σ|c|² over clusters — the SemDeDup design point, with
+    ``n_clusters`` grown with the corpus (the paper uses ~√N-scale k)
+    so mean cluster size, and with it the per-cluster quadratic term,
+    stays bounded.
+
+    Plan: centroid assignment is ONE map-side Arrow batch matmul
+    (:func:`ivf_assign_udf` — the corpus never shuffles to be
+    assigned); the self equi-join shuffles (cluster, id, vec) once on
+    cluster id, AQE splitting any hot cluster; the verify is native
+    zip_with/aggregate cosine in whole-stage codegen; the flag folds
+    back as a left semi-style aggregation on the dup side only.
+
+    ``centroids``: pass :func:`ivf_train` output (trained spherical
+    k-means, unit rows) for real corpora; defaults to the seeded unit
+    directions of :func:`ivf_centroids` when omitted.
+    """
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_clusters)
+    base = track_checkpoint(
+        ensure_min_parallelism(
+            df.select(F.col(id_col), F.col(vec_col)))
+          .select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).cast("array<double>").alias("_v"),
+                  F.element_at(ivf_assign_udf(cents, 1)(F.col(vec_col)), 1)
+                   .alias("cluster_id"))
+          .localCheckpoint())
+    a = base.select(F.col("_id").alias("_ida"),
+                    F.col("_v").alias("_va"), "cluster_id")
+    b = base.select(F.col("_id").alias("_idb"),
+                    F.col("_v").alias("_vb"), "cluster_id")
+    dups = (a.join(b, "cluster_id")
+             .filter(F.col("_ida") < F.col("_idb"))
+             .withColumn("_cos", cosine("_va", "_vb"))
+             .filter(F.col("_cos") >= F.lit(float(threshold)))
+             .select(F.col("_idb").alias("_id"))
+             .distinct()
+             .withColumn("_dup", F.lit(1)))
+    return (base.join(dups, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("cluster_id").cast("long"),
+                    F.coalesce(F.col("_dup"), F.lit(0))
+                     .cast("long").alias("is_dup")))

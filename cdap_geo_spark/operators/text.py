@@ -366,3 +366,43 @@ def vocab_topk(df, *, k: int = 100, text_col: str = "text",
     # rank assignment runs on the k-row result only
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def shared_ngram_stats(df: DataFrame, *, n: int = 2, min_docs: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Cross-document duplicate-n-gram signal (the corpus-level twin of
+    :func:`repetition_features`'s intra-document counts; Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    motivates the measure — cdap_geo has no text ops, this extends the
+    engine for training-data pipelines): per document,
+
+    - ``n_distinct_ngrams``  distinct word n-grams in the doc,
+    - ``n_shared_ngrams``    of those, how many occur in >=
+      ``min_docs`` DISTINCT documents corpus-wide.
+
+    Docs with fewer than ``n`` tokens yield no row (no grams — same
+    contract as ``repetition_features``).
+
+    Plan: the only relations shuffled are (a) one row per (doc,
+    DISTINCT gram) — the bounded relation every dedup operator here
+    uses — grouped by gram with map-side partials to get document
+    frequencies, and (b) the same relation equi-joined back to the
+    frequency table (AQE handles hot grams via skew-split; the
+    frequency side is one row per DISTINCT gram, usually broadcast).
+    Never all-pairs: cost is linear in total distinct doc-grams.
+    """
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    dg = (df.select(F.col(id_col), F.explode(grams).alias("_g")))
+    freq = dg.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    shared = (dg.join(freq.filter(F.col("_df") >= min_docs), "_g")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_shared_ngrams")))
+    per_doc = (dg.groupBy(id_col)
+                 .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_distinct_ngrams")))
+    return (per_doc.join(shared, id_col, "left")
+            .select(F.col(id_col), "n_distinct_ngrams",
+                    F.coalesce(F.col("n_shared_ngrams"), F.lit(0))
+                     .cast("long").alias("n_shared_ngrams")))

@@ -230,3 +230,56 @@ def grid_cover_struct_udf(resolutions, limits):
                         for x in xs for y in ys])
         return pd.Series(out)
     return _cover
+
+
+def tile_rollup(assigned: DataFrame, *, resolutions, factor: int,
+                tile_col: str = "tile_id",
+                count_col: str | None = None) -> DataFrame:
+    """Tile-pyramid rollup: aggregate per-tile row counts one zoom
+    level up (the hypertable-rollup shape over the ``'{x}-{y}'`` grid
+    of ``assign_tiles`` / the reference's fixed-grid ids,
+    cdap_geo/index_bbox.py:23).
+
+    ``assigned`` is any (row, tile_id) relation at resolution
+    ``resolutions=(rx, ry)``; the parent grid is ``(rx*factor,
+    ry*factor)`` with origins snapped by floor division so negative
+    coordinates land in the correct parent (arithmetic on the PARSED
+    origin, not string prefixes — ids like '-100-200' make prefix
+    tricks ambiguous).
+
+    Plan: groupBy(tile) with map-side partial aggregation collapses
+    the first exchange to one row per tile per task, and the rollup
+    exchange carries one row per FINE tile — the relation is bounded
+    by the tile frame, not the data, so the rollup cost is constant
+    in corpus size. Output per parent tile: total rows, number of
+    occupied child tiles, max child count (all ``long``).
+
+    ``count_col``: roll up a pre-aggregated per-tile count relation
+    instead of raw assignment rows (for incremental pyramids).
+    """
+    rx, ry = int(resolutions[0]), int(resolutions[1])
+    if factor < 1 or rx <= 0 or ry <= 0:
+        raise ValueError("factor >= 1 and positive resolutions required")
+    px, py = rx * factor, ry * factor
+
+    if count_col is None:
+        fine = assigned.groupBy(tile_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"))
+    else:
+        fine = assigned.select(F.col(tile_col),
+                               F.col(count_col).cast("long").alias("_n"))
+
+    ox = F.regexp_extract(F.col(tile_col),
+                          r"^(-?\d+)-(-?\d+)$", 1).cast("long")
+    oy = F.regexp_extract(F.col(tile_col),
+                          r"^(-?\d+)-(-?\d+)$", 2).cast("long")
+    parent = F.concat_ws(
+        "-",
+        (F.floor(ox / F.lit(px)) * px).cast("long").cast("string"),
+        (F.floor(oy / F.lit(py)) * py).cast("long").cast("string"))
+
+    return (fine.select(parent.alias("parent_tile_id"), "_n")
+            .groupBy("parent_tile_id")
+            .agg(F.sum("_n").cast("long").alias("n_rows"),
+                 F.count(F.lit(1)).cast("long").alias("n_child_tiles"),
+                 F.max("_n").cast("long").alias("max_child_rows")))

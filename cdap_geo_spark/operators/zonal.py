@@ -1,0 +1,75 @@
+"""Zonal statistics: per-zone aggregates over spatially contained rows.
+
+The classic raster/vector analytics op (per-polygon count / sum / max of
+a point-attached measure). The reference (cdap_geo) stops at the join
+itself (``sjoin`` / ``bbox_intersects``, cdap_geo/index_bbox.py:32-76)
+and leaves aggregation to the caller; this names the composed operator
+and keeps the wide value payload OUT of the spatial shuffle:
+
+1. the spatial join runs on the narrow ``(id, geometry)`` projection
+   only (:func:`cdap_geo_spark.operators.sjoin.sjoin_pairs` — cell-cover
+   equi-join + exact refinement, broadcast/salting decided there);
+2. the measure column joins back by id AFTER the pair relation exists
+   (AQE picks broadcast vs shuffle — the payload never rides the
+   cell-exploded candidate relation);
+3. the aggregate shuffles one row per (zone, matched row) into a
+   partial-agg ``groupBy`` — map-side combine collapses it to one row
+   per zone per task before the exchange.
+
+At 100 TB the expensive relation is the cell-exploded candidate set;
+keeping it to ``(id-pair)`` width is what makes the plan survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdap_geo_spark.operators.sjoin import sjoin_pairs
+
+
+def zonal_stats(rows: DataFrame, zones: DataFrame, *,
+                value_col: str,
+                left_id: str = "doc_id", right_id: str = "region_id",
+                left_geom: str = "geometry", right_geom: str = "geometry",
+                level: int = 8,
+                predicate: str = "intersects",
+                include_empty: bool = True,
+                **sjoin_kwargs) -> DataFrame:
+    """Per-zone ``(n_rows, sum_value, max_value)`` over the rows whose
+    geometry satisfies ``predicate`` against the zone geometry.
+
+    ``include_empty=True`` (default) keeps zones with no matching rows
+    (count 0, sum 0, max 0) — the zonal-raster convention; ``False``
+    drops them (inner-join semantics).
+
+    Integer-typed outputs so results are bit-comparable across engines:
+    ``sum``/``max`` are emitted as ``long`` when the input measure is
+    integral (callers with float measures get doubles unchanged).
+    """
+    pairs = sjoin_pairs(
+        rows.select(F.col(left_id), F.col(left_geom)),
+        zones.select(F.col(right_id), F.col(right_geom)),
+        left_id=left_id, right_id=right_id,
+        left_geom=left_geom, right_geom=right_geom,
+        level=level, predicate=predicate, **sjoin_kwargs)
+
+    vals = rows.select(F.col(left_id), F.col(value_col).alias("_v"))
+    hit = pairs.join(vals, left_id)
+
+    agg = hit.groupBy(right_id).agg(
+        F.count(F.col(left_id)).cast("long").alias("n_rows"),
+        F.sum("_v").alias("_sum"),
+        F.max("_v").alias("_max"))
+
+    if include_empty:
+        base = zones.select(F.col(right_id)).distinct()
+        agg = base.join(agg, right_id, "left")
+
+    integral = dict(rows.dtypes)[value_col] in (
+        "tinyint", "smallint", "int", "bigint")
+    sum_t, max_t = ("long", "long") if integral else ("double", "double")
+    return agg.select(
+        F.col(right_id),
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.col("_sum"), F.lit(0)).cast(sum_t).alias("sum_value"),
+        F.coalesce(F.col("_max"), F.lit(0)).cast(max_t).alias("max_value"))

@@ -179,3 +179,31 @@ def test_ivf_trained_centroids_recall_and_oracle_parity(spark):
     r_seeded = recall(ivf_centroids(64, 16))
     assert r_trained >= max(r_seeded - 0.02, 0.6)
     assert r_trained >= 0.6
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.embeddings import (
+        ivf_train, semantic_dedup)
+    df, vecs = _emb_df(spark, n=150, dim=16, seed=21)
+    cents = ivf_train(df, dim=16, n_clusters=8, seed=4)
+    out = semantic_dedup(df, dim=16, threshold=0.2, n_clusters=8,
+                         centroids=cents).toPandas() \
+        .set_index("vec_id").sort_index()
+    assert len(out) == 150          # one row per vector, flags not drops
+    v = vecs.astype(np.float64)
+    dots = v @ np.ascontiguousarray(cents, np.float64).T
+    assign = np.argmax(dots, axis=1)     # stable: first max wins
+    assert list(out.cluster_id) == [int(a) for a in assign]
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(norms, norms)
+    for i in range(150):
+        dup = any(cos[i, j] >= 0.2 and assign[j] == assign[i]
+                  for j in range(i))
+        assert bool(out.loc[i, "is_dup"]) == dup, i
+    # survivors of an exact-duplicate pair: the lower id survives
+    two = spark.createDataFrame(
+        [(0, vecs[0].tolist()), (1, vecs[0].tolist())],
+        "vec_id long, embedding array<float>")
+    res = semantic_dedup(two, dim=16, threshold=0.99, n_clusters=8,
+                         centroids=cents).toPandas().set_index("vec_id")
+    assert int(res.loc[0, "is_dup"]) == 0 and int(res.loc[1, "is_dup"]) == 1

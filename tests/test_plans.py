@@ -93,11 +93,34 @@ def test_similarity_ops_have_no_single_partition_exchange(spark):
     df = spark.createDataFrame(
         [(i, f"doc number {i} alpha bravo charlie") for i in range(30)],
         "doc_id long, text string").repartition(4)
-    for out in (ngram_jaccard_pairs(df, k=3, threshold_pct=40),
+    # allpairs=False pins the DISTRIBUTED regime: on a 30-doc corpus
+    # the bitset regime legitimately plans a 1-row block-pair grid
+    # (the corpus travels via broadcast, not the exchange) — that
+    # SinglePartition carries one grid row, not the corpus, and has
+    # its own scaling pin (test_allpairs_grid_exchange_scales).
+    for out in (ngram_jaccard_pairs(df, k=3, threshold_pct=40,
+                                    allpairs=False),
                 minhash_lsh_pairs(df, threshold=0.5),
                 simhash_pairs(df, max_hamming=3)):
         plan = _plan(out)
         assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_allpairs_grid_exchange_scales(spark, monkeypatch):
+    # the bitset regime's only exchange is the block-pair grid; pin
+    # that it widens with the block count (no single-task bottleneck
+    # once the corpus spans multiple blocks)
+    from cdap_geo_spark.operators import dedup as DD
+    monkeypatch.setattr(DD, "_ALLPAIRS_BLOCK", 4)
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} alpha bravo charlie") for i in range(30)],
+        "doc_id long, text string").repartition(4)
+    out = DD.ngram_jaccard_pairs(df, k=3, threshold_pct=40, allpairs=True)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan[:2000]
+    # 30 docs / block 4 -> 8 blocks -> 36 grid pairs, capped at 2x par
+    assert out.rdd.getNumPartitions() == min(
+        36, spark.sparkContext.defaultParallelism * 2)
 
 
 def test_sdf_unique_memsize_print_stats(spark, capsys):

@@ -363,3 +363,45 @@ def test_word_ngrams_general_n_and_decontaminate_n3(spark):
     got = {r[0]: (r[1], r[2])
            for r in contamination_scores(df, probe, n=3).collect()}
     assert got == want
+
+
+def test_shared_ngram_stats_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.text import shared_ngram_stats
+    docs = [(1, "a b c a b"),           # grams: {a b, b c, c a, b a}? no:
+                                        # 2grams of [a,b,c,a,b]: ab bc ca ab
+            (2, "a b x y"),
+            (3, "x y z"),
+            (4, "solo"),                # 1 token -> no grams -> no row
+            (5, ""),                    # empty -> no row
+            (6, "  a   b  ")]           # ragged whitespace -> gram "a b"
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_distinct_ngrams, r.n_shared_ngrams)
+           for r in shared_ngram_stats(df, n=2, min_docs=2).collect()}
+    # brute force
+    import collections
+    grams = {}
+    for i, t in docs:
+        toks = t.split()
+        gs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if gs:
+            grams[i] = gs
+    freq = collections.Counter(g for gs in grams.values() for g in gs)
+    want = {i: (len(gs), sum(1 for g in gs if freq[g] >= 2))
+            for i, gs in grams.items()}
+    assert got == want
+    assert 4 not in got and 5 not in got
+    # min_docs=3: only grams in >= 3 docs count ("a b" in docs 1,2,6)
+    got3 = {r.doc_id: r.n_shared_ngrams
+            for r in shared_ngram_stats(df, n=2, min_docs=3).collect()}
+    assert got3 == {1: 1, 2: 1, 3: 0, 6: 1}
+
+
+def test_shared_ngram_stats_trigram_and_self_consistency(spark):
+    from cdap_geo_spark.operators.text import shared_ngram_stats
+    df = spark.createDataFrame(
+        [(i, "w x y z " + ("p q r" if i % 2 else "s t u"))
+         for i in range(10)], "doc_id long, text string")
+    out = shared_ngram_stats(df, n=3, min_docs=2).toPandas()
+    # every doc shares its grams with the 4 others of the same parity
+    # plus the common prefix grams shared by all 10
+    assert (out.n_shared_ngrams == out.n_distinct_ngrams).all()

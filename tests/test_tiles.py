@@ -105,3 +105,53 @@ def test_assign_tiles_point_single_tile(spark):
     got = set(map(tuple, assign_tiles(pts, bbox=(0, 0, 2000, 2000),
                                       splits=2).collect()))
     assert got == {("a", "0-0"), ("b", "1000-0")}
+
+
+def test_tile_rollup_matches_bruteforce(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.tiles import tile_rollup
+    rng = np.random.RandomState(11)
+    xs = rng.uniform(0, 2000, 400)
+    ys = rng.uniform(0, 2000, 400)
+    pts = spark.createDataFrame(
+        [(int(i), float(xs[i]), float(ys[i])) for i in range(400)],
+        "doc_id long, x double, y double").select(
+        "doc_id", udfs.st_point()(F.col("x"), F.col("y")).alias("geometry"))
+    assigned = assign_tiles(pts, bbox=(0, 0, 2000, 2000), splits=8)
+    got = tile_rollup(assigned, resolutions=(250, 250), factor=2) \
+        .toPandas().set_index("parent_tile_id").sort_index()
+    fine = {}
+    for x, y in zip(xs, ys):
+        fine.setdefault((int(x // 250) * 250, int(y // 250) * 250), 0)
+        fine[(int(x // 250) * 250, int(y // 250) * 250)] += 1
+    want = {}
+    for (fx, fy), n in fine.items():
+        key = f"{fx // 500 * 500}-{fy // 500 * 500}"
+        tot, cnt, mx = want.get(key, (0, 0, 0))
+        want[key] = (tot + n, cnt + 1, max(mx, n))
+    assert set(got.index) == set(want)
+    for key, (tot, cnt, mx) in want.items():
+        assert got.loc[key, "n_rows"] == tot
+        assert got.loc[key, "n_child_tiles"] == cnt
+        assert got.loc[key, "max_child_rows"] == mx
+
+
+def test_tile_rollup_negative_origins_and_precounted(spark):
+    from cdap_geo_spark.operators.tiles import tile_rollup
+    # ids with negative origins parse unambiguously ('-100-200')
+    rows = [(1, "-100-200"), (2, "-100-200"), (3, "-200--100"),
+            (4, "0-0"), (5, "100--100")]
+    df = spark.createDataFrame(rows, "doc_id long, tile_id string")
+    got = {r.parent_tile_id: (r.n_rows, r.n_child_tiles, r.max_child_rows)
+           for r in tile_rollup(df, resolutions=(100, 100),
+                                factor=2).collect()}
+    assert got == {"-200-200": (2, 1, 2),      # x=-100 -> parent -200
+                   "-200--200": (1, 1, 1),     # (-200,-100) -> (-200,-200)
+                   "0-0": (1, 1, 1),
+                   "0--200": (1, 1, 1)}        # (100,-100) -> (0,-200)
+    # pre-aggregated count relation rolls up identically
+    pre = df.groupBy("tile_id").count()
+    got2 = {r.parent_tile_id: (r.n_rows, r.n_child_tiles, r.max_child_rows)
+            for r in tile_rollup(pre, resolutions=(100, 100), factor=2,
+                                 count_col="count").collect()}
+    assert got2 == got

@@ -1,0 +1,66 @@
+"""Zonal-statistics tests vs brute-force containment in NumPy."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdap_geo_spark import udfs
+
+
+def _frames(spark, n_pts=300, n_zones=20, seed=3):
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(0, 1000, n_pts)
+    py = rng.uniform(0, 1000, n_pts)
+    val = rng.randint(1, 50, n_pts)
+    zx = rng.uniform(0, 900, n_zones)
+    zy = rng.uniform(0, 900, n_zones)
+    zw = rng.uniform(50, 300, n_zones)
+    zh = rng.uniform(50, 300, n_zones)
+    pts = spark.createDataFrame(
+        [(int(i), float(px[i]), float(py[i]), int(val[i]))
+         for i in range(n_pts)],
+        "doc_id long, x double, y double, v long").select(
+        "doc_id", "v",
+        udfs.st_point()(F.col("x"), F.col("y")).alias("geometry"))
+    zones = spark.createDataFrame(
+        [(int(j), float(zx[j]), float(zy[j]),
+          float(zx[j] + zw[j]), float(zy[j] + zh[j]))
+         for j in range(n_zones)],
+        "region_id long, minx double, miny double, maxx double, maxy double"
+    ).select("region_id",
+             udfs.st_box()(F.col("minx"), F.col("miny"),
+                           F.col("maxx"), F.col("maxy")).alias("geometry"))
+    return pts, zones, (px, py, val), (zx, zy, zw, zh)
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.zonal import zonal_stats
+    pts, zones, (px, py, val), (zx, zy, zw, zh) = _frames(spark)
+    got = zonal_stats(pts, zones, value_col="v", level=4).toPandas() \
+        .set_index("region_id").sort_index()
+    assert len(got) == 20          # include_empty keeps every zone
+    for j in range(20):
+        inside = ((px >= zx[j]) & (px <= zx[j] + zw[j])
+                  & (py >= zy[j]) & (py <= zy[j] + zh[j]))
+        assert got.loc[j, "n_rows"] == int(inside.sum())
+        assert got.loc[j, "sum_value"] == int(val[inside].sum())
+        assert got.loc[j, "max_value"] == (int(val[inside].max())
+                                           if inside.any() else 0)
+
+
+def test_zonal_stats_drop_empty_and_float_values(spark):
+    from cdap_geo_spark.operators.zonal import zonal_stats
+    pts, zones, (px, py, val), (zx, zy, zw, zh) = _frames(spark)
+    ptsf = pts.withColumn("v", F.col("v") * 0.5)
+    got = zonal_stats(ptsf, zones, value_col="v", level=4,
+                      include_empty=False).toPandas()
+    occupied = {j for j in range(20)
+                if (((px >= zx[j]) & (px <= zx[j] + zw[j])
+                     & (py >= zy[j]) & (py <= zy[j] + zh[j])).any())}
+    assert set(got.region_id) == occupied
+    assert dict(zonal_stats(ptsf, zones, value_col="v", level=4)
+                .dtypes)["sum_value"] == "double"
+    for _, r in got.iterrows():
+        j = int(r.region_id)
+        inside = ((px >= zx[j]) & (px <= zx[j] + zw[j])
+                  & (py >= zy[j]) & (py <= zy[j] + zh[j]))
+        assert abs(r.sum_value - val[inside].sum() * 0.5) < 1e-9
