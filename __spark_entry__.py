@@ -709,6 +709,19 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("is_dup").cast("long"))
 
 
+def _q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact geometry centroid (area-weighted shoelace kernel) over the
+    doc rectangles, round-tripped through the WKB point encoder and the
+    bounds decoder so the full codec path is under the gate."""
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    boxes = R.doc_boxes(spark, sf_dir)
+    b = udfs.st_bounds()(udfs.st_centroid()(F.col("geometry")))
+    return boxes.select(F.col("doc_id").cast("long"),
+                        b["minx"].alias("cx"), b["miny"].alias("cy"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
@@ -754,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "shared_ngrams": _q_shared_ngrams,
         "semantic_dedup": _q_semantic_dedup,
+        "centroid": _q_centroid,
     }
 
 
@@ -1607,4 +1621,11 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(grams) > 0
         """,
         "semantic_dedup": _semantic_dedup_sql(),
+        "centroid": f"""
+          WITH b AS ({_DBOXES})
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 (minx + maxx) / 2.0 AS cx,
+                 (miny + maxy) / 2.0 AS cy
+          FROM b
+        """,
     }

@@ -80,6 +80,75 @@ def ring_signed_areas(batch: GeomBatch) -> np.ndarray:
     return out
 
 
+def centroid(batch: GeomBatch) -> np.ndarray:
+    """(n, 2) centroid per geometry, highest-dimension rule (the
+    PostGIS/GEOS ST_Centroid convention the reference's shapely
+    delegate follows): polygon parts present -> area-weighted centroid
+    (exterior minus holes, orientation-independent via sign-normalized
+    shoelace moments); else line parts -> length-weighted edge-midpoint
+    centroid; else points -> vertex mean. NULL/empty (or zero-measure
+    at the chosen dimension falling through every rule) -> NaN row.
+    """
+    n = len(batch)
+    out = np.full((n, 2), np.nan)
+    x, y = batch.coords[:, 0], batch.coords[:, 1]
+    for g in range(n):
+        if not batch.valid[g]:
+            continue
+        p0, p1 = batch.geom_part_off[g], batch.geom_part_off[g + 1]
+        kinds = batch.part_kind[p0:p1]
+        # local frame anchored at the geometry's first vertex: raw
+        # shoelace at projected-CRS magnitudes (~1e6) builds ~1e18
+        # intermediates that cancel down to ~1e14 — catastrophic
+        # precision loss; local coordinates keep every product exact
+        gs = batch.ring_coord_off[batch.part_ring_off[p0]]
+        ax, ay = x[gs], y[gs]
+        if np.any(kinds == KIND_POLYGON):
+            tot_a = 0.0
+            tot_mx = 0.0
+            tot_my = 0.0
+            for p in range(p0, p1):
+                if batch.part_kind[p] != KIND_POLYGON:
+                    continue
+                rs, re_ = batch.part_ring_off[p], batch.part_ring_off[p + 1]
+                for k, ri in enumerate(range(rs, re_)):
+                    s, e = (batch.ring_coord_off[ri],
+                            batch.ring_coord_off[ri + 1])
+                    if e - s < 4:
+                        continue
+                    xx, yy = x[s:e] - ax, y[s:e] - ay
+                    cross = xx[:-1] * yy[1:] - xx[1:] * yy[:-1]
+                    a = 0.5 * np.sum(cross)
+                    mx = np.sum((xx[:-1] + xx[1:]) * cross) / 6.0
+                    my = np.sum((yy[:-1] + yy[1:]) * cross) / 6.0
+                    # normalize to positive orientation, then ring 0
+                    # adds (exterior) and later rings subtract (holes)
+                    sgn = (1.0 if a >= 0 else -1.0) * (1.0 if k == 0
+                                                       else -1.0)
+                    tot_a += sgn * a
+                    tot_mx += sgn * mx
+                    tot_my += sgn * my
+            if tot_a > 0:
+                out[g] = (ax + tot_mx / tot_a, ay + tot_my / tot_a)
+                continue
+            # degenerate (zero-area) polygon: fall through to lines
+        # point parts contribute no edges, so a nonempty edge set means
+        # line-dimension parts exist (or a degenerate polygon boundary)
+        segs = _geom_edges(batch, g)
+        if len(segs):
+            ln = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+            total = ln.sum()
+            if total > 0:
+                mx = (segs[:, 0] + segs[:, 2]) / 2.0
+                my = (segs[:, 1] + segs[:, 3]) / 2.0
+                out[g] = (np.dot(ln, mx) / total, np.dot(ln, my) / total)
+                continue
+        pts = _geom_points(batch, g)
+        if len(pts):
+            out[g] = pts.mean(axis=0)
+    return out
+
+
 def vertex_counts(batch: GeomBatch) -> np.ndarray:
     """(n,) total vertex count per geometry — the reference's complexity
     signal (``cdap_geo/misc.py:30-32``), used for skew routing."""

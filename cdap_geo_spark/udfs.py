@@ -183,6 +183,37 @@ def st_box():
     return _box
 
 
+def st_centroid():
+    """binary -> binary WKB centroid point (highest-dimension rule:
+    polygon area-weighted / line length-weighted / point mean — see
+    :func:`cdap_geo_spark.core.geom.centroid`). NULL/empty -> NULL.
+    The recommended pointifier for feeding extended geometries into
+    point-mode ``knn_join``."""
+    @pandas_udf(T.BinaryType())
+    def _cent(s: pd.Series) -> pd.Series:
+        c = G.centroid(W.parse_wkb(_to_blob_list(s)))
+        bad = np.isnan(c[:, 0])
+        blobs = W.points_to_wkb(np.nan_to_num(c[:, 0]),
+                                np.nan_to_num(c[:, 1]))
+        out = pd.Series(blobs)
+        out[bad] = None
+        return out
+    return _cent
+
+
+def st_centroid_xy():
+    """binary -> struct<x: double, y: double> centroid coordinates
+    (same kernel as :func:`st_centroid`, no re-encode)."""
+    out_t = T.StructType([T.StructField("x", T.DoubleType()),
+                          T.StructField("y", T.DoubleType())])
+
+    @pandas_udf(out_t)
+    def _cent(s: pd.Series) -> pd.DataFrame:
+        c = G.centroid(W.parse_wkb(_to_blob_list(s)))
+        return pd.DataFrame({"x": c[:, 0], "y": c[:, 1]})
+    return _cent
+
+
 # ---------------------------------------------------------------------------
 # Pair predicates (the refinement pass)
 # ---------------------------------------------------------------------------

@@ -382,3 +382,68 @@ try:
                           rtol=1e-7, atol=1e-9)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_centroid_hand_computed_shapes():
+    sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    hole = [[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]]       # reversed winding
+    lshape = [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]]
+    donut = [[10, 10], [10, 12], [14, 12], [14, 10], [10, 10]]   # CW ext
+    dhole = [[11, 10.5], [12, 10.5], [12, 11.5], [11, 11.5], [11, 10.5]]
+    blobs = [_poly([sq]), _poly([sq, hole]), _poly([lshape]),
+             _poly([donut, dhole])]
+    got = G.centroid(W.parse_wkb(blobs))
+    # L: rects (0..2,0..1) a=2 c=(1,.5) + (0..1,1..2) a=1 c=(.5,1.5)
+    # donut: 4x2 a=8 c=(12,11) minus 1x1 a=1 c=(11.5,11)
+    want = [(2, 2), (2, 2), (2.5 / 3, 2.5 / 3), (84.5 / 7, 11.0)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_centroid_lines_points_null_and_dimension_rule():
+    import struct
+    line = struct.pack("<BII", 1, 2, 3) + b"".join(
+        struct.pack("<dd", *p) for p in [(0, 0), (2, 0), (2, 2)])
+    pt = struct.pack("<BIdd", 1, 1, 7.0, 9.0)
+    mpt = W.multi_to_wkb(W.KIND_MULTIPOINT,
+                         [struct.pack("<BIdd", 1, 1, 0.0, 0.0),
+                          struct.pack("<BIdd", 1, 1, 4.0, 2.0)])
+    got = G.centroid(W.parse_wkb([line, pt, mpt, None]))
+    # line: segment mids (1,0) w=2 and (2,1) w=2 -> (1.5, 0.5)
+    np.testing.assert_allclose(got[0], (1.5, 0.5))
+    np.testing.assert_allclose(got[1], (7.0, 9.0))
+    np.testing.assert_allclose(got[2], (2.0, 1.0))
+    assert np.isnan(got[3]).all()
+    # degenerate polygon (zero area) falls to its boundary length
+    degen = _poly([[[0, 0], [2, 0], [0, 0], [0, 0]]])
+    d = G.centroid(W.parse_wkb([degen]))
+    np.testing.assert_allclose(d[0], (1.0, 0.0))
+
+
+def test_centroid_matches_triangulation_on_random_polygons():
+    """Independent cross-check: ear-triangulate the polygon and compare
+    the area-weighted triangle-centroid mean against the shoelace
+    kernel, at projected-CRS magnitudes (the local-frame anchor keeps
+    the moments exact where raw shoelace loses ~6 digits)."""
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        k = rng.randint(4, 9)
+        # full-circle jittered spokes: distinct angles covering 2π keep
+        # the anchor interior, so the radial polygon is simple (a bare
+        # radial sort can leave a >π gap whose closing edge cuts back)
+        ang = (np.arange(k) + rng.uniform(0.1, 0.9, k)) * 2 * np.pi / k
+        rad = rng.uniform(5_000, 20_000, k)
+        cx0, cy0 = rng.uniform(1e5, 1.2e6, 2)
+        ring = np.c_[cx0 + rad * np.cos(ang), cy0 + rad * np.sin(ang)]
+        ring = np.vstack([ring, ring[:1]])
+        got = G.centroid(W.parse_wkb([_poly([ring])]))[0]
+        tris = G._ear_triangulate(ring[:-1] - [cx0, cy0])
+        a_tot, mx, my = 0.0, 0.0, 0.0
+        for t in tris:
+            t = np.asarray(t, float)
+            a = 0.5 * abs(np.cross(t[1] - t[0], t[2] - t[0]))
+            c = t.mean(axis=0)
+            a_tot += a
+            mx += a * c[0]
+            my += a * c[1]
+        want = (cx0 + mx / a_tot, cy0 + my / a_tot)
+        np.testing.assert_allclose(got, want, atol=1e-6), trial

@@ -206,3 +206,49 @@ def test_knn_box_degenerate_boxes_match_point_mode(spark):
     bx = bx.sort_values(key).reset_index(drop=True)
     assert list(pt.doc_id) == list(bx.doc_id)
     assert np.allclose(pt.dist, bx.dist)
+
+
+def test_knn_centroid_pointify_closes_the_polygon_guard(spark):
+    """The require_points guard suggests centroiding a polygon corpus;
+    st_centroid makes that a one-liner, and the result must equal
+    brute-force kNN on the exact centroids."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from cdap_geo_spark import udfs
+
+    rng = np.random.RandomState(5)
+    n = 120
+    cx = rng.uniform(1000, 99_000, n)
+    cy = rng.uniform(1000, 99_000, n)
+    w = rng.uniform(100, 900, n)
+    h = rng.uniform(100, 900, n)
+    corpus = spark.createDataFrame(
+        [(int(i), float(cx[i] - w[i] / 2), float(cy[i] - h[i] / 2),
+          float(cx[i] + w[i] / 2), float(cy[i] + h[i] / 2))
+         for i in range(n)],
+        "doc_id long, minx double, miny double, maxx double, maxy double"
+    ).select("doc_id", udfs.st_box()("minx", "miny", "maxx", "maxy")
+             .alias("geometry"))
+    queries = spark.createDataFrame(
+        [(int(q), float(rng.uniform(0, 100_000)),
+          float(rng.uniform(0, 100_000))) for q in range(8)],
+        "query_id long, x double, y double").select(
+        "query_id", udfs.st_point()("x", "y").alias("geometry")).cache()
+    qpd = queries.select("query_id",
+                         udfs.st_bounds()("geometry").alias("b")).toPandas()
+
+    # boxes refuse point-mode kNN...
+    with pytest.raises(ValueError, match="point"):
+        knn_join(queries, corpus, k=3, level=6).toPandas()
+    # ...centroiding them is the documented fix
+    pts = corpus.select("doc_id",
+                        udfs.st_centroid()("geometry").alias("geometry"))
+    got = knn_join(queries, pts, k=3, level=6).toPandas()
+
+    for _, q in qpd.iterrows():
+        qx, qy = q.b["minx"], q.b["miny"]
+        d2 = (cx - qx) ** 2 + (cy - qy) ** 2
+        order = sorted(range(n), key=lambda i: (d2[i], i))[:3]
+        sub = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(sub.doc_id) == order, q.query_id
