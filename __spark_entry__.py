@@ -722,6 +722,24 @@ def _q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                         b["minx"].alias("cx"), b["miny"].alias("cy"))
 
 
+def _q_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary length under the oracle gate (``st_length``): box
+    perimeter 2*(w+h), exactly integer for the integer-coordinate
+    region boxes, through the full WKB encode -> parse -> kernel path.
+    Non-axis-aligned edges, holes, lines, and multi-parts are pinned by
+    the brute-force pytest (``tests/test_geoops.py``); the slab-quad
+    buffer representation is deliberately NOT measured here — its
+    stored rings tile the interior, so ring length exceeds the outline
+    perimeter by construction."""
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    return regions.select(
+        F.col("region_id").cast("long"),
+        udfs.st_length()(F.col("geometry")).cast("long").alias("perim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
@@ -768,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_ngrams": _q_shared_ngrams,
         "semantic_dedup": _q_semantic_dedup,
         "centroid": _q_centroid,
+        "perimeter": _q_perimeter,
     }
 
 
@@ -1626,6 +1645,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  (minx + maxx) / 2.0 AS cx,
                  (miny + maxy) / 2.0 AS cy
+          FROM b
+        """,
+        "perimeter": f"""
+          WITH b AS ({_BOXES})
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 CAST(2 * ((maxx - minx) + (maxy - miny)) AS BIGINT)
+                     AS perim
           FROM b
         """,
     }

@@ -149,6 +149,44 @@ def centroid(batch: GeomBatch) -> np.ndarray:
     return out
 
 
+def length(batch: GeomBatch) -> np.ndarray:
+    """(n,) boundary length per geometry: polygon parts contribute ring
+    perimeters (exterior AND holes — the PostGIS ``ST_Perimeter``
+    convention), line parts their polyline length, point parts 0.
+    NULL/empty geometries -> 0 (same never-error contract as
+    :func:`area`; the reference delegates to ``shapely .length``,
+    ``cdap_geo/misc.py``'s flattened-part accounting).
+
+    Fully vectorized: one ``hypot`` over every consecutive coordinate
+    pair, ring-boundary segments zeroed, then ring -> part -> geometry
+    sums via cumulative-sum differences (no per-ring Python loop).
+    """
+    n = len(batch)
+    out = np.zeros(n)
+    if len(batch.coords) < 2:
+        return out
+    x, y = batch.coords[:, 0], batch.coords[:, 1]
+    seg = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    # zero the phantom segments that straddle a ring boundary: ring ri
+    # owns coords [s, e) hence segments [s, e-1); seg[e-1] belongs to
+    # the NEXT ring's first vertex pair only when e < len(coords)
+    ends = batch.ring_coord_off[1:-1] - 1          # interior boundaries
+    seg[ends[(ends >= 0) & (ends < len(seg))]] = 0.0
+    csum = np.concatenate(([0.0], np.cumsum(seg)))
+    s_ = batch.ring_coord_off[:-1]
+    e_ = batch.ring_coord_off[1:]
+    # ring length = sum(seg[s : e-1]) = csum[e-1] - csum[s]; degenerate
+    # rings (e - s < 2, e.g. point parts) index csum[s]-csum[s] = 0
+    ring_len = csum[np.maximum(e_ - 1, s_)] - csum[s_]
+    rcs = np.concatenate(([0.0], np.cumsum(ring_len)))
+    part_len = rcs[batch.part_ring_off[1:]] - rcs[batch.part_ring_off[:-1]]
+    part_len[batch.part_kind == KIND_POINT] = 0.0
+    pcs = np.concatenate(([0.0], np.cumsum(part_len)))
+    out = pcs[batch.geom_part_off[1:]] - pcs[batch.geom_part_off[:-1]]
+    out[~batch.valid] = 0.0
+    return out
+
+
 def vertex_counts(batch: GeomBatch) -> np.ndarray:
     """(n,) total vertex count per geometry — the reference's complexity
     signal (``cdap_geo/misc.py:30-32``), used for skew routing."""

@@ -146,6 +146,17 @@ def st_area():
     return _area
 
 
+def st_length():
+    """binary -> double boundary length (polygon perimeter incl. holes,
+    line length, point 0 — PostGIS ``ST_Perimeter``/``ST_Length``
+    semantics; the reference reads ``shapely .length`` on flattened
+    parts). Vectorized batch kernel, no per-row Python."""
+    @pandas_udf(T.DoubleType())
+    def _len(s: pd.Series) -> pd.Series:
+        return pd.Series(G.length(W.parse_wkb(_to_blob_list(s))))
+    return _len
+
+
 def st_num_points():
     """binary -> long vertex count (``cdap_geo/misc.py:30-32``) — the
     engine's skew/cost signal."""

@@ -447,3 +447,42 @@ def test_centroid_matches_triangulation_on_random_polygons():
             my += a * c[1]
         want = (cx0 + mx / a_tot, cy0 + my / a_tot)
         np.testing.assert_allclose(got, want, atol=1e-6), trial
+
+
+def test_length_hand_computed_shapes():
+    """st_length kernel: polygon perimeter includes holes (ST_Perimeter),
+    lines measure polyline length (non-axis-aligned hypot path), points
+    and NULL are 0; multi-parts sum; ring-boundary phantom segments do
+    not leak between rings or geometries."""
+    import struct
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    hole = [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]
+    line = struct.pack("<BII", 1, 2, 3) + b"".join(
+        struct.pack("<dd", *p) for p in [(0, 0), (3, 4), (3, 10)])
+    pt = struct.pack("<BIdd", 1, 1, 5.0, 5.0)
+    mline = W.multi_to_wkb(W.KIND_MULTILINESTRING, [
+        struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0, 0, 1, 0),
+        struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0, 0, 0, 2)])
+    mpoly = W.multi_to_wkb(W.KIND_MULTIPOLYGON, [
+        _poly([sq]), _poly([[[20, 20], [21, 20], [21, 21],
+                             [20, 21], [20, 20]]])])
+    mpt = W.multi_to_wkb(W.KIND_MULTIPOINT,
+                         [struct.pack("<BIdd", 1, 1, 0.0, 0.0),
+                          struct.pack("<BIdd", 1, 1, 9.0, 9.0)])
+    got = G.length(W.parse_wkb([_poly([sq, hole]), line, pt,
+                                mline, mpoly, mpt, None]))
+    np.testing.assert_allclose(got, [48.0, 11.0, 0.0, 3.0, 44.0,
+                                     0.0, 0.0], rtol=1e-12)
+
+
+def test_length_octagon_matches_closed_form():
+    """Non-axis-aligned exactness: a regular n-gon of circumradius r has
+    perimeter 2*n*r*sin(pi/n)."""
+    for n in (4, 8, 16):
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        ring = np.column_stack([437_000 + 250 * np.cos(ang),
+                                912_000 + 250 * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]]).tolist()
+        got = G.length(W.parse_wkb([_poly([ring])]))[0]
+        want = 2 * n * 250 * np.sin(np.pi / n)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
