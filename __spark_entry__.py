@@ -722,6 +722,20 @@ def _q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                         b["minx"].alias("cx"), b["miny"].alias("cy"))
 
 
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk) under the oracle gate: the
+    global exclusive token prefix-sum in doc_id order, computed by the
+    distributed two-pass scan (NO SinglePartition window — the pytest
+    pins that plan property), vs the oracle's global window."""
+    from cdap_geo_spark.operators.text import pack_sequences, token_count
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"))
+    out = pack_sequences(d, budget=512)
+    return out.select("doc_id", "n_tokens", "tok_offset", "bin_id",
+                      "offset_in_bin")
+
+
 def _q_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary length under the oracle gate (``st_length``): box
     perimeter 2*(w+h), exactly integer for the integer-coordinate
@@ -787,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "centroid": _q_centroid,
         "perimeter": _q_perimeter,
+        "pack": _q_pack,
     }
 
 
@@ -1646,6 +1661,27 @@ def oracle_sql() -> dict[str, str]:
                  (minx + maxx) / 2.0 AS cx,
                  (miny + maxy) / 2.0 AS cy
           FROM b
+        """,
+        "pack": """
+          WITH t AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text),
+                                                            '\\s+'))
+                                  AS BIGINT) END AS n_tokens
+            FROM documents
+          ), s AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS tok_offset
+            FROM t
+          )
+          SELECT doc_id, n_tokens, tok_offset,
+                 CAST(FLOOR(tok_offset / 512) AS BIGINT) AS bin_id,
+                 tok_offset % 512 AS offset_in_bin
+          FROM s
         """,
         "perimeter": f"""
           WITH b AS ({_BOXES})

@@ -406,3 +406,82 @@ def shared_ngram_stats(df: DataFrame, *, n: int = 2, min_docs: int = 2,
             .select(F.col(id_col), "n_distinct_ngrams",
                     F.coalesce(F.col("n_shared_ngrams"), F.lit(0))
                      .cast("long").alias("n_shared_ngrams")))
+
+
+def pack_sequences(df: DataFrame, *, budget: int,
+                   id_col: str = "doc_id", size_col: str = "n_tokens",
+                   num_shards: int | None = None) -> DataFrame:
+    """Sequence packing for LLM pretraining (concat-and-chunk): lay the
+    corpus out as one token stream in ``id_col`` order and chunk it
+    into fixed ``budget``-token training sequences. Per row, emits
+
+    * ``tok_offset``     — the document's first-token position in the
+      global stream = EXCLUSIVE prefix sum of ``size_col`` over
+      ``ORDER BY id_col`` (the oracle's
+      ``SUM(...) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING → -1)``);
+    * ``bin_id``         — ``tok_offset // budget``: the training
+      sequence the document STARTS in (documents may straddle bins —
+      the GPT-style chunking rule; the writer splits at boundaries);
+    * ``offset_in_bin``  — ``tok_offset % budget``.
+
+    A naive Spark window for the global prefix sum plans ONE
+    SinglePartition sort — the classic scale-killer. This is instead a
+    distributed two-pass scan:
+
+    1. shard deterministically by id range (``(id - min) // width``,
+       integer arithmetic — no sampling, so both passes agree without
+       a checkpoint);
+    2. per-shard token totals (map-side partial agg; the exchange
+       carries ``num_shards`` rows), exclusive-prefix-summed on the
+       driver (bounded collect) and broadcast back as a 2-column
+       offsets table;
+    3. per-shard EXCLUSIVE running sum in a ``partitionBy(_shard)``
+       window (JVM-side, spillable — group size never has to fit in
+       Python memory) plus the shard's offset.
+
+    Shards are balanced when ids are dense (snapshot exports); for
+    pathological id spacing pass ``num_shards`` larger, or pre-map ids.
+    Run it on the NARROW ``(id, size)`` projection and join results
+    back by id if the full rows are wide — the scan then never carries
+    the payload. Reference analogue: none (beyond-parity training-
+    pipeline operator; rule follows the public concat-and-chunk
+    recipe, e.g. GPT-2/3 data layouts).
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    spark = df.sparkSession
+    n = int(num_shards or spark.sparkContext.defaultParallelism)
+    lo_hi = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")) \
+              .first()
+    if lo_hi is None or lo_hi["lo"] is None:
+        return (df.withColumn("tok_offset", F.lit(0).cast("long"))
+                  .withColumn("bin_id", F.lit(0).cast("long"))
+                  .withColumn("offset_in_bin", F.lit(0).cast("long")))
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    width = max(1, -(-(hi - lo + 1) // n))          # ceil, >= 1
+    shard = ((F.col(id_col) - F.lit(lo)) / F.lit(width)) \
+        .cast("long").alias("_shard")
+
+    d = df.withColumn("_shard", shard)
+    totals = {int(r["_shard"]): int(r["t"])
+              for r in d.groupBy("_shard")
+                        .agg(F.sum(size_col).alias("t")).collect()}
+    acc, offs = 0, []
+    for s in range(n):                               # dense shard walk
+        offs.append((s, acc))
+        acc += totals.get(s, 0)
+    offs_df = spark.createDataFrame(offs, "_shard long, _shard_off long")
+
+    w = (Window.partitionBy("_shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tok = (F.coalesce(F.sum(size_col).over(w), F.lit(0))
+           + F.col("_shard_off")).cast("long")
+    return (d.join(F.broadcast(offs_df), "_shard")
+             .withColumn("tok_offset", tok)
+             .withColumn("bin_id", F.floor(F.col("tok_offset") / budget)
+                          .cast("long"))
+             .withColumn("offset_in_bin",
+                         (F.col("tok_offset") % budget).cast("long"))
+             .drop("_shard", "_shard_off"))

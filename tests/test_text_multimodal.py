@@ -405,3 +405,37 @@ def test_shared_ngram_stats_trigram_and_self_consistency(spark):
     # every doc shares its grams with the 4 others of the same parity
     # plus the common prefix grams shared by all 10
     assert (out.n_shared_ngrams == out.n_distinct_ngrams).all()
+
+
+def test_pack_sequences_matches_bruteforce_scan(spark):
+    """Distributed two-pass prefix scan == the sequential scan, on
+    sparse non-contiguous ids with a shard count that leaves empty
+    shards; plan never falls back to a SinglePartition window."""
+    import random
+    from cdap_geo_spark.operators.text import pack_sequences
+    rng = random.Random(11)
+    ids = sorted(rng.sample(range(-500, 4000), 300))
+    rows = [(i, rng.randint(0, 40)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=64, num_shards=13) \
+        .orderBy("doc_id").collect()
+    acc = 0
+    for r, (i, sz) in zip(out, rows):
+        assert (r["doc_id"], r["tok_offset"], r["bin_id"],
+                r["offset_in_bin"]) == (i, acc, acc // 64, acc % 64)
+        acc += sz
+    plan = pack_sequences(df, budget=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_edge_cases(spark):
+    from cdap_geo_spark.operators.text import pack_sequences
+    import pytest as _pt
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_sequences(empty, budget=8).count() == 0
+    one = spark.createDataFrame([(7, 3)], "doc_id long, n_tokens long")
+    r = pack_sequences(one, budget=8).first()
+    assert (r["tok_offset"], r["bin_id"], r["offset_in_bin"]) == (0, 0, 0)
+    with _pt.raises(ValueError):
+        pack_sequences(one, budget=0)
