@@ -736,6 +736,28 @@ def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "offset_in_bin")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing under the oracle gate: deterministic synthetic
+    PII (email / IPv4 / phone derived from doc_id) appended to every
+    document IDENTICALLY in both engines, then counted and redacted by
+    the same Java∩RE2 regex subset — full scrubbed strings value-
+    hashed, not just counts."""
+    from cdap_geo_spark.operators.text import pii_scrub
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"),
+        F.lit(" via 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".3.9 tel 0207"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 6, "0"))
+    out = pii_scrub(d.select(F.col("doc_id").cast("long"),
+                             injected.alias("text")))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      "scrubbed")
+
+
 def _q_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary length under the oracle gate (``st_length``): box
     perimeter 2*(w+h), exactly integer for the integer-coordinate
@@ -802,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid": _q_centroid,
         "perimeter": _q_perimeter,
         "pack": _q_pack,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1682,6 +1705,34 @@ def oracle_sql() -> dict[str, str]:
                  CAST(FLOOR(tok_offset / 512) AS BIGINT) AS bin_id,
                  tok_offset % 512 AS offset_in_bin
           FROM s
+        """,
+        "pii_scrub": """
+          WITH t AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                        || ' via 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.3.9 tel 0207'
+                        || lpad(CAST(doc_id % 100000 AS VARCHAR), 6, '0')
+                       AS txt
+            FROM documents
+          )
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(txt,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS BIGINT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(txt, '\\b0\\d{7,12}\\b'))
+                   AS BIGINT) AS n_phone,
+                 regexp_replace(regexp_replace(regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g'),
+                   '\\b0\\d{7,12}\\b', '<PHONE>', 'g') AS scrubbed
+          FROM t
         """,
         "perimeter": f"""
           WITH b AS ({_BOXES})

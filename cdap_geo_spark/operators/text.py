@@ -485,3 +485,42 @@ def pack_sequences(df: DataFrame, *, budget: int,
              .withColumn("offset_in_bin",
                          (F.col("tok_offset") % budget).cast("long"))
              .drop("_shard", "_shard_off"))
+
+
+#: (name, regex, replacement) — patterns restricted to the syntax
+#: subset where Java regex (Spark) and RE2 (DuckDB oracle) agree:
+#: literal classes, \d, \b, bounded repetition; no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b0\d{7,12}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, *, text_col: str = "text",
+              patterns=None) -> DataFrame:
+    """PII redaction for training corpora: per row, count each pattern
+    on the ORIGINAL text (``n_<name>`` columns), then emit ``scrubbed``
+    with the patterns replaced by their placeholder tokens in list
+    order (order matters — emails are consumed before their digit runs
+    can match the looser patterns).
+
+    Entirely native ``regexp_count`` / ``regexp_replace`` — the whole
+    row stays inside whole-stage codegen, no Python, no shuffle: at
+    100 TB this is a pure map over the scan. Patterns must stay inside
+    the Java∩RE2 regex subset (see ``PII_PATTERNS``) so the DuckDB
+    oracle executes the SAME automaton. Reference analogue: none
+    (beyond-parity training-pipeline operator, public C4/CCNet-style
+    scrubbing recipe).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    for name, rx, _ in pats:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(F.col(text_col), F.lit(rx))
+                             .cast("long"))
+    scrubbed = F.col(text_col)
+    for _, rx, repl in pats:
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return out.withColumn("scrubbed", scrubbed)

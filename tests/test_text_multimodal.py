@@ -439,3 +439,22 @@ def test_pack_sequences_edge_cases(spark):
     assert (r["tok_offset"], r["bin_id"], r["offset_in_bin"]) == (0, 0, 0)
     with _pt.raises(ValueError):
         pack_sequences(one, budget=0)
+
+
+def test_pii_scrub_counts_and_order(spark):
+    """Counts are measured on the ORIGINAL text (an address inside an
+    email counts for both patterns); scrubbing applies in list order so
+    the email placeholder consumes its digits before ip/phone run."""
+    from cdap_geo_spark.operators.text import pii_scrub
+    rows = [(1, "a 1.2.3.4@dom.com b"),          # email containing ip
+            (2, "bare 0.0.0.0 and tel 012345678"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) \
+        == (1, 1, 0)
+    assert got[1]["scrubbed"] == "a <EMAIL> b"
+    assert (got[2]["n_ipv4"], got[2]["n_phone"]) == (1, 1)
+    assert got[2]["scrubbed"] == "bare <IP> and tel <PHONE>"
+    assert got[3]["scrubbed"] == "" and got[3]["n_email"] == 0
+    assert got[4]["scrubbed"] is None and got[4]["n_email"] is None
