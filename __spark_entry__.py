@@ -279,10 +279,15 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdap_geo_spark.operators.text import token_count
+    """Whitespace token count plus the BPE-ish pretoken count (GPT-2-
+    style pretokenizer in the Java∩RE2 regex subset) — both native."""
+    from cdap_geo_spark.operators.text import token_count, tokens_bpeish
     d = _docs(spark, sf_dir)
     return d.select(F.col("doc_id").cast("long"),
-                    token_count(F.col("text")).cast("long").alias("n_tokens"))
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"),
+                    tokens_bpeish(F.col("text")).cast("long")
+                    .alias("n_bpeish"))
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,7 +1435,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  CASE WHEN len(trim(text)) = 0 THEN 0
                       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                                AS BIGINT) END AS n_tokens
+                                AS BIGINT) END AS n_tokens,
+                 CAST(len(regexp_extract_all(text,
+                   '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                   AS BIGINT) AS n_bpeish
           FROM documents
         """,
         "quality": """

@@ -33,6 +33,22 @@ def token_count(text: Column) -> Column:
             .otherwise(F.size(F.split(F.trim(text), r"\s+")))
 
 
+#: GPT-2-style pretokenizer, restricted to the Java∩RE2 subset (no
+#: lookahead — the real GPT-2 pattern's trailing `\s+(?!\S)` is RE2-
+#: incompatible): contraction suffixes, space-prefixed letter runs,
+#: digit runs, punctuation runs. Leftmost-first alternation order is
+#: identical in both engines, so counts hash-match the oracle.
+BPEISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def tokens_bpeish(text: Column) -> Column:
+    """BPE-ish pretoken count (``BPEISH_PATTERN`` matches — the number
+    of byte-pair-encoder INPUT chunks, the standard proxy for token
+    cost before a real vocabulary is applied). Native ``regexp_count``:
+    whole-stage codegen, no Python."""
+    return F.regexp_count(text, F.lit(BPEISH_PATTERN))
+
+
 def _count_occurrences(text: Column, needle: str) -> Column:
     """Exact-substring occurrence count via length difference —
     identical semantics in every SQL engine (no regex)."""

@@ -458,3 +458,20 @@ def test_pii_scrub_counts_and_order(spark):
     assert got[2]["scrubbed"] == "bare <IP> and tel <PHONE>"
     assert got[3]["scrubbed"] == "" and got[3]["n_email"] == 0
     assert got[4]["scrubbed"] is None and got[4]["n_email"] is None
+
+
+def test_tokens_bpeish_pretokenizer(spark):
+    """BPE-ish pretoken count matches a Python re.findall of the SAME
+    pattern (leftmost-first alternation), incl. contractions, digit
+    runs, punctuation runs, and leading-space absorption."""
+    import re
+    from cdap_geo_spark.operators.text import BPEISH_PATTERN, tokens_bpeish
+    texts = ["key agg row's 10 values, fast!", "", "  ", "a1b2",
+             "don't stop--ever 3.14", "CamelCase WORDS and 007"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", tokens_bpeish(F.col("text")).alias("n"))
+             .collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPEISH_PATTERN, t)), (i, t)
