@@ -741,6 +741,18 @@ def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "offset_in_bin")
 
 
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog under the oracle gate: per-lang distinct-
+    text estimate, every ingredient deterministic (60-bit md5 prefix,
+    exact dyadic-integer harmonic sum, identical bias literal in both
+    engines) so the two independent HLL implementations hash-match."""
+    from cdap_geo_spark.operators.sketch import hll_estimate
+    d = _docs(spark, sf_dir)
+    out = hll_estimate(d.select("lang", "text"), value_col="text",
+                       group_cols=["lang"], p=9)
+    return out.select("lang", "est_distinct", "n_filled")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing under the oracle gate: deterministic synthetic
     PII (email / IPv4 / phone derived from doc_id) appended to every
@@ -830,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perimeter": _q_perimeter,
         "pack": _q_pack,
         "pii_scrub": _q_pii_scrub,
+        "hll_distinct": _q_hll,
     }
 
 
@@ -1087,6 +1100,14 @@ def _ivf_ann_sql(dim: int = 64, n_clusters: int = 16, nprobe: int = 4,
          CAST(rank AS BIGINT) AS rank
   FROM ranked WHERE rank <= 5
 """
+
+
+def _hll_sql() -> str:
+    """DuckDB twin of the `hll_distinct` query, generated from the same
+    constants as the Spark plan (see operators/sketch.py)."""
+    from cdap_geo_spark.operators.sketch import hll_oracle_sql
+    return hll_oracle_sql(table_expr="documents", value_expr="text",
+                          group_exprs=[("lang", "lang")], p=9)
 
 
 def _semantic_dedup_sql(dim: int = 64, seed: int = 11) -> str:
@@ -1714,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
                  tok_offset % 512 AS offset_in_bin
           FROM s
         """,
+        "hll_distinct": _hll_sql(),
         "pii_scrub": """
           WITH t AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
