@@ -753,6 +753,74 @@ def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "est_distinct", "n_filled")
 
 
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch under the oracle gate: frequency estimates for
+    the distinct tokens of every 97th document, read back out of a
+    depth-4 x width-512 sketch built over the whole token stream —
+    both engines build the sketch from the same md5 row-hashes, so the
+    (upper-bound) estimates match bit-for-bit."""
+    from cdap_geo_spark.operators.sketch import cms_relation, cms_estimate
+    d = _docs(spark, sf_dir)
+    toks = (d.where(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                      .alias("token"))
+             .where(F.col("token") != ""))
+    rel = cms_relation(toks, value_col="token", depth=4, width=512)
+    probes = toks.where(F.col("doc_id") % 97 == 0)
+    return cms_estimate(rel, probes, value_col="token",
+                        depth=4, width=512)
+
+
+def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership under the oracle gate: a 4096-bit/4-hash
+    filter over the corpus token stream, probed with every 97th doc's
+    tokens (members) AND their ``?``-suffixed variants (almost all
+    non-members) — both engines set the identical md5-derived bits, so
+    the membership verdicts match bit-for-bit, false positives
+    included."""
+    from cdap_geo_spark.operators.sketch import (
+        bloom_relation, bloom_contains)
+    d = _docs(spark, sf_dir)
+    toks = (d.where(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                      .alias("token"))
+             .where(F.col("token") != ""))
+    rel = bloom_relation(toks, value_col="token", m_bits=4096, k=4)
+    seen = toks.where(F.col("doc_id") % 97 == 0).select("token")
+    unseen = seen.select(F.concat(F.col("token"), F.lit("?"))
+                          .alias("token"))
+    probes = seen.unionByName(unseen)
+    return bloom_contains(rel, probes, value_col="token",
+                          m_bits=4096, k=4)
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap under the oracle gate: keep the 7
+    lowest-id documents per source, then aggregate per source so the
+    hash compare pins both the survivor SET and the payload columns
+    surviving the semi-join."""
+    from cdap_geo_spark.operators.text import source_cap
+    kept = source_cap(_docs(spark, sf_dir), cap=7)
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum("doc_id").alias("sum_id"),
+                     F.sum("n_chars").alias("sum_chars")))
+
+
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles under the oracle gate: p50/p90/p99
+    of lineitem extended price per return flag from a 256-bin
+    histogram relation — the deterministic lower-edge-at-ceil rule
+    makes the estimate itself cross-engine hashable."""
+    from cdap_geo_spark.operators.sketch import hist_quantiles
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hist_quantiles(li, value_col="l_extendedprice",
+                          group_cols=["l_returnflag"],
+                          lo=900.0, hi=105000.0, nbins=256)
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing under the oracle gate: deterministic synthetic
     PII (email / IPv4 / phone derived from doc_id) appended to every
@@ -843,6 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack": _q_pack,
         "pii_scrub": _q_pii_scrub,
         "hll_distinct": _q_hll,
+        "cms_counts": _q_cms,
+        "hist_quantiles": _q_hist_quantiles,
+        "bloom_membership": _q_bloom,
+        "source_cap": _q_source_cap,
     }
 
 
@@ -1108,6 +1180,43 @@ def _hll_sql() -> str:
     from cdap_geo_spark.operators.sketch import hll_oracle_sql
     return hll_oracle_sql(table_expr="documents", value_expr="text",
                           group_exprs=[("lang", "lang")], p=9)
+
+
+def _cms_sql() -> str:
+    """DuckDB twin of `cms_counts`, generated from the same constants
+    (see operators/sketch.py)."""
+    from cdap_geo_spark.operators.sketch import cms_oracle_sql
+    toks = ("SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            " x -> x <> '')) AS tok "
+            "FROM documents WHERE text IS NOT NULL")
+    return cms_oracle_sql(table_expr=toks, value_expr="token",
+                          probe_filter="doc_id % 97 = 0",
+                          depth=4, width=512)
+
+
+def _bloom_sql() -> str:
+    """DuckDB twin of `bloom_membership` (see operators/sketch.py)."""
+    from cdap_geo_spark.operators.sketch import bloom_oracle_sql
+    toks = ("SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(trim(text)), '\\s+'),"
+            " x -> x <> '')) AS tok "
+            "FROM documents WHERE text IS NOT NULL")
+    probes = (f"SELECT tok FROM ({toks}) WHERE doc_id % 97 = 0 "
+              f"UNION ALL "
+              f"SELECT tok || '?' FROM ({toks}) WHERE doc_id % 97 = 0")
+    return bloom_oracle_sql(table_expr=toks, value_expr="token",
+                            probe_expr=probes, m_bits=4096, k=4)
+
+
+def _hist_quantiles_sql() -> str:
+    """DuckDB twin of `hist_quantiles` (same literal bin arithmetic,
+    same lower-edge-at-ceil rule; see operators/sketch.py)."""
+    from cdap_geo_spark.operators.sketch import hist_quantiles_oracle_sql
+    return hist_quantiles_oracle_sql(
+        table_expr="lineitem", value_expr="l_extendedprice",
+        group_exprs=[("l_returnflag", "l_returnflag")],
+        lo=900.0, hi=105000.0, nbins=256)
 
 
 def _semantic_dedup_sql(dim: int = 64, seed: int = 11) -> str:
@@ -1736,6 +1845,23 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         """,
         "hll_distinct": _hll_sql(),
+        "cms_counts": _cms_sql(),
+        "hist_quantiles": _hist_quantiles_sql(),
+        "bloom_membership": _bloom_sql(),
+        "source_cap": """
+          WITH k AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+          )
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM k WHERE rn <= 7
+          GROUP BY source
+        """,
         "pii_scrub": """
           WITH t AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -97,6 +97,299 @@ def hll_estimate(df: DataFrame, *, value_col: str,
                       F.col("n_filled").cast("long").alias("n_filled"))
 
 
+def _q_name(q: float) -> str:
+    """0.5 -> q50, 0.9 -> q90, 0.99 -> q99, 0.999 -> q999."""
+    frac = str(q)[2:]
+    return "q" + (frac.ljust(2, "0") if len(frac) < 2 else frac)
+
+
+def cms_relation(df: DataFrame, *, value_col: str,
+                 group_cols: list[str] | None = None,
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Count-min sketch as a relation: one row per (group, hrow,
+    bucket) carrying ``cnt`` (Cormode & Muthukrishnan 2005). Hash row
+    ``i``'s bucket is the 60-bit md5 prefix of ``'{i}:{value}'`` mod
+    ``width`` — deterministic and cross-engine, the same portable-hash
+    idiom as :func:`hll_relation`. The explode multiplies rows by
+    ``depth`` BEFORE the partial aggregate, which collapses each input
+    partition to <= ``groups * depth * width`` rows — the exchange is
+    bounded by the sketch size, never the data. Merge two sketch
+    relations with ``unionByName`` + re-``sum`` per (group, hrow,
+    bucket) (pytest pins merge == sketch-of-union).
+    Reference analogue: none (beyond-parity pipeline operator).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("cms_relation: need depth >= 1, width >= 2")
+    g = list(group_cols or [])
+    base = (df.where(F.col(value_col).isNotNull())
+              .select(*g, F.col(value_col).alias("_v"),
+                      F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+                       .alias("hrow")))
+    h = _hash60(F.concat_ws(":", F.col("hrow").cast("string"),
+                            F.col("_v")))
+    return (base.select(*g, "hrow", (h % F.lit(width)).alias("bucket"))
+                .groupBy(*g, "hrow", "bucket")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(rel: DataFrame, probes: DataFrame, *, value_col: str,
+                 group_cols: list[str] | None = None,
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_relation` sketch:
+    for each distinct probe value, ``est_count = min_i cnt[i, h_i(v)]``
+    (an upper bound on the true count; never an undercount). The probe
+    side is distinct-reduced and exploded by ``depth`` — when the probe
+    set is small AQE broadcasts it; the sketch relation itself is at
+    most ``groups * depth * width`` rows, so the join never scales with
+    the corpus. Unseen buckets count as 0 via the left join.
+    """
+    g = list(group_cols or [])
+    p = (probes.where(F.col(value_col).isNotNull())
+               .select(*g, F.col(value_col).alias("_v")).distinct())
+    pe = p.select(*g, "_v",
+                  F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+                   .alias("hrow"))
+    h = _hash60(F.concat_ws(":", F.col("hrow").cast("string"),
+                            F.col("_v")))
+    pe = pe.withColumn("bucket", h % F.lit(width))
+    joined = pe.join(rel, on=g + ["hrow", "bucket"], how="left")
+    return (joined.groupBy(*g, "_v")
+                  .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                        .alias("est_count"))
+                  .select(*g, F.col("_v").alias(value_col),
+                          F.col("est_count").cast("long")
+                           .alias("est_count")))
+
+
+def cms_oracle_sql(*, table_expr: str, value_expr: str,
+                   probe_filter: str, depth: int = 4,
+                   width: int = 512) -> str:
+    """DuckDB twin of ``cms_relation`` + ``cms_estimate`` over an
+    ungrouped token stream: ``table_expr`` must yield rows
+    ``(tok, probe_flag)``; the sketch is built over every tok and
+    probed with the distinct toks where ``probe_filter`` holds."""
+    return f"""
+      WITH hr AS (SELECT CAST(unnest(range({depth})) AS INT) AS hrow),
+      rel AS (
+        SELECT hrow,
+               CAST(concat('0x', substr(md5(concat(hrow, ':', tok)),
+                                        1, 15)) AS BIGINT)
+                 % {width} AS bucket,
+               COUNT(*) AS cnt
+        FROM ({table_expr}) CROSS JOIN hr
+        GROUP BY 1, 2
+      ), probes AS (
+        SELECT DISTINCT tok FROM ({table_expr}) WHERE {probe_filter}
+      ), pe AS (
+        SELECT p.tok, h.hrow,
+               CAST(concat('0x', substr(md5(concat(h.hrow, ':', p.tok)),
+                                        1, 15)) AS BIGINT)
+                 % {width} AS bucket
+        FROM probes p CROSS JOIN hr h
+      )
+      SELECT pe.tok AS {value_expr},
+             CAST(MIN(COALESCE(rel.cnt, 0)) AS BIGINT) AS est_count
+      FROM pe LEFT JOIN rel USING (hrow, bucket)
+      GROUP BY pe.tok
+    """
+
+
+def bloom_relation(df: DataFrame, *, value_col: str,
+                   group_cols: list[str] | None = None,
+                   m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Bloom filter as a relation: the distinct set bits, one row per
+    (group, bit) (Bloom 1970). Bit ``i`` of a value is the 60-bit md5
+    prefix of ``'{i}:{value}'`` mod ``m_bits`` — the same portable-hash
+    idiom as the other sketches, so a DuckDB oracle sets the identical
+    bits. The relation is bounded by ``groups * m_bits`` rows whatever
+    the corpus size (distinct-aggregated map-side first); merge two
+    filters with ``unionByName`` + ``dropDuplicates`` (pytest pins
+    merge == sketch-of-union).
+    Reference analogue: none (beyond-parity pipeline operator).
+    """
+    if k < 1 or m_bits < 2:
+        raise ValueError("bloom_relation: need k >= 1, m_bits >= 2")
+    g = list(group_cols or [])
+    base = (df.where(F.col(value_col).isNotNull())
+              .select(*g, F.col(value_col).alias("_v"),
+                      F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                       .alias("hrow")))
+    h = _hash60(F.concat_ws(":", F.col("hrow").cast("string"),
+                            F.col("_v")))
+    return (base.select(*g, (h % F.lit(m_bits)).alias("bit"))
+                .dropDuplicates(g + ["bit"]))
+
+
+def bloom_contains(rel: DataFrame, probes: DataFrame, *,
+                   value_col: str, group_cols: list[str] | None = None,
+                   m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Membership probe against a :func:`bloom_relation`: ``contains``
+    is true iff ALL ``k`` probe bits are set (false positives possible
+    at the standard Bloom rate, never false negatives — pytest-pinned).
+    The filter side is at most ``groups * m_bits`` rows, so AQE
+    broadcasts it under any realistic sizing; the probe side never
+    shuffles more than (probe, bit) pairs."""
+    g = list(group_cols or [])
+    p = (probes.where(F.col(value_col).isNotNull())
+               .select(*g, F.col(value_col).alias("_v")).distinct())
+    pe = p.select(*g, "_v",
+                  F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                   .alias("hrow"))
+    h = _hash60(F.concat_ws(":", F.col("hrow").cast("string"),
+                            F.col("_v")))
+    pe = pe.withColumn("bit", h % F.lit(m_bits)).drop("hrow")
+    hit = pe.join(rel, on=g + ["bit"], how="left_semi")
+    counted = (pe.groupBy(*g, "_v").agg(F.count(F.lit(1)).alias("_nb"))
+                 .join(hit.groupBy(*g, "_v")
+                          .agg(F.count(F.lit(1)).alias("_hits")),
+                       on=g + ["_v"], how="left"))
+    return counted.select(
+        *g, F.col("_v").alias(value_col),
+        (F.coalesce(F.col("_hits"), F.lit(0)) == F.col("_nb"))
+         .alias("contains"))
+
+
+def bloom_oracle_sql(*, table_expr: str, value_expr: str,
+                     probe_expr: str, m_bits: int = 4096,
+                     k: int = 4) -> str:
+    """DuckDB twin of ``bloom_relation`` + ``bloom_contains``:
+    ``table_expr`` yields the member rows ``(tok)``, ``probe_expr``
+    the probe rows ``(tok)``; output (token, contains)."""
+    return f"""
+      WITH hr AS (SELECT CAST(unnest(range({k})) AS INT) AS hrow),
+      rel AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(concat(hrow, ':', tok)),
+                                        1, 15)) AS BIGINT)
+                 % {m_bits} AS bit
+        FROM ({table_expr}) CROSS JOIN hr
+      ), probes AS (
+        SELECT DISTINCT tok FROM ({probe_expr})
+      ), pe AS (
+        SELECT p.tok,
+               CAST(concat('0x', substr(md5(concat(h.hrow, ':', p.tok)),
+                                        1, 15)) AS BIGINT)
+                 % {m_bits} AS bit
+        FROM probes p CROSS JOIN hr h
+      )
+      SELECT pe.tok AS {value_expr},
+             COUNT(*) FILTER (rel.bit IS NOT NULL) = COUNT(*)
+               AS contains
+      FROM pe LEFT JOIN rel USING (bit)
+      GROUP BY pe.tok
+    """
+
+
+def hist_relation(df: DataFrame, *, value_col: str,
+                  group_cols: list[str] | None = None,
+                  lo: float, hi: float, nbins: int) -> DataFrame:
+    """Fixed-bin histogram as a relation: one row per (group, bin)
+    carrying ``cnt``; out-of-range values clamp to the edge bins. The
+    partial aggregate collapses each partition to <= ``groups * nbins``
+    rows before the exchange; merge = union + re-``sum``. The bin edge
+    arithmetic is one multiply-add on literal doubles, so a DuckDB twin
+    reproduces it bit-exactly.
+    Reference analogue: none (beyond-parity pipeline operator).
+    """
+    if not (nbins >= 1 and hi > lo):
+        raise ValueError("hist_relation: need nbins >= 1 and hi > lo")
+    g = list(group_cols or [])
+    step = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
+                  / F.lit(float(step)))
+    b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw)).cast("int")
+    return (df.where(F.col(value_col).isNotNull())
+              .select(*g, b.alias("bin"))
+              .groupBy(*g, "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_quantiles(df: DataFrame, *, value_col: str,
+                   group_cols: list[str] | None = None,
+                   lo: float, hi: float, nbins: int,
+                   qs: tuple = (0.5, 0.9, 0.99),
+                   round_dp: int = 6) -> DataFrame:
+    """Per-group quantile estimates from the fixed-bin histogram: the
+    estimate for ``q`` is the LOWER EDGE of the first bin whose
+    cumulative count reaches ``ceil(q * n)`` (a deterministic rule —
+    no interpolation ambiguity for a cross-engine oracle; error is
+    bounded by one bin width). The cumulative window runs over the
+    histogram relation (<= ``groups * nbins`` rows), not the data, so
+    the sort is sketch-sized at any corpus scale.
+    """
+    from pyspark.sql import Window
+    g = list(group_cols or [])
+    step = (hi - lo) / nbins
+    rel = hist_relation(df, value_col=value_col, group_cols=g,
+                        lo=lo, hi=hi, nbins=nbins)
+    w = (Window.partitionBy(*[F.col(c) for c in g]) if g
+         else Window.partitionBy(F.lit(1)))
+    cum = F.sum("cnt").over(w.orderBy("bin")
+                             .rowsBetween(Window.unboundedPreceding, 0))
+    n = F.sum("cnt").over(w.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    rel = rel.select(*g, "bin", cum.alias("cum"), n.alias("n"))
+    aggs = [F.max("n").alias("n")]
+    names = []
+    for q in qs:
+        name = _q_name(q)
+        names.append(name)
+        aggs.append(F.min(F.when(
+            F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")),
+            F.col("bin"))).alias(f"_qbin_{name}"))
+    out = rel.groupBy(*g).agg(*aggs)
+    for name in names:
+        out = out.withColumn(
+            name, F.round(F.lit(float(lo))
+                          + F.col(f"_qbin_{name}").cast("double")
+                          * F.lit(float(step)), round_dp))
+    return out.select(*g, F.col("n").cast("long").alias("n"), *names)
+
+
+def hist_quantiles_oracle_sql(*, table_expr: str, value_expr: str,
+                              group_exprs: list[tuple[str, str]],
+                              lo: float, hi: float, nbins: int,
+                              qs: tuple = (0.5, 0.9, 0.99),
+                              round_dp: int = 6) -> str:
+    """DuckDB twin of :func:`hist_quantiles` (same literal edge
+    arithmetic, same first-bin-at-ceil rule)."""
+    g = group_exprs
+    step = (hi - lo) / nbins
+    sel_g = "".join(f"{expr} AS {name}, " for name, expr in g)
+    out_g = "".join(f"{name}, " for name, _ in g)
+    by_g = ", ".join(name for name, _ in g)
+    part = f"PARTITION BY {by_g}" if by_g else ""
+    grp = f"GROUP BY {by_g}" if by_g else ""
+    q_cols = []
+    for q in qs:
+        name = _q_name(q)
+        q_cols.append(
+            f"ROUND({lo!r} + CAST(MIN(CASE WHEN cum >= "
+            f"CEIL({float(q)!r} * n) THEN bin END) AS DOUBLE)"
+            f" * {step!r}, {round_dp}) AS {name}")
+    return f"""
+      WITH b AS (
+        SELECT {sel_g}
+               CAST(GREATEST(0, LEAST({nbins - 1},
+                 FLOOR((CAST({value_expr} AS DOUBLE) - {lo!r})
+                       / {step!r}))) AS INT) AS bin
+        FROM {table_expr}
+        WHERE {value_expr} IS NOT NULL
+      ), h AS (
+        SELECT {out_g} bin, COUNT(*) AS cnt FROM b
+        GROUP BY {(by_g + ", bin") if by_g else "bin"}
+      ), c AS (
+        SELECT {out_g} bin,
+               SUM(cnt) OVER ({part} ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER ({part}) AS n
+        FROM h
+      )
+      SELECT {out_g} CAST(MAX(n) AS BIGINT) AS n, {", ".join(q_cols)}
+      FROM c {grp}
+    """
+
+
 def hll_oracle_sql(*, table_expr: str, value_expr: str,
                    group_exprs: list[tuple[str, str]] | None = None,
                    p: int = 9, round_dp: int = 4) -> str:

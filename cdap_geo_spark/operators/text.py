@@ -361,6 +361,34 @@ def stratified_sample(df, fractions: dict, *, strata_col: str = "lang",
     return df.filter(h < thr)
 
 
+def source_cap(df, *, cap: int, source_col: str = "source",
+               id_col: str = "doc_id") -> "DataFrame":
+    """C4/CCNet-style per-source quota: keep at most ``cap`` documents
+    per source (host/domain/shard), chosen deterministically as the
+    lowest ``id_col`` values — stable under retries, repartitioning
+    and resume, and exactly recomputable by a SQL oracle (no RNG).
+
+    Scale design: the rank window runs over the NARROW
+    (source, id) projection only — the wide document payload (text,
+    media spans) never rides the per-source shuffle; survivors come
+    back via a semi-join on the id. Skew note: one pathological source
+    with 10^9 docs makes one hot window partition; cap enforcement
+    only needs the ``cap`` smallest ids per source, so partial
+    aggregation bounds what the exchange carries when AQE splits the
+    skewed partition. Reference analogue: none (beyond-parity
+    pipeline operator).
+    """
+    if cap < 0:
+        raise ValueError("source_cap: cap must be >= 0")
+    from pyspark.sql import Window
+    w = Window.partitionBy(source_col).orderBy(F.col(id_col).asc())
+    keep = (df.select(source_col, id_col)
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= cap)
+              .select(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def vocab_topk(df, *, k: int = 100, text_col: str = "text",
                min_count: int = 1):
     """(token, count, rank): the exact top-k whitespace tokens by

@@ -10,7 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdap_geo_spark.operators.sketch import (
-    hll_estimate, hll_relation, hll_oracle_sql)
+    bloom_contains, bloom_relation, cms_estimate, cms_relation,
+    hist_quantiles, hist_relation, hll_estimate, hll_relation,
+    hll_oracle_sql)
 
 
 def _mk(spark, values, lang="en"):
@@ -81,3 +83,140 @@ def test_hll_p_validation(spark):
     df = _mk(spark, ["a"])
     with pytest.raises(ValueError):
         hll_relation(df, value_col="text", p=3)
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_estimate_never_undercounts_and_is_tight_when_sparse(spark):
+    import collections
+    vals = [f"tok{i % 37}" for i in range(500)] + ["rare"] * 3
+    true = collections.Counter(vals)
+    df = _mk(spark, vals)
+    rel = cms_relation(df, value_col="text", depth=4, width=1024)
+    est = {r["text"]: r["est_count"] for r in
+           cms_estimate(rel, df, value_col="text",
+                        depth=4, width=1024).collect()}
+    assert set(est) == set(true)
+    for tok, c in true.items():
+        assert est[tok] >= c          # CMS never undercounts
+    # 38 distinct values in 4x1024 buckets: collisions essentially
+    # impossible per row; the min over 4 rows is exact
+    assert est == dict(true)
+
+
+def test_cms_unseen_probe_reads_zero_or_collision(spark):
+    df = _mk(spark, [f"v{i}" for i in range(10)])
+    rel = cms_relation(df, value_col="text", depth=4, width=2048)
+    probes = _mk(spark, ["never-seen-token"])
+    got = cms_estimate(rel, probes, value_col="text",
+                       depth=4, width=2048).collect()
+    assert len(got) == 1 and got[0]["est_count"] == 0
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    a = _mk(spark, [f"x{i % 9}" for i in range(100)])
+    b = _mk(spark, [f"x{i % 13}" for i in range(80)])
+    ra = cms_relation(a, value_col="text", depth=3, width=64)
+    rb = cms_relation(b, value_col="text", depth=3, width=64)
+    merged = (ra.unionByName(rb).groupBy("hrow", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
+    whole = cms_relation(a.unionByName(b), value_col="text",
+                         depth=3, width=64)
+    m = {(r["hrow"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    w = {(r["hrow"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    assert m == w
+
+
+def test_cms_validation(spark):
+    df = _mk(spark, ["a"])
+    with pytest.raises(ValueError):
+        cms_relation(df, value_col="text", depth=0)
+
+
+# -------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_rare_false_positives(spark):
+    members = [f"member-{i}" for i in range(200)]
+    df = _mk(spark, members)
+    rel = bloom_relation(df, value_col="text", m_bits=8192, k=4)
+    # every member answers true
+    got = {r["text"]: r["contains"] for r in
+           bloom_contains(rel, df, value_col="text",
+                          m_bits=8192, k=4).collect()}
+    assert all(got[m] for m in members)
+    # 200 members in 8192 bits, k=4: fp rate ~ (1-e^-0.1)^4 ~ 8e-5
+    absent = _mk(spark, [f"absent-{i}" for i in range(200)])
+    fp = [r for r in bloom_contains(rel, absent, value_col="text",
+                                    m_bits=8192, k=4).collect()
+          if r["contains"]]
+    assert len(fp) <= 2
+
+
+def test_bloom_merge_equals_sketch_of_union(spark):
+    a = _mk(spark, [f"a{i}" for i in range(50)])
+    b = _mk(spark, [f"b{i}" for i in range(50)])
+    ra = bloom_relation(a, value_col="text", m_bits=512, k=3)
+    rb = bloom_relation(b, value_col="text", m_bits=512, k=3)
+    merged = ra.unionByName(rb).dropDuplicates(["bit"])
+    whole = bloom_relation(a.unionByName(b), value_col="text",
+                           m_bits=512, k=3)
+    assert sorted(r["bit"] for r in merged.collect()) \
+        == sorted(r["bit"] for r in whole.collect())
+
+
+def test_bloom_validation(spark):
+    df = _mk(spark, ["a"])
+    with pytest.raises(ValueError):
+        bloom_relation(df, value_col="text", k=0)
+
+
+# ---------------------------------------------------- histogram sketch
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    xs = rng.uniform(0.0, 1000.0, 5000).tolist()
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    nbins, lo, hi = 200, 0.0, 1000.0
+    step = (hi - lo) / nbins
+    row = hist_quantiles(df, value_col="v", lo=lo, hi=hi,
+                         nbins=nbins, qs=(0.5, 0.9, 0.99)).collect()[0]
+    assert row["n"] == 5000
+    srt = sorted(xs)
+    for q, name in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+        exact = srt[math.ceil(q * 5000) - 1]
+        # lower-edge rule: estimate is the floor of exact's bin
+        assert abs(row[name] - exact) <= step
+
+
+def test_hist_out_of_range_clamps_to_edge_bins(spark):
+    df = spark.createDataFrame(
+        [(-100.0,), (0.5,), (9.5,), (1e9,)], "v double")
+    rel = {r["bin"]: r["cnt"] for r in
+           hist_relation(df, value_col="v", lo=0.0, hi=10.0,
+                         nbins=10).collect()}
+    assert rel == {0: 2, 9: 2}
+
+
+def test_hist_merge_and_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0)], "g string, v double")
+    a, b = df.where("g = 'a'"), df.where("g = 'b'")
+    kw = dict(value_col="v", group_cols=["g"], lo=0.0, hi=10.0, nbins=5)
+    merged = (hist_relation(a, **kw).unionByName(hist_relation(b, **kw))
+              .groupBy("g", "bin").agg(F.sum("cnt").alias("cnt")))
+    whole = hist_relation(df, **kw)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    rows = {r["g"]: r for r in
+            hist_quantiles(df, value_col="v", group_cols=["g"],
+                           lo=0.0, hi=10.0, nbins=5,
+                           qs=(0.5,)).collect()}
+    assert rows["a"]["n"] == 2 and rows["b"]["n"] == 1
+    assert rows["b"]["q50"] == 8.0  # bin 4 lower edge
+
+
+def test_hist_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        hist_relation(df, value_col="v", lo=5.0, hi=5.0, nbins=4)

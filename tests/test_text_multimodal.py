@@ -475,3 +475,26 @@ def test_tokens_bpeish_pretokenizer(spark):
              .collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(BPEISH_PATTERN, t)), (i, t)
+
+
+def test_source_cap_brute_force(spark):
+    from cdap_geo_spark.operators.text import source_cap
+    rows = [(i, f"s{i % 3}", f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted((r.doc_id, r.source, r.text)
+                 for r in source_cap(df, cap=4).collect())
+    want = []
+    for s in ("s0", "s1", "s2"):
+        ids = sorted(i for i, src, _ in rows if src == s)[:4]
+        want += [(i, s, f"t{i}") for i in ids]
+    assert got == sorted(want)          # payload survives the semi-join
+
+
+def test_source_cap_edges(spark):
+    from cdap_geo_spark.operators.text import source_cap
+    df = spark.createDataFrame([(1, "a"), (2, "a")],
+                               "doc_id long, source string")
+    assert source_cap(df, cap=0).count() == 0
+    assert source_cap(df, cap=99).count() == 2
+    with pytest.raises(ValueError):
+        source_cap(df, cap=-1)
