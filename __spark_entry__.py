@@ -796,6 +796,14 @@ def _q_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                           m_bits=4096, k=4)
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms under the oracle gate; scores are
+    rounded BEFORE ranking in both engines, ties break by token, so
+    rank and score hash-match exactly."""
+    from cdap_geo_spark.operators.text import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
 def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap under the oracle gate: keep the 7
     lowest-id documents per source, then aggregate per source so the
@@ -915,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": _q_hist_quantiles,
         "bloom_membership": _q_bloom,
         "source_cap": _q_source_cap,
+        "tfidf_topk": _q_tfidf,
     }
 
 
@@ -1848,6 +1857,37 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _cms_sql(),
         "hist_quantiles": _hist_quantiles_sql(),
         "bloom_membership": _bloom_sql(),
+        "tfidf_topk": """
+          WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '')) AS token
+            FROM documents WHERE text IS NOT NULL
+          ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, token
+          ), dfreq AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+          ), n AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS _n FROM tf
+          ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   ROUND(tf.tf * (ln((n._n + 1.0) / (dfreq.df + 1.0))
+                                  + 1.0), 6) AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+          ), ranked AS (
+            SELECT doc_id, token, tf, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token ASC)
+                     AS rank
+            FROM scored
+          )
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+                 CAST(tf AS BIGINT) AS tf, score,
+                 CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 3
+        """,
         "source_cap": """
           WITH k AS (
             SELECT doc_id, source, n_chars,

@@ -412,6 +412,51 @@ def vocab_topk(df, *, k: int = 100, text_col: str = "text",
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def tfidf_topk(df: DataFrame, *, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id", round_dp: int = 6) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing) —
+    the keyword-extraction / relevance pass of a text pipeline.
+
+    Scale design: the only corpus-sized relation is (doc, token, tf)
+    — one row per DISTINCT doc-token pair after map-side partial
+    aggregation. Document frequency reduces that relation to one row
+    per vocabulary token (AQE broadcasts it back onto the tf side);
+    ``N`` is a 1-row aggregate cross-joined in (broadcast). The
+    final top-k window partitions by document, so no global sort and
+    no single-partition exchange anywhere. Scores are rounded to
+    ``round_dp`` BEFORE ranking and ties break by token, so the
+    ranking itself is deterministic and cross-engine hashable (a
+    last-ulp ``ln`` difference cannot flip an order the rounding has
+    already collapsed). Reference analogue: none (beyond-parity
+    pipeline operator).
+    """
+    from pyspark.sql import Window
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+              .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(
+        F.countDistinct(id_col).cast("double").alias("_n"))
+    scored = (tf.join(docfreq, "token")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("score", F.round(
+                    F.col("tf") * (F.log((F.col("_n") + 1.0)
+                                         / (F.col("df") + 1.0)) + 1.0),
+                    round_dp)))
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.desc("score"), F.asc("token")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(id_col, "token", F.col("tf").cast("long"),
+                          "score", F.col("rank").cast("int")))
+
+
 def shared_ngram_stats(df: DataFrame, *, n: int = 2, min_docs: int = 2,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:

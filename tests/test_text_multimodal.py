@@ -498,3 +498,29 @@ def test_source_cap_edges(spark):
     assert source_cap(df, cap=99).count() == 2
     with pytest.raises(ValueError):
         source_cap(df, cap=-1)
+
+
+def test_tfidf_topk_brute_force(spark):
+    import math as m
+    from collections import Counter
+    from cdap_geo_spark.operators.text import tfidf_topk
+    texts = {0: "a b b c", 1: "b c c c d", 2: "a a a", 3: "", 4: None}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.token, r.tf, r.score, r.rank)
+           for r in tfidf_topk(df, k=2).collect()]
+    # brute force
+    tf = {d: Counter(t.split()) for d, t in texts.items() if t}
+    n = float(len(tf))
+    dfreq = Counter(tok for c in tf.values() for tok in c)
+    want = []
+    for d, c in tf.items():
+        scored = sorted(
+            ((round(cnt * (m.log((n + 1) / (dfreq[t] + 1)) + 1), 6), t,
+              cnt) for t, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]))
+        want += [(d, t, cnt, s, i + 1)
+                 for i, (s, t, cnt) in enumerate(scored[:2])]
+    assert sorted(got) == sorted(want)
+    # empty/null docs emit nothing
+    assert not [r for r in got if r[0] in (3, 4)]
