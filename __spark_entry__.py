@@ -537,6 +537,22 @@ def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_events").cast("long"))
 
 
+def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window distinct users via the mergeable HLL sketch relation
+    (streaming/windows.windowed_distinct_hll) finalized at read time —
+    the batch twin is the oracle; the streaming twin is pytest-pinned
+    equal on the same rows."""
+    from cdap_geo_spark.streaming.windows import windowed_distinct_hll
+    from cdap_geo_spark.operators.sketch import hll_finalize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    rel = windowed_distinct_hll(ev, value_col="user_id",
+                                window="1 hour", p=9)
+    out = hll_finalize(rel, group_cols=["window_start"], p=9)
+    return out.select(F.col("window_start").cast("string"),
+                      "est_distinct", "n_filled")
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static spatial enrich (``streaming/enrich.py``) run on
     its batch twin — the operator executes the IDENTICAL map-side plan
@@ -924,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _q_bloom,
         "source_cap": _q_source_cap,
         "tfidf_topk": _q_tfidf,
+        "window_distinct": _q_window_distinct,
     }
 
 
@@ -1202,6 +1219,17 @@ def _cms_sql() -> str:
     return cms_oracle_sql(table_expr=toks, value_expr="token",
                           probe_filter="doc_id % 97 = 0",
                           depth=4, width=512)
+
+
+def _window_distinct_sql() -> str:
+    """DuckDB twin of `window_distinct`: the same HLL constants over
+    user_id grouped by the 1-hour time bucket."""
+    from cdap_geo_spark.operators.sketch import hll_oracle_sql
+    return hll_oracle_sql(
+        table_expr="events", value_expr="CAST(user_id AS VARCHAR)",
+        group_exprs=[("window_start",
+                      "CAST(time_bucket(INTERVAL '1 hour', ts)"
+                      " AS VARCHAR)")], p=9)
 
 
 def _bloom_sql() -> str:
@@ -1854,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         """,
         "hll_distinct": _hll_sql(),
+        "window_distinct": _window_distinct_sql(),
         "cms_counts": _cms_sql(),
         "hist_quantiles": _hist_quantiles_sql(),
         "bloom_membership": _bloom_sql(),

@@ -39,6 +39,23 @@ def _hash60(value_col):
         .cast("long")
 
 
+def hll_bucket_rank(value, p: int):
+    """(bucket, rank) column pair for one value expression — the HLL
+    map-side ingredients, exposed so other relations (e.g. streaming
+    event windows) can build sketch relations with their own grouping."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll: p must be in [4, 16]")
+    w = 60 - p
+    h = _hash60(value)
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    bitlen = F.when(rem > 0,
+                    F.length(F.conv(rem.cast("string"), 10, 2))
+                    .cast("int")).otherwise(F.lit(0))
+    rank = (F.lit(w + 1) - bitlen).cast("int")
+    return bucket, rank
+
+
 def hll_relation(df: DataFrame, *, value_col: str,
                  group_cols: list[str] | None = None,
                  p: int = 9) -> DataFrame:
@@ -48,17 +65,8 @@ def hll_relation(df: DataFrame, *, value_col: str,
     Merge two sketch relations with ``unionByName`` + re-aggregation
     by ``F.max`` (pytest pins merge == sketch-of-union).
     """
-    if not 4 <= p <= 16:
-        raise ValueError("hll_relation: p must be in [4, 16]")
     g = list(group_cols or [])
-    w = 60 - p
-    h = _hash60(F.col(value_col))
-    bucket = F.shiftright(h, w)
-    rem = h.bitwiseAND(F.lit((1 << w) - 1))
-    bitlen = F.when(rem > 0,
-                    F.length(F.conv(rem.cast("string"), 10, 2))
-                    .cast("int")).otherwise(F.lit(0))
-    rank = (F.lit(w + 1) - bitlen).cast("int")
+    bucket, rank = hll_bucket_rank(F.col(value_col), p)
     return (df.where(F.col(value_col).isNotNull())
               .select(*g, bucket.alias("bucket"), rank.alias("rank"))
               .groupBy(*g, "bucket")
@@ -69,16 +77,28 @@ def hll_estimate(df: DataFrame, *, value_col: str,
                  group_cols: list[str] | None = None,
                  p: int = 9, round_dp: int = 4) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate (standard error
-    ~1.04/sqrt(2^p)): the sketch relation folded through the exact
-    dyadic-integer harmonic sum, bias constant, and the linear-counting
-    small-range correction, rounded to ``round_dp`` so last-ulp libm
-    differences between engines cannot flip the value hash.
-    Emits ``n_filled`` (occupied buckets) alongside ``est_distinct``.
+    ~1.04/sqrt(2^p)): :func:`hll_relation` folded through
+    :func:`hll_finalize`."""
+    rel = hll_relation(df, value_col=value_col,
+                       group_cols=group_cols, p=p)
+    return hll_finalize(rel, group_cols=group_cols, p=p,
+                        round_dp=round_dp)
+
+
+def hll_finalize(rel: DataFrame, *, group_cols: list[str] | None = None,
+                 p: int = 9, round_dp: int = 4) -> DataFrame:
+    """Estimates from an EXISTING sketch relation (columns: groups +
+    bucket + max_rank) — the read-time half of the mergeable design:
+    sinks store sketch relations, consumers finalize. The sketch folds
+    through the exact dyadic-integer harmonic sum, bias constant, and
+    the linear-counting small-range correction, rounded to
+    ``round_dp`` so last-ulp libm differences between engines cannot
+    flip the value hash. Emits ``n_filled`` (occupied buckets)
+    alongside ``est_distinct``.
     """
     g = list(group_cols or [])
     m = 1 << p
     w = 60 - p
-    rel = hll_relation(df, value_col=value_col, group_cols=g, p=p)
     # exact integer term 2^(w+1-max_rank); max_rank in [1, w+1]
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                   f"CAST({w + 1} - max_rank AS INT))")

@@ -35,6 +35,37 @@ def windowed_event_counts(events: DataFrame, *, window: str = "1 hour",
                     "event_type", "n_events", "sum_value"))
 
 
+def windowed_distinct_hll(events: DataFrame, *, value_col: str = "user_id",
+                          window: str = "1 hour", p: int = 9,
+                          watermark: str | None = None) -> DataFrame:
+    """Per-window distinct-count SKETCH relation (window_start, bucket,
+    max_rank) — the mergeable HyperLogLog of
+    ``operators/sketch.py`` keyed by a tumbling event-time window.
+
+    This returns the sketch, not the estimate, deliberately: a single
+    stateful aggregation works identically on batch and streaming
+    inputs (append mode under a watermark — late rows fold into their
+    still-open window's buckets, state is <= 2^p rows per window and
+    evictable), and the estimate is a stateless read-time finalize
+    (``hll_finalize``) the consumer applies to completed windows.
+    That is also the 100 TB sink design: store mergeable sketches,
+    merge across days/sources with union + re-max, finalize at query
+    time.
+    """
+    from cdap_geo_spark.operators.sketch import hll_bucket_rank
+    src = events
+    if watermark is not None:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    bucket, rank = hll_bucket_rank(F.col(value_col).cast("string"), p)
+    return (src.where(F.col(value_col).isNotNull())
+               .withColumn("bucket", bucket).withColumn("rank", rank)
+               .groupBy(F.window("ts", window).alias("w"), "bucket")
+               .agg(F.max("rank").alias("max_rank"))
+               .select(F.col("w.start").alias("window_start"),
+                       "bucket", "max_rank"))
+
+
 def sessionize(events: DataFrame, *, gap_minutes: int = 30,
                tie_break: str | None = "event_id") -> DataFrame:
     """Per-user session ids: a new session starts after a gap larger

@@ -220,3 +220,79 @@ def test_windowed_counts_accept_late_rows_across_batches(spark, tmp_path):
     # the late 1:10 row was folded in: [1,2) holds BOTH rows
     late_key = (t0 + dt.timedelta(hours=1), "a")
     assert got[late_key] == (2, 18.0)
+
+
+def test_windowed_distinct_hll_stream_equals_batch(spark, tmp_path):
+    """The streaming twin of windowed_distinct_hll emits the SAME
+    sketch relation as the batch twin, including a late row that adds
+    a new distinct user to a still-open window — so finalized
+    estimates (hll_finalize) agree exactly. Emitting the sketch (not
+    the estimate) keeps the stream to ONE stateful aggregation in
+    append mode; finalize is read-time."""
+    import datetime as dt
+    import time
+
+    from cdap_geo_spark.operators.sketch import hll_finalize
+    from cdap_geo_spark.streaming.windows import (stream_from_directory,
+                                                  windowed_distinct_hll)
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(hh, mm, uid):
+        return (t0 + dt.timedelta(hours=hh, minutes=mm), uid)
+
+    schema = "ts timestamp, user_id long"
+    b1 = spark.createDataFrame(
+        [ev(0, 10, 1), ev(0, 20, 2), ev(1, 5, 10), ev(1, 6, 10),
+         ev(3, 30, 7)], schema)
+    # late NEW distinct user for the still-open [1,2) window
+    late_plus = spark.createDataFrame([ev(1, 50, 11), ev(8, 0, 5)],
+                                      schema)
+    flush = spark.createDataFrame([ev(20, 0, 99)], schema)
+
+    src = str(tmp_path / "hll_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, b1.schema)
+    q = (windowed_distinct_hll(stream, value_col="user_id",
+                               window="1 hour", p=6,
+                               watermark="2 hours")
+         .writeStream.format("memory").queryName("hll_win")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+         .trigger(processingTime="1 second").start())
+
+    def n_windows():
+        return spark.sql(
+            "select count(distinct window_start) c from hll_win"
+        ).collect()[0].c
+
+    def wait_for(n, timeout=90):
+        t1 = time.time()
+        while n_windows() < n:
+            assert time.time() - t1 < timeout, \
+                f"stuck at {n_windows()}/{n}"
+            time.sleep(1)
+    try:
+        wait_for(1)                      # [0,1) finalized by b1
+        late_plus.coalesce(1).write.mode("append").parquet(src)
+        wait_for(3)                      # [1,2) incl. late user, [3,4)
+        flush.coalesce(1).write.mode("append").parquet(src)
+        wait_for(4)                      # [8,9)
+    finally:
+        q.stop()
+
+    got_rel = spark.sql("select * from hll_win")
+    all_rows = b1.unionByName(late_plus).unionByName(flush)
+    cutoff = t0 + dt.timedelta(hours=20)
+    want_rel = windowed_distinct_hll(all_rows, value_col="user_id",
+                                     window="1 hour", p=6) \
+        .where(F.col("window_start") < cutoff)
+    got = sorted(map(tuple, got_rel.collect()))
+    want = sorted(map(tuple, want_rel.collect()))
+    assert got == want                    # sketch relations identical
+    # read-time finalize agrees too, and [1,2) counts the late user
+    est = {r.window_start: r.est_distinct for r in
+           hll_finalize(got_rel, group_cols=["window_start"],
+                        p=6).collect()}
+    w12 = t0 + dt.timedelta(hours=1)
+    assert round(est[w12]) == 2           # users 10 and 11
