@@ -553,6 +553,53 @@ def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "est_distinct", "n_filled")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/timeseries.asof_join): every click
+    event matched to the user's most recent view at-or-before it — the
+    union-then-window plan (ONE exchange, no inequality join)."""
+    from cdap_geo_spark.operators.timeseries import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = asof_join(ev.where(F.col("event_type") == "click"),
+                    ev.where(F.col("event_type") == "view"),
+                    on="user_id", ts_col="ts",
+                    right_cols=["event_id", "value"], tie_col="event_id")
+    return out.select(F.col("event_id").cast("long"),
+                      F.col("user_id").cast("long"),
+                      F.col("r_event_id").cast("long"),
+                      F.col("r_value"),
+                      F.col("asof_lag_us").cast("long"))
+
+
+def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user window aggregates
+    (operators/timeseries.rolling_stats); the sum runs on integer-scaled
+    values so it is exact and cross-engine hashable."""
+    from cdap_geo_spark.operators.timeseries import rolling_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = rolling_stats(ev, key="user_id", ts_col="ts",
+                        value_col="value", window_seconds=3600)
+    return out.select(F.col("event_id").cast("long"),
+                      F.col("user_id").cast("long"),
+                      F.col("n_in_window").cast("long"),
+                      F.col("sum_scaled").cast("long"))
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel
+    (operators/timeseries.funnel_steps): per step, users reaching it in
+    order plus the integer-exact total conversion lag."""
+    from cdap_geo_spark.operators.timeseries import funnel_steps
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = funnel_steps(ev, ["view", "click", "purchase"],
+                       key="user_id", ts_col="ts")
+    return out.select(F.col("step").cast("int"), "name",
+                      F.col("n_keys").cast("long"),
+                      F.col("sum_lag_us").cast("long"))
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static spatial enrich (``streaming/enrich.py``) run on
     its batch twin — the operator executes the IDENTICAL map-side plan
@@ -941,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "tfidf_topk": _q_tfidf,
         "window_distinct": _q_window_distinct,
+        "asof_join": _q_asof_join,
+        "rolling_stats": _q_rolling_stats,
+        "funnel": _q_funnel,
     }
 
 
@@ -1883,6 +1933,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_sql(),
         "window_distinct": _window_distinct_sql(),
+        # union-then-window as-of semantics mirrored exactly: right rows
+        # sort before left at equal ts, ties among right rows by event_id
+        # ascending (last wins), NULLS FIRST to match Spark's asc default
+        "asof_join": """
+          WITH u AS (
+            SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+                   event_id AS _rp_eid, value AS _rp_val,
+                   epoch_us(ts) AS _rus, 0 AS side
+            FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT user_id, ts, event_id,
+                   NULL, NULL, NULL, 1
+            FROM events WHERE event_type = 'click'
+          ), w AS (
+            SELECT *,
+              LAST_VALUE(_rp_eid IGNORE NULLS) OVER win AS r_event_id,
+              LAST_VALUE(_rp_val IGNORE NULLS) OVER win AS r_value,
+              LAST_VALUE(_rus IGNORE NULLS) OVER win AS _mus
+            FROM u
+            WINDOW win AS (PARTITION BY user_id
+                           ORDER BY ts ASC, side ASC,
+                                    _rp_eid ASC NULLS FIRST
+                           ROWS UNBOUNDED PRECEDING)
+          )
+          SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+                 CAST(r_event_id AS BIGINT) AS r_event_id, r_value,
+                 CAST(epoch_us(ts) - _mus AS BIGINT) AS asof_lag_us
+          FROM w WHERE side = 1
+        """,
+        "rolling_stats": """
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(user_id AS BIGINT) AS user_id,
+                 CAST(COUNT(*) OVER win AS BIGINT) AS n_in_window,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      OVER win AS BIGINT) AS sum_scaled
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "funnel": """
+          WITH s1 AS (
+            SELECT user_id AS k, MIN(epoch_us(ts)) AS cus
+            FROM events WHERE event_type = 'view' GROUP BY 1
+          ), s2 AS (
+            SELECT e.user_id AS k, MIN(s1.cus) AS pus,
+                   MIN(epoch_us(e.ts)) AS cus
+            FROM events e JOIN s1 ON e.user_id = s1.k
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.cus
+            GROUP BY 1
+          ), s3 AS (
+            SELECT e.user_id AS k, MIN(s2.cus) AS pus,
+                   MIN(epoch_us(e.ts)) AS cus
+            FROM events e JOIN s2 ON e.user_id = s2.k
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.cus
+            GROUP BY 1
+          )
+          SELECT CAST(1 AS INT) AS step, 'view' AS name,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(0 AS BIGINT) AS sum_lag_us
+          FROM s1 HAVING COUNT(*) > 0
+          UNION ALL
+          SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(cus - pus) AS BIGINT)
+          FROM s2 HAVING COUNT(*) > 0
+          UNION ALL
+          SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+                 CAST(SUM(cus - pus) AS BIGINT)
+          FROM s3 HAVING COUNT(*) > 0
+        """,
         "cms_counts": _cms_sql(),
         "hist_quantiles": _hist_quantiles_sql(),
         "bloom_membership": _bloom_sql(),

@@ -1,0 +1,175 @@
+"""Time-series relational operators: as-of join, rolling window stats,
+ordered funnel.
+
+The reference (cdap_geo) is spatial-only; these are the event-time
+twins of its join family — the operators a 100 TB/day event feed needs
+next to the spatial ones, built on the same principle: express the
+semantics as ONE keyed shuffle plus JVM window/aggregate work, never an
+inequality join Spark would plan as a broadcast-nested-loop.
+
+Scale notes (per operator):
+
+- :func:`asof_join` — the classic point-in-time join ("for each left
+  event, the most recent right event at or before it"). Naively an
+  inequality theta-join (BroadcastNestedLoopJoin — quadratic, undistri-
+  butable); here it is the union-then-window plan: tag sides, union
+  (NO join), ONE exchange by key, and a per-key running
+  ``last(ignorenulls)`` carries the right payload forward in event-time
+  order. Cost is one shuffle of |L|+|R| narrow rows; the window is a
+  linear spillable scan per key.
+- :func:`rolling_stats` — per-event aggregates over a trailing
+  event-time range ``[ts - window, ts]`` within a key: one exchange by
+  key, then a JVM RANGE-frame window (sliding aggregator, linear).
+  Sums are computed on integer-scaled values so results are exact and
+  order-independent (cross-engine hashable).
+- :func:`funnel_steps` — ordered-step conversion: each step reduces the
+  event relation to ONE row per key (min event time satisfying the
+  step order) BEFORE joining with the previous step, so every join is
+  key-dimension-sized (AQE broadcasts it); events are never joined to
+  events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_US = 1_000_000
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str,
+              ts_col: str = "ts", right_cols: list[str] | None = None,
+              tie_col: str | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """As-of join: every ``left`` row, plus the ``right`` row with the
+    greatest ``ts_col`` <= the left row's ``ts_col`` sharing ``on``
+    (NULLs when no prior right row exists — left-join semantics).
+
+    Ties: a right row at exactly the left row's timestamp DOES match
+    (the ``>=`` convention of DuckDB/pandas ``merge_asof``); among
+    right rows sharing the same timestamp the one with the greatest
+    ``tie_col`` wins (deterministic — pass the right side's unique id).
+
+    Returns all ``left`` columns plus ``{prefix}{c}`` for each
+    ``right_cols`` entry, ``{prefix}{ts_col}`` and ``asof_lag_us``
+    (microseconds from matched right row to left row, NULL unmatched).
+
+    Plan shape (the point of the operator): tag sides 0=right 1=left,
+    ``unionByName`` — NOT a join — then one window per key ordered by
+    ``(ts, side, tie)`` with ``last(payload, ignorenulls=True)`` rows
+    UNBOUNDED PRECEDING..CURRENT. Right rows sort before left rows at
+    equal timestamps, so the inclusive match falls out of the sort
+    order. One exchange total; no inequality join anywhere.
+    """
+    rc = list(right_cols or [])
+    if tie_col is None:
+        tie_col = rc[0] if rc else ts_col
+    lcols = left.columns
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(ts_col).alias("_ats"),
+        F.col(tie_col).alias("_atie"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rus"),
+        *[F.col(c).alias(f"_rp_{c}") for c in rc],
+    ).withColumn("_side", F.lit(0))
+    lt = left.select(
+        *lcols,
+        F.col(ts_col).alias("_ats"),
+        F.lit(None).cast(r.schema["_atie"].dataType).alias("_atie"),
+    ).withColumn("_side", F.lit(1))
+    u = lt.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("_ats").asc(), F.col("_side").asc(),
+                  F.col("_atie").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"_rp_{c}", ignorenulls=True).over(w)
+               .alias(f"{prefix}{c}") for c in rc]
+    out = (u.select("*",
+                    *carried,
+                    F.last("_rus", ignorenulls=True).over(w).alias("_mus"))
+            .where(F.col("_side") == 1))
+    lag = (F.unix_micros(F.col("_ats").cast("timestamp"))
+           - F.col("_mus")).alias("asof_lag_us")
+    return out.select(
+        *lcols,
+        *[F.col(f"{prefix}{c}") for c in rc],
+        F.col("_mus").cast("long").alias(f"{prefix}{ts_col}_us"),
+        lag,
+    )
+
+
+def rolling_stats(events: DataFrame, *, key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  window_seconds: int = 3600,
+                  value_scale: int = 100) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count
+    and (integer-scaled) sum of ``value_col`` over events of the same
+    ``key`` in the closed event-time range ``[ts - window, ts]``.
+
+    The sum is computed on ``round(value * value_scale)`` as BIGINT —
+    exact, order-independent, and therefore cross-engine hashable
+    (floating-point range sums are evaluated in engine-specific order).
+
+    One exchange by ``key``; the RANGE frame runs as a JVM sliding
+    aggregator over the sorted partition (linear, spillable) — the
+    trailing window never materializes row multiples the way a
+    self-join ``ON l.ts BETWEEN r.ts AND r.ts + W`` would.
+    """
+    cents = F.round(F.col(value_col) * value_scale).cast("long")
+    base = events.withColumn("_us", F.unix_micros(
+        F.col(ts_col).cast("timestamp"))).withColumn("_cents", cents)
+    w = (Window.partitionBy(key).orderBy("_us")
+         .rangeBetween(-window_seconds * _US, 0))
+    return (base.select(
+        *events.columns,
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.sum("_cents").over(w).alias("sum_scaled"),
+    ))
+
+
+def funnel_steps(events: DataFrame, steps: list[str], *,
+                 key: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per ``key``, the first time each step in
+    ``steps`` is reached IN ORDER (step i+1 counts only at or after the
+    key's step-i time). Returns one row per step index:
+
+    ``(step:int, name:string, n_keys:long, sum_lag_us:long)`` where
+    ``n_keys`` counts keys reaching the step and ``sum_lag_us`` totals
+    the microseconds from the key's previous-step time (0 for step 1) —
+    integer-exact, so mean conversion lag is ``sum_lag_us / n_keys``
+    computable by the consumer without FP ambiguity.
+
+    Scale shape: each step is ``filter(type) → groupBy(key).min(ts)``
+    — map-side partials collapse events to one row per key per task
+    before the exchange, and the step-to-step joins are key-dimension
+    sized (AQE broadcasts them). Events never join events, so cost is
+    ``len(steps)`` cheap aggregates whatever the corpus size.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(F.col(key).alias("_k"),
+                       F.col(type_col).alias("_t"), us.alias("_us"))
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, name in enumerate(steps):
+        step_ev = ev.where(F.col("_t") == name)
+        if prev is None:
+            cur = step_ev.groupBy("_k").agg(F.min("_us").alias("_cus")) \
+                         .withColumn("_pus", F.col("_cus"))
+        else:
+            cur = (step_ev.join(prev.select("_k", F.col("_cus")
+                                            .alias("_pus")), "_k")
+                   .where(F.col("_us") >= F.col("_pus"))
+                   .groupBy("_k", "_pus").agg(F.min("_us").alias("_cus")))
+        reached.append(cur.select(
+            F.lit(i + 1).alias("step"), F.lit(name).alias("name"),
+            "_cus", "_pus"))
+        prev = cur
+    allr = reached[0]
+    for r in reached[1:]:
+        allr = allr.unionByName(r)
+    return (allr.groupBy("step", "name")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum(F.col("_cus") - F.col("_pus")).alias("sum_lag_us"))
+            .orderBy("step"))

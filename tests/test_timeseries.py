@@ -1,0 +1,149 @@
+"""Brute-force properties for operators/timeseries.py (asof_join,
+rolling_stats, funnel_steps): random event frames checked against plain
+NumPy/pandas reimplementations, plus the plan-shape pins that make the
+operators scale (no inequality join → no BroadcastNestedLoopJoin)."""
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdap_geo_spark.operators.timeseries import (asof_join, funnel_steps,
+                                                 rolling_stats)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk_events(n, n_users, seed, types=("view", "click", "purchase")):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, T0 + dt.timedelta(seconds=rng.randrange(500_000)),
+                     rng.randrange(n_users), rng.choice(types),
+                     round(rng.uniform(0, 100), 2)))
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                       "event_type", "value"])
+
+
+def test_asof_join_matches_merge_asof(spark):
+    pdf = _mk_events(400, 12, seed=7)
+    ev = spark.createDataFrame(pdf)
+    left = ev.where("event_type = 'click'")
+    right = ev.where("event_type = 'view'")
+    got = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["event_id", "value"],
+                    tie_col="event_id").toPandas()
+
+    lp = pdf[pdf.event_type == "click"].sort_values("ts")
+    rp = (pdf[pdf.event_type == "view"]
+          .sort_values(["ts", "event_id"]))  # greatest id wins ties
+    want = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                         direction="backward", suffixes=("", "_r"))
+    w = {r.event_id: (r.event_id_r, r.value_r) for r in want.itertuples()}
+    assert len(got) == len(lp)
+    for r in got.itertuples():
+        weid, wval = w[r.event_id]
+        if pd.isna(weid):
+            assert pd.isna(r.r_event_id) and pd.isna(r.asof_lag_us)
+        else:
+            assert r.r_event_id == weid and r.r_value == wval
+            assert r.asof_lag_us >= 0
+
+
+def test_asof_join_tie_and_unmatched_semantics(spark):
+    # right row at EXACTLY the left ts matches; among equal-ts right
+    # rows the greatest tie_col wins; lefts before any right get NULLs
+    t = lambda s: T0 + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [100, 101], "ts": [t(50), t(5)],
+                      "user_id": [1, 1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1, 2, 3], "ts": [t(50), t(50), t(60)],
+                      "user_id": [1, 1, 1], "value": [1.0, 2.0, 3.0]}))
+    got = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["event_id", "value"],
+                    tie_col="event_id").toPandas().set_index("event_id")
+    assert got.loc[100, "r_event_id"] == 2          # tie: max event_id
+    assert got.loc[100, "asof_lag_us"] == 0
+    assert pd.isna(got.loc[101, "r_event_id"])      # no prior right row
+
+
+def test_asof_join_plan_has_single_exchange_no_nested_loop(spark):
+    pdf = _mk_events(200, 8, seed=3)
+    ev = spark.createDataFrame(pdf).repartition(8)
+    out = asof_join(ev.where("event_type='click'"),
+                    ev.where("event_type='view'"),
+                    on="user_id", right_cols=["value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    # exactly one keyed shuffle (the round-robin repartition above is
+    # test input plumbing, not part of the operator)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_stats_matches_bruteforce(spark):
+    pdf = _mk_events(500, 10, seed=11)
+    ev = spark.createDataFrame(pdf)
+    got = rolling_stats(ev, key="user_id", ts_col="ts",
+                        value_col="value",
+                        window_seconds=3600).toPandas()
+    assert len(got) == len(pdf)
+    by_user = {u: g.sort_values("ts") for u, g in pdf.groupby("user_id")}
+    for r in got.itertuples():
+        g = by_user[r.user_id]
+        lo = pd.Timestamp(
+            pdf.loc[pdf.event_id == r.event_id, "ts"].iloc[0])
+        sel = g[(g.ts >= lo - pd.Timedelta(seconds=3600)) & (g.ts <= lo)]
+        assert r.n_in_window == len(sel)
+        assert r.sum_scaled == int(sum(round(v * 100) for v in sel.value))
+
+
+def test_funnel_steps_matches_bruteforce(spark):
+    pdf = _mk_events(600, 25, seed=19)
+    ev = spark.createDataFrame(pdf)
+    got = {r.step: (r.n_keys, r.sum_lag_us) for r in
+           funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+
+    us = lambda ts: int(pd.Timestamp(ts).value // 1000)  # noqa: E731
+    n = [0, 0, 0]
+    lag = [0, 0, 0]
+    for _, g in pdf.groupby("user_id"):
+        prev = None
+        for i, step in enumerate(["view", "click", "purchase"]):
+            sel = g[g.event_type == step]
+            if prev is not None:
+                sel = sel[sel.ts.map(us) >= prev]
+            if sel.empty:
+                break
+            cur = sel.ts.map(us).min()
+            n[i] += 1
+            lag[i] += 0 if prev is None else cur - prev
+            prev = cur
+    for i in range(3):
+        if n[i]:
+            assert got[i + 1] == (n[i], lag[i])
+        else:
+            assert i + 1 not in got
+
+
+def test_funnel_order_matters(spark):
+    # a purchase BEFORE the user's first click must not count
+    t = lambda s: T0 + dt.timedelta(seconds=s)  # noqa: E731
+    pdf = pd.DataFrame({
+        "event_id": range(4),
+        "ts": [t(10), t(5), t(20), t(30)],
+        "user_id": [1, 1, 1, 2],
+        "event_type": ["view", "purchase", "click", "view"],
+        "value": [1.0] * 4,
+    })
+    got = {r.step: r.n_keys for r in
+           funnel_steps(spark.createDataFrame(pdf),
+                        ["view", "click", "purchase"]).collect()}
+    assert got[1] == 2 and got[2] == 1 and 3 not in got
+
+
+def test_funnel_empty_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        funnel_steps(spark.range(1), [])
