@@ -600,6 +600,28 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("sum_lag_us").cast("long"))
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the region
+    bbox-adjacency graph: edges = ordered pairs of distinct region
+    boxes whose bboxes overlap (the sjoin_pairs self-join), 3
+    Pregel-style iterations in exact BIGINT micro-units so the
+    distributed sum is order-independent and hash-matches the unrolled
+    single-node SQL."""
+    from cdap_geo_spark.operators.graph import pagerank
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    out = pagerank(edges, src="a", dst="b", iterations=3)
+    return out.select(F.col("id").cast("long"),
+                      F.col("rank").cast("long"))
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static spatial enrich (``streaming/enrich.py``) run on
     its batch twin — the operator executes the IDENTICAL map-side plan
@@ -991,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "rolling_stats": _q_rolling_stats,
         "funnel": _q_funnel,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -1269,6 +1292,21 @@ def _cms_sql() -> str:
     return cms_oracle_sql(table_expr=toks, value_expr="token",
                           probe_filter="doc_id % 97 = 0",
                           depth=4, width=512)
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of `pagerank`: the same region bbox-adjacency edges,
+    3 iterations UNROLLED as CTEs — exact because every step is BIGINT
+    arithmetic (see operators/graph.pagerank_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import pagerank_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS src, c.region_id AS dst
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id <> c.region_id
+    """
+    return pagerank_oracle_sql(edges, iterations=3)
 
 
 def _window_distinct_sql() -> str:
@@ -1933,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_sql(),
         "window_distinct": _window_distinct_sql(),
+        "pagerank": _pagerank_sql(),
         # union-then-window as-of semantics mirrored exactly: right rows
         # sort before left at equal ts, ties among right rows by event_id
         # ascending (last wins), NULLS FIRST to match Spark's asc default
