@@ -600,6 +600,18 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("sum_lag_us").cast("long"))
 
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/timeseries.retention_cohorts):
+    per (first-active-day cohort, day offset), active users."""
+    from cdap_geo_spark.operators.timeseries import retention_cohorts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = retention_cohorts(ev, key="user_id", ts_col="ts")
+    return out.select(F.col("cohort_day").cast("string"),
+                      F.col("offset_days").cast("int"),
+                      F.col("n_active").cast("long"))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over the region
     bbox-adjacency graph: edges = ordered pairs of distinct region
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "rolling_stats": _q_rolling_stats,
         "funnel": _q_funnel,
+        "retention": _q_retention,
         "pagerank": _q_pagerank,
     }
 
@@ -1971,6 +1984,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_sql(),
         "window_distinct": _window_distinct_sql(),
+        "retention": """
+          WITH a AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+          ), f AS (
+            SELECT user_id, MIN(d) AS c FROM a GROUP BY user_id
+          )
+          SELECT CAST(f.c AS VARCHAR) AS cohort_day,
+                 CAST(datediff('day', f.c, a.d) AS INT) AS offset_days,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM a JOIN f USING (user_id)
+          GROUP BY 1, 2
+        """,
         "pagerank": _pagerank_sql(),
         # union-then-window as-of semantics mirrored exactly: right rows
         # sort before left at equal ts, ties among right rows by event_id

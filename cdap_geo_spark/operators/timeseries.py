@@ -126,6 +126,31 @@ def rolling_stats(events: DataFrame, *, key: str = "user_id",
     ))
 
 
+def retention_cohorts(events: DataFrame, *, key: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Classic cohort retention: cohort = the key's FIRST active day;
+    one output row per (cohort_day, offset_days) with the number of
+    cohort keys active that day —
+    ``(cohort_day:date, offset_days:int, n_active:long)``.
+
+    Scale shape: the first move is ``distinct(key, day)`` — the only
+    events-sized shuffle, and map-side partials collapse each task to
+    its distinct pairs before the exchange; everything after runs on
+    the activity relation (|keys| × |active days| rows): the
+    first-day aggregate is key-dimension sized (AQE broadcasts it back)
+    and the final groupBy needs plain COUNT(*), not COUNT DISTINCT,
+    because (key, day) is already unique by construction.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp")).alias("_d")
+    active = events.select(F.col(key).alias("_k"), day).distinct()
+    first = active.groupBy("_k").agg(F.min("_d").alias("cohort_day"))
+    return (active.join(first, "_k")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("_d"), F.col("cohort_day"))
+                     .alias("offset_days"))
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
 def funnel_steps(events: DataFrame, steps: list[str], *,
                  key: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type") -> DataFrame:

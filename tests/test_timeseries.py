@@ -147,3 +147,22 @@ def test_funnel_order_matters(spark):
 def test_funnel_empty_steps_rejected(spark):
     with pytest.raises(ValueError):
         funnel_steps(spark.range(1), [])
+
+
+def test_retention_cohorts_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.timeseries import retention_cohorts
+    pdf = _mk_events(500, 20, seed=23)
+    got = {(str(r.cohort_day), r.offset_days): r.n_active for r in
+           retention_cohorts(spark.createDataFrame(pdf)).collect()}
+
+    active = {(r.user_id, pd.Timestamp(r.ts).date())
+              for r in pdf.itertuples()}
+    first = {}
+    for u, d in active:
+        first[u] = min(first.get(u, d), d)
+    want = {}
+    for u, d in active:
+        k = (str(first[u]), (d - first[u]).days)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert all(off >= 0 for _, off in got)
