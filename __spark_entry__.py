@@ -612,6 +612,37 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_active").cast("long"))
 
 
+def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto frontier (operators/skyline.py) of the documents:
+    maximize n_chars, MINIMIZE whitespace token count (anti-correlated
+    directions keep the frontier non-degenerate). Oracle is the
+    quadratic NOT-EXISTS dominance self-join DuckDB can afford at
+    sf0.01/0.1; the Spark plan is the two-phase local+global frontier
+    that never goes quadratic."""
+    from cdap_geo_spark.operators.skyline import skyline
+    from cdap_geo_spark.operators.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    return skyline(t, x="n_chars", y="n_tokens",
+                   maximize_x=True, maximize_y=False)
+
+
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score outlier flags in exact integer algebra
+    (operators/timeseries.outlier_flags): deterministic, hashable —
+    (n·x - s)² > k²·(n·q - s²), all BIGINT."""
+    from cdap_geo_spark.operators.timeseries import outlier_flags
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = outlier_flags(ev, group="event_type", value_col="value", k=2)
+    return out.select(F.col("event_id").cast("long"), "event_type",
+                      F.col("is_outlier").cast("boolean"))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over the region
     bbox-adjacency graph: edges = ordered pairs of distinct region
@@ -780,6 +811,24 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tile_rollup(assigned, resolutions=(70_000, 130_000), factor=2)
     return out.select("parent_tile_id", F.col("n_rows").alias("n_docs"),
                       "n_child_tiles",
+                      F.col("max_child_rows").alias("max_child_docs"))
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 2-level tile pyramid (operators/tiles.tile_pyramid): the
+    10x10 assign_tiles grid rolled to 5x5 (level 1) and 3x3-ish
+    (level 2), all levels in one relation; every exchange above the
+    base is bounded by the tile frame."""
+    from cdap_geo_spark.operators.tiles import assign_tiles, tile_pyramid
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    pts = R.doc_points(spark, sf_dir).select("doc_id", "geometry")
+    assigned = assign_tiles(pts, bbox=(0, 0, 700_000, 1_300_000),
+                            splits=10)
+    out = tile_pyramid(assigned, resolutions=(70_000, 130_000),
+                       factor=2, levels=2)
+    return out.select("level", "tile_id",
+                      F.col("n_rows").alias("n_docs"), "n_child_tiles",
                       F.col("max_child_rows").alias("max_child_docs"))
 
 
@@ -1009,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _q_stream_enrich,
         "zonal_stats": _q_zonal_stats,
         "tile_rollup": _q_tile_rollup,
+        "tile_pyramid": _q_tile_pyramid,
         "shared_ngrams": _q_shared_ngrams,
         "semantic_dedup": _q_semantic_dedup,
         "centroid": _q_centroid,
@@ -1026,7 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": _q_rolling_stats,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "outliers": _q_outliers,
         "pagerank": _q_pagerank,
+        "skyline": _q_skyline,
     }
 
 
@@ -1928,6 +1980,38 @@ def oracle_sql() -> dict[str, str]:
                  CAST(max(n) AS BIGINT) AS max_child_docs
           FROM fine GROUP BY 1
         """,
+        "tile_pyramid": f"""
+          WITH p AS ({_PTS}),
+          fine AS (
+            SELECT CAST(floor(x / 70000) AS BIGINT) * 70000 AS ox,
+                   CAST(floor(y / 130000) AS BIGINT) * 130000 AS oy,
+                   count(*) AS n
+            FROM p GROUP BY 1, 2
+          ),
+          l1 AS (
+            SELECT CAST(floor(ox / 140000.0) AS BIGINT) * 140000 AS ox,
+                   CAST(floor(oy / 260000.0) AS BIGINT) * 260000 AS oy,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_child_tiles,
+                   CAST(max(n) AS BIGINT) AS max_child_docs
+            FROM fine GROUP BY 1, 2
+          ),
+          l2 AS (
+            SELECT CAST(floor(ox / 280000.0) AS BIGINT) * 280000 AS ox,
+                   CAST(floor(oy / 520000.0) AS BIGINT) * 520000 AS oy,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_child_tiles,
+                   CAST(max(n_docs) AS BIGINT) AS max_child_docs
+            FROM l1 GROUP BY 1, 2
+          )
+          SELECT CAST(1 AS INT) AS level,
+                 CAST(ox AS VARCHAR) || '-' || CAST(oy AS VARCHAR)
+                   AS tile_id,
+                 n_docs, n_child_tiles, max_child_docs FROM l1
+          UNION ALL
+          SELECT 2, CAST(ox AS VARCHAR) || '-' || CAST(oy AS VARCHAR),
+                 n_docs, n_child_tiles, max_child_docs FROM l2
+        """,
         "shared_ngrams": """
           WITH t AS (
             SELECT doc_id,
@@ -1996,7 +2080,40 @@ def oracle_sql() -> dict[str, str]:
           FROM a JOIN f USING (user_id)
           GROUP BY 1, 2
         """,
+        "outliers": """
+          WITH b AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+          ), st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM b GROUP BY event_type
+          )
+          SELECT CAST(b.event_id AS BIGINT) AS event_id, b.event_type,
+                 ((st.n * b.x - st.s) * (st.n * b.x - st.s))
+                   > 4 * (st.n * st.q - st.s * st.s) AS is_outlier
+          FROM b JOIN st USING (event_type)
+        """,
         "pagerank": _pagerank_sql(),
+        # quadratic dominance NOT-EXISTS — affordable for the oracle,
+        # exactly what the Spark two-phase plan avoids
+        "skyline": """
+          WITH t AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text),
+                                  '\\s+')) AS BIGINT) END AS n_tokens
+            FROM documents
+          )
+          SELECT a.doc_id, a.n_chars, a.n_tokens FROM t a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM t b
+            WHERE b.n_chars >= a.n_chars AND b.n_tokens <= a.n_tokens
+              AND (b.n_chars > a.n_chars OR b.n_tokens < a.n_tokens))
+        """,
         # union-then-window as-of semantics mirrored exactly: right rows
         # sort before left at equal ts, ties among right rows by event_id
         # ascending (last wins), NULLS FIRST to match Spark's asc default

@@ -283,3 +283,39 @@ def tile_rollup(assigned: DataFrame, *, resolutions, factor: int,
             .agg(F.sum("_n").cast("long").alias("n_rows"),
                  F.count(F.lit(1)).cast("long").alias("n_child_tiles"),
                  F.max("_n").cast("long").alias("max_child_rows")))
+
+
+def tile_pyramid(assigned: DataFrame, *, resolutions, factor: int,
+                 levels: int, tile_col: str = "tile_id") -> DataFrame:
+    """Full tile pyramid: :func:`tile_rollup` applied ``levels`` times,
+    all levels returned in ONE relation —
+    ``(level:int, tile_id:string, n_rows, n_child_tiles,
+    max_child_rows)`` with level 1 the first rollup of the input grid
+    (resolution ``resolutions * factor``) and level k at
+    ``resolutions * factor^k``.
+
+    Each level rolls up the PREVIOUS level's count relation (the
+    ``count_col`` incremental path), so the raw assignment rows are
+    aggregated exactly once and every later exchange carries one row
+    per occupied tile of the finer level — the whole pyramid above the
+    base costs O(occupied tiles), constant in corpus size. The final
+    union is a no-shuffle concatenation.
+    """
+    if levels < 1:
+        raise ValueError("tile_pyramid: levels >= 1 required")
+    rx, ry = int(resolutions[0]), int(resolutions[1])
+    cur = assigned.groupBy(tile_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    out = None
+    for lvl in range(1, levels + 1):
+        up = tile_rollup(cur, resolutions=(rx, ry), factor=factor,
+                         tile_col=tile_col if lvl == 1
+                         else "parent_tile_id",
+                         count_col="n_rows")
+        tier = up.select(F.lit(lvl).cast("int").alias("level"),
+                         F.col("parent_tile_id").alias("tile_id"),
+                         "n_rows", "n_child_tiles", "max_child_rows")
+        out = tier if out is None else out.unionByName(tier)
+        rx, ry = rx * factor, ry * factor
+        cur = up
+    return out

@@ -126,6 +126,40 @@ def rolling_stats(events: DataFrame, *, key: str = "user_id",
     ))
 
 
+def outlier_flags(events: DataFrame, *, group: str = "event_type",
+                  value_col: str = "value", k: int = 3,
+                  value_scale: int = 100) -> DataFrame:
+    """Per-row z-score outlier flag — |x - mean| > k·stddev within the
+    row's ``group`` — computed in EXACT integer algebra so the flag is
+    deterministic and cross-engine hashable (a float mean/stddev is
+    schedule-dependent in the last ulp, and a row sitting exactly at
+    the threshold would flip).
+
+    With ``x`` integer-scaled (``round(value·scale)``), ``s = Σx``,
+    ``q = Σx²``, ``n`` per group::
+
+        |x - s/n| > k·sqrt((n·q - s²)/n²)
+        ⟺  (n·x - s)²  >  k²·(n·q - s²)        -- all BIGINT, exact
+
+    Adds ``is_outlier`` (boolean; population stddev, ties resolve to
+    False by the strict >). Plan: one map-side-partial groupBy bounded
+    by the group dimension, broadcast back onto the rows — the row
+    relation shuffles nowhere.
+    """
+    x = F.round(F.col(value_col) * value_scale).cast("long")
+    base = events.withColumn("_x", x)
+    stats = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"))
+    lhs = (F.col("_n") * F.col("_x") - F.col("_s"))
+    rhs = F.lit(k * k) * (F.col("_n") * F.col("_q")
+                          - F.col("_s") * F.col("_s"))
+    return (base.join(F.broadcast(stats), group)
+            .withColumn("is_outlier", (lhs * lhs) > rhs)
+            .drop("_x", "_n", "_s", "_q"))
+
+
 def retention_cohorts(events: DataFrame, *, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Classic cohort retention: cohort = the key's FIRST active day;

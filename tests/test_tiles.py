@@ -155,3 +155,58 @@ def test_tile_rollup_negative_origins_and_precounted(spark):
             for r in tile_rollup(pre, resolutions=(100, 100), factor=2,
                                  count_col="count").collect()}
     assert got2 == got
+
+
+def test_tile_pyramid_level1_equals_rollup_and_bruteforce(spark):
+    from cdap_geo_spark.operators.tiles import tile_pyramid, tile_rollup
+    import random
+    rng = random.Random(41)
+    # tiles at resolution (10, 10), including negative origins
+    rows = [(i, f"{rng.randrange(-5, 5) * 10}-{rng.randrange(-5, 5) * 10}")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "row_id long, tile_id string")
+    pyr = tile_pyramid(df, resolutions=(10, 10), factor=2, levels=2)
+    got = {(r.level, r.tile_id): (r.n_rows, r.n_child_tiles,
+                                  r.max_child_rows)
+           for r in pyr.collect()}
+
+    # level 1 must equal a direct tile_rollup of the raw assignment
+    direct = {("L1", r.parent_tile_id): (r.n_rows, r.n_child_tiles,
+                                         r.max_child_rows)
+              for r in tile_rollup(df, resolutions=(10, 10),
+                                   factor=2).collect()}
+    assert {k[1]: v for k, v in got.items() if k[0] == 1} == \
+           {k[1]: v for k, v in direct.items()}
+
+    # brute force both levels
+    import collections
+    fine = collections.Counter(t for _, t in rows)
+
+    def parent(tid, res):
+        import re
+        m = re.match(r"^(-?\d+)-(-?\d+)$", tid)
+        px = (int(m.group(1)) // res) * res
+        py = (int(m.group(2)) // res) * res
+        return f"{px}-{py}"
+
+    for lvl, res in ((1, 20), (2, 40)):
+        if lvl == 1:
+            groups = collections.defaultdict(list)
+            for t, n in fine.items():
+                groups[parent(t, 20)].append(n)
+            l1 = {t: (sum(v), len(v), max(v)) for t, v in groups.items()}
+            assert {k[1]: v for k, v in got.items() if k[0] == 1} == l1
+        else:
+            groups = collections.defaultdict(list)
+            for t, (n, _, _) in l1.items():
+                groups[parent(t, 40)].append(n)
+            l2 = {t: (sum(v), len(v), max(v)) for t, v in groups.items()}
+            assert {k[1]: v for k, v in got.items() if k[0] == 2} == l2
+
+
+def test_tile_pyramid_validates_levels(spark):
+    import pytest
+    from cdap_geo_spark.operators.tiles import tile_pyramid
+    df = spark.createDataFrame([(1, "0-0")], "row_id long, tile_id string")
+    with pytest.raises(ValueError):
+        tile_pyramid(df, resolutions=(10, 10), factor=2, levels=0)

@@ -166,3 +166,34 @@ def test_retention_cohorts_matches_bruteforce(spark):
         want[k] = want.get(k, 0) + 1
     assert got == want
     assert all(off >= 0 for _, off in got)
+
+
+def test_outlier_flags_matches_exact_algebra(spark):
+    from cdap_geo_spark.operators.timeseries import outlier_flags
+    pdf = _mk_events(400, 10, seed=29)
+    got = {r.event_id: r.is_outlier for r in
+           outlier_flags(spark.createDataFrame(pdf), k=2).collect()}
+    assert len(got) == len(pdf)
+    for typ, g in pdf.groupby("event_type"):
+        xs = [round(v * 100) for v in g.value]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        for eid, x in zip(g.event_id, xs):
+            want = (n * x - s) ** 2 > 4 * (n * q - s * s)
+            assert got[eid] == want
+    # sanity: an injected extreme value IS flagged
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "value"] = 10_000.0
+    got2 = {r.event_id: r.is_outlier for r in
+            outlier_flags(spark.createDataFrame(pdf2), k=2).collect()}
+    assert got2[pdf2.loc[0, "event_id"]]
+
+
+def test_outlier_flags_plan_broadcasts_stats(spark):
+    from cdap_geo_spark.operators.timeseries import outlier_flags
+    ev = spark.createDataFrame(_mk_events(200, 5, seed=2)).repartition(6)
+    plan = (outlier_flags(ev)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # exactly one keyed exchange: the group-dimension stats aggregate
+    # (collapsed by map-side partials); the row relation never shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
