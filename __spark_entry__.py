@@ -631,6 +631,34 @@ def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    maximize_x=True, maximize_y=False)
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1D range join (operators/timeseries.interval_join): events
+    joined into deterministic maintenance-window intervals derived
+    from the part table, then aggregated per interval (count + exact
+    id-sum pins the membership set). The bin-replication plan — never
+    the BroadcastNestedLoopJoin a raw BETWEEN join gets."""
+    from cdap_geo_spark.operators.timeseries import interval_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pts = ev.select(F.col("event_id").cast("long").alias("event_id"),
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV "
+                           "1000000").alias("p_s"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    t0 = 1_704_067_200  # 2024-01-01 UTC, the event-domain origin
+    start = (F.lit(t0)
+             + (F.col("p_partkey") * 7919) % (30 * 86400)).cast("long")
+    length = ((F.col("p_partkey") * 131 + 17) % 21600 + 600).cast("long")
+    ivs = part.select(F.col("p_partkey").cast("long").alias("interval_id"),
+                      start.alias("start_s"),
+                      (start + length).alias("end_s"))
+    pairs = interval_join(pts, ivs, point_col="p_s",
+                          start_col="start_s", end_col="end_s",
+                          bin_width=3600)
+    return (pairs.groupBy("interval_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("event_id").cast("long").alias("sum_eid")))
+
+
 def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event z-score outlier flags in exact integer algebra
     (operators/timeseries.outlier_flags): deterministic, hashable —
@@ -1076,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": _q_rolling_stats,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "interval_join": _q_interval_join,
         "outliers": _q_outliers,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2079,6 +2108,22 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) AS BIGINT) AS n_active
           FROM a JOIN f USING (user_id)
           GROUP BY 1, 2
+        """,
+        "interval_join": """
+          WITH iv AS (
+            SELECT CAST(p_partkey AS BIGINT) AS interval_id,
+                   1704067200 + (p_partkey * 7919) % 2592000 AS s,
+                   1704067200 + (p_partkey * 7919) % 2592000
+                     + (p_partkey * 131 + 17) % 21600 + 600 AS e
+            FROM part
+          ), ev AS (
+            SELECT event_id, epoch_us(ts) // 1000000 AS p FROM events
+          )
+          SELECT iv.interval_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(ev.event_id) AS BIGINT) AS sum_eid
+          FROM ev JOIN iv ON ev.p BETWEEN iv.s AND iv.e
+          GROUP BY 1
         """,
         "outliers": """
           WITH b AS (

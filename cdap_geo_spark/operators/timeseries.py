@@ -126,6 +126,45 @@ def rolling_stats(events: DataFrame, *, key: str = "user_id",
     ))
 
 
+def interval_join(points: DataFrame, intervals: DataFrame, *,
+                  point_col: str, start_col: str, end_col: str,
+                  bin_width: int) -> DataFrame:
+    """1D range join: every (point row, interval row) pair with
+    ``start <= point <= end`` (inclusive ends; all three columns
+    numeric, e.g. epoch seconds). Column names must not collide
+    between the two inputs.
+
+    Spark plans a raw BETWEEN join as BroadcastNestedLoopJoin — the
+    classic scale killer. This is the bin-replication plan instead:
+    intervals explode to the fixed-width bins they cover
+    (``sequence``), points map to their single bin, and the join is a
+    plain equi-join on bin + residual BETWEEN filter. A point lies in
+    exactly one bin, so each qualifying pair appears exactly once — no
+    dedup pass.
+
+    Cost model (pick ``bin_width`` accordingly): the exchange carries
+    ``|P| + Σ ceil(len_i / bin_width)`` rows — wider bins replicate
+    intervals less but make the residual filter discard more; the
+    standard choice is the median interval length. A degenerate
+    interval spanning the whole domain replicates into every bin —
+    pre-split such outliers (or raise ``bin_width``); the operator is
+    correct either way.
+    """
+    if bin_width <= 0:
+        raise ValueError("interval_join: bin_width must be positive")
+    b = F.lit(int(bin_width)).cast("long")
+    pts = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / b).cast("long"))
+    ivs = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.col(start_col) / b).cast("long"),
+            F.floor(F.col(end_col) / b).cast("long"))))
+    return (pts.join(ivs, "_bin")
+            .where((F.col(point_col) >= F.col(start_col))
+                   & (F.col(point_col) <= F.col(end_col)))
+            .drop("_bin"))
+
+
 def outlier_flags(events: DataFrame, *, group: str = "event_type",
                   value_col: str = "value", k: int = 3,
                   value_scale: int = 100) -> DataFrame:

@@ -197,3 +197,40 @@ def test_outlier_flags_plan_broadcasts_stats(spark):
     # exactly one keyed exchange: the group-dimension stats aggregate
     # (collapsed by map-side partials); the row relation never shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.timeseries import interval_join
+    rng = random.Random(37)
+    pts_rows = [(i, rng.randrange(0, 10_000)) for i in range(400)]
+    iv_rows = []
+    for j in range(60):
+        s = rng.randrange(0, 9_500)
+        iv_rows.append((j, s, s + rng.randrange(0, 900)))
+    pts = spark.createDataFrame(pts_rows, "pid long, p long")
+    ivs = spark.createDataFrame(iv_rows, "iid long, s long, e long")
+    got = sorted((r.pid, r.iid) for r in
+                 interval_join(pts, ivs, point_col="p", start_col="s",
+                               end_col="e", bin_width=128).collect())
+    want = sorted((p[0], v[0]) for p in pts_rows for v in iv_rows
+                  if v[1] <= p[1] <= v[2])
+    assert got == want
+    # inclusive-ends + exactly-once: degenerate zero-length interval
+    got1 = interval_join(
+        spark.createDataFrame([(1, 5)], "pid long, p long"),
+        spark.createDataFrame([(9, 5, 5)], "iid long, s long, e long"),
+        point_col="p", start_col="s", end_col="e", bin_width=2).collect()
+    assert [(r.pid, r.iid) for r in got1] == [(1, 9)]
+
+
+def test_interval_join_no_nested_loop_and_validates(spark):
+    from cdap_geo_spark.operators.timeseries import interval_join
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ivs = spark.createDataFrame([(9, 0, 10)], "iid long, s long, e long")
+    plan = (interval_join(pts, ivs, point_col="p", start_col="s",
+                          end_col="e", bin_width=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs, point_col="p", start_col="s",
+                      end_col="e", bin_width=0)
