@@ -659,6 +659,19 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("event_id").cast("long").alias("sum_eid")))
 
 
+def _q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of value on hour-of-day
+    (operators/timeseries.grouped_ols): one exact-integer aggregate
+    pass; the only doubles are the final two divisions of identical
+    BIGINTs, rounded — cross-engine hashable."""
+    from cdap_geo_spark.operators.timeseries import grouped_ols
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .withColumn("hod", F.hour(F.col("ts").cast("timestamp")))
+    return grouped_ols(ev, group="event_type", x_col="hod",
+                       y_col="value", x_scale=1, y_scale=100)
+
+
 def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event z-score outlier flags in exact integer algebra
     (operators/timeseries.outlier_flags): deterministic, hashable —
@@ -1105,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "interval_join": _q_interval_join,
+        "grouped_ols": _q_ols,
         "outliers": _q_outliers,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2124,6 +2138,34 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(ev.event_id) AS BIGINT) AS sum_eid
           FROM ev JOIN iv ON ev.p BETWEEN iv.s AND iv.e
           GROUP BY 1
+        """,
+        "grouped_ols": """
+          WITH b AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS y
+            FROM events
+          ), a AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM b GROUP BY event_type
+          )
+          SELECT event_type, n, sx, sy, sxy, sxx,
+                 CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 1 / 100, 6) END AS slope,
+                 CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   ROUND((CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * 100), 6) END AS intercept
+          FROM a
         """,
         "outliers": """
           WITH b AS (

@@ -199,6 +199,56 @@ def outlier_flags(events: DataFrame, *, group: str = "event_type",
             .drop("_x", "_n", "_s", "_q"))
 
 
+def grouped_ols(df: DataFrame, *, group: str, x_col: str, y_col: str,
+                x_scale: int = 1, y_scale: int = 100,
+                round_dp: int = 6) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y`` on ``x`` in ONE
+    aggregate pass — the closed form::
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Inputs are integer-scaled, so every Σ is an exact BIGINT — the
+    aggregation is order-independent and the final ratio divides the
+    SAME two integers in both engines (one IEEE double division +
+    round(``round_dp``), deterministic). This is how a regression can
+    be value-hash verified cross-engine at all; a naive double Σxy
+    differs per schedule.
+
+    Emits exact ``n, sx, sy, sxy, sxx`` (BIGINT, in scaled units)
+    alongside rounded ``slope``/``intercept`` (original units).
+    Plan: one groupBy with map-side partials — a single pass, no
+    iteration, exchange bounded by the group dimension. Groups with
+    zero x-variance get NULL slope/intercept.
+
+    Magnitude contract: the determinant term ``n·Σx²`` must fit in
+    BIGINT — with ``|x·x_scale| <= B`` that needs ``n·B < ~3.0e9`` per
+    group (e.g. hour-of-day x, B=23: fine past 1e8 rows/group; raw
+    epoch seconds overflow fast — center or bucket x first).
+    """
+    xs = F.round(F.col(x_col) * x_scale).cast("long")
+    ys = F.round(F.col(y_col) * y_scale).cast("long")
+    base = df.select(F.col(group), xs.alias("_x"), ys.alias("_y"))
+    agg = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"))
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_scaled = num.cast("double") / det.cast("double")
+    # scaled slope is d(y·ys)/d(x·xs) => original slope × ys/xs
+    slope = F.when(det != 0,
+                   F.round(slope_scaled * x_scale / y_scale, round_dp))
+    intercept = F.when(det != 0, F.round(
+        (F.col("sy").cast("double")
+         - slope_scaled * F.col("sx").cast("double"))
+        / (F.col("n").cast("double") * y_scale), round_dp))
+    return agg.select(group, "n", "sx", "sy", "sxy", "sxx",
+                      slope.alias("slope"),
+                      intercept.alias("intercept"))
+
+
 def retention_cohorts(events: DataFrame, *, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Classic cohort retention: cohort = the key's FIRST active day;

@@ -234,3 +234,36 @@ def test_interval_join_no_nested_loop_and_validates(spark):
     with pytest.raises(ValueError):
         interval_join(pts, ivs, point_col="p", start_col="s",
                       end_col="e", bin_width=0)
+
+
+def test_grouped_ols_matches_closed_form_and_numpy(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.timeseries import grouped_ols
+    pdf = _mk_events(500, 10, seed=43)
+    pdf["hod"] = pdf.ts.map(lambda t: pd.Timestamp(t).hour)
+    got = {r.event_type: r for r in
+           grouped_ols(spark.createDataFrame(pdf), group="event_type",
+                       x_col="hod", y_col="value").collect()}
+    for typ, g in pdf.groupby("event_type"):
+        xs = [int(h) for h in g.hod]
+        ys = [round(v * 100) for v in g.value]
+        n, sx, sy = len(xs), sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        r = got[typ]
+        assert (r.n, r.sx, r.sy, r.sxy, r.sxx) == (n, sx, sy, sxy, sxx)
+        det, num = n * sxx - sx * sx, n * sxy - sx * sy
+        assert r.slope == round(num / det * 1 / 100, 6)
+        # sanity vs numpy lstsq on the original units
+        m, b = np.polyfit(np.array(xs, float),
+                          np.array([v for v in g.value], float), 1)
+        assert abs(r.slope - m) < 1e-3 and abs(r.intercept - b) < 1e-2
+
+
+def test_grouped_ols_zero_variance_gives_null(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_ols
+    pdf = pd.DataFrame({"g": ["a"] * 4, "x": [5] * 4,
+                        "y": [1.0, 2.0, 3.0, 4.0]})
+    r = grouped_ols(spark.createDataFrame(pdf), group="g",
+                    x_col="x", y_col="y").collect()[0]
+    assert r.slope is None and r.intercept is None and r.n == 4
