@@ -706,6 +706,30 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_window_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window token-frequency readout from the streaming CMS
+    sketch relation (streaming/windows.windowed_cms + stateless
+    cms_estimate): every 29th user probed in every hourly window. The
+    batch twin is the oracle; the streaming twin is pytest-pinned
+    equal on the same rows."""
+    from cdap_geo_spark.operators.sketch import cms_estimate
+    from cdap_geo_spark.streaming.windows import windowed_cms
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    rel = windowed_cms(ev, value_col="user_id", window="1 hour",
+                       depth=4, width=256)
+    wins = rel.select("window_start").distinct()
+    users = (ev.where(F.col("user_id") % 29 == 0)
+             .select(F.col("user_id").cast("string").alias("uid"))
+             .distinct())
+    probes = wins.crossJoin(users)
+    est = cms_estimate(rel, probes, value_col="uid",
+                       group_cols=["window_start"], depth=4, width=256)
+    return est.select(F.col("window_start").cast("string"),
+                      F.col("uid").cast("long").alias("user_id"),
+                      F.col("est_count").cast("long"))
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static spatial enrich (``streaming/enrich.py``) run on
     its batch twin — the operator executes the IDENTICAL map-side plan
@@ -1113,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "tfidf_topk": _q_tfidf,
         "window_distinct": _q_window_distinct,
+        "window_cms": _q_window_cms,
         "asof_join": _q_asof_join,
         "rolling_stats": _q_rolling_stats,
         "funnel": _q_funnel,
@@ -2111,6 +2136,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_sql(),
         "window_distinct": _window_distinct_sql(),
+        "window_cms": """
+          WITH ev AS (
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
+                     AS w,
+                   CAST(user_id AS VARCHAR) AS tok, user_id
+            FROM events WHERE user_id IS NOT NULL
+          ), hr AS (
+            SELECT CAST(unnest(range(4)) AS INT) AS hrow
+          ), rel AS (
+            SELECT w, hrow,
+                   CAST(concat('0x', substr(md5(concat(hrow, ':', tok)),
+                                            1, 15)) AS BIGINT)
+                     % 256 AS bucket,
+                   COUNT(*) AS cnt
+            FROM ev CROSS JOIN hr GROUP BY 1, 2, 3
+          ), pw AS (
+            SELECT w, tok FROM (SELECT DISTINCT w FROM ev)
+            CROSS JOIN (SELECT DISTINCT tok FROM ev
+                        WHERE user_id % 29 = 0)
+          ), pe AS (
+            SELECT pw.w, pw.tok, hr.hrow,
+                   CAST(concat('0x', substr(md5(concat(hr.hrow, ':',
+                                                       pw.tok)),
+                                            1, 15)) AS BIGINT)
+                     % 256 AS bucket
+            FROM pw CROSS JOIN hr
+          )
+          SELECT pe.w AS window_start,
+                 CAST(pe.tok AS BIGINT) AS user_id,
+                 CAST(MIN(COALESCE(rel.cnt, 0)) AS BIGINT) AS est_count
+          FROM pe LEFT JOIN rel
+            ON pe.w = rel.w AND pe.hrow = rel.hrow
+               AND pe.bucket = rel.bucket
+          GROUP BY 1, 2
+        """,
         "retention": """
           WITH a AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

@@ -66,6 +66,39 @@ def windowed_distinct_hll(events: DataFrame, *, value_col: str = "user_id",
                        "bucket", "max_rank"))
 
 
+def windowed_cms(events: DataFrame, *, value_col: str = "user_id",
+                 window: str = "1 hour", depth: int = 4,
+                 width: int = 512,
+                 watermark: str | None = None) -> DataFrame:
+    """Per-window count-min sketch relation (window_start, hrow,
+    bucket, cnt) — the frequency twin of :func:`windowed_distinct_hll`
+    (same design: ONE stateful aggregation that runs identically on
+    batch and streaming inputs, append mode under a watermark, state
+    <= depth*width rows per window and evictable). The stream stores
+    the mergeable sketch; point-frequency readout is the stateless
+    :func:`cdap_geo_spark.operators.sketch.cms_estimate` at query
+    time, and merging across days/sources is union + re-sum.
+    """
+    from cdap_geo_spark.operators.sketch import _hash60
+    if depth < 1 or width < 2:
+        raise ValueError("windowed_cms: need depth >= 1, width >= 2")
+    src = events
+    if watermark is not None:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    base = (src.where(F.col(value_col).isNotNull())
+            .select("ts", F.col(value_col).cast("string").alias("_v"),
+                    F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+                     .alias("hrow")))
+    h = _hash60(F.concat_ws(":", F.col("hrow").cast("string"),
+                            F.col("_v")))
+    return (base.withColumn("bucket", h % F.lit(width))
+            .groupBy(F.window("ts", window).alias("w"), "hrow", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    "hrow", "bucket", "cnt"))
+
+
 def sessionize(events: DataFrame, *, gap_minutes: int = 30,
                tie_break: str | None = "event_id") -> DataFrame:
     """Per-user session ids: a new session starts after a gap larger

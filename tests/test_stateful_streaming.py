@@ -296,3 +296,78 @@ def test_windowed_distinct_hll_stream_equals_batch(spark, tmp_path):
                         p=6).collect()}
     w12 = t0 + dt.timedelta(hours=1)
     assert round(est[w12]) == 2           # users 10 and 11
+
+
+def test_windowed_cms_stream_equals_batch(spark, tmp_path):
+    """The streaming twin of windowed_cms emits the SAME sketch
+    relation as the batch twin, including a late repeat event that
+    bumps a still-open window's bucket counts — so stateless
+    cms_estimate readouts agree exactly."""
+    import datetime as dt
+    import time
+
+    from cdap_geo_spark.operators.sketch import cms_estimate
+    from cdap_geo_spark.streaming.windows import (stream_from_directory,
+                                                  windowed_cms)
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(hh, mm, uid):
+        return (t0 + dt.timedelta(hours=hh, minutes=mm), uid)
+
+    schema = "ts timestamp, user_id long"
+    b1 = spark.createDataFrame(
+        [ev(0, 10, 1), ev(0, 20, 2), ev(1, 5, 10), ev(1, 6, 10),
+         ev(3, 30, 7)], schema)
+    # late REPEAT of user 10 in the still-open [1,2) window
+    late_plus = spark.createDataFrame([ev(1, 50, 10), ev(8, 0, 5)],
+                                      schema)
+    flush = spark.createDataFrame([ev(20, 0, 99)], schema)
+
+    src = str(tmp_path / "cms_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, b1.schema)
+    q = (windowed_cms(stream, value_col="user_id", window="1 hour",
+                      depth=3, width=32, watermark="2 hours")
+         .writeStream.format("memory").queryName("cms_win")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+         .trigger(processingTime="1 second").start())
+
+    def n_windows():
+        return spark.sql(
+            "select count(distinct window_start) c from cms_win"
+        ).collect()[0].c
+
+    def wait_for(n, timeout=90):
+        t1 = time.time()
+        while n_windows() < n:
+            assert time.time() - t1 < timeout, \
+                f"stuck at {n_windows()}/{n}"
+            time.sleep(1)
+    try:
+        wait_for(1)
+        late_plus.coalesce(1).write.mode("append").parquet(src)
+        wait_for(3)
+        flush.coalesce(1).write.mode("append").parquet(src)
+        wait_for(4)
+    finally:
+        q.stop()
+
+    got_rel = spark.sql("select * from cms_win")
+    all_rows = b1.unionByName(late_plus).unionByName(flush)
+    cutoff = t0 + dt.timedelta(hours=20)
+    want_rel = windowed_cms(all_rows, value_col="user_id",
+                            window="1 hour", depth=3, width=32) \
+        .where(F.col("window_start") < cutoff)
+    got = sorted(map(tuple, got_rel.collect()))
+    want = sorted(map(tuple, want_rel.collect()))
+    assert got == want
+    # stateless readout: user 10 counted 3x in [1,2) incl. the late row
+    probes = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=1), "10")], "window_start timestamp, "
+                                              "uid string")
+    est = cms_estimate(got_rel, probes, value_col="uid",
+                       group_cols=["window_start"], depth=3,
+                       width=32).collect()
+    assert est[0].est_count == 3
