@@ -842,6 +842,16 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("session_seq").cast("long"))
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates (streaming/windows.session_stats): the
+    sessionize window's user_id partitioning already satisfies the
+    groupBy distribution, so the whole thing costs ONE shuffle."""
+    from cdap_geo_spark.streaming.windows import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return session_stats(ev, gap_minutes=30)
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics over the flagship spatial join: per region box,
     count / token-sum / token-max of the interleaved documents whose
@@ -1121,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "sessionize": _q_sessionize,
         "stream_enrich": _q_stream_enrich,
+        "session_stats": _q_session_stats,
         "zonal_stats": _q_zonal_stats,
         "tile_rollup": _q_tile_rollup,
         "tile_pyramid": _q_tile_pyramid,
@@ -1998,6 +2009,34 @@ def oracle_sql() -> dict[str, str]:
                                 > 1800
                         THEN 1 ELSE 0 END AS new_sess
             FROM events)
+        """,
+        "session_stats": """
+          WITH s AS (
+            SELECT event_id, user_id,
+                   epoch_us(ts) // 1000000 AS e,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c,
+                   CAST(sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS session_seq
+            FROM (
+              SELECT event_id, user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                               IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id, session_seq,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(MAX(e) - MIN(e) AS BIGINT) AS duration_s,
+                 CAST(SUM(c) AS BIGINT) AS sum_scaled,
+                 CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+                 CAST(MAX(event_id) AS BIGINT) AS last_event_id
+          FROM s GROUP BY 1, 2
         """,
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_SQL,

@@ -118,6 +118,34 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30,
             .drop("_new"))
 
 
+def session_stats(events: DataFrame, *, gap_minutes: int = 30,
+                  value_col: str = "value",
+                  value_scale: int = 100) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize`'s output: one row
+    per (user_id, session_seq) with ``n_events``, ``duration_s``
+    (last − first event, truncated epoch seconds), ``sum_scaled``
+    (integer-scaled value sum — exact, order-independent, hashable)
+    and the first/last event ids.
+
+    Plan note (free aggregation): the sessionize window already hash-
+    partitioned by ``user_id``, which satisfies the clustered
+    distribution the (user_id, session_seq) groupBy needs — Catalyst
+    plans NO second exchange (pytest-pinned), so session stats cost
+    one shuffle total, same as sessionize itself.
+    """
+    s = sessionize(events, gap_minutes=gap_minutes)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col(value_col) * value_scale).cast("long")
+    return (s.withColumn("_e", epoch).withColumn("_c", cents)
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 (F.max("_e") - F.min("_e")).cast("long")
+                 .alias("duration_s"),
+                 F.sum("_c").cast("long").alias("sum_scaled"),
+                 F.min("event_id").cast("long").alias("first_event_id"),
+                 F.max("event_id").cast("long").alias("last_event_id")))
+
+
 def stream_from_directory(spark, path: str, schema) -> DataFrame:
     """File-source stream (the test harness feeds parquet files in)."""
     return spark.readStream.schema(schema).parquet(path)

@@ -371,3 +371,57 @@ def test_windowed_cms_stream_equals_batch(spark, tmp_path):
                        group_cols=["window_start"], depth=3,
                        width=32).collect()
     assert est[0].est_count == 3
+
+
+def test_session_stats_matches_bruteforce_and_single_exchange(spark):
+    """session_stats: per-session aggregates vs a pandas
+    reimplementation, and the free-aggregation plan pin — the
+    sessionize window's user_id hash partitioning satisfies the
+    (user_id, session_seq) groupBy, so ONE exchange total."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from cdap_geo_spark.streaming.windows import session_stats
+
+    rng = random.Random(53)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=rng.randrange(500_000)),
+             rng.randrange(12), round(rng.uniform(0, 50), 2))
+            for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "value"])
+    df = spark.createDataFrame(pdf).repartition(6)
+    out = session_stats(df, gap_minutes=30)
+    got = {(r.user_id, r.session_seq):
+           (r.n_events, r.duration_s, r.sum_scaled,
+            r.first_event_id, r.last_event_id)
+           for r in out.collect()}
+
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        seq, last = 0, None
+        sessions = {}
+        for r in g.itertuples():
+            e = int(pd.Timestamp(r.ts).value // 10**9)
+            if last is None or e - last > 1800:
+                seq += 1
+            last = e
+            sessions.setdefault(seq, []).append(
+                (r.event_id, e, round(r.value * 100)))
+        for s, evs in sessions.items():
+            want[(uid, s)] = (len(evs),
+                              max(e for _, e, _ in evs)
+                              - min(e for _, e, _ in evs),
+                              sum(c for _, _, c in evs),
+                              min(i for i, _, _ in evs),
+                              max(i for i, _, _ in evs))
+    assert got == want
+
+    # after an action the AQE plan string prints BOTH the final and
+    # the initial plan — count keyed exchanges in the final plan only
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
