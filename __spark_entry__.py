@@ -684,6 +684,21 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("is_outlier").cast("boolean"))
 
 
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/timeseries.winsorize): every
+    value clamped to its event type's EXACT ceil(q·n)-rank order
+    statistics over integer-scaled values; emitted as the scaled BIGINT
+    so the hash is float-free."""
+    from cdap_geo_spark.operators.timeseries import winsorize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = winsorize(ev, group="event_type", value_col="value",
+                    lo_q=0.05, hi_q=0.95)
+    return out.select(
+        F.col("event_id").cast("long"), "event_type",
+        F.round(F.col("value_w") * 100).cast("long").alias("value_w100"))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over the region
     bbox-adjacency graph: edges = ordered pairs of distinct region
@@ -1156,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "grouped_ols": _q_ols,
         "outliers": _q_outliers,
+        "winsorize": _q_winsorize,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2281,6 +2297,34 @@ def oracle_sql() -> dict[str, str]:
                  ((st.n * b.x - st.s) * (st.n * b.x - st.s))
                    > 4 * (st.n * st.q - st.s * st.s) AS is_outlier
           FROM b JOIN st USING (event_type)
+        """,
+        # the same ceil(q·n) rank rule over scaled ints; CAST 0.05 AS
+        # DOUBLE forces DuckDB off its DECIMAL literal so both engines
+        # do the identical IEEE multiply before CEIL
+        "winsorize": """
+          WITH b AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+          ), r AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM b
+          ), bo AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                       CAST(0.05 AS DOUBLE) * n) AS BIGINT))
+                       THEN x END) AS lo,
+                   MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                       CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+                       THEN x END) AS hi
+            FROM r GROUP BY event_type
+          )
+          SELECT CAST(b.event_id AS BIGINT) AS event_id, b.event_type,
+                 LEAST(GREATEST(b.x, bo.lo), bo.hi) AS value_w100
+          FROM b JOIN bo USING (event_type)
         """,
         "pagerank": _pagerank_sql(),
         # quadratic dominance NOT-EXISTS — affordable for the oracle,

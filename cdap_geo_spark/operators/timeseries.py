@@ -249,6 +249,53 @@ def grouped_ols(df: DataFrame, *, group: str, x_col: str, y_col: str,
                       intercept.alias("intercept"))
 
 
+def winsorize(df: DataFrame, *, group: str, value_col: str,
+              lo_q: float = 0.05, hi_q: float = 0.95,
+              value_scale: int = 100) -> DataFrame:
+    """Per-group winsorization (outlier clamping): every value clipped
+    to the group's EXACT [lo_q, hi_q] order statistics, computed by the
+    deterministic rank rule ``q-th quantile = value at rank
+    ceil(q·n)`` over integer-scaled values — no interpolation, no
+    floating point, so the clamps (and therefore every output row) are
+    cross-engine hashable.
+
+    Plan: one window shuffle by ``group`` ranks the values; the two
+    clamp bounds reduce to ONE row per group (map-side partials) and
+    broadcast back onto the rows — the row relation shuffles once
+    total. Adds ``{value_col}_w`` (clamped, original units: scaled
+    BIGINT divided back exactly at read) and keeps the input columns.
+
+    For corpora where even one window pass per group is too wide,
+    the sketch path (``operators/sketch.hist_quantiles``) gives the
+    approximate version with an exchange bounded by the sketch.
+    """
+    if not 0 <= lo_q <= hi_q <= 1:
+        raise ValueError("winsorize: need 0 <= lo_q <= hi_q <= 1")
+    from pyspark.sql import Window
+    x = F.round(F.col(value_col) * value_scale).cast("long")
+    base = df.withColumn("_x", x)
+    w = Window.partitionBy(group).orderBy("_x")
+    ranked = base.withColumn("_r", F.row_number().over(w)) \
+                 .withColumn("_n", F.count(F.lit(1)).over(
+                     Window.partitionBy(group)))
+    lo_rank = F.greatest(F.lit(1), F.ceil(F.lit(lo_q) * F.col("_n")))
+    hi_rank = F.greatest(F.lit(1), F.ceil(F.lit(hi_q) * F.col("_n")))
+    bounds = (ranked
+              .select(group, "_x", "_r",
+                      lo_rank.alias("_lr"), hi_rank.alias("_hr"))
+              .groupBy(group)
+              .agg(F.max(F.when(F.col("_r") == F.col("_lr"), F.col("_x")))
+                    .alias("_lo"),
+                   F.max(F.when(F.col("_r") == F.col("_hr"), F.col("_x")))
+                    .alias("_hi")))
+    clamped = (F.least(F.greatest(F.col("_x"), F.col("_lo")),
+                       F.col("_hi"))
+               .cast("double") / value_scale)
+    return (base.join(F.broadcast(bounds), group)
+            .withColumn(f"{value_col}_w", clamped)
+            .drop("_x", "_lo", "_hi"))
+
+
 def retention_cohorts(events: DataFrame, *, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Classic cohort retention: cohort = the key's FIRST active day;

@@ -267,3 +267,46 @@ def test_grouped_ols_zero_variance_gives_null(spark):
     r = grouped_ols(spark.createDataFrame(pdf), group="g",
                     x_col="x", y_col="y").collect()[0]
     assert r.slope is None and r.intercept is None and r.n == 4
+
+
+def test_winsorize_matches_bruteforce(spark):
+    import math
+    from cdap_geo_spark.operators.timeseries import winsorize
+    pdf = _mk_events(300, 8, seed=21)
+    out = winsorize(spark.createDataFrame(pdf), group="event_type",
+                    value_col="value", lo_q=0.1, hi_q=0.9).toPandas()
+    assert len(out) == len(pdf)
+    assert "value_w" in out.columns and "value" in out.columns
+    for g, grp in pdf.groupby("event_type"):
+        xs = sorted(int(round(v * 100)) for v in grp.value)
+        n = len(xs)
+        lo = xs[max(1, math.ceil(0.1 * n)) - 1]
+        hi = xs[max(1, math.ceil(0.9 * n)) - 1]
+        for r in out[out.event_type == g].itertuples():
+            want = min(max(int(round(r.value * 100)), lo), hi) / 100
+            assert abs(r.value_w - want) < 1e-9
+
+
+def test_winsorize_degenerate_and_validation(spark):
+    from cdap_geo_spark.operators.timeseries import winsorize
+    # single-row group: both bounds are the value itself -> unchanged
+    pdf = pd.DataFrame({"g": ["a", "b", "b", "b"],
+                        "v": [7.25, 1.0, 2.0, 3.0]})
+    sdf = spark.createDataFrame(pdf)
+    out = {(r.g, round(r.v, 2)): r.v_w
+           for r in winsorize(sdf, group="g", value_col="v",
+                              lo_q=0.25, hi_q=0.75).collect()}
+    assert out[("a", 7.25)] == 7.25
+    # b: n=3, lo rank ceil(.75)=1 -> 1.0, hi rank ceil(2.25)=3 -> 3.0
+    assert out[("b", 1.0)] == 1.0 and out[("b", 3.0)] == 3.0
+    with pytest.raises(ValueError):
+        winsorize(sdf, group="g", value_col="v", lo_q=0.9, hi_q=0.1)
+
+
+def test_winsorize_plan_broadcasts_bounds(spark):
+    from cdap_geo_spark.operators.timeseries import winsorize
+    pdf = _mk_events(80, 4, seed=5)
+    plan = winsorize(spark.createDataFrame(pdf), group="event_type",
+                     value_col="value")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bounds ride back map-side
