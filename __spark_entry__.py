@@ -721,6 +721,41 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    the region bbox-adjacency graph — degree-ordered (compact-forward)
+    orientation bounds the wedge join at O(m^1.5); counts are exact
+    BIGINTs so the distributed result hash-matches the single-node
+    three-way-join oracle."""
+    from cdap_geo_spark.operators.graph import triangle_counts
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    out = triangle_counts(edges, src="a", dst="b")
+    return out.select(F.col("id").cast("long"), "triangles")
+
+
+def _triangles_sql() -> str:
+    """DuckDB twin of `triangles`: canonical u<v bbox-adjacency edges
+    fed to the three-way equi-join twin (each triangle a<b<c matches
+    exactly once; see operators/graph.triangle_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import triangle_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return triangle_oracle_sql(edges)
+
+
 def _q_window_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window token-frequency readout from the streaming CMS
     sketch relation (streaming/windows.windowed_cms + stateless
@@ -1172,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": _q_ols,
         "outliers": _q_outliers,
         "winsorize": _q_winsorize,
+        "triangles": _q_triangles,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2327,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
           FROM b JOIN bo USING (event_type)
         """,
         "pagerank": _pagerank_sql(),
+        "triangles": _triangles_sql(),
         # quadratic dominance NOT-EXISTS — affordable for the oracle,
         # exactly what the Spark two-phase plan avoids
         "skyline": """

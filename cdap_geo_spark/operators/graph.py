@@ -87,6 +87,93 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def triangle_counts(edges: DataFrame, *, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (edges may
+    arrive in either or both directions, with duplicates and self-loops
+    — they are canonicalized away first). Returns ``(id, triangles)``
+    for every node incident to at least one edge; counts are exact
+    BIGINTs, so the result is cross-engine value-hashable.
+
+    The distributed design is the compact-forward / degree-ordered
+    orientation: every canonical edge is oriented from its lower
+    ``(degree, id)`` endpoint to its higher one. Under that total
+    order each triangle x<y<z is found exactly once — as the wedge
+    (x→y, x→z) closed by the edge y→z — and, the scale property, the
+    wedge self-join's fan-out is bounded: Σ out-deg² = O(m^1.5)
+    (Latapy 2008; a hub of degree d contributes wedges only toward
+    HIGHER-degree nodes, of which there are at most O(√m)). Every step
+    is an equi-join or keyed aggregation (AQE-sized shuffles); there is
+    no nested-loop join anywhere and no driver-side iteration.
+
+    The canonical edge relation is referenced three times (degrees,
+    orientation, closing join) and is ``localCheckpoint``ed via
+    ``core.lifetime`` — consume the returned frame inside the caller's
+    ``checkpoint_scope`` (same contract as :func:`pagerank`).
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    track_checkpoint(e)
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct())
+    deg = (e.select(F.col("u").alias("id"))
+           .unionByName(e.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    t = (e.join(deg.select(F.col("id").alias("u"),
+                           F.col("deg").alias("du")), "u")
+          .join(deg.select(F.col("id").alias("v"),
+                           F.col("deg").alias("dv")), "v"))
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    lo = ku < kv
+    o = (t.select(F.when(lo, F.col("u")).otherwise(F.col("v")).alias("a"),
+                  F.when(lo, F.col("v")).otherwise(F.col("u")).alias("b"),
+                  F.when(lo, kv).otherwise(ku).alias("bk"))
+         .localCheckpoint(eager=False))
+    track_checkpoint(o)
+    w1 = o.select("a", F.col("b"), F.col("bk"))
+    w2 = o.select(F.col("a"), F.col("b").alias("c"),
+                  F.col("bk").alias("ck"))
+    wedges = (w1.join(w2, "a")
+              .where(F.col("bk") < F.col("ck"))
+              .select("a", "b", "c"))
+    tri = wedges.join(o.select(F.col("a").alias("b"),
+                               F.col("b").alias("c")), ["b", "c"])
+    per_node = (tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+                .groupBy("id").agg(F.count(F.lit(1)).alias("t")))
+    return (nodes.join(per_node, "id", "left")
+            .select("id", F.coalesce(F.col("t"), F.lit(0))
+                    .cast("long").alias("triangles")))
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`triangle_counts`. ``edges_sql`` must
+    yield CANONICAL undirected edges ``(u, v)`` with ``u < v`` and no
+    duplicates; each triangle a<b<c then matches the three-way
+    equi-join exactly once, so no degree orientation is needed on the
+    single-node side (counts are integers — order-independent)."""
+    return f"""
+      WITH e AS ({edges_sql}),
+      t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ), x AS (
+        SELECT a AS id FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      ), n AS (SELECT u AS id FROM e UNION SELECT v FROM e)
+      SELECT CAST(n.id AS BIGINT) AS id,
+             CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+      FROM n LEFT JOIN (SELECT id, COUNT(*) AS c FROM x GROUP BY id) cnt
+             ON n.id = cnt.id
+    """
+
+
 def pagerank_oracle_sql(edges_sql: str, *, iterations: int = 3,
                         damping_pct: int = 85,
                         scale: int = 1_000_000) -> str:

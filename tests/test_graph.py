@@ -85,3 +85,65 @@ def test_pagerank_hub_outranks_leaf(spark):
     assert got[0] > max(v for k, v in got.items() if k != 0)
     # leaves are symmetric
     assert len({v for k, v in got.items() if k != 0}) == 1
+
+
+def _brute_triangles(und_edges):
+    """und_edges: set of canonical (u, v) u < v tuples."""
+    adj = {}
+    for u, v in und_edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {n: 0 for n in adj}
+    es = sorted(und_edges)
+    for u, v in es:
+        for w in adj[u] & adj[v]:
+            if w > v:  # each triangle once as u < v < w
+                for x in (u, v, w):
+                    counts[x] += 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import triangle_counts
+    raw = _random_edges(40, 220, seed=17)  # directed, both orders mixed
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    got = {r.id: r.triangles for r in
+           triangle_counts(spark.createDataFrame(raw, "src int, dst int"))
+           .collect()}
+    assert got == _brute_triangles(und)
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    from cdap_geo_spark.operators.graph import triangle_counts
+    # triangle 1-2-3 given redundantly (both orders, dup, self-loop)
+    # plus a pendant node 4 that closes nothing
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (3, 3), (3, 4)]
+    got = {r.id: r.triangles for r in
+           triangle_counts(spark.createDataFrame(edges, "src int, dst int"))
+           .collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangle_counts_no_nested_loop(spark):
+    from cdap_geo_spark.operators.graph import triangle_counts
+    edges = spark.createDataFrame(_random_edges(30, 100, seed=3),
+                                  "src int, dst int")
+    plan = triangle_counts(edges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_triangle_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import (triangle_counts,
+                                                triangle_oracle_sql)
+    raw = _random_edges(35, 180, seed=29)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    got = {r.id: r.triangles for r in
+           triangle_counts(spark.createDataFrame(raw, "src int, dst int"))
+           .collect()}
+    vals = ", ".join(f"({u}, {v})" for u, v in und)
+    sql = triangle_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(u, v)")
+    want = {int(i): int(c) for i, c in duckdb.sql(sql).fetchall()}
+    assert got == want
