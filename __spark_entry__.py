@@ -699,6 +699,19 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_w") * 100).cast("long").alias("value_w100"))
 
 
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resampling with LOCF gap fill
+    (operators/timeseries.resample_locf): per-user spine exploded
+    map-side from a key-dimension aggregate, fill as a running
+    last(ignorenulls); integer-scaled values — hashable."""
+    from cdap_geo_spark.operators.timeseries import resample_locf
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = resample_locf(ev, key="user_id", step_seconds=3600)
+    return out.select(F.col("user_id").cast("long"), "bucket",
+                      "value_scaled", "observed")
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py) over the region
     bbox-adjacency graph: edges = ordered pairs of distinct region
@@ -1208,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers": _q_outliers,
         "winsorize": _q_winsorize,
         "triangles": _q_triangles,
+        "resample": _q_resample,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2364,6 +2378,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "triangles": _triangles_sql(),
+        # same bucket rule (unix micros DIV step), same greatest-(ts,id)
+        # per-bucket winner, same generate_series spine + LOCF window
+        "resample": """
+          WITH b AS (
+            SELECT user_id,
+                   epoch_us(ts) // 3600000000 AS bucket,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x,
+                   ts, event_id
+            FROM events
+          ), ob AS (
+            SELECT user_id, bucket, x FROM (
+              SELECT user_id, bucket, x,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn
+              FROM b) WHERE rn = 1
+          ), sp AS (
+            SELECT user_id,
+                   unnest(generate_series(MIN(bucket), MAX(bucket)))
+                     AS bucket
+            FROM ob GROUP BY user_id
+          )
+          SELECT CAST(sp.user_id AS BIGINT) AS user_id, sp.bucket,
+                 LAST_VALUE(ob.x IGNORE NULLS) OVER (
+                   PARTITION BY sp.user_id ORDER BY sp.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_scaled,
+                 ob.x IS NOT NULL AS observed
+          FROM sp LEFT JOIN ob USING (user_id, bucket)
+        """,
         # quadratic dominance NOT-EXISTS — affordable for the oracle,
         # exactly what the Spark two-phase plan avoids
         "skyline": """

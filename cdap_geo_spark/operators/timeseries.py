@@ -296,6 +296,58 @@ def winsorize(df: DataFrame, *, group: str, value_col: str,
             .drop("_x", "_lo", "_hi"))
 
 
+def resample_locf(events: DataFrame, *, key: str = "user_id",
+                  ts_col: str = "ts", value_col: str = "value",
+                  step_seconds: int = 3600, tie_col: str = "event_id",
+                  value_scale: int = 100) -> DataFrame:
+    """Fixed-step resampling with last-observation-carried-forward gap
+    fill: one output row per ``key`` per ``step_seconds`` bucket from
+    the key's first observed bucket to its last, carrying the most
+    recent observation forward across empty buckets.
+
+    Within a bucket "the last observation" is deterministic: greatest
+    ``(ts, tie_col)`` wins (pass the row's unique id). Values are
+    integer-scaled (``x = round(value·scale)`` BIGINT) so the filled
+    series is cross-engine value-hashable — emitted as ``value_scaled``
+    plus an ``observed`` flag.
+
+    Plan: bucket ids are exact integer division of ``unix_micros`` (no
+    window); per-bucket last is ONE keyed aggregation via
+    ``max_by(x, (ts, tie))``; each key's dense bucket spine is
+    ``sequence(min_b, max_b)`` EXPLODED map-side from a key-dimension
+    aggregate (never a driver loop, never a cross join with a
+    calendar table); the fill is a per-key running ``last(ignorenulls)``
+    window. Two data-sized exchanges total — (key, bucket) for the agg
+    and key for the fill — both on the declared keys, AQE-sized.
+    Spine size is the output size (Σ per-key bucket span), the
+    inherent cost of dense resampling; at 100 TB choose
+    ``step_seconds`` so that output, not this operator, is the bound.
+    """
+    if step_seconds <= 0:
+        raise ValueError("resample_locf: step_seconds must be > 0")
+    step_us = step_seconds * _US
+    x = F.round(F.col(value_col) * value_scale).cast("long")
+    b = events.select(
+        F.col(key),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {step_us}")
+         .alias("bucket"),
+        x.alias("_x"),
+        F.struct(F.col(ts_col).alias("t"),
+                 F.col(tie_col).alias("i")).alias("_ord"))
+    ob = b.groupBy(key, "bucket").agg(
+        F.max_by("_x", "_ord").alias("_obs"))
+    spine = (ob.groupBy(key)
+             .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+             .select(key, F.explode(F.sequence("_lo", "_hi")).alias("bucket")))
+    w = Window.partitionBy(key).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (spine.join(ob, [key, "bucket"], "left")
+            .select(key, "bucket",
+                    F.last("_obs", ignorenulls=True).over(w)
+                     .alias("value_scaled"),
+                    F.col("_obs").isNotNull().alias("observed")))
+
+
 def retention_cohorts(events: DataFrame, *, key: str = "user_id",
                       ts_col: str = "ts") -> DataFrame:
     """Classic cohort retention: cohort = the key's FIRST active day;

@@ -310,3 +310,44 @@ def test_winsorize_plan_broadcasts_bounds(spark):
                      value_col="value")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bounds ride back map-side
+
+
+def test_resample_locf_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.timeseries import resample_locf
+    pdf = _mk_events(250, 6, seed=31)
+    step = 7200
+    out = resample_locf(spark.createDataFrame(pdf), key="user_id",
+                        step_seconds=step).toPandas()
+    us = 1_000_000
+    for uid, grp in pdf.groupby("user_id"):
+        # brute force: per bucket, greatest (ts, event_id) wins
+        obs = {}
+        for r in sorted(grp.itertuples(),
+                        key=lambda r: (r.ts, r.event_id)):
+            bkt = int(pd.Timestamp(r.ts).value // 1000 // (step * us) * 1)
+            obs[bkt] = int(round(r.value * 100))
+        lo, hi = min(obs), max(obs)
+        sub = out[out.user_id == uid].set_index("bucket")
+        assert sorted(sub.index) == list(range(lo, hi + 1))
+        carried = None
+        for bkt in range(lo, hi + 1):
+            if bkt in obs:
+                carried = obs[bkt]
+                assert bool(sub.loc[bkt, "observed"])
+            else:
+                assert not bool(sub.loc[bkt, "observed"])
+            assert sub.loc[bkt, "value_scaled"] == carried
+
+
+def test_resample_locf_tie_and_validation(spark):
+    from cdap_geo_spark.operators.timeseries import resample_locf
+    # two rows in the same bucket at the SAME ts: greater event_id wins
+    t = T0 + dt.timedelta(seconds=10)
+    pdf = pd.DataFrame({"event_id": [1, 2], "ts": [t, t],
+                        "user_id": [5, 5], "event_type": ["a", "a"],
+                        "value": [1.0, 9.0]})
+    sdf = spark.createDataFrame(pdf)
+    rows = resample_locf(sdf, key="user_id").collect()
+    assert len(rows) == 1 and rows[0].value_scaled == 900
+    with pytest.raises(ValueError):
+        resample_locf(sdf, key="user_id", step_seconds=0)
