@@ -699,6 +699,23 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_w") * 100).cast("long").alias("value_w100"))
 
 
+def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag click→view attribution (streaming/joins.attach_within,
+    the stream-stream join run on its batch twin): equi-join on user
+    with the 4 h range residual — SortMergeJoin, never a nested loop;
+    exact integer lag_us makes the relation hashable."""
+    from cdap_geo_spark.streaming.joins import attach_within
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = attach_within(ev.where(F.col("event_type") == "click"),
+                        ev.where(F.col("event_type") == "view"),
+                        max_lag_minutes=240)
+    return out.select(F.col("key").cast("long").alias("user_id"),
+                      F.col("l_id").cast("long").alias("click_id"),
+                      F.col("r_id").cast("long").alias("view_id"),
+                      "lag_us")
+
+
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly resampling with LOCF gap fill
     (operators/timeseries.resample_locf): per-user spine exploded
@@ -1222,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         "triangles": _q_triangles,
         "resample": _q_resample,
+        "click_attach": _q_click_attach,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2378,6 +2396,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "triangles": _triangles_sql(),
+        "click_attach": """
+          SELECT CAST(c.user_id AS BIGINT) AS user_id,
+                 CAST(c.event_id AS BIGINT) AS click_id,
+                 CAST(v.event_id AS BIGINT) AS view_id,
+                 epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+          FROM events c JOIN events v
+            ON c.user_id = v.user_id
+           AND v.ts >= c.ts - INTERVAL 240 MINUTE AND v.ts <= c.ts
+          WHERE c.event_type = 'click' AND v.event_type = 'view'
+        """,
         # same bucket rule (unix micros DIV step), same greatest-(ts,id)
         # per-bucket winner, same generate_series spine + LOCF window
         "resample": """

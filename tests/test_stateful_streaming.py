@@ -425,3 +425,122 @@ def test_session_stats_matches_bruteforce_and_single_exchange(spark):
     plan = (out._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0])
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_attach_within_batch_matches_bruteforce(spark):
+    import datetime as dt
+    import random
+
+    from cdap_geo_spark.operators import sjoin  # noqa: F401
+    from cdap_geo_spark.streaming.joins import attach_within
+
+    t0 = dt.datetime(2026, 1, 1)
+    rng = random.Random(13)
+    rows = [(i, t0 + dt.timedelta(minutes=rng.randrange(600)),
+             rng.randrange(8), rng.choice(["click", "view"]))
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.key, r.l_id, r.r_id, r.lag_us) for r in
+           attach_within(df.where("event_type='click'"),
+                         df.where("event_type='view'"),
+                         max_lag_minutes=30).collect()}
+    want = set()
+    for cid, cts, cu, ctyp in rows:
+        if ctyp != "click":
+            continue
+        for vid, vts, vu, vtyp in rows:
+            if (vtyp == "view" and vu == cu and vts <= cts
+                    and vts >= cts - dt.timedelta(minutes=30)):
+                want.add((cu, cid, vid,
+                          int((cts - vts).total_seconds() * 1_000_000)))
+    assert got == want and len(want) > 0
+
+
+def test_attach_within_batch_plan_no_nested_loop(spark):
+    import datetime as dt
+
+    from cdap_geo_spark.streaming.joins import attach_within
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), i % 4, "click") for i in
+         range(50)],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    plan = attach_within(df, df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        attach_within(df, df, max_lag_minutes=0)
+
+
+def test_attach_within_stream_equals_batch_across_microbatches(spark,
+                                                               tmp_path):
+    """Stream-stream inner join: a click whose matching view arrives in
+    a LATER micro-batch still pairs (the click is buffered in the join
+    state until the watermark passes), and the final streamed relation
+    equals the batch twin exactly."""
+    import datetime as dt
+    import time
+
+    from cdap_geo_spark.streaming.joins import attach_within
+    from cdap_geo_spark.streaming.windows import stream_from_directory
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, mins, uid, typ):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, typ)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    # batch 1: user 1's click BEFORE its view arrives; user 2 complete;
+    # user 4's same-instant pair; user 3's view too old to match
+    b1 = spark.createDataFrame(
+        [ev(10, 30, 1, "click"), ev(20, 60, 2, "view"),
+         ev(21, 70, 2, "click"), ev(30, 0, 3, "view"),
+         ev(40, 120, 4, "view"), ev(41, 120, 4, "click")], schema)
+    # batch 2: user 1's view (ts BEFORE the already-seen click),
+    # user 3's click 10h later (outside the 4h lag), plus a flush row
+    b2 = spark.createDataFrame(
+        [ev(11, 0, 1, "view"), ev(31, 600, 3, "click"),
+         ev(99, 1200, 9, "view")], schema)
+
+    src = str(tmp_path / "att_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, b1.schema)
+    out = attach_within(stream.where("event_type='click'"),
+                        stream.where("event_type='view'"),
+                        max_lag_minutes=240, watermark="4 hours")
+    q = (out.writeStream.format("memory").queryName("att")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "att_ckpt"))
+         .trigger(processingTime="1 second").start())
+
+    def rows():
+        return {tuple(r) for r in spark.sql(
+            "select key, l_id, r_id, lag_us from att").collect()}
+
+    def wait_for(n, timeout=90):
+        t1 = time.time()
+        while len(rows()) < n:
+            assert time.time() - t1 < timeout, \
+                f"stuck at {len(rows())}/{n}: {rows()}"
+            time.sleep(0.5)
+
+    try:
+        wait_for(2)   # (2) and (4) pair within batch 1
+        b2.coalesce(1).write.mode("append").parquet(src)
+        wait_for(3)   # user 1's cross-batch pair emits
+        streamed = rows()
+    finally:
+        q.stop()
+
+    batch = {tuple(r) for r in
+             attach_within(b1.unionByName(b2).where("event_type='click'"),
+                           b1.unionByName(b2).where("event_type='view'"),
+                           max_lag_minutes=240).collect()}
+    assert streamed == batch
+    assert (1, 10, 11, 30 * 60 * 1_000_000) in streamed
+    assert (4, 41, 40, 0) in streamed
+    assert not any(k == 3 for k, *_ in streamed)
