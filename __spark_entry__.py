@@ -699,6 +699,30 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_w") * 100).cast("long").alias("value_w100"))
 
 
+_HULL_PTS = """
+  SELECT c_nationkey AS g,
+         (c_custkey * 9973 + 7) % 1000003 AS x,
+         (c_custkey * 6151 + 3) % 999983 AS y
+  FROM customer
+"""
+
+
+def _q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation convex hull (operators/hull.convex_hull) over
+    hash-derived integer customer points: native Akl-Toussaint cull →
+    per-partition partial chains → exact final chain; vertex set is
+    exact BIGINTs, hash-checked against the O(n^3) hull-edge SQL."""
+    from cdap_geo_spark.operators.hull import convex_hull
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pts = cust.select(
+        F.col("c_nationkey").alias("g"),
+        ((F.col("c_custkey") * 9973 + 7) % 1000003).alias("x"),
+        ((F.col("c_custkey") * 6151 + 3) % 999983).alias("y"))
+    out = convex_hull(pts, group="g", x_col="x", y_col="y")
+    return out.select(F.col("g").cast("long"), "x", "y")
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -769,6 +793,14 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.where(F.col("a") != F.col("b"))
     out = triangle_counts(edges, src="a", dst="b")
     return out.select(F.col("id").cast("long"), "triangles")
+
+
+def _hull_sql() -> str:
+    """DuckDB twin of `convex_hull`: the O(n^3) hull-edge definition
+    over the same hash-derived points (see operators/hull.py —
+    definition-equal to the monotone chain, all-integer)."""
+    from cdap_geo_spark.operators.hull import hull_oracle_sql
+    return hull_oracle_sql(_HULL_PTS)
 
 
 def _triangles_sql() -> str:
@@ -1240,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "resample": _q_resample,
         "click_attach": _q_click_attach,
+        "convex_hull": _q_hull,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2396,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "triangles": _triangles_sql(),
+        "convex_hull": _hull_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,
