@@ -723,6 +723,23 @@ def _q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("g").cast("long"), "x", "y")
 
 
+def _q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation farthest point pair (operators/hull.hull_diameter):
+    exact squared distance over hull vertices only — the all-pairs max
+    never touches the raw points; deterministic smallest achieving
+    pair on ties."""
+    from cdap_geo_spark.operators.hull import hull_diameter
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pts = cust.select(
+        F.col("c_nationkey").alias("g"),
+        ((F.col("c_custkey") * 9973 + 7) % 1000003).alias("x"),
+        ((F.col("c_custkey") * 6151 + 3) % 999983).alias("y"))
+    out = hull_diameter(pts, group="g", x_col="x", y_col="y")
+    return out.select(F.col("g").cast("long"), "d2",
+                      "ax", "ay", "bx", "by")
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -801,6 +818,12 @@ def _hull_sql() -> str:
     definition-equal to the monotone chain, all-integer)."""
     from cdap_geo_spark.operators.hull import hull_oracle_sql
     return hull_oracle_sql(_HULL_PTS)
+
+
+def _hull_diameter_sql() -> str:
+    """DuckDB twin of `hull_diameter` (see operators/hull.py)."""
+    from cdap_geo_spark.operators.hull import hull_diameter_oracle_sql
+    return hull_diameter_oracle_sql(_HULL_PTS)
 
 
 def _triangles_sql() -> str:
@@ -1273,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "click_attach": _q_click_attach,
         "convex_hull": _q_hull,
+        "hull_diameter": _q_hull_diameter,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2430,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "triangles": _triangles_sql(),
         "convex_hull": _hull_sql(),
+        "hull_diameter": _hull_diameter_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

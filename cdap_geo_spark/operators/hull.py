@@ -124,6 +124,71 @@ def convex_hull(df: DataFrame, *, group: str, x_col: str,
             .select(F.col("g").alias(group), "x", "y"))
 
 
+def hull_diameter(df: DataFrame, *, group: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group diameter (farthest point pair): returns
+    ``(group, d2, ax, ay, bx, by)`` where ``d2`` is the EXACT squared
+    euclidean distance (BIGINT — no sqrt, so hashable) and (a, b) is
+    the lexicographically-smallest achieving pair (deterministic under
+    ties).
+
+    The diameter of a point set is attained between two CONVEX HULL
+    vertices, so this composes over :func:`convex_hull`: the all-pairs
+    max runs only over each group's hull vertex set — O(h²) per group
+    on relations the hull stage already reduced to the boundary band,
+    never an all-pairs join over the raw points. (The classic rotating
+    calipers is O(h); at h ≤ a few hundred per group the equi-joined
+    O(h²) max is one codegen'd aggregate and keeps the whole operator
+    declarative.)
+    """
+    h = convex_hull(df, group=group, x_col=x_col, y_col=y_col)
+    a = h.select(F.col(group).alias("g"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = h.select(F.col(group).alias("g"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    pairs = (a.join(b, "g")
+             .where((F.col("ax") < F.col("bx"))
+                    | ((F.col("ax") == F.col("bx"))
+                       & (F.col("ay") <= F.col("by")))))
+    d2 = ((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+          + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")))
+    key = F.struct(d2.alias("d2"),
+                   (-F.col("ax")).alias("nax"), (-F.col("ay")).alias("nay"),
+                   (-F.col("bx")).alias("nbx"), (-F.col("by")).alias("nby"))
+    best = (pairs.groupBy("g")
+            .agg(F.max(key).alias("k"))
+            .select(F.col("g").alias(group),
+                    F.col("k.d2").alias("d2"),
+                    (-F.col("k.nax")).alias("ax"),
+                    (-F.col("k.nay")).alias("ay"),
+                    (-F.col("k.nbx")).alias("bx"),
+                    (-F.col("k.nby")).alias("by")))
+    return best
+
+
+def hull_diameter_oracle_sql(points_sql: str) -> str:
+    """DuckDB twin of :func:`hull_diameter`: max squared distance over
+    the SQL hull vertex set, smallest achieving pair on ties (same
+    max-of-negated-struct rule)."""
+    return f"""
+      WITH hv AS ({hull_oracle_sql(points_sql)}),
+      pr AS (
+        SELECT a.g,
+               (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)
+                 AS d2,
+               a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+        FROM hv a JOIN hv b ON a.g = b.g
+         AND (a.x < b.x OR (a.x = b.x AND a.y <= b.y))
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY g ORDER BY d2 DESC, ax, ay, bx, by) AS rn
+        FROM pr
+      )
+      SELECT CAST(g AS BIGINT) AS g, d2, ax, ay, bx, by
+      FROM rk WHERE rn = 1
+    """
+
+
 def hull_oracle_sql(points_sql: str) -> str:
     """ANSI-SQL twin of :func:`convex_hull` for DuckDB. ``points_sql``
     must yield ``(g, x, y)`` integer points (duplicates allowed — they

@@ -125,3 +125,40 @@ def test_hull_oracle_sql_twin_matches(spark):
     want = {(int(g), int(x), int(y))
             for g, x, y in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_hull_diameter_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.hull import hull_diameter
+    rows = []
+    for g in range(3):
+        rows += [(g, x, y) for x, y in _rand_pts(60, 300, seed=70 + g)]
+    rows.append((3, 8, 9))  # single-point group: d2 = 0, pair = itself
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {r.g: (r.d2, r.ax, r.ay, r.bx, r.by) for r in
+           hull_diameter(df, group="g", x_col="x", y_col="y").collect()}
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, set()).add((x, y))
+    for g, pts in by_g.items():
+        best = max(((bx - ax) ** 2 + (by - ay) ** 2, -ax, -ay, -bx, -by)
+                   for ax, ay in pts for bx, by in pts
+                   if (ax, ay) <= (bx, by))
+        want = (best[0], -best[1], -best[2], -best[3], -best[4])
+        assert got[g] == want, f"group {g}"
+    assert got[3] == (0, 8, 9, 8, 9)
+
+
+def test_hull_diameter_oracle_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.hull import (hull_diameter,
+                                               hull_diameter_oracle_sql)
+    rows = [(g, x, y) for g in range(2)
+            for x, y in _rand_pts(50, 120, seed=90 + g)]
+    df = spark.createDataFrame(rows, "g long, x long, y long")
+    got = {tuple(r) for r in
+           hull_diameter(df, group="g", x_col="x", y_col="y").collect()}
+    vals = ", ".join(f"({g}, {x}, {y})" for g, x, y in rows)
+    sql = hull_diameter_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(g, x, y)")
+    want = {tuple(int(v) for v in row) for row in duckdb.sql(sql).fetchall()}
+    assert got == want
