@@ -740,6 +740,36 @@ def _q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ax", "ay", "bx", "by")
 
 
+_BM25_QUERIES = [("q_join", "spark join window"),
+                 ("q_scan", "hash scan filter"),
+                 ("q_cust", "customer order value"),
+                 ("q_vec", "vector stream batch")]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/text.bm25_topk) for four fixed
+    probe queries: one float log per term times an exact integer
+    ratio, micro-unit rounded, summed as BIGINT — a float ranking the
+    value hash cannot disagree on."""
+    from cdap_geo_spark.operators.text import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id string, query_text string")
+    return bm25_topk(docs, qs, k=10).select(
+        "query_id", F.col("doc_id").cast("long"), "score_u", "rank")
+
+
+def _bm25_sql() -> str:
+    from cdap_geo_spark.operators.text import bm25_oracle_sql
+    qv = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    return bm25_oracle_sql(
+        docs_sql="SELECT doc_id, text FROM documents",
+        queries_sql=(f"SELECT * FROM (VALUES {qv}) "
+                     f"AS q(query_id, query_text)"),
+        k=10)
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -1297,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attach": _q_click_attach,
         "convex_hull": _q_hull,
         "hull_diameter": _q_hull_diameter,
+        "bm25": _q_bm25,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2455,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_sql(),
         "convex_hull": _hull_sql(),
         "hull_diameter": _hull_diameter_sql(),
+        "bm25": _bm25_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

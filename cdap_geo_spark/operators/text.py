@@ -613,3 +613,124 @@ def pii_scrub(df: DataFrame, *, text_col: str = "text",
     for _, rx, repl in pats:
         scrubbed = F.regexp_replace(scrubbed, rx, repl)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def bm25_topk(df: DataFrame, queries: DataFrame, *, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text") -> DataFrame:
+    """Top-``k`` documents per query under BM25 (k1 = 1.2, b = 0.75,
+    Robertson idf, query-term frequency treated as 1) — the retrieval
+    ranking pass of a search / RAG pipeline.
+
+    Cross-engine exactness (how a float ranking can be value-hashed):
+    with k1 = 6/5 and b = 3/4 the tf-saturation factor is RATIONAL —
+    ``tf·(k1+1) / (tf + k1(1-b+b·dl/avgdl)) = 44·L·tf / (20·L·tf +
+    6·L + 18·dl·N)`` for corpus token total ``L`` and doc count ``N``
+    — so each term's contribution needs exactly ONE transcendental
+    (the idf log) times one exact integer ratio, evaluated in the same
+    literal expression shape in both engines, rounded to micro-units
+    and summed as BIGINT. Integer sums are order-independent, so the
+    distributed aggregation cannot disagree with the single-node twin
+    at any schedule. Magnitude contract: ``20·L·tf`` must fit int64 —
+    L < ~4.6e14 for tf ≤ 1000; beyond that shard the corpus and merge
+    per-shard scores (they are exact integers).
+
+    Scale shape: the only corpus-sized relations are (doc, token, tf)
+    and (doc, dl), both one keyed aggregation with map-side partials;
+    the query-token relation is broadcast onto tf; df / N / L are
+    token-dimension or 1-row broadcasts; the (query, doc) sum
+    shuffles only matching pairs; top-k is a per-query window (no
+    global sort). Returns ``(query_id, doc_id, score_u, rank)`` with
+    ``score_u`` the exact micro-unit BIGINT score; ties rank by
+    ``doc_id`` ascending.
+    """
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+              .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    glob = toks.agg(
+        F.countDistinct(id_col).alias("_n"),
+        F.count(F.lit(1)).alias("_l"))
+    qtok = (queries.select(F.col(query_id_col),
+                           F.explode(F.split(F.lower(F.trim(
+                               F.col(query_text_col))), r"\s+"))
+                           .alias("token"))
+            .filter(F.col("token") != "").distinct())
+    num = (44 * F.col("_l") * F.col("tf")).cast("double")
+    den = (20 * F.col("_l") * F.col("tf") + 6 * F.col("_l")
+           + 18 * F.col("dl") * F.col("_n")).cast("double")
+    idf = F.log((F.col("_n") + 1.0) / (F.col("df") + 0.5))
+    contrib = F.round(idf * (num / den) * 1000000.0).cast("long")
+    scored = (tf.join(F.broadcast(qtok), "token")
+                .join(docfreq, "token")
+                .join(dl, id_col)
+                .crossJoin(F.broadcast(glob))
+                .groupBy(query_id_col, id_col)
+                .agg(F.sum(contrib).alias("score_u")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(query_id_col)
+               .orderBy(F.desc("score_u"), F.asc(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, id_col, "score_u",
+                          F.col("rank").cast("int")))
+
+
+def bm25_oracle_sql(*, docs_sql: str, queries_sql: str,
+                    k: int = 10) -> str:
+    """DuckDB twin of :func:`bm25_topk` — the same literal expression
+    shape for the one float per term (LN times exact integer ratio,
+    rounded to micro-units), then exact BIGINT sums and the same
+    (score desc, doc_id) ranking. ``docs_sql`` yields (doc_id, text);
+    ``queries_sql`` yields (query_id, query_text)."""
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+      ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+      ), docfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY token
+      ), gl AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS l
+        FROM tok
+      ), qtok AS (
+        SELECT DISTINCT query_id, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(query_text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({queries_sql})
+      ), sc AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(SUM(CAST(ROUND(
+                 LN((g.n + 1.0) / (docfreq.df + 0.5))
+                 * (CAST(44 * g.l * tf.tf AS DOUBLE)
+                    / CAST(20 * g.l * tf.tf + 6 * g.l
+                           + 18 * dl.dl * g.n AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u
+        FROM tf JOIN qtok q USING (token)
+                JOIN docfreq USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN gl g
+        GROUP BY q.query_id, tf.doc_id
+      ), rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rank
+        FROM sc
+      )
+      SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score_u,
+             CAST(rank AS INT) AS rank
+      FROM rk WHERE rank <= {k}
+    """

