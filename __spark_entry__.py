@@ -871,6 +871,42 @@ def _triangles_sql() -> str:
     return triangle_oracle_sql(edges)
 
 
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.bfs_hops) over
+    the region bbox-adjacency graph from every 97th region: frontier
+    propagation (work = edges touched, not rounds × nodes), settled
+    state one row per reached node."""
+    from cdap_geo_spark.operators.graph import bfs_hops
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    srcs = regions.where(F.col("region_id") % 97 == 0) \
+        .select(F.col("region_id").alias("id"))
+    out = bfs_hops(edges, srcs, src="a", dst="b", max_hops=3)
+    return out.select(F.col("id").cast("long"), "hops")
+
+
+def _bfs_sql() -> str:
+    """DuckDB twin of `bfs` (see operators/graph.bfs_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import bfs_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS src, c.region_id AS dst
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id <> c.region_id
+    """
+    srcs = (f"SELECT region_id AS id FROM ({_BOXES}) "
+            f"WHERE region_id % 97 = 0")
+    return bfs_oracle_sql(edges, srcs, max_hops=3)
+
+
 def _q_window_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window token-frequency readout from the streaming CMS
     sketch relation (streaming/windows.windowed_cms + stateless
@@ -1328,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": _q_hull,
         "hull_diameter": _q_hull_diameter,
         "bm25": _q_bm25,
+        "bfs": _q_bfs,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2487,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _hull_sql(),
         "hull_diameter": _hull_diameter_sql(),
         "bm25": _bm25_sql(),
+        "bfs": _bfs_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

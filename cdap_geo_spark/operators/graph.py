@@ -150,6 +150,71 @@ def triangle_counts(edges: DataFrame, *, src: str = "src",
                     .cast("long").alias("triangles")))
 
 
+def bfs_hops(edges: DataFrame, sources: DataFrame, *,
+             src: str = "src", dst: str = "dst", id_col: str = "id",
+             max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS hop distances over a DIRECTED edge relation
+    (pass both directions for undirected): returns ``(id, hops)`` for
+    every node reachable from any source within ``max_hops`` — exact
+    integers, so hashable cross-engine.
+
+    Frontier-style propagation (the scale property): each round joins
+    only the NEWLY discovered frontier onto the edges, dedups the
+    candidates, and anti-joins the already-settled set — total work is
+    O(edges touched), not O(rounds · |V|); settled state is one row per
+    reached node, ``localCheckpoint``ed per round (lineage truncation,
+    superseded rounds released — the :func:`pagerank` contract).
+    An empty frontier short-circuits the remaining rounds (one cheap
+    ``isEmpty`` on the already-checkpointed frontier per round).
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_hops: max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+             .localCheckpoint(eager=False)
+    track_checkpoint(e)
+    frontier = (sources.select(F.col(id_col).alias("id")).distinct()
+                .localCheckpoint(eager=True))
+    track_checkpoint(frontier)
+    dist = frontier.withColumn("hops", F.lit(0).cast("long"))
+    for i in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        cand = (frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id")).distinct())
+        new = (cand.join(dist.select("id"), "id", "left_anti")
+               .localCheckpoint(eager=True))
+        # every frontier is a disjoint slice of the RESULT (dist is
+        # their union), so none may be released before the caller's
+        # checkpoint_scope closes — total pinned state is exactly one
+        # row per reached node
+        track_checkpoint(new)
+        frontier = new
+        dist = dist.unionByName(
+            new.withColumn("hops", F.lit(i).cast("long")))
+    return dist
+
+
+def bfs_oracle_sql(edges_sql: str, sources_sql: str, *,
+                   max_hops: int = 4) -> str:
+    """ANSI-SQL twin of :func:`bfs_hops`, rounds unrolled as chained
+    CTEs (frontier EXCEPT settled per round). ``edges_sql`` yields
+    (src, dst); ``sources_sql`` yields (id)."""
+    parts = [f"e AS ({edges_sql})",
+             f"f0 AS (SELECT DISTINCT id FROM ({sources_sql}))",
+             "d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM f0)"]
+    for i in range(1, max_hops + 1):
+        parts.append(f"""f{i} AS (
+          SELECT DISTINCT e.dst AS id
+          FROM e JOIN f{i - 1} ON e.src = f{i - 1}.id
+          EXCEPT SELECT id FROM d{i - 1})""")
+        parts.append(f"""d{i} AS (
+          SELECT * FROM d{i - 1}
+          UNION ALL SELECT id, CAST({i} AS BIGINT) FROM f{i})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(id AS BIGINT) AS id, hops"
+              f" FROM d{max_hops}")
+
+
 def triangle_oracle_sql(edges_sql: str) -> str:
     """ANSI-SQL twin of :func:`triangle_counts`. ``edges_sql`` must
     yield CANONICAL undirected edges ``(u, v)`` with ``u < v`` and no

@@ -147,3 +147,60 @@ def test_triangle_oracle_sql_twin_matches(spark):
     sql = triangle_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(u, v)")
     want = {int(i): int(c) for i, c in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def _brute_bfs(edges, sources, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for i in range(1, max_hops + 1):
+        nxt = {b for a in frontier for b in adj.get(a, [])
+               if b not in dist}
+        for b in nxt:
+            dist[b] = i
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import bfs_hops
+    edges = _random_edges(60, 200, seed=77)
+    sources = [0, 7, 13]
+    got = {r.id: r.hops for r in bfs_hops(
+        spark.createDataFrame(edges, "src int, dst int"),
+        spark.createDataFrame([(s,) for s in sources], "id int"),
+        max_hops=3).collect()}
+    assert got == _brute_bfs(edges, sources, 3)
+
+
+def test_bfs_hops_short_circuit_and_validation(spark):
+    from cdap_geo_spark.operators.graph import bfs_hops
+    # a 3-chain exhausted after 2 hops: max_hops=10 must still finish
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    srcs = spark.createDataFrame([(1,)], "id int")
+    got = {r.id: r.hops for r in
+           bfs_hops(edges, srcs, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bfs_hops(edges, srcs, max_hops=-1)
+
+
+def test_bfs_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import bfs_hops, bfs_oracle_sql
+    edges = _random_edges(40, 120, seed=101)
+    sources = [2, 5]
+    got = {(r.id, r.hops) for r in bfs_hops(
+        spark.createDataFrame(edges, "src int, dst int"),
+        spark.createDataFrame([(s,) for s in sources], "id int"),
+        max_hops=4).collect()}
+    ev = ", ".join(f"({a}, {b})" for a, b in edges)
+    sv = ", ".join(f"({s})" for s in sources)
+    sql = bfs_oracle_sql(f"SELECT * FROM (VALUES {ev}) AS e(src, dst)",
+                         f"SELECT * FROM (VALUES {sv}) AS s(id)",
+                         max_hops=4)
+    want = {(int(i), int(h)) for i, h in duckdb.sql(sql).fetchall()}
+    assert got == want
