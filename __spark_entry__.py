@@ -770,6 +770,15 @@ def _bm25_sql() -> str:
         k=10)
 
 
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token collocations by PMI (operators/text.pmi_pairs):
+    one log of an exact integer ratio, rounded before ranking."""
+    from cdap_geo_spark.operators.text import pmi_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return pmi_pairs(docs, min_count=5, k=50)
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -890,6 +899,13 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("region_id").alias("id"))
     out = bfs_hops(edges, srcs, src="a", dst="b", max_hops=3)
     return out.select(F.col("id").cast("long"), "hops")
+
+
+def _pmi_sql() -> str:
+    """DuckDB twin of `pmi` (see operators/text.pmi_oracle_sql)."""
+    from cdap_geo_spark.operators.text import pmi_oracle_sql
+    return pmi_oracle_sql("SELECT doc_id, text FROM documents",
+                          min_count=5, k=50)
 
 
 def _bfs_sql() -> str:
@@ -1365,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_diameter": _q_hull_diameter,
         "bm25": _q_bm25,
         "bfs": _q_bfs,
+        "pmi": _q_pmi,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2525,6 +2542,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_diameter": _hull_diameter_sql(),
         "bm25": _bm25_sql(),
         "bfs": _bfs_sql(),
+        "pmi": _pmi_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

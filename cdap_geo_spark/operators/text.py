@@ -734,3 +734,82 @@ def bm25_oracle_sql(*, docs_sql: str, queries_sql: str,
              CAST(rank AS INT) AS rank
       FROM rk WHERE rank <= {k}
     """
+
+
+def pmi_pairs(df: DataFrame, *, min_count: int = 5, k: int = 50,
+              text_col: str = "text", id_col: str = "doc_id",
+              round_dp: int = 6) -> DataFrame:
+    """Top-``k`` token pairs by pointwise mutual information —
+    ``PMI(x, y) = ln(N·c_xy / (c_x·c_y))`` over document-level
+    co-occurrence (presence, not counts) — the association-mining /
+    collocation pass of a corpus analysis pipeline.
+
+    Exactness: every count is an exact BIGINT; the PMI is ONE log of
+    one exact integer ratio, written with the identical expression
+    shape in both engines and rounded to ``round_dp`` BEFORE the
+    (pmi desc, x, y) ranking — so the top-k is deterministic and
+    value-hashable (the :func:`bm25_topk` discipline).
+
+    Scale: the corpus-sized relation is the DISTINCT (doc, token)
+    presence relation (one keyed agg); pair generation is a per-doc
+    self-join under ``x < y`` — shuffle keyed by doc, per-doc cost
+    quadratic in UNIQUE tokens per doc (inherent to co-occurrence;
+    cap upstream with a per-doc vocab filter when documents are
+    unbounded); token marginals are a token-dimension broadcast; the
+    final top-k is a TakeOrdered (no global sort materialization).
+    """
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col).alias("_d"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+              .filter(F.col("token") != "")
+              .distinct())
+    n_docs = toks.agg(F.countDistinct("_d").alias("_n"))
+    marg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    a = toks.select("_d", F.col("token").alias("x"))
+    b = toks.select("_d", F.col("token").alias("y"))
+    pairs = (a.join(b, "_d").where(F.col("x") < F.col("y"))
+             .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+             .where(F.col("n_xy") >= min_count))
+    mx = marg.select(F.col("token").alias("x"), F.col("c").alias("cx"))
+    my = marg.select(F.col("token").alias("y"), F.col("c").alias("cy"))
+    pmi = F.round(F.log((F.col("_n") * F.col("n_xy")).cast("double")
+                        / (F.col("cx") * F.col("cy")).cast("double")),
+                  round_dp)
+    return (pairs.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+            .crossJoin(F.broadcast(n_docs))
+            .select("x", "y", "n_xy", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "x", "y")
+            .limit(k))
+
+
+def pmi_oracle_sql(docs_sql: str, *, min_count: int = 5, k: int = 50,
+                   round_dp: int = 6) -> str:
+    """DuckDB twin of :func:`pmi_pairs` (same expression shape, same
+    rounding-before-ranking)."""
+    return f"""
+      WITH tok AS (
+        SELECT DISTINCT doc_id AS d, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), n AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n FROM tok),
+      marg AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY token
+      ), pr AS (
+        SELECT a.token AS x, b.token AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM tok a JOIN tok b ON a.d = b.d AND a.token < b.token
+        GROUP BY a.token, b.token
+        HAVING COUNT(*) >= {min_count}
+      )
+      SELECT pr.x, pr.y, pr.n_xy,
+             ROUND(LN(CAST(n.n * pr.n_xy AS DOUBLE)
+                      / CAST(mx.c * my.c AS DOUBLE)), {round_dp}) AS pmi
+      FROM pr JOIN marg mx ON pr.x = mx.token
+              JOIN marg my ON pr.y = my.token
+              CROSS JOIN n
+      ORDER BY pmi DESC, pr.x, pr.y
+      LIMIT {k}
+    """

@@ -602,3 +602,49 @@ def test_bm25_oracle_twin_matches(spark):
     # sanity: the doc with doubled 'red' outranks single-'red' docs
     a_ranks = {d: r for q, d, s, r in got if q == "a"}
     assert a_ranks[2] < a_ranks[1] or a_ranks[3] < a_ranks[1] or True
+
+
+def test_pmi_pairs_matches_python_and_twin(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import pmi_oracle_sql, pmi_pairs
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rng = random.Random(9)
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(3, 12))))
+            for i in range(60)]
+    got = [(r.x, r.y, r.n_xy, r.pmi) for r in
+           pmi_pairs(spark.createDataFrame(docs, "doc_id long, text string"),
+                     min_count=3, k=8).collect()]
+
+    # python reference
+    pres = {}
+    for d, t in docs:
+        pres[d] = set(t.split())
+    n = len(pres)
+    cx = {}
+    for s in pres.values():
+        for t in s:
+            cx[t] = cx.get(t, 0) + 1
+    nxy = {}
+    for s in pres.values():
+        for x in s:
+            for y in s:
+                if x < y:
+                    nxy[(x, y)] = nxy.get((x, y), 0) + 1
+    rows = [(x, y, c, round(math.log((n * c) / (cx[x] * cx[y])), 6))
+            for (x, y), c in nxy.items() if c >= 3]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == rows[:8]
+
+    dv = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = pmi_oracle_sql(
+        f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)",
+        min_count=3, k=8)
+    want = [(x, y, int(c), float(p))
+            for x, y, c, p in duckdb.sql(sql).fetchall()]
+    assert got == want
