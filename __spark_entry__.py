@@ -779,6 +779,17 @@ def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, min_count=5, k=50)
 
 
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (operators/text.char_entropy):
+    per-char terms micro-nat rounded and summed as BIGINT — a float
+    statistic made order-independent."""
+    from cdap_geo_spark.operators.text import char_entropy
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return char_entropy(docs).select(F.col("doc_id").cast("long"),
+                                     "n_chars", "entropy_micro")
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -906,6 +917,12 @@ def _pmi_sql() -> str:
     from cdap_geo_spark.operators.text import pmi_oracle_sql
     return pmi_oracle_sql("SELECT doc_id, text FROM documents",
                           min_count=5, k=50)
+
+
+def _entropy_sql() -> str:
+    """DuckDB twin of `char_entropy` (see operators/text.py)."""
+    from cdap_geo_spark.operators.text import char_entropy_oracle_sql
+    return char_entropy_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _bfs_sql() -> str:
@@ -1382,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "bfs": _q_bfs,
         "pmi": _q_pmi,
+        "char_entropy": _q_entropy,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2543,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_sql(),
         "bfs": _bfs_sql(),
         "pmi": _pmi_sql(),
+        "char_entropy": _entropy_sql(),
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

@@ -813,3 +813,75 @@ def pmi_oracle_sql(docs_sql: str, *, min_count: int = 5, k: int = 50,
       ORDER BY pmi DESC, pr.x, pr.y
       LIMIT {k}
     """
+
+
+def char_entropy(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the
+    compressibility / gibberish quality signal: near-zero for
+    single-character spam, near ln(alphabet) for uniform noise.
+
+    Exactness (the sketch-family discipline): entropy is
+    ``ln(n) - (Σ c·ln c)/n`` over character counts; a distributed
+    float Σ is schedule-dependent, so each character's term is rounded
+    to MICRO-NATS and summed as BIGINT (order-independent), and the
+    two outer float ops run on identical exact integers in both
+    engines. Emitted as ``entropy_micro`` (BIGINT micro-nats) plus
+    ``n_chars``.
+
+    Scale: characters explode map-side but the exchange carries only
+    the partially-aggregated DISTINCT (doc, char) pairs — bounded by
+    docs × alphabet, not corpus characters; the per-doc sum is a
+    second keyed agg. Empty / NULL texts are excluded (entropy of
+    nothing is undefined).
+    """
+    chars = (df.where(F.col(text_col).isNotNull())
+               .select(F.col(id_col),
+                       F.explode(F.split(F.lower(F.col(text_col)), ""))
+                       .alias("ch"))
+               .filter(F.col("ch") != ""))
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c").cast("double")
+                   * F.log(F.col("c").cast("double"))
+                   * 1000000.0).cast("long")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.sum(term).alias("_s"))
+    h = F.round((F.log(F.col("n_chars").cast("double"))
+                 - F.col("_s").cast("double") / 1000000.0
+                   / F.col("n_chars").cast("double")) * 1000000.0) \
+        .cast("long")
+    return per_doc.select(id_col, F.col("n_chars").cast("long"),
+                          h.alias("entropy_micro"))
+
+
+def char_entropy_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`char_entropy` (same per-term micro-nat
+    rounding, same outer expression shape; chars via per-position
+    substr over a generated index)."""
+    return f"""
+      WITH d AS (SELECT doc_id, lower(text) AS t FROM ({docs_sql})
+                 WHERE text IS NOT NULL),
+      ch AS (
+        SELECT doc_id, substr(t, i, 1) AS ch
+        FROM d, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+        WHERE len(t) > 0
+      ), cnt AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ch GROUP BY doc_id, ch
+      ), pd AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                                   * LN(CAST(c AS DOUBLE))
+                                   * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS s
+        FROM cnt GROUP BY doc_id
+      )
+      SELECT doc_id, n_chars,
+             CAST(ROUND((LN(CAST(n_chars AS DOUBLE))
+                         - CAST(s AS DOUBLE) / 1000000.0
+                           / CAST(n_chars AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS entropy_micro
+      FROM pd
+    """

@@ -648,3 +648,42 @@ def test_pmi_pairs_matches_python_and_twin(spark):
     want = [(x, y, int(c), float(p))
             for x, y, c, p in duckdb.sql(sql).fetchall()]
     assert got == want
+
+
+def test_char_entropy_matches_python_and_twin(spark):
+    import math
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import (char_entropy,
+                                               char_entropy_oracle_sql)
+
+    docs = [(1, "aaaa"), (2, "abab"), (3, "The quick brown fox!"),
+            (4, ""), (5, None), (6, "zZzZ  zz")]
+    got = {r.doc_id: (r.n_chars, r.entropy_micro) for r in char_entropy(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    def ref(text):
+        t = text.lower()
+        cnt = {}
+        for c in t:
+            cnt[c] = cnt.get(c, 0) + 1
+        n = len(t)
+        s = sum(math.floor(c * math.log(c) * 1e6 + 0.5)
+                for c in cnt.values())
+        return n, math.floor((math.log(n) - s / 1e6 / n) * 1e6 + 0.5)
+
+    assert set(got) == {1, 2, 3, 6}  # empty + NULL excluded
+    for i, t in docs:
+        if t:
+            assert got[i] == ref(t), i
+    assert got[1][1] == 0  # single-char doc: zero entropy
+
+    dv = ", ".join("({}, {})".format(
+        i, "NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        for i, t in docs)
+    sql = char_entropy_oracle_sql(
+        f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)")
+    want = {int(d): (int(n), int(e))
+            for d, n, e in duckdb.sql(sql).fetchall()}
+    assert got == want
