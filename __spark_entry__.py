@@ -790,6 +790,27 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "n_chars", "entropy_micro")
 
 
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix
+    (operators/timeseries.transition_counts): one keyed exchange, LAG
+    under a total (ts, event_id) order, exact counts."""
+    from cdap_geo_spark.operators.timeseries import transition_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return transition_counts(ev)
+
+
+def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (operators/timeseries.grouped_mode):
+    raw rows shuffle once on (group, value); argmax runs over the
+    reduced count relation; smallest value wins ties."""
+    from cdap_geo_spark.operators.timeseries import grouped_mode
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    out = grouped_mode(ev, group="user_id", value_col="event_type")
+    return out.select(F.col("user_id").cast("long"), "mode", "n")
+
+
 def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag click→view attribution (streaming/joins.attach_within,
     the stream-stream join run on its batch twin): equi-join on user
@@ -1400,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "pmi": _q_pmi,
         "char_entropy": _q_entropy,
+        "transitions": _q_transitions,
+        "mode": _q_mode,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2562,6 +2585,33 @@ def oracle_sql() -> dict[str, str]:
         "bfs": _bfs_sql(),
         "pmi": _pmi_sql(),
         "char_entropy": _entropy_sql(),
+        "transitions": """
+          WITH s AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+          )
+          SELECT prev AS from_state, event_type AS to_state,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE prev IS NOT NULL
+          GROUP BY prev, event_type
+        """,
+        "mode": """
+          WITH c AS (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+          ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY n DESC, event_type)
+                      AS rn
+            FROM c
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 event_type AS mode, n
+          FROM r WHERE rn = 1
+        """,
         "click_attach": """
           SELECT CAST(c.user_id AS BIGINT) AS user_id,
                  CAST(c.event_id AS BIGINT) AS click_id,

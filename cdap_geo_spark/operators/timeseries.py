@@ -420,3 +420,42 @@ def funnel_steps(events: DataFrame, steps: list[str], *,
             .agg(F.count(F.lit(1)).alias("n_keys"),
                  F.sum(F.col("_cus") - F.col("_pus")).alias("sum_lag_us"))
             .orderBy("step"))
+
+
+def transition_counts(events: DataFrame, *, key: str = "user_id",
+                      ts_col: str = "ts", state_col: str = "event_type",
+                      tie_col: str = "event_id") -> DataFrame:
+    """Markov transition matrix over each key's event-time-ordered
+    stream: ``(from_state, to_state, n)`` counting consecutive pairs
+    within a key — the clickstream path-mining primitive.
+
+    Ordering is total (``ts`` then ``tie_col``) so the LAG is
+    deterministic under equal timestamps; counts are exact BIGINTs.
+    Plan: ONE exchange by key feeds the lag window; the transition
+    aggregation collapses map-side to the (states²)-sized matrix.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    return (events
+            .withColumn("_prev", F.lag(state_col).over(w))
+            .where(F.col("_prev").isNotNull())
+            .groupBy(F.col("_prev").alias("from_state"),
+                     F.col(state_col).alias("to_state"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def grouped_mode(df: DataFrame, *, group: str, value_col: str) -> DataFrame:
+    """Per-group mode: the most frequent ``value_col``; ties break to
+    the SMALLEST value (deterministic for any orderable type).
+    Returns ``(group, mode, n)``.
+
+    Plan: one keyed count aggregation (map-side partials) collapses
+    the data to the (group, distinct value) relation; the argmax runs
+    as a window over THAT reduced relation — the raw rows shuffle
+    once, on (group, value).
+    """
+    counts = (df.groupBy(group, value_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy(group).orderBy(F.desc("n"), F.asc(value_col))
+    return (counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(group, F.col(value_col).alias("mode"), "n"))

@@ -351,3 +351,34 @@ def test_resample_locf_tie_and_validation(spark):
     assert len(rows) == 1 and rows[0].value_scaled == 900
     with pytest.raises(ValueError):
         resample_locf(sdf, key="user_id", step_seconds=0)
+
+
+def test_transition_counts_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.timeseries import transition_counts
+    pdf = _mk_events(400, 9, seed=51)
+    got = {(r.from_state, r.to_state): r.n for r in
+           transition_counts(spark.createDataFrame(pdf)).collect()}
+    want = {}
+    for _, grp in pdf.groupby("user_id"):
+        seq = [r.event_type for r in
+               grp.sort_values(["ts", "event_id"]).itertuples()]
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+def test_grouped_mode_matches_bruteforce_and_ties(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_mode
+    pdf = _mk_events(300, 7, seed=53)
+    got = {r.user_id: (r.mode, r.n) for r in
+           grouped_mode(spark.createDataFrame(pdf), group="user_id",
+                        value_col="event_type").collect()}
+    for uid, grp in pdf.groupby("user_id"):
+        cnt = grp.event_type.value_counts()
+        best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c
+                                                        in kv[0]]))
+        # smallest value wins ties
+        top = cnt.max()
+        want = (sorted(v for v, c in cnt.items() if c == top)[0], top)
+        assert got[uid] == want, uid
+    del best
