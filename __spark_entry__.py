@@ -1130,6 +1130,22 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("max_value").alias("max_tokens"))
 
 
+def _q_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/zonal.areal_interpolate): doc
+    n_chars apportioned to region boxes by clipped-area share; shares
+    micro-rounded and summed as BIGINT — order-independent."""
+    from cdap_geo_spark.operators.zonal import areal_interpolate
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.col("n_chars").cast("long"))
+    src = R.doc_boxes(spark, sf_dir).join(docs, "doc_id")
+    tgt = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
+    out = areal_interpolate(src, tgt, value_col="n_chars", level=8)
+    return out.select(F.col("region_id").cast("long"),
+                      "est_scaled", "n_src")
+
+
 def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-pyramid rollup: the tile_assign grid (10x10 over the doc
     frame) aggregated one level up (factor 2 -> 5x5 parents)."""
@@ -1423,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_entropy,
         "transitions": _q_transitions,
         "mode": _q_mode,
+        "areal": _q_areal,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2035,6 +2052,35 @@ def oracle_sql() -> dict[str, str]:
           FROM d JOIN b
             ON NOT (d.minx > b.maxx OR d.miny > b.maxy
                  OR d.maxx < b.minx OR d.maxy < b.miny)
+        """,
+        # same rect-clip closed form as intersection_area; per-pair
+        # share = one double divide of exact BIGINT products, rounded
+        # to micro-units, summed as BIGINT
+        "areal": f"""
+          WITH d AS ({_DBOXES}), b AS ({_BOXES}),
+          v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS val
+                FROM documents),
+          pr AS (
+            SELECT b.region_id,
+                   CAST(ROUND(
+                     CAST(v.val * CAST(
+                       GREATEST(0, LEAST(d.maxx, b.maxx)
+                                   - GREATEST(d.minx, b.minx))
+                       * GREATEST(0, LEAST(d.maxy, b.maxy)
+                                   - GREATEST(d.miny, b.miny))
+                       AS BIGINT) AS DOUBLE)
+                     / CAST(CAST((d.maxx - d.minx) * (d.maxy - d.miny)
+                            AS BIGINT) AS DOUBLE)
+                     * 1000000.0) AS BIGINT) AS c
+            FROM d JOIN b
+              ON NOT (d.minx > b.maxx OR d.miny > b.maxy
+                   OR d.maxx < b.minx OR d.maxy < b.miny)
+              JOIN v ON v.doc_id = d.doc_id
+          )
+          SELECT CAST(region_id AS BIGINT) AS region_id,
+                 CAST(SUM(c) AS BIGINT) AS est_scaled,
+                 CAST(COUNT(*) AS BIGINT) AS n_src
+          FROM pr GROUP BY region_id
         """,
         "dissolve": f"""
           WITH b AS ({_BOXES}),

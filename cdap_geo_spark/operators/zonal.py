@@ -73,3 +73,51 @@ def zonal_stats(rows: DataFrame, zones: DataFrame, *,
         F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
         F.coalesce(F.col("_sum"), F.lit(0)).cast(sum_t).alias("sum_value"),
         F.coalesce(F.col("_max"), F.lit(0)).cast(max_t).alias("max_value"))
+
+
+def areal_interpolate(src: DataFrame, tgt: DataFrame, *,
+                      value_col: str,
+                      left_id: str = "doc_id",
+                      right_id: str = "region_id",
+                      left_geom: str = "geometry",
+                      right_geom: str = "geometry",
+                      level: int = 8, scale: int = 1_000_000,
+                      **sjoin_kwargs) -> DataFrame:
+    """Areal (area-weighted) interpolation — the population-downscaling
+    op: each source geometry's ``value_col`` is apportioned to target
+    zones proportionally to clipped area, and targets sum their
+    shares: ``est(t) = Σ_s value_s · area(s ∩ t) / area(s)``.
+
+    Exactness: for integer-coordinate geometries both areas are exact
+    integers (the fused clip kernel), so each pair's share is ONE
+    double divide of two exact BIGINT products, rounded to
+    ``scale``-units and SUMMED AS BIGINT — the order-independent float
+    discipline of ``char_entropy``/``bm25``. Emitted as ``est_scaled``
+    (value × 1e6 units) with ``n_src`` contributing sources.
+
+    Plan (the zonal_stats discipline): the spatial candidate join runs
+    on narrow (id, geometry) projections only; the VALUE payload joins
+    back by id after the pair relation exists; clip area + share are
+    map-side kernel work; the final aggregate shuffles one partial row
+    per (task, target). Pairs whose boxes merely touch contribute an
+    exact zero and are kept (targets covered only by touches report 0).
+    """
+    from cdap_geo_spark import udfs
+    pairs = sjoin_pairs(
+        src.select(F.col(left_id), F.col(left_geom)),
+        tgt.select(F.col(right_id), F.col(right_geom)),
+        left_id=left_id, right_id=right_id, level=level,
+        predicate="bbox", **sjoin_kwargs)
+    s = src.select(F.col(left_id), F.col(left_geom).alias("_lg"),
+                   F.col(value_col).cast("long").alias("_v"))
+    t = tgt.select(F.col(right_id), F.col(right_geom).alias("_rg"))
+    j = pairs.join(s, left_id).join(t, right_id)
+    ia = udfs.st_intersection_area()(F.col("_lg"), F.col("_rg")) \
+        .cast("long")
+    sa = udfs.st_area()(F.col("_lg")).cast("long")
+    contrib = F.round((F.col("_v") * ia).cast("double")
+                      / sa.cast("double") * float(scale)).cast("long")
+    return (j.select(F.col(right_id), contrib.alias("_c"))
+            .groupBy(right_id)
+            .agg(F.sum("_c").alias("est_scaled"),
+                 F.count(F.lit(1)).alias("n_src")))

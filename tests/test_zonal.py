@@ -64,3 +64,58 @@ def test_zonal_stats_drop_empty_and_float_values(spark):
         inside = ((px >= zx[j]) & (px <= zx[j] + zw[j])
                   & (py >= zy[j]) & (py <= zy[j] + zh[j]))
         assert abs(r.sum_value - val[inside].sum() * 0.5) < 1e-9
+
+
+def test_areal_interpolate_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.operators.zonal import areal_interpolate
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+
+    def boxes(n, base):
+        out = []
+        for i in range(n):
+            x, y = rng.randrange(1000), rng.randrange(1000)
+            out.append((base + i, x, y, x + rng.randrange(50, 300),
+                        y + rng.randrange(50, 300),
+                        rng.randrange(1, 500)))
+        return out
+
+    srcs = boxes(40, 0)
+    tgts = boxes(8, 1000)
+    sdf = spark.createDataFrame(
+        [(i, v) for i, x0, y0, x1, y1, v in srcs], "sid long, val long"
+    ).join(spark.createDataFrame(
+        srcs, "sid long, x0 long, y0 long, x1 long, y1 long, v long")
+        .select("sid", udfs.st_box()(
+            F.col("x0").cast("double"), F.col("y0").cast("double"),
+            F.col("x1").cast("double"), F.col("y1").cast("double"))
+            .alias("geometry")), "sid")
+    tdf = spark.createDataFrame(
+        tgts, "tid long, x0 long, y0 long, x1 long, y1 long, v long") \
+        .select("tid", udfs.st_box()(
+            F.col("x0").cast("double"), F.col("y0").cast("double"),
+            F.col("x1").cast("double"), F.col("y1").cast("double"))
+            .alias("geometry"))
+    got = {r.tid: (r.est_scaled, r.n_src) for r in areal_interpolate(
+        sdf, tdf, value_col="val", left_id="sid", right_id="tid",
+        level=6).collect()}
+
+    want = {}
+    for tid, tx0, ty0, tx1, ty1, _ in tgts:
+        tot, n = 0, 0
+        for sid, sx0, sy0, sx1, sy1, v in srcs:
+            if sx0 > tx1 or sy0 > ty1 or sx1 < tx0 or sy1 < ty0:
+                continue
+            ia = (max(0, min(sx1, tx1) - max(sx0, tx0))
+                  * max(0, min(sy1, ty1) - max(sy0, ty0)))
+            sa = (sx1 - sx0) * (sy1 - sy0)
+            tot += int((v * ia) / sa * 1e6 + 0.5)
+            n += 1
+        if n:
+            want[tid] = (tot, n)
+    assert got == want
+    # mass check: a target covering everything gets ~ the total value
