@@ -1146,6 +1146,31 @@ def _q_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "est_scaled", "n_src")
 
 
+def _q_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of region-box AREA under bbox adjacency
+    (operators/zonal.morans_i): integer-centered, every Σ exact
+    BIGINT, the statistic one double over exact ints."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import morans_i
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    # areas reach ~2.6e9; DIV 1e5 keeps z·z sums inside int64 (the
+    # operator's documented magnitude contract), floor-div exact in
+    # both engines
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return morans_i(vals, edges, id_col="id", value_col="x")
+
+
 def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-pyramid rollup: the tile_assign grid (10x10 over the doc
     frame) aggregated one level up (factor 2 -> 5x5 parents)."""
@@ -1440,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": _q_transitions,
         "mode": _q_mode,
         "areal": _q_areal,
+        "morans_i": _q_morans,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2052,6 +2078,34 @@ def oracle_sql() -> dict[str, str]:
           FROM d JOIN b
             ON NOT (d.minx > b.maxx OR d.miny > b.maxy
                  OR d.maxx < b.minx OR d.maxy < b.miny)
+        """,
+        "morans_i": f"""
+          WITH b AS ({_BOXES}),
+          v AS (SELECT region_id AS id,
+                       CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                         // 100000 AS x
+                FROM b),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS s FROM v),
+          z AS (SELECT id, x - (SELECT s // n FROM st) AS z FROM v),
+          e AS (
+            SELECT a.region_id AS a, c.region_id AS bb
+            FROM ({_BOXES}) a JOIN ({_BOXES}) c
+              ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+                   OR a.maxx < c.minx OR a.maxy < c.miny)
+            WHERE a.region_id <> c.region_id
+          ),
+          nw AS (SELECT CAST(SUM(zi.z * zj.z) AS BIGINT) AS num,
+                        CAST(COUNT(*) AS BIGINT) AS w_pairs
+                 FROM e JOIN z zi ON e.a = zi.id
+                        JOIN z zj ON e.bb = zj.id),
+          dn AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den,
+                        (SELECT n FROM st) AS n FROM z)
+          SELECT dn.n, nw.w_pairs, nw.num, dn.den,
+                 CAST(ROUND(CAST(dn.n * nw.num AS DOUBLE)
+                            / CAST(nw.w_pairs * dn.den AS DOUBLE)
+                            * 1000000.0) AS BIGINT) AS i_micro
+          FROM dn CROSS JOIN nw
         """,
         # same rect-clip closed form as intersection_area; per-pair
         # share = one double divide of exact BIGINT products, rounded

@@ -119,3 +119,43 @@ def test_areal_interpolate_matches_bruteforce(spark):
             want[tid] = (tot, n)
     assert got == want
     # mass check: a target covering everything gets ~ the total value
+
+
+def test_morans_i_matches_bruteforce_and_sign(spark):
+    import random
+
+    from cdap_geo_spark.operators.zonal import morans_i
+
+    rng = random.Random(8)
+    # a ring of 30 nodes; smooth values -> positive autocorrelation
+    n = 30
+    xs = [100 + 10 * (i % 15) for i in range(n)]  # smooth-ish along ring
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [((i + 1) % n, i) for i in range(n)]
+    out = morans_i(
+        spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                              "id long, x long"),
+        spark.createDataFrame(edges, "a long, b long"),
+        id_col="id", value_col="x").collect()[0]
+
+    s = sum(xs)
+    mean = s // n
+    z = [x - mean for x in xs]
+    num = sum(z[a] * z[b] for a, b in edges)
+    den = sum(v * v for v in z)
+    assert (out.n, out.w_pairs, out.num, out.den) == \
+        (n, len(edges), num, den)
+    import math
+    want = math.floor(n * num / (len(edges) * den) * 1e6 + 0.5)
+    assert out.i_micro == want
+    assert out.i_micro > 0  # smooth ring: positive autocorrelation
+
+    # alternating values -> strongly negative autocorrelation
+    xs2 = [0 if i % 2 == 0 else 1000 for i in range(n)]
+    out2 = morans_i(
+        spark.createDataFrame([(i, x) for i, x in enumerate(xs2)],
+                              "id long, x long"),
+        spark.createDataFrame(edges, "a long, b long"),
+        id_col="id", value_col="x").collect()[0]
+    assert out2.i_micro < -900000  # ~ -1
+    del rng
