@@ -770,6 +770,19 @@ def _bm25_sql() -> str:
         k=10)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sample of 25 documents by n_chars
+    (operators/text.weighted_sample): the sampling decision rides the
+    row hash, so both engines pick the identical sample."""
+    from cdap_geo_spark.operators.text import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    out = weighted_sample(docs, k=25, weight_col="w")
+    return out.select(F.col("doc_id").cast("long"), "w",
+                      F.round(F.col("priority") * 1e9).cast("long")
+                      .alias("pri_nano"))
+
+
 def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token collocations by PMI (operators/text.pmi_pairs):
     one log of an exact integer ratio, rounded before ranking."""
@@ -938,6 +951,17 @@ def _pmi_sql() -> str:
     from cdap_geo_spark.operators.text import pmi_oracle_sql
     return pmi_oracle_sql("SELECT doc_id, text FROM documents",
                           min_count=5, k=50)
+
+
+def _weighted_sample_sql() -> str:
+    """DuckDB twin of `weighted_sample` (see operators/text.py)."""
+    from cdap_geo_spark.operators.text import weighted_sample_oracle_sql
+    inner = weighted_sample_oracle_sql(
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents",
+        k=25)
+    return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, w, "
+            f"CAST(ROUND(priority * 1e9) AS BIGINT) AS pri_nano "
+            f"FROM ({inner})")
 
 
 def _entropy_sql() -> str:
@@ -1466,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode": _q_mode,
         "areal": _q_areal,
         "morans_i": _q_morans,
+        "weighted_sample": _q_weighted_sample,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2079,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
             ON NOT (d.minx > b.maxx OR d.miny > b.maxy
                  OR d.maxx < b.minx OR d.maxy < b.miny)
         """,
+        "weighted_sample": _weighted_sample_sql(),
         "morans_i": f"""
           WITH b AS ({_BOXES}),
           v AS (SELECT region_id AS id,

@@ -885,3 +885,59 @@ def char_entropy_oracle_sql(docs_sql: str) -> str:
                   AS BIGINT) AS entropy_micro
       FROM pd
     """
+
+
+def weighted_sample(df: DataFrame, *, k: int, weight_col: str,
+                    key_col: str = "doc_id",
+                    seed: str = "ws0") -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows — the
+    Efraimidis–Spirakis A-ES scheme: each row draws priority
+    ``u^(1/w)`` (equivalently ``ln(u)/w``, the monotone form used
+    here) for a uniform ``u`` and the top-``k`` priorities win, giving
+    exact sequential weighted sampling probabilities.
+
+    Deterministic and cross-engine reproducible (the property random
+    sampling normally destroys): ``u`` comes from the repo-wide 60-bit
+    md5-prefix hash of ``(seed, key)`` — the sampling decision rides
+    the row, so resumed / re-run / re-partitioned jobs pick the SAME
+    sample, and the DuckDB twin picks it too (identical float
+    expression shape; ties broken by key). Rows with weight <= 0 or
+    NULL are excluded.
+
+    Plan: priorities are map-side expressions; top-k is a TakeOrdered
+    (per-partition heaps + driver merge of k candidates), never a full
+    global sort.
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample: k must be > 0")
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed),
+                                             F.col(key_col)
+                                             .cast("string"))),
+                           1, 15), 16, 10).cast("long")
+    u = (h.cast("double") + 1.0) / 1152921504606846976.0
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+            .withColumn("priority", pri)
+            .orderBy(F.desc("priority"), F.asc(key_col))
+            .limit(k))
+
+
+def weighted_sample_oracle_sql(rows_sql: str, *, k: int,
+                               weight_col: str = "w",
+                               key_col: str = "doc_id",
+                               seed: str = "ws0") -> str:
+    """DuckDB twin of :func:`weighted_sample` (same hash, same float
+    shape, same tie rule). ``rows_sql`` must yield ``key_col`` and
+    ``weight_col`` (other columns pass through)."""
+    return f"""
+      SELECT *,
+             LN((CAST(concat('0x', substr(md5(concat('{seed}', ':',
+                   CAST({key_col} AS VARCHAR))), 1, 15)) AS BIGINT)
+                 * 1.0 + 1.0) / 1152921504606846976.0)
+             / CAST({weight_col} AS DOUBLE) AS priority
+      FROM ({rows_sql})
+      WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+      ORDER BY priority DESC, {key_col}
+      LIMIT {k}
+    """

@@ -687,3 +687,50 @@ def test_char_entropy_matches_python_and_twin(spark):
     want = {int(d): (int(n), int(e))
             for d, n, e in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_weighted_sample_deterministic_and_twin(spark):
+    import duckdb
+
+    from cdap_geo_spark.operators.text import (weighted_sample,
+                                               weighted_sample_oracle_sql)
+
+    rows = [(i, (i * 7) % 23 + (1 if i % 5 else 0)) for i in range(200)]
+    # weights 0 for i%5==0 and (i*7)%23==0 -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got1 = [(r.doc_id, r.w) for r in
+            weighted_sample(df, k=20, weight_col="w").collect()]
+    got2 = [(r.doc_id, r.w) for r in
+            weighted_sample(df.repartition(13), k=20,
+                            weight_col="w").collect()]
+    assert sorted(got1) == sorted(got2)  # partitioning-independent
+    assert len(got1) == 20
+    assert all(w > 0 for _, w in got1)
+
+    rv = ", ".join(f"({i}, {w})" for i, w in rows)
+    sql = weighted_sample_oracle_sql(
+        f"SELECT * FROM (VALUES {rv}) AS t(doc_id, w)", k=20)
+    want = sorted((int(d), int(w))
+                  for d, w, _ in duckdb.sql(sql).fetchall())
+    assert sorted(got1) == want
+
+    # a different seed picks a different sample
+    got3 = [(r.doc_id, r.w) for r in
+            weighted_sample(df, k=20, weight_col="w",
+                            seed="other").collect()]
+    assert sorted(got3) != sorted(got1)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w")
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from cdap_geo_spark.operators.text import weighted_sample
+    # 10 rows of weight 1000 among 190 of weight 1: nearly all heavy
+    # rows must be in a k=20 sample (probabilistic but deterministic
+    # given the fixed hash — this asserts the actual fixed outcome)
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in
+           weighted_sample(df, k=20, weight_col="w").collect()}
+    assert sum(1 for d in got if d < 10) >= 8
