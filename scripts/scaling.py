@@ -190,6 +190,8 @@ def main():
     with open(hist_path) as f:
         for line in f:
             h = json.loads(line)
+            if "best" not in h:  # foreign record (e.g. headline runs)
+                continue
             hist_lines.append(h)
             for k, v in h["best"].items():
                 if k in hist_best:
