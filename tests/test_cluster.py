@@ -1,0 +1,91 @@
+"""Properties for operators/cluster.grid_cluster: brute-force parity
+(dense-cell histogram + BFS components in python) on random point
+clouds, noise exclusion, diagonal adjacency, isolated dense cell,
+validation, and the DuckDB recursive-CTE twin."""
+
+import random
+
+import pytest
+
+from cdap_geo_spark.operators.cluster import (_M, grid_cluster,
+                                              grid_cluster_oracle_sql)
+
+
+def _brute(points, cell, min_pts):
+    from collections import deque
+    hist = {}
+    for x, y in points:
+        c = (int(x) // cell, int(y) // cell)
+        hist[c] = hist.get(c, 0) + 1
+    dense = {c: n for c, n in hist.items() if n >= min_pts}
+    out = {}
+    seen = set()
+    for c in dense:
+        if c in seen:
+            continue
+        comp = []
+        q = deque([c])
+        seen.add(c)
+        while q:
+            cur = q.popleft()
+            comp.append(cur)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cur[0] + dx, cur[1] + dy)
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        label = min(cx * _M + cy for cx, cy in comp)
+        for cx, cy in comp:
+            out[(cx, cy)] = (dense[(cx, cy)], label)
+    return out
+
+
+def test_grid_cluster_matches_bruteforce(spark):
+    rng = random.Random(4)
+    # three blobs + uniform noise
+    pts = []
+    for bx, by in [(100, 100), (500, 480), (520, 500)]:
+        pts += [(bx + rng.randrange(60), by + rng.randrange(60))
+                for _ in range(60)]
+    pts += [(rng.randrange(1000), rng.randrange(1000))
+            for _ in range(80)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.cx, r.cy): (r.n_pts, r.cluster) for r in
+           grid_cluster(df, cell_size=40, min_pts=4).collect()}
+    assert got == _brute(pts, 40, 4)
+    assert len(got) > 2
+    # the two overlapping blobs share one cluster label
+    labels = {v[1] for v in got.values()}
+    assert len(labels) >= 2
+
+
+def test_grid_cluster_diagonal_and_isolated(spark):
+    # two dense cells touching only diagonally -> one cluster;
+    # a third far away -> its own singleton cluster
+    pts = ([(5, 5)] * 3 + [(15, 15)] * 3 + [(905, 905)] * 3)
+    df = spark.createDataFrame([(x, y) for x, y in pts], "x long, y long")
+    got = {(r.cx, r.cy): r.cluster for r in
+           grid_cluster(df, cell_size=10, min_pts=3).collect()}
+    assert got[(0, 0)] == got[(1, 1)] == 0 * _M + 0
+    assert got[(90, 90)] == 90 * _M + 90
+    with pytest.raises(ValueError):
+        grid_cluster(df, cell_size=0)
+    with pytest.raises(ValueError):
+        grid_cluster(df, cell_size=10, min_pts=0)
+
+
+def test_grid_cluster_oracle_twin_matches(spark):
+    import duckdb
+    rng = random.Random(11)
+    pts = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {tuple(r) for r in
+           grid_cluster(df, cell_size=30, min_pts=3).collect()}
+    pv = ", ".join(f"({x}, {y})" for x, y in pts)
+    sql = grid_cluster_oracle_sql(
+        f"SELECT * FROM (VALUES {pv}) AS t(x, y)",
+        cell_size=30, min_pts=3)
+    want = {tuple(int(v) for v in row)
+            for row in duckdb.sql(sql).fetchall()}
+    assert got == want
