@@ -803,6 +803,42 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "n_chars", "entropy_micro")
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (native Catalyst grouping sets): counts and
+    exact integer value sums for every (event_type, hour-of-day)
+    combination incl. both margins and the grand total — subtotal
+    rows marked 'ALL' so no NULL-dtype ambiguity reaches the hash."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .withColumn("hod", F.hour(F.col("ts").cast("timestamp"))) \
+        .withColumn("v", F.round(F.col("value") * 100).cast("long"))
+    return (ev.cube("event_type", "hod")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").alias("sum_v"))
+            .select(F.coalesce(F.col("event_type"), F.lit("ALL"))
+                    .alias("event_type"),
+                    F.coalesce(F.col("hod").cast("string"), F.lit("ALL"))
+                    .alias("hod"),
+                    "n", "sum_v"))
+
+
+def _q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segmentation (operators/timeseries.trajectory_segments)
+    over hash-derived per-event positions: exact integer squared-jump
+    break test, one keyed exchange."""
+    from cdap_geo_spark.operators.timeseries import trajectory_segments
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    out = trajectory_segments(ev, max_jump=500_000)
+    return out.select(F.col("user_id").cast("long"),
+                      F.col("seg").cast("long"), "n_events",
+                      "first_us", "last_us",
+                      F.col("first_id").cast("long"),
+                      F.col("last_id").cast("long"))
+
+
 def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition matrix
     (operators/timeseries.transition_counts): one keyed exchange, LAG
@@ -1516,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": _q_morans,
         "weighted_sample": _q_weighted_sample,
         "grid_cluster": _q_grid_cluster,
+        "cube_counts": _q_cube,
+        "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
     }
@@ -2131,6 +2169,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_sample": _weighted_sample_sql(),
         "grid_cluster": _grid_cluster_sql(),
+        "trajectory": """
+          WITH p AS (
+            SELECT user_id, ts, event_id,
+                   (event_id * 48271 + 17) % 700000 AS x,
+                   (event_id * 69621 + 29) % 1300000 AS y,
+                   epoch_us(ts) AS us
+            FROM events
+          ), l AS (
+            SELECT *,
+                   LAG(x) OVER w AS px, LAG(y) OVER w AS py
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), b AS (
+            SELECT *,
+                   CASE WHEN px IS NULL
+                        OR (x - px) * (x - px) + (y - py) * (y - py)
+                           > 250000000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM l
+          ), s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS seg
+            FROM b
+          ), r AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                                      ORDER BY us, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                                      ORDER BY us DESC, event_id DESC)
+                     AS rl
+            FROM s
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(seg AS BIGINT) AS seg,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(MIN(us) AS BIGINT) AS first_us,
+                 CAST(MAX(us) AS BIGINT) AS last_us,
+                 CAST(MAX(CASE WHEN rf = 1 THEN event_id END)
+                      AS BIGINT) AS first_id,
+                 CAST(MAX(CASE WHEN rl = 1 THEN event_id END)
+                      AS BIGINT) AS last_id
+          FROM r GROUP BY user_id, seg
+        """,
+        "cube_counts": """
+          SELECT COALESCE(event_type, 'ALL') AS event_type,
+                 COALESCE(CAST(hod AS VARCHAR), 'ALL') AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sum_v
+          FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v
+                FROM events)
+          GROUP BY CUBE (event_type, hod)
+        """,
         "morans_i": f"""
           WITH b AS ({_BOXES}),
           v AS (SELECT region_id AS id,

@@ -459,3 +459,45 @@ def grouped_mode(df: DataFrame, *, group: str, value_col: str) -> DataFrame:
     return (counts.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1)
             .select(group, F.col(value_col).alias("mode"), "n"))
+
+
+def trajectory_segments(events: DataFrame, *, key: str = "user_id",
+                        ts_col: str = "ts", x_col: str = "x",
+                        y_col: str = "y", max_jump: int = 100_000,
+                        tie_col: str = "event_id") -> DataFrame:
+    """Trajectory segmentation — the SPATIAL twin of sessionize: each
+    key's event-time-ordered point stream splits wherever the jump
+    from the previous point exceeds ``max_jump``; returns one row per
+    segment: ``(key, seg, n_events, first_us, last_us, first_id,
+    last_id)``.
+
+    Exactness: the break test is on exact integer SQUARED distance
+    (``dx² + dy² > max_jump²`` — no sqrt), ordering is total
+    (ts, tie), timestamps exact micros — every output column BIGINT.
+
+    Plan: ONE exchange by key; LAG + a running SUM over the break
+    flags assigns segment ids inside the same window partitioning, and
+    the per-segment aggregation groups on (key, seg) — Catalyst plans
+    no second data-sized exchange for it when the window partitioning
+    already satisfies the clustering (the session_stats lesson).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    jump = (dx * dx + dy * dy) > (int(max_jump) * int(max_jump))
+    brk = F.when(jump | F.lag(x_col).over(w).isNull(), 1).otherwise(0)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = (events
+           .withColumn("_b", brk)
+           .withColumn("seg", F.sum("_b").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+           .withColumn("_us", us))
+    return (seg.groupBy(key, "seg")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("_us").alias("first_us"),
+                 F.max("_us").alias("last_us"),
+                 F.min_by(F.col(tie_col), F.struct("_us", tie_col))
+                 .alias("first_id"),
+                 F.max_by(F.col(tie_col), F.struct("_us", tie_col))
+                 .alias("last_id")))

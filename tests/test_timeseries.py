@@ -382,3 +382,36 @@ def test_grouped_mode_matches_bruteforce_and_ties(spark):
         want = (sorted(v for v, c in cnt.items() if c == top)[0], top)
         assert got[uid] == want, uid
     del best
+
+
+def test_trajectory_segments_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.timeseries import trajectory_segments
+    pdf = _mk_events(300, 6, seed=61)
+    pdf["x"] = [(i * 48271 + 17) % 100000 for i in pdf.event_id]
+    pdf["y"] = [(i * 69621 + 29) % 100000 for i in pdf.event_id]
+    R = 60000
+    got = {(r.user_id, r.seg): (r.n_events, r.first_us, r.last_us,
+                                r.first_id, r.last_id)
+           for r in trajectory_segments(
+               spark.createDataFrame(pdf), max_jump=R).collect()}
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        rows = sorted(grp.itertuples(), key=lambda r: (r.ts, r.event_id))
+        seg, prev = 0, None
+        cur = []
+        segs = []
+        for r in rows:
+            if prev is None or ((r.x - prev.x) ** 2
+                                + (r.y - prev.y) ** 2) > R * R:
+                if cur:
+                    segs.append(cur)
+                cur = []
+            cur.append(r)
+            prev = r
+        if cur:
+            segs.append(cur)
+        for si, s in enumerate(segs, start=1):
+            tous = lambda t: int(pd.Timestamp(t).value // 1000)  # noqa
+            want[(uid, si)] = (len(s), tous(s[0].ts), tous(s[-1].ts),
+                               s[0].event_id, s[-1].event_id)
+    assert got == want
