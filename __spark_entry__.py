@@ -1255,6 +1255,28 @@ def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_cluster(pts, cell_size=50_000, min_pts=3)
 
 
+def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C of region-box area under bbox adjacency
+    (operators/zonal.gearys_c): numerator exact without centering,
+    statistic one double over exact ints."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import gearys_c
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return gearys_c(vals, edges, id_col="id", value_col="x")
+
+
 def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-pyramid rollup: the tile_assign grid (10x10 over the doc
     frame) aggregated one level up (factor 2 -> 5x5 parents)."""
@@ -1550,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode": _q_mode,
         "areal": _q_areal,
         "morans_i": _q_morans,
+        "gearys_c": _q_gearys,
         "weighted_sample": _q_weighted_sample,
         "grid_cluster": _q_grid_cluster,
         "cube_counts": _q_cube,
@@ -2223,6 +2246,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST(ROUND(value * 100) AS BIGINT) AS v
                 FROM events)
           GROUP BY CUBE (event_type, hod)
+        """,
+        "gearys_c": f"""
+          WITH b AS ({_BOXES}),
+          v AS (SELECT region_id AS id,
+                       CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                         // 100000 AS x
+                FROM b),
+          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS s FROM v),
+          z AS (SELECT id, x, x - (SELECT s // n FROM st) AS z FROM v),
+          e AS (
+            SELECT a.region_id AS a, c.region_id AS bb
+            FROM ({_BOXES}) a JOIN ({_BOXES}) c
+              ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+                   OR a.maxx < c.minx OR a.maxy < c.miny)
+            WHERE a.region_id <> c.region_id
+          ),
+          nw AS (SELECT CAST(SUM((zi.x - zj.x) * (zi.x - zj.x))
+                             AS BIGINT) AS num,
+                        CAST(COUNT(*) AS BIGINT) AS w_pairs
+                 FROM e JOIN z zi ON e.a = zi.id
+                        JOIN z zj ON e.bb = zj.id),
+          dn AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den,
+                        (SELECT n FROM st) AS n FROM z)
+          SELECT dn.n, nw.w_pairs, nw.num, dn.den,
+                 CAST(ROUND(CAST((dn.n - 1) * nw.num AS DOUBLE)
+                            / CAST(2 * nw.w_pairs * dn.den AS DOUBLE)
+                            * 1000000.0) AS BIGINT) AS c_micro
+          FROM dn CROSS JOIN nw
         """,
         "morans_i": f"""
           WITH b AS ({_BOXES}),

@@ -169,3 +169,43 @@ def morans_i(values: DataFrame, edges: DataFrame, *,
                     F.col("w_pairs").cast("long"),
                     F.col("num").cast("long"), F.col("den").cast("long"),
                     i.alias("i_micro")))
+
+
+def gearys_c(values: DataFrame, edges: DataFrame, *,
+             id_col: str = "id", value_col: str = "x",
+             src: str = "a", dst: str = "b") -> DataFrame:
+    """Global Geary's C — the local-contiguity twin of :func:`morans_i`
+    (C < 1 positive autocorrelation, C > 1 negative):
+    ``C = ((n-1) / (2W)) · (Σ_ij w_ij (x_i - x_j)²) / (Σ z_i²)``.
+
+    Same exactness scheme as Moran's I: the numerator needs no
+    centering at all ((x_i − x_j)² is exact BIGINT directly), the
+    denominator uses the integer-centered z (mean = S DIV n), and the
+    statistic is one double over exact integers, micro-rounded.
+    Same magnitude contract; same two-equi-join plan.
+    """
+    vals = values.select(F.col(id_col).alias("_id"),
+                         F.col(value_col).cast("long").alias("_x"))
+    stat = vals.agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum("_x").alias("_s"))
+    z = (vals.crossJoin(F.broadcast(stat))
+         .select("_id", "_x",
+                 (F.col("_x") - F.expr("_s DIV _n")).alias("_z"),
+                 "_n"))
+    xi = z.select(F.col("_id").alias(src), F.col("_x").alias("_xi"))
+    xj = z.select(F.col("_id").alias(dst), F.col("_x").alias("_xj"))
+    e = edges.select(F.col(src), F.col(dst))
+    num_w = (e.join(xi, src).join(xj, dst)
+             .agg(F.sum((F.col("_xi") - F.col("_xj"))
+                        * (F.col("_xi") - F.col("_xj"))).alias("num"),
+                  F.count(F.lit(1)).alias("w_pairs")))
+    den_n = z.agg(F.sum(F.col("_z") * F.col("_z")).alias("den"),
+                  F.max("_n").alias("n"))
+    c = F.round(((F.col("n") - 1) * F.col("num")).cast("double")
+                / (2 * F.col("w_pairs") * F.col("den")).cast("double")
+                * 1000000.0).cast("long")
+    return (den_n.crossJoin(num_w)
+            .select(F.col("n").cast("long"),
+                    F.col("w_pairs").cast("long"),
+                    F.col("num").cast("long"), F.col("den").cast("long"),
+                    c.alias("c_micro")))

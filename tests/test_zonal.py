@@ -159,3 +159,35 @@ def test_morans_i_matches_bruteforce_and_sign(spark):
         id_col="id", value_col="x").collect()[0]
     assert out2.i_micro < -900000  # ~ -1
     del rng
+
+
+def test_gearys_c_matches_bruteforce_and_sign(spark):
+    from cdap_geo_spark.operators.zonal import gearys_c
+
+    n = 30
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [((i + 1) % n, i) for i in range(n)]
+    ed = spark.createDataFrame(edges, "a long, b long")
+
+    def run(xs):
+        return gearys_c(
+            spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                                  "id long, x long"),
+            ed, id_col="id", value_col="x").collect()[0]
+
+    xs = [100 + 10 * (i % 15) for i in range(n)]
+    out = run(xs)
+    s = sum(xs)
+    mean = s // n
+    z = [x - mean for x in xs]
+    num = sum((xs[a] - xs[b]) ** 2 for a, b in edges)
+    den = sum(v * v for v in z)
+    assert (out.n, out.w_pairs, out.num, out.den) == \
+        (n, len(edges), num, den)
+    import math
+    want = math.floor((n - 1) * num / (2 * len(edges) * den) * 1e6 + 0.5)
+    assert out.c_micro == want
+    assert out.c_micro < 1_000_000  # smooth ring: C < 1
+
+    out2 = run([0 if i % 2 == 0 else 1000 for i in range(n)])
+    assert out2.c_micro > 1_500_000  # alternating: C ~ 2
