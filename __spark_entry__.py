@@ -803,6 +803,22 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "n_chars", "entropy_micro")
 
 
+def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (native get_json_object, JVM-side):
+    the JSON props payload parsed in whole-stage codegen — never a
+    Python UDF — and aggregated per event type with exact integers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count_distinct(F.col("k")).alias("n_distinct_k")))
+
+
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (native Catalyst grouping sets): counts and
     exact integer value sums for every (event_type, hour-of-day)
@@ -1576,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "grid_cluster": _q_grid_cluster,
         "cube_counts": _q_cube,
+        "json_stats": _q_json,
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2236,6 +2253,19 @@ def oracle_sql() -> dict[str, str]:
                  CAST(MAX(CASE WHEN rl = 1 THEN event_id END)
                       AS BIGINT) AS last_id
           FROM r GROUP BY user_id, seg
+        """,
+        "json_stats": """
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                      AS BIGINT) AS sum_k,
+                 CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                      AS BIGINT) AS min_k,
+                 CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                      AS BIGINT) AS max_k,
+                 CAST(COUNT(DISTINCT CAST(json_extract(props, '$.k')
+                      AS BIGINT)) AS BIGINT) AS n_distinct_k
+          FROM events GROUP BY event_type
         """,
         "cube_counts": """
           SELECT COALESCE(event_type, 'ALL') AS event_type,
