@@ -803,6 +803,24 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "n_chars", "entropy_micro")
 
 
+def _q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (functions/relational.apply_changelog): documents
+    snapshot + a derived changelog (every 3rd doc re-valued at v1,
+    every 7th deleted at v2) — union + one keyed window, no join."""
+    from cdap_geo_spark.functions.relational import apply_changelog
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("long"),
+                F.col("n_chars").cast("long").alias("val"))
+    upd = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(1).alias("version"), F.lit("U").alias("op"),
+        (F.col("val") * 10).alias("val"))
+    dele = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(2).alias("version"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("val"))
+    changes = upd.unionByName(dele)
+    return apply_changelog(docs, changes, key="doc_id")
+
+
 def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (native get_json_object, JVM-side):
     the JSON props payload parsed in whole-stage codegen — never a
@@ -1593,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": _q_grid_cluster,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
+        "changelog": _q_changelog,
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2253,6 +2272,28 @@ def oracle_sql() -> dict[str, str]:
                  CAST(MAX(CASE WHEN rl = 1 THEN event_id END)
                       AS BIGINT) AS last_id
           FROM r GROUP BY user_id, seg
+        """,
+        "changelog": """
+          WITH base AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS val,
+                   CAST(0 AS BIGINT) AS v, 'U' AS op
+            FROM documents
+          ), ch AS (
+            SELECT doc_id, val * 10 AS val, CAST(1 AS BIGINT) AS v,
+                   'U' AS op
+            FROM base WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, NULL, CAST(2 AS BIGINT), 'D'
+            FROM base WHERE doc_id % 7 = 0
+          ), u AS (
+            SELECT * FROM base UNION ALL SELECT * FROM ch
+          ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY v DESC) AS rn
+            FROM u
+          )
+          SELECT doc_id, val FROM r WHERE rn = 1 AND op <> 'D'
         """,
         "json_stats": """
           SELECT event_type,

@@ -127,3 +127,39 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def apply_changelog(base: DataFrame, changes: DataFrame, *,
+                    key: str, version_col: str = "version",
+                    op_col: str = "op") -> DataFrame:
+    """CDC / lakehouse merge: apply a changelog of upserts and deletes
+    to a base snapshot, latest version per key wins. ``changes``
+    carries ``(key, version, op, <payload...>)`` with op ``'U'``
+    (upsert) or ``'D'`` (delete); base rows are implicit version-0
+    upserts. Returns the new snapshot (base schema, no ``version``/
+    ``op`` columns).
+
+    Deterministic by contract: ``(key, version)`` must be unique in
+    ``changes`` (the usual CDC log invariant) — the winner is then
+    well-defined without arbitrary ties.
+
+    Plan: ONE exchange — tag sides, ``unionByName``, a per-key window
+    takes the max-version row, a filter drops deletions. This is the
+    compaction a 100 TB table's nightly merge needs: no join of base
+    against changes (the classic MERGE anti-pattern shuffles both
+    sides TWICE through join + dedup), just union + one keyed window.
+    """
+    from pyspark.sql import Window
+    payload = [c for c in base.columns if c != key]
+    b = base.select(key, *payload,
+                    F.lit(0).cast("long").alias("_v"),
+                    F.lit("U").alias("_op"))
+    c = changes.select(
+        key, *payload,
+        F.col(version_col).cast("long").alias("_v"),
+        F.col(op_col).alias("_op"))
+    u = b.unionByName(c)
+    w = Window.partitionBy(key).orderBy(F.desc("_v"))
+    return (u.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("_op") != "D"))
+            .select(key, *payload))

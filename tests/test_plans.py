@@ -135,3 +135,27 @@ def test_sdf_unique_memsize_print_stats(spark, capsys):
     assert out is df
     printed = capsys.readouterr().out
     assert "t:  Count=3," in printed and "Parts=" in printed
+
+
+def test_apply_changelog_upserts_deletes_and_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from cdap_geo_spark.functions.relational import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, val string")
+    changes = spark.createDataFrame(
+        [(2, 1, "U", "b2"),    # update
+         (3, 1, "D", None),    # delete
+         (5, 1, "U", "e"),     # insert of a new key
+         (4, 1, "U", "d2"),    # update...
+         (4, 2, "D", None)],   # ...then delete at a later version
+        "id long, version long, op string, val string")
+    got = {(r.id, r.val) for r in
+           apply_changelog(base, changes, key="id").collect()}
+    assert got == {(1, "a"), (2, "b2"), (5, "e")}
+    # plan: one exchange for the window, no join of base x changes
+    plan = apply_changelog(base, changes, key="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    del F
