@@ -783,6 +783,18 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("pri_nano"))
 
 
+def _q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality score
+    (operators/text.unigram_logloss): per-token log-costs
+    micro-rounded and summed as BIGINT — the CCNet-style filter made
+    value-hashable."""
+    from cdap_geo_spark.operators.text import unigram_logloss
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return unigram_logloss(docs).select(F.col("doc_id").cast("long"),
+                                        "dl", "h_micro")
+
+
 def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token collocations by PMI (operators/text.pmi_pairs):
     one log of an exact integer ratio, rounded before ranking."""
@@ -1021,6 +1033,12 @@ def _pmi_sql() -> str:
     from cdap_geo_spark.operators.text import pmi_oracle_sql
     return pmi_oracle_sql("SELECT doc_id, text FROM documents",
                           min_count=5, k=50)
+
+
+def _logloss_sql() -> str:
+    """DuckDB twin of `unigram_logloss` (see operators/text.py)."""
+    from cdap_geo_spark.operators.text import unigram_logloss_oracle_sql
+    return unigram_logloss_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _grid_cluster_sql() -> str:
@@ -1612,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
+        "unigram_logloss": _q_logloss,
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2273,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) AS last_id
           FROM r GROUP BY user_id, seg
         """,
+        "unigram_logloss": _logloss_sql(),
         "changelog": """
           WITH base AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

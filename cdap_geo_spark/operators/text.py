@@ -941,3 +941,76 @@ def weighted_sample_oracle_sql(rows_sql: str, *, k: int,
       ORDER BY priority DESC, {key_col}
       LIMIT {k}
     """
+
+
+def unigram_logloss(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram
+    language model — the CCNet-style LM quality filter (low = typical
+    of the corpus, high = outlier/gibberish relative to it):
+    ``H(doc) = Σ_t tf_t · ln(L / c_t) / dl`` (nats per token) for
+    corpus token count ``c_t`` and total ``L``.
+
+    Exactness: each distinct (doc, token)'s term is ``tf ×
+    round(ln(L/c_t)·1e6)`` — ONE log of an exact integer ratio,
+    micro-rounded, times an exact count — summed as BIGINT; the final
+    per-token normalization is one double over two exact integers.
+
+    Plan: the corpus-sized relation is (doc, token, tf) once (shared
+    shape with bm25/tfidf); token log-costs are a token-dimension
+    aggregate joined back (AQE broadcast); per-doc reduction is a
+    keyed agg with map-side partials. Magnitude: ln(L/c)·1e6 < 4e7,
+    × tf ≤ 1e4 × terms/doc — int64-safe past billions of tokens.
+    """
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.col(id_col),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+              .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    ctok = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").alias("_l"))
+    cost = F.round(F.log(F.col("_l").cast("double")
+                         / F.col("c").cast("double")) * 1000000.0) \
+        .cast("long")
+    per_doc = (tf.join(ctok, "token")
+               .crossJoin(F.broadcast(tot))
+               .groupBy(id_col)
+               .agg(F.sum(F.col("tf") * cost).alias("_s"),
+                    F.sum("tf").alias("dl")))
+    h = F.round(F.col("_s").cast("double") / F.col("dl").cast("double")) \
+        .cast("long")
+    return per_doc.select(id_col, F.col("dl").cast("long"),
+                          h.alias("h_micro"))
+
+
+def unigram_logloss_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`unigram_logloss` (same expression
+    shapes)."""
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+      ), ct AS (
+        SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf
+        GROUP BY token
+      ), tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS l FROM tf),
+      pd AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf * CAST(ROUND(
+                 LN(CAST(t.l AS DOUBLE) / CAST(ct.c AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(tf.tf) AS BIGINT) AS dl
+        FROM tf JOIN ct USING (token) CROSS JOIN tot t
+        GROUP BY tf.doc_id
+      )
+      SELECT doc_id, dl,
+             CAST(ROUND(CAST(s AS DOUBLE) / CAST(dl AS DOUBLE))
+                  AS BIGINT) AS h_micro
+      FROM pd
+    """

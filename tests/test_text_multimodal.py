@@ -734,3 +734,47 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got = {r.doc_id for r in
            weighted_sample(df, k=20, weight_col="w").collect()}
     assert sum(1 for d in got if d < 10) >= 8
+
+
+def test_unigram_logloss_matches_python_and_twin(spark):
+    import math
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import (unigram_logloss,
+                                               unigram_logloss_oracle_sql)
+
+    docs = [(1, "a a a b"), (2, "b c"), (3, "a rare rare token here"),
+            (4, None), (5, "a")]
+    got = {r.doc_id: (r.dl, r.h_micro) for r in unigram_logloss(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    tf, c = {}, {}
+    for d, t in docs:
+        if t is None:
+            continue
+        for w in t.split():
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+            c[w] = c.get(w, 0) + 1
+    l = sum(c.values())
+    want = {}
+    for d, t in docs:
+        if t is None:
+            continue
+        s, dl = 0, 0
+        for w in set(t.split()):
+            k = tf[(d, w)]
+            s += k * math.floor(math.log(l / c[w]) * 1e6 + 0.5)
+            dl += k
+        want[d] = (dl, math.floor(s / dl + 0.5))
+    assert got == want
+    # doc of rare tokens scores higher than the common-token doc
+    assert got[3][1] > got[1][1]
+
+    dv = ", ".join("({}, {})".format(
+        i, "NULL" if t is None else f"'{t}'") for i, t in docs)
+    sql = unigram_logloss_oracle_sql(
+        f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)")
+    twin = {int(d): (int(dl), int(h))
+            for d, dl, h in duckdb.sql(sql).fetchall()}
+    assert got == twin
