@@ -795,6 +795,16 @@ def _q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "dl", "h_micro")
 
 
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit (operators/text.zipf_slope): OLS of ln freq on
+    ln rank with the five Σs in exact BIGINT over milli-rounded
+    logs."""
+    from cdap_geo_spark.operators.text import zipf_slope
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return zipf_slope(docs)
+
+
 def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token collocations by PMI (operators/text.pmi_pairs):
     one log of an exact integer ratio, rounded before ranking."""
@@ -1033,6 +1043,12 @@ def _pmi_sql() -> str:
     from cdap_geo_spark.operators.text import pmi_oracle_sql
     return pmi_oracle_sql("SELECT doc_id, text FROM documents",
                           min_count=5, k=50)
+
+
+def _zipf_sql() -> str:
+    """DuckDB twin of `zipf` (see operators/text.zipf_oracle_sql)."""
+    from cdap_geo_spark.operators.text import zipf_oracle_sql
+    return zipf_oracle_sql("SELECT doc_id, text FROM documents")
 
 
 def _logloss_sql() -> str:
@@ -1631,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_stats": _q_json,
         "changelog": _q_changelog,
         "unigram_logloss": _q_logloss,
+        "zipf": _q_zipf,
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2293,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
           FROM r GROUP BY user_id, seg
         """,
         "unigram_logloss": _logloss_sql(),
+        "zipf": _zipf_sql(),
         "changelog": """
           WITH base AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

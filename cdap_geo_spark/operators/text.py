@@ -1014,3 +1014,83 @@ def unigram_logloss_oracle_sql(docs_sql: str) -> str:
                   AS BIGINT) AS h_micro
       FROM pd
     """
+
+
+def zipf_slope(df: DataFrame, *, text_col: str = "text",
+               log_scale: int = 1000) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over all distinct tokens (healthy
+    natural-language corpora sit near −1; the classic corpus-level
+    diagnostic). Returns one row ``(n_vocab, sx, sy, sxy, sxx,
+    slope)``.
+
+    Exactness (the grouped_ols discipline applied to floats): each
+    token's ``ln(rank)`` / ``ln(freq)`` is one log of an exact
+    integer, rounded to ``log_scale`` units (milli-nats by default),
+    and the five OLS Σs then run in exact BIGINT — order-independent.
+    Magnitude contract: milli-scale keeps Σ(lx·ly) inside int64 to
+    ~1e8 vocabulary; raise ``log_scale`` only for small vocabularies.
+
+    Plan: one corpus-sized token aggregation to vocabulary counts;
+    ranking is a window over the VOCABULARY relation (ties broken by
+    token for determinism); the fit is a single 1-row aggregate.
+    """
+    from pyspark.sql import Window
+    toks = (df.where(F.col(text_col).isNotNull())
+              .select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+              .filter(F.col("token") != ""))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = vocab.withColumn("r", F.row_number().over(w))
+    s = float(log_scale)
+    lx = F.round(F.log(F.col("r").cast("double")) * s).cast("long")
+    ly = F.round(F.log(F.col("c").cast("double")) * s).cast("long")
+    agg = (ranked.select(lx.alias("_x"), ly.alias("_y"))
+           .agg(F.count(F.lit(1)).alias("n_vocab"),
+                F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("sxx")))
+    det = (F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    num = (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    slope = F.when(det != 0, F.round(num.cast("double")
+                                     / det.cast("double"), 6))
+    return agg.select(F.col("n_vocab").cast("long"), "sx", "sy",
+                      "sxy", "sxx", slope.alias("slope"))
+
+
+def zipf_oracle_sql(docs_sql: str, *, log_scale: int = 1000) -> str:
+    """DuckDB twin of :func:`zipf_slope` (same rounding, same ranking
+    tie rule, same closed form)."""
+    s = float(log_scale)
+    return f"""
+      WITH tok AS (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY token
+      ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+        FROM vocab
+      ), xy AS (
+        SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * {s}) AS BIGINT) AS x,
+               CAST(ROUND(LN(CAST(c AS DOUBLE)) * {s}) AS BIGINT) AS y
+        FROM ranked
+      ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+      )
+      SELECT n_vocab, sx, sy, sxy, sxx,
+             CASE WHEN n_vocab * sxx - sx * sx <> 0 THEN
+               ROUND(CAST(n_vocab * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_vocab * sxx - sx * sx AS DOUBLE), 6)
+             END AS slope
+      FROM a
+    """

@@ -778,3 +778,46 @@ def test_unigram_logloss_matches_python_and_twin(spark):
     twin = {int(d): (int(dl), int(h))
             for d, dl, h in duckdb.sql(sql).fetchall()}
     assert got == twin
+
+
+def test_zipf_slope_matches_python_and_twin(spark):
+    import math
+    import random
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import zipf_oracle_sql, zipf_slope
+
+    # zipf-ish corpus: token i appears ~ N/(i+1) times
+    toks = []
+    for i in range(30):
+        toks += [f"w{i:02d}"] * (600 // (i + 1))
+    rng = random.Random(2)
+    rng.shuffle(toks)
+    docs = [(d, " ".join(toks[d * 40:(d + 1) * 40]))
+            for d in range(len(toks) // 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = zipf_slope(df).collect()[0]
+
+    cnt = {}
+    for t in " ".join(t for _, t in docs).split():
+        cnt[t] = cnt.get(t, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.floor(math.log(r + 1) * 1000 + 0.5)
+          for r in range(len(ranked))]
+    ys = [math.floor(math.log(c) * 1000 + 0.5) for _, c in ranked]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    assert (out.n_vocab, out.sx, out.sy, out.sxy, out.sxx) == \
+        (n, sx, sy, sxy, sxx)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert out.slope == want
+    assert -1.3 < out.slope < -0.7  # zipf-ish corpus fits near -1
+
+    dv = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    sql = zipf_oracle_sql(f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)")
+    tw = duckdb.sql(sql).fetchall()[0]
+    assert (out.n_vocab, out.sx, out.sy, out.sxy, out.sxx,
+            out.slope) == (int(tw[0]), int(tw[1]), int(tw[2]),
+                           int(tw[3]), int(tw[4]), float(tw[5]))
