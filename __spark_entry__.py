@@ -130,6 +130,29 @@ def _q_knn_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long"))
 
 
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation (operators/knn.idw_interpolate): n_chars
+    estimated at the 25 nation query points from their 5 nearest doc
+    points — certified kNN + exact-integer d², per-term micro-rounded
+    BIGINT sums."""
+    from cdap_geo_spark.operators.knn import idw_interpolate
+    _spatial_conf(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"),
+        F.col("n_chars").cast("long").alias("v"))
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    queries = n.select(
+        F.col("n_nationkey").alias("query_id"),
+        ((F.col("n_nationkey") * 104729 + 7) % 700000).alias("x"),
+        ((F.col("n_nationkey") * 130363 + 3) % 1300000).alias("y"))
+    out = idw_interpolate(queries, corpus, k=5, level=8, max_rounds=40)
+    return out.select(F.col("query_id").cast("long"), "n_nb",
+                      "num", "den", "est_centi")
+
+
 def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark import udfs
     from cdap_geo_spark.sources import relational as R
@@ -1648,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog": _q_changelog,
         "unigram_logloss": _q_logloss,
         "zipf": _q_zipf,
+        "idw": _q_idw,
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
@@ -2197,6 +2221,41 @@ def oracle_sql() -> dict[str, str]:
                  CAST(doc_id AS BIGINT) AS doc_id,
                  CAST(rank AS BIGINT) AS rank
           FROM ranked WHERE rank <= 5
+        """,
+        "idw": f"""
+          WITH q AS ({_QPTS}), c AS ({_PTS}),
+          v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS val
+                FROM documents),
+          ranked AS (
+            SELECT q.query_id,
+                   CAST(q.x AS BIGINT) AS qx, CAST(q.y AS BIGINT) AS qy,
+                   CAST(c.x AS BIGINT) AS cx, CAST(c.y AS BIGINT) AS cy,
+                   c.doc_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y),
+                              c.doc_id) AS rank
+            FROM q CROSS JOIN c
+          ), nb AS (
+            SELECT r.query_id,
+                   GREATEST((qx-cx)*(qx-cx) + (qy-cy)*(qy-cy), 1) AS d2,
+                   v.val
+            FROM ranked r JOIN v ON r.doc_id = v.doc_id
+            WHERE rank <= 5
+          ), a AS (
+            SELECT query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_nb,
+                   CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1e12
+                         / CAST(d2 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                     AS num,
+                   CAST(SUM(CAST(ROUND(1e12 / CAST(d2 AS DOUBLE))
+                         AS BIGINT)) AS BIGINT) AS den
+            FROM nb GROUP BY query_id
+          )
+          SELECT CAST(query_id AS BIGINT) AS query_id, n_nb, num, den,
+                 CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                            * 100.0) AS BIGINT) AS est_centi
+          FROM a
         """,
         "knn_box": f"""
           WITH q AS ({_DBOXES}), c AS ({_BOXES}), ranked AS (

@@ -339,3 +339,61 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
         return out
     finally:
         corp.unpersist()
+
+
+def idw_interpolate(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
+                    value_col: str = "v",
+                    query_id: str = "query_id", corpus_id: str = "doc_id",
+                    x_col: str = "x", y_col: str = "y",
+                    level: int = 8, max_rounds: int = 40,
+                    weight_scale: float = 1e12) -> DataFrame:
+    """Inverse-distance-weighted interpolation (kriging-lite): estimate
+    a value at each query point as the 1/d² weighted mean of its k
+    nearest corpus values. Inputs are integer-coordinate relations
+    (``x_col``/``y_col``; geometries are built internally), corpus
+    carries ``value_col``.
+
+    Composes over :func:`knn_join` (certified exact neighbor sets),
+    then recomputes EXACT integer squared distances from the
+    coordinates for the weights. Cross-engine hashable by the repo's
+    float discipline: each neighbor's numerator/denominator term is
+    one double expression over exact integers, rounded to BIGINT and
+    summed (order-independent); the estimate is one final double over
+    the two sums, emitted in centi-units. A coincident point (d² = 0)
+    clamps to d² = 1 — at integer coordinates that makes it dominate
+    by ``weight_scale``, the documented intent.
+
+    Returns ``(query_id, n_nb, num, den, est_centi)``.
+    """
+    from cdap_geo_spark import udfs
+    q = queries.select(
+        F.col(query_id), F.col(x_col).cast("long").alias("_qx"),
+        F.col(y_col).cast("long").alias("_qy"),
+        udfs.st_point()(F.col(x_col).cast("double"),
+                        F.col(y_col).cast("double")).alias("geometry"))
+    c = corpus.select(
+        F.col(corpus_id), F.col(x_col).cast("long").alias("_cx"),
+        F.col(y_col).cast("long").alias("_cy"),
+        F.col(value_col).cast("long").alias("_v"),
+        udfs.st_point()(F.col(x_col).cast("double"),
+                        F.col(y_col).cast("double")).alias("geometry"))
+    nn = knn_join(q.select(query_id, "geometry"),
+                  c.select(corpus_id, "geometry"),
+                  k=k, level=level, max_rounds=max_rounds,
+                  query_id=query_id, corpus_id=corpus_id)
+    j = (nn.select(query_id, corpus_id)
+         .join(q.select(query_id, "_qx", "_qy"), query_id)
+         .join(c.select(corpus_id, "_cx", "_cy", "_v"), corpus_id))
+    d2 = ((F.col("_qx") - F.col("_cx")) * (F.col("_qx") - F.col("_cx"))
+          + (F.col("_qy") - F.col("_cy")) * (F.col("_qy") - F.col("_cy")))
+    d2g = F.greatest(d2, F.lit(1)).cast("double")
+    ws = float(weight_scale)
+    num_t = F.round(F.col("_v").cast("double") * ws / d2g).cast("long")
+    den_t = F.round(F.lit(ws) / d2g).cast("long")
+    agg = (j.groupBy(query_id)
+           .agg(F.count(F.lit(1)).alias("n_nb"),
+                F.sum(num_t).alias("num"), F.sum(den_t).alias("den")))
+    est = F.round(F.col("num").cast("double")
+                  / F.col("den").cast("double") * 100.0).cast("long")
+    return agg.select(query_id, F.col("n_nb").cast("long"),
+                      "num", "den", est.alias("est_centi"))

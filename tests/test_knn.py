@@ -252,3 +252,44 @@ def test_knn_centroid_pointify_closes_the_polygon_guard(spark):
         order = sorted(range(n), key=lambda i: (d2[i], i))[:3]
         sub = got[got.query_id == q.query_id].sort_values("rank")
         assert list(sub.doc_id) == order, q.query_id
+
+
+def test_idw_interpolate_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.knn import idw_interpolate
+
+    rng = random.Random(19)
+    corpus = [(i, rng.randrange(10000), rng.randrange(10000),
+               rng.randrange(1, 1000)) for i in range(300)]
+    queries = [(j, rng.randrange(10000), rng.randrange(10000))
+               for j in range(8)]
+    got = {r.query_id: (r.n_nb, r.num, r.den, r.est_centi)
+           for r in idw_interpolate(
+               spark.createDataFrame(queries, "query_id long, x long, y long"),
+               spark.createDataFrame(corpus,
+                                     "doc_id long, x long, y long, v long"),
+               k=4, level=6, max_rounds=60).collect()}
+    for qid, qx, qy in queries:
+        nn = sorted(corpus, key=lambda c: ((c[1] - qx) ** 2
+                                           + (c[2] - qy) ** 2, c[0]))[:4]
+        num = den = 0
+        for cid, cx, cy, v in nn:
+            d2 = max((cx - qx) ** 2 + (cy - qy) ** 2, 1)
+            num += int(v * 1e12 / d2 + 0.5)
+            den += int(1e12 / d2 + 0.5)
+        want = (4, num, den, int(num / den * 100 + 0.5))
+        assert got[qid] == want, qid
+
+
+def test_idw_coincident_point_dominates(spark):
+    from cdap_geo_spark.operators.knn import idw_interpolate
+    corpus = [(1, 50, 50, 777), (2, 900, 900, 1), (3, 901, 900, 2),
+              (4, 900, 901, 3)]
+    queries = [(0, 50, 50)]
+    r = idw_interpolate(
+        spark.createDataFrame(queries, "query_id long, x long, y long"),
+        spark.createDataFrame(corpus, "doc_id long, x long, y long, v long"),
+        k=4, level=5, max_rounds=60).collect()[0]
+    assert r.n_nb == 4
+    assert abs(r.est_centi - 77700) < 100  # coincident value dominates
