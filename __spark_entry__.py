@@ -866,6 +866,27 @@ def _q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changelog(docs, changes, key="doc_id")
 
 
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (functions/relational.scd2_build) from
+    the same derived changelog as `changelog`: one keyed LEAD window
+    assigns validity intervals, deletes close intervals without
+    emitting rows — one shuffle total, no self-join."""
+    from cdap_geo_spark.functions.relational import scd2_build
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("long"),
+                F.col("n_chars").cast("long").alias("val"))
+    base = docs.select("doc_id", F.lit(0).cast("long").alias("version"),
+                       F.lit("U").alias("op"), "val")
+    upd = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.lit(1).cast("long").alias("version"),
+        F.lit("U").alias("op"), (F.col("val") * 10).alias("val"))
+    dele = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(2).cast("long").alias("version"),
+        F.lit("D").alias("op"), F.lit(None).cast("long").alias("val"))
+    changes = base.unionByName(upd).unionByName(dele)
+    return scd2_build(changes, key="doc_id")
+
+
 def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (native get_json_object, JVM-side):
     the JSON props payload parsed in whole-stage codegen — never a
@@ -1583,6 +1604,61 @@ def _q_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         udfs.st_length()(F.col("geometry")).cast("long").alias("perim"))
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (operators/graph.kcore_peel) over
+    the region bbox-adjacency graph at k=6: per round one keyed degree
+    aggregation + two semi-joins, edge state checkpointed and released
+    round-to-round; the DuckDB twin unrolls the same 4 synchronous
+    peels as chained CTEs. Exact integer degrees make the surviving
+    subgraph value-hashable."""
+    from cdap_geo_spark.operators.graph import kcore_peel
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    out = kcore_peel(edges, k=6, rounds=4, src="a", dst="b")
+    return out.select(F.col("id").cast("long"), "deg")
+
+
+def _kcore_sql() -> str:
+    """DuckDB twin of `kcore`: canonical u<v bbox-adjacency edges fed
+    to the unrolled 4-round peel (see operators/graph.kcore_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import kcore_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return kcore_oracle_sql(edges, k=6, rounds=4)
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (operators/text.fuzzy_join) under the
+    oracle gate: every 37th part's composite label matched against the
+    whole part table at levenshtein <= 2 through the LOSSLESS q-gram
+    count-filter blocking (never a nested-loop); the DuckDB twin is
+    the quadratic definition with only the length filter. Exact BIGINT
+    distances make the full pair relation value-hashable."""
+    from cdap_geo_spark.operators.text import fuzzy_join
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lab = F.concat_ws(" ", "p_name", "p_brand", "p_type",
+                      F.col("p_size").cast("string"))
+    corpus = p.select(F.col("p_partkey").alias("pk"), lab.alias("s"))
+    qs = corpus.where(F.col("pk") % 37 == 0) \
+               .select(F.col("pk").alias("qk"), "s")
+    out = fuzzy_join(qs, corpus, max_dist=2, left_id="qk", left_str="s",
+                     right_id="pk", right_str="s")
+    return out.select(F.col("qk").cast("long"), F.col("pk").cast("long"),
+                      "dist")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sjoin_pip": _q_sjoin_pip,
@@ -1675,6 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory": _q_trajectory,
         "pagerank": _q_pagerank,
         "skyline": _q_skyline,
+        "fuzzy_join": _q_fuzzy,
+        "kcore": _q_kcore,
+        "scd2": _q_scd2,
     }
 
 
@@ -3286,5 +3365,44 @@ def oracle_sql() -> dict[str, str]:
                  CAST(2 * ((maxx - minx) + (maxy - miny)) AS BIGINT)
                      AS perim
           FROM b
+        """,
+        # quadratic definition (length filter only) — the engine's
+        # lossless q-gram blocking must reproduce it exactly
+        "fuzzy_join": """
+          WITH p AS (
+            SELECT p_partkey AS pk,
+                   p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+                   CAST(p_size AS VARCHAR) AS s
+            FROM part
+          ), q AS (SELECT pk AS qk, s FROM p WHERE pk % 37 = 0)
+          SELECT CAST(q.qk AS BIGINT) AS qk, CAST(p.pk AS BIGINT) AS pk,
+                 CAST(levenshtein(q.s, p.s) AS BIGINT) AS dist
+          FROM q JOIN p ON abs(length(q.s) - length(p.s)) <= 2
+          WHERE levenshtein(q.s, p.s) <= 2
+        """,
+        "kcore": _kcore_sql(),
+        "scd2": """
+          WITH base AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS val,
+                   CAST(0 AS BIGINT) AS v, 'U' AS op
+            FROM documents
+          ), ch AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT doc_id, val * 10, CAST(1 AS BIGINT), 'U'
+            FROM base WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, NULL, CAST(2 AS BIGINT), 'D'
+            FROM base WHERE doc_id % 7 = 0
+          ), w AS (
+            SELECT *, LEAD(v) OVER (PARTITION BY doc_id
+                                    ORDER BY v ASC) AS vt
+            FROM ch
+          )
+          SELECT doc_id, val, v AS valid_from, vt AS valid_to,
+                 CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_current
+          FROM w WHERE op = 'U'
         """,
     }

@@ -265,3 +265,84 @@ def pagerank_oracle_sql(edges_sql: str, *, iterations: int = 3,
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT CAST(id AS BIGINT) AS id, rank"
               f" FROM r{iterations}")
+
+
+def kcore_peel(edges: DataFrame, *, k: int, rounds: int = 4,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-core peeling over an UNDIRECTED graph (edges in
+    any direction, duplicates/self-loops canonicalized away). Each
+    round drops every node whose degree in the SURVIVING subgraph is
+    below ``k`` (the synchronous peel); after ``rounds`` rounds the
+    result is ``(id, deg)`` for every node still incident to an edge,
+    with its degree in the surviving subgraph. Run to convergence this
+    IS the exact k-core; a FIXED round count keeps the computation
+    identical — and therefore value-hashable — against the single-node
+    oracle (:func:`kcore_oracle_sql` unrolls the same rounds as chained
+    CTEs). Degrees are exact BIGINTs.
+
+    Distributed shape: each round is one keyed degree aggregation
+    (map-side partials) plus two semi-joins of the edge relation
+    against the surviving node set — AQE-sized equi-joins, no nested
+    loop, no driver-side row loop. A round that removes no edge
+    short-circuits the rest (the peel has converged; remaining rounds
+    are provable no-ops, so early exit cannot change the result).
+    Edge relations supersede each other round-to-round and are
+    released eagerly (the :func:`pagerank` lineage contract: consume
+    the returned frame inside the caller's ``checkpoint_scope``).
+    """
+    if k < 1:
+        raise ValueError("kcore_peel: k must be >= 1")
+    if rounds < 0:
+        raise ValueError("kcore_peel: rounds must be >= 0")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    track_checkpoint(e)
+    n_edges = e.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = (e.select(F.col("u").alias("id"))
+               .unionByName(e.select(F.col("v").alias("id")))
+               .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.where(F.col("deg") >= k).select("id")
+        nxt = (e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True))
+        track_checkpoint(nxt)
+        n_nxt = nxt.count()
+        unpersist_checkpoint(e)
+        e, converged = nxt, n_nxt == n_edges
+        n_edges = n_nxt
+        if converged:
+            break
+    return (e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                               .alias("deg")))
+
+
+def kcore_oracle_sql(edges_sql: str, *, k: int, rounds: int = 4) -> str:
+    """ANSI-SQL twin of :func:`kcore_peel`, rounds unrolled as chained
+    CTEs. ``edges_sql`` must yield CANONICAL undirected edges
+    ``(u, v)`` with ``u < v``, no duplicates or self-loops."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for i in range(rounds):
+        parts.append(f"""d{i} AS (
+          SELECT id, COUNT(*) AS deg FROM (
+            SELECT u AS id FROM e{i}
+            UNION ALL SELECT v FROM e{i}) GROUP BY id)""")
+        parts.append(f"""s{i} AS (SELECT id FROM d{i} WHERE deg >= {k})""")
+        parts.append(f"""e{i + 1} AS (
+          SELECT u, v FROM e{i}
+          WHERE u IN (SELECT id FROM s{i})
+            AND v IN (SELECT id FROM s{i}))""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT CAST(id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS id FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds})
+        GROUP BY id""")

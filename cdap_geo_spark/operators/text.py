@@ -1094,3 +1094,93 @@ def zipf_oracle_sql(docs_sql: str, *, log_scale: int = 1000) -> str:
              END AS slope
       FROM a
     """
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, *, max_dist: int,
+               left_id: str = "doc_id", left_str: str = "text",
+               right_id: str = "doc_id", right_str: str = "text"
+               ) -> DataFrame:
+    """Edit-distance (Levenshtein) join: every pair ``(left, right)``
+    with ``levenshtein(ls, rs) <= max_dist`` — the record-linkage /
+    entity-resolution primitive. Returns ``(left_id, right_id, dist)``
+    with ``dist`` an exact BIGINT, so the relation is cross-engine
+    value-hashable (DuckDB's ``levenshtein`` computes the same unit-cost
+    edit distance as Spark's).
+
+    A raw formulation is a quadratic theta-join (Spark would plan
+    BroadcastNestedLoopJoin); the plan here is the classic LOSSLESS
+    q-gram blocking (Gravano et al. 2001, q=2):
+
+    * **length filter** — ``ed(a,b) <= d`` implies ``|len(a)-len(b)| <= d``;
+    * **count filter** — each edit destroys at most q of a string's
+      overlapping q-grams, so the MULTISET gram intersection obeys
+      ``|G(a) ∩ G(b)| >= max(la,lb) - q + 1 - q*d``. Candidates come
+      from the gram equi-join with ``inter = Σ_g min(tf_a, tf_b)``
+      (the PPJoin min-count idiom) and pairs below the bound are
+      provably beyond ``d`` — never false negatives;
+    * **short-string band** — when BOTH lengths ``<= B = q*d + q - 1``
+      the bound is vacuous, so those rows join by an exploded
+      ``[len-d, len+d]`` length-key equi-join instead (bounded: 2d+1
+      keys per row over the short stratum only). With q=2 a cross-band
+      pair (one side short, one long) always has ``max > B`` and at
+      least one gram on each side, so the two paths are exhaustive.
+
+    Verification is native ``F.levenshtein`` in whole-stage codegen.
+    Only ``(id, string)`` projections ride the gram shuffle; at corpus
+    scale the exchange carries the gram relations (Σ len rows) and the
+    candidate relation, never an all-pairs product. Self-join callers
+    pass the same relation twice and filter ``l < r`` afterwards.
+    """
+    if max_dist < 0:
+        raise ValueError("fuzzy_join: max_dist must be >= 0")
+    q = 2
+    band = q * max_dist + q - 1
+    l = (left.select(F.col(left_id).alias("_lid"),
+                     F.col(left_str).alias("_ls"))
+         .where(F.col("_ls").isNotNull())
+         .withColumn("_ll", F.length("_ls")))
+    r = (right.select(F.col(right_id).alias("_rid"),
+                      F.col(right_str).alias("_rs"))
+          .where(F.col("_rs").isNotNull())
+          .withColumn("_rl", F.length("_rs")))
+
+    def grams(df, idc, sc, lc):
+        g = df.select(
+            idc,
+            F.explode(F.expr(
+                f"transform(sequence(1, greatest({lc} - 1, 0)), "
+                f"i -> substring({sc}, i, 2))")).alias("_g"))
+        return g.groupBy(idc, "_g").agg(F.count(F.lit(1)).alias("_tf"))
+
+    lg = grams(l, "_lid", "_ls", "_ll")
+    rg = grams(r, "_rid", "_rs", "_rl")
+    inter = (lg.withColumnRenamed("_tf", "_tfa")
+             .join(rg.withColumnRenamed("_tf", "_tfb"), "_g")
+             .groupBy("_lid", "_rid")
+             .agg(F.sum(F.least("_tfa", "_tfb")).alias("_inter")))
+    cand_gram = (inter
+                 .join(l.select("_lid", "_ll"), "_lid")
+                 .join(r.select("_rid", "_rl"), "_rid")
+                 .where((F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
+                        & (F.greatest("_ll", "_rl") > band)
+                        & (F.col("_inter")
+                           >= F.greatest("_ll", "_rl") - 1 - q * max_dist))
+                 .select("_lid", "_rid"))
+    short = (l.where(F.col("_ll") <= band)
+             .select("_lid", F.explode(F.sequence(
+                 F.col("_ll") - max_dist, F.col("_ll") + max_dist))
+                 .alias("_k"))
+             .join(r.where(F.col("_rl") <= band)
+                    .select("_rid", F.col("_rl").alias("_k")), "_k")
+             .select("_lid", "_rid"))
+    cands = cand_gram.unionByName(short).dropDuplicates(["_lid", "_rid"])
+    out = (cands.join(l.select("_lid", "_ls"), "_lid")
+           .join(r.select("_rid", "_rs"), "_rid")
+           .withColumn("dist", F.levenshtein("_ls", "_rs").cast("long"))
+           .where(F.col("dist") <= max_dist)
+           .select(F.col("_lid").alias(
+                       left_id + "_l" if left_id == right_id else left_id),
+                   F.col("_rid").alias(
+                       right_id + "_r" if left_id == right_id else right_id),
+                   "dist"))
+    return out

@@ -204,3 +204,71 @@ def test_bfs_oracle_sql_twin_matches(spark):
                          max_hops=4)
     want = {(int(i), int(h)) for i, h in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def _brute_kcore(edges, k, rounds):
+    e = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    for _ in range(rounds):
+        deg = {}
+        for u, v in e:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = [(u, v) for u, v in e if u in keep and v in keep]
+        if len(nxt) == len(e):
+            break
+        e = nxt
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_kcore_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import kcore_peel
+    edges = _random_edges(50, 220, seed=13)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4, 6):
+        got = {r.id: r.deg for r in
+               kcore_peel(df, k=k, rounds=4).collect()}
+        assert got == _brute_kcore(edges, k, 4), f"k={k}"
+
+
+def test_kcore_short_circuit_equals_converged(spark):
+    # once a round removes nothing the peel has converged: a huge
+    # round budget must equal the exact k-core (python peel run to
+    # fixpoint), via the engine's early exit
+    from cdap_geo_spark.operators.graph import kcore_peel
+    edges = _random_edges(40, 150, seed=21)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.deg for r in
+           kcore_peel(df, k=3, rounds=50).collect()}
+    assert got == _brute_kcore(edges, 3, 10_000)
+
+
+def test_kcore_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import kcore_oracle_sql, kcore_peel
+    raw = _random_edges(35, 160, seed=33)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    got = {r.id: r.deg for r in
+           kcore_peel(spark.createDataFrame(raw, "src int, dst int"),
+                      k=4, rounds=3).collect()}
+    vals = ", ".join(f"({u}, {v})" for u, v in und)
+    sql = kcore_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(u, v)",
+                           k=4, rounds=3)
+    want = {int(i): int(d) for i, d in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_kcore_validates_and_empty(spark):
+    from cdap_geo_spark.operators.graph import kcore_peel
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=2, rounds=-1)
+    # k=2 on a single edge: both endpoints have deg 1 -> everything
+    # peels away in round 1
+    assert kcore_peel(df, k=2, rounds=2).count() == 0

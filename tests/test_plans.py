@@ -159,3 +159,57 @@ def test_apply_changelog_upserts_deletes_and_passthrough(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     del F
+
+
+def test_scd2_build_intervals(spark):
+    from cdap_geo_spark.functions.relational import scd2_build
+
+    changes = spark.createDataFrame(
+        [(1, 0, "U", "a"),      # created, updated, still current
+         (1, 3, "U", "a2"),
+         (2, 0, "U", "b"),      # created then deleted
+         (2, 5, "D", None),
+         (3, 2, "U", "c"),      # single still-current row
+         (4, 1, "D", None)],    # delete with no prior upsert: no rows
+        "id long, version long, op string, val string")
+    got = sorted(tuple(r) for r in scd2_build(changes, key="id").collect())
+    assert got == [
+        (1, "a", 0, 3, 0),
+        (1, "a2", 3, None, 1),
+        (2, "b", 0, 5, 0),
+        (3, "c", 2, None, 1),
+    ]
+    # one keyed window, never a self-join of the log
+    plan = scd2_build(changes, key="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_scd2_current_rows_match_apply_changelog(spark):
+    # the SCD2 history's is_current slice must equal the merged
+    # snapshot (minus deleted keys) — the two operators are views of
+    # the same log
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdap_geo_spark.functions.relational import (apply_changelog,
+                                                     scd2_build)
+
+    rng = random.Random(3)
+    base_rows = [(k, f"v{k}") for k in range(30)]
+    ch_rows = []
+    for k in range(30):
+        for v in range(1, rng.randrange(0, 4) + 1):
+            op = "D" if rng.random() < 0.25 else "U"
+            ch_rows.append((k, v, op, f"v{k}.{v}" if op == "U" else None))
+    base = spark.createDataFrame(base_rows, "id long, val string")
+    changes = spark.createDataFrame(
+        ch_rows, "id long, version long, op string, val string")
+    log = base.select("id", F.lit(0).cast("long").alias("version"),
+                      F.lit("U").alias("op"), "val").unionByName(changes)
+    cur = {(r.id, r.val) for r in
+           scd2_build(log, key="id").where("is_current = 1").collect()}
+    snap = {(r.id, r.val) for r in
+            apply_changelog(base, changes, key="id").collect()}
+    assert cur == snap

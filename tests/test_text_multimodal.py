@@ -821,3 +821,76 @@ def test_zipf_slope_matches_python_and_twin(spark):
     assert (out.n_vocab, out.sx, out.sy, out.sxy, out.sxx,
             out.slope) == (int(tw[0]), int(tw[1]), int(tw[2]),
                            int(tw[3]), int(tw[4]), float(tw[5]))
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Lossless q-gram blocking: the blocked plan must reproduce the
+    quadratic definition exactly, including empty and sub-q strings
+    (the short-string band) and d=0 (exact match)."""
+    import itertools
+    import random
+    from cdap_geo_spark.operators.text import fuzzy_join
+
+    random.seed(11)
+    strs = ["".join(random.choice("abcd")
+                    for _ in range(random.randint(0, 8)))
+            for _ in range(90)]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[-1]
+
+    for d in (0, 2):
+        got = sorted(tuple(r)
+                     for r in fuzzy_join(df, df, max_dist=d).collect())
+        want = sorted((i, j, lev(a, b)) for (i, a), (j, b)
+                      in itertools.product(rows, rows) if lev(a, b) <= d)
+        assert got == want, f"max_dist={d}"
+
+
+def test_fuzzy_join_two_sided_and_nulls(spark):
+    from cdap_geo_spark.operators.text import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "colour"), (2, None), (3, "zzzz")], "qid long, s string")
+    right = spark.createDataFrame(
+        [(10, "color"), (11, "colours"), (12, "aaaa")],
+        "rid long, t string")
+    got = sorted(tuple(r) for r in fuzzy_join(
+        left, right, max_dist=1, left_id="qid", left_str="s",
+        right_id="rid", right_str="t").collect())
+    assert got == [(1, 10, 1), (1, 11, 1)]
+    assert fuzzy_join(left, right, max_dist=1, left_id="qid",
+                      left_str="s", right_id="rid",
+                      right_str="t").columns == ["qid", "rid", "dist"]
+
+
+def test_fuzzy_join_no_nested_loop_plan(spark):
+    """The whole point: the plan must contain no BroadcastNestedLoop /
+    Cartesian — candidates come from equi-joins only."""
+    from cdap_geo_spark.operators.text import fuzzy_join
+
+    df = spark.createDataFrame([(i, f"string-{i}") for i in range(50)],
+                               "doc_id long, text string")
+    plan = fuzzy_join(df, df, max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_validates(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.text import fuzzy_join
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        fuzzy_join(df, df, max_dist=-1)
