@@ -1639,6 +1639,82 @@ def _kcore_sql() -> str:
     return kcore_oracle_sql(edges, k=6, rounds=4)
 
 
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths (operators/graph.sssp)
+    from every 97th region over the bbox-adjacency graph with
+    deterministic integer edge weights: frontier-only Bellman–Ford
+    relaxations, exact BIGINT distances, DuckDB twin unrolled as
+    MATERIALIZED CTEs."""
+    from cdap_geo_spark.operators.graph import sssp
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    # sjoin_pairs over the full self-join already emits BOTH ordered
+    # directions (the bfs oracle relies on the same shape); the weight
+    # is a deterministic per-direction integer
+    edges = (pairs.where(F.col("a") != F.col("b"))
+             .select("a", "b",
+                     ((F.col("a") * 7 + F.col("b") * 3) % 9 + 1)
+                     .alias("w")))
+    srcs = regions.where(F.col("region_id") % 97 == 0) \
+        .select(F.col("region_id").alias("id"))
+    out = sssp(edges, srcs, src="a", dst="b", weight_col="w", rounds=4)
+    return out.select(F.col("id").cast("long"), "dist")
+
+
+def _sssp_sql() -> str:
+    """DuckDB twin of `sssp` (see operators/graph.sssp_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import sssp_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS src, c.region_id AS dst,
+             (a.region_id * 7 + c.region_id * 3) % 9 + 1 AS w
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id <> c.region_id
+    """
+    srcs = (f"SELECT region_id AS id FROM ({_BOXES}) "
+            f"WHERE region_id % 97 = 0")
+    return sssp_oracle_sql(edges, srcs, rounds=4)
+
+
+def _q_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (operators/graph.adamic_adar) over
+    the region bbox-adjacency graph: top-50 non-adjacent pairs by the
+    micro-rounded 1/ln(deg) common-neighbor sum — wedge equi-join +
+    keyed agg + anti-join + bounded TakeOrdered, never all-pairs."""
+    from cdap_geo_spark.operators.graph import adamic_adar
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return adamic_adar(edges, k=50, src="a", dst="b")
+
+
+def _adamic_sql() -> str:
+    """DuckDB twin of `adamic_adar` (see
+    operators/graph.adamic_adar_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import adamic_adar_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return adamic_adar_oracle_sql(edges, k=50)
+
+
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy join (operators/text.fuzzy_join) under the
     oracle gate: every 37th part's composite label matched against the
@@ -1754,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": _q_fuzzy,
         "kcore": _q_kcore,
         "scd2": _q_scd2,
+        "adamic_adar": _q_adamic,
+        "sssp": _q_sssp,
     }
 
 
@@ -3405,4 +3483,6 @@ def oracle_sql() -> dict[str, str]:
                      AS is_current
           FROM w WHERE op = 'U'
         """,
+        "adamic_adar": _adamic_sql(),
+        "sssp": _sssp_sql(),
     }

@@ -328,15 +328,22 @@ def kcore_peel(edges: DataFrame, *, k: int, rounds: int = 4,
 def kcore_oracle_sql(edges_sql: str, *, k: int, rounds: int = 4) -> str:
     """ANSI-SQL twin of :func:`kcore_peel`, rounds unrolled as chained
     CTEs. ``edges_sql`` must yield CANONICAL undirected edges
-    ``(u, v)`` with ``u < v``, no duplicates or self-loops."""
-    parts = [f"e0 AS ({edges_sql})"]
+    ``(u, v)`` with ``u < v``, no duplicates or self-loops.
+
+    Every CTE is ``MATERIALIZED``: DuckDB 1.0 inlines CTEs at each
+    reference, and the round chain references its predecessor several
+    times — un-materialized, the base edge relation re-evaluates
+    exponentially in the round count (measured: the sf0.1 bbox graph's
+    4-round peel ran minutes instead of seconds)."""
+    parts = [f"e0 AS MATERIALIZED ({edges_sql})"]
     for i in range(rounds):
-        parts.append(f"""d{i} AS (
+        parts.append(f"""d{i} AS MATERIALIZED (
           SELECT id, COUNT(*) AS deg FROM (
             SELECT u AS id FROM e{i}
             UNION ALL SELECT v FROM e{i}) GROUP BY id)""")
-        parts.append(f"""s{i} AS (SELECT id FROM d{i} WHERE deg >= {k})""")
-        parts.append(f"""e{i + 1} AS (
+        parts.append(f"""s{i} AS MATERIALIZED (
+          SELECT id FROM d{i} WHERE deg >= {k})""")
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
           SELECT u, v FROM e{i}
           WHERE u IN (SELECT id FROM s{i})
             AND v IN (SELECT id FROM s{i}))""")
@@ -346,3 +353,177 @@ def kcore_oracle_sql(edges_sql: str, *, k: int, rounds: int = 4) -> str:
         FROM (SELECT u AS id FROM e{rounds}
               UNION ALL SELECT v FROM e{rounds})
         GROUP BY id""")
+
+
+def adamic_adar(edges: DataFrame, *, k: int = 50, scale: int = 1_000_000,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Top-``k`` link-prediction candidates by Adamic–Adar score over an
+    UNDIRECTED graph: for each NON-adjacent pair ``a < b``,
+    ``AA(a,b) = Σ_{v ∈ Γ(a) ∩ Γ(b)} 1 / ln(deg v)`` — common neighbors
+    weighted inversely by how promiscuous they are (Adamic & Adar 2003).
+    Returns ``(a, b, score)`` with the score in micro-units.
+
+    Cross-engine exactness (the :func:`pagerank` discipline): each
+    common neighbor's term is ``round(scale / ln(deg_v))`` — ONE
+    transcendental over an exact integer degree, micro-rounded to
+    BIGINT — and the per-pair score is an exact integer SUM, so ranking
+    and values hash identically against the single-node oracle. A
+    common neighbor has degree >= 2 by construction, so ``ln(deg) > 0``.
+
+    Distributed shape: candidates come from the wedge self-join of the
+    adjacency relation grouped by the shared neighbor — fan-out
+    Σ deg(v)², the inherent cost of enumerating common-neighbor pairs
+    (documented; cap hub degrees upstream if the graph has power-law
+    hubs) — followed by one keyed aggregation, an anti-join against the
+    existing edge set, and a bounded global top-k (TakeOrdered, never a
+    global sort of the candidate relation). Ties break on (score desc,
+    a, b) so the cut is deterministic.
+    """
+    if k < 1:
+        raise ValueError("adamic_adar: k must be >= 1")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    track_checkpoint(e)
+    adj = (e.select(F.col("u").alias("c"), F.col("v").alias("n"))
+           .unionByName(e.select(F.col("v").alias("c"),
+                                 F.col("u").alias("n"))))
+    deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    term = F.round(F.lit(float(scale))
+                   / F.log(F.col("deg").cast("double"))).cast("long")
+    wedge = (adj.select("c", F.col("n").alias("a"))
+             .join(adj.select("c", F.col("n").alias("b")), "c")
+             .where(F.col("a") < F.col("b")))
+    scored = (wedge.join(deg, "c")
+              .groupBy("a", "b")
+              .agg(F.sum(term).alias("score")))
+    cand = scored.join(e.select(F.col("u").alias("a"),
+                                F.col("v").alias("b")),
+                       ["a", "b"], "left_anti")
+    return (cand.orderBy(F.desc("score"), "a", "b").limit(k)
+            .select("a", "b", F.col("score").cast("long")))
+
+
+def adamic_adar_oracle_sql(edges_sql: str, *, k: int = 50,
+                           scale: int = 1_000_000) -> str:
+    """ANSI-SQL twin of :func:`adamic_adar`. ``edges_sql`` must yield
+    CANONICAL undirected edges ``(u, v)`` with ``u < v``, no
+    duplicates or self-loops; term and tie-break expressions are
+    shape-identical to the Spark plan."""
+    return f"""
+      WITH e AS MATERIALIZED ({edges_sql}),
+      adj AS MATERIALIZED (
+        SELECT u AS c, v AS n FROM e
+        UNION ALL SELECT v, u FROM e
+      ),
+      deg AS (SELECT c, COUNT(*) AS deg FROM adj GROUP BY c),
+      wedge AS (
+        SELECT a1.c, a1.n AS a, a2.n AS b
+        FROM adj a1 JOIN adj a2 ON a1.c = a2.c
+        WHERE a1.n < a2.n
+      ),
+      scored AS (
+        SELECT w.a, w.b,
+               CAST(SUM(CAST(ROUND({float(scale)} /
+                    LN(CAST(d.deg AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                   AS score
+        FROM wedge w JOIN deg d ON w.c = d.c
+        GROUP BY w.a, w.b
+      )
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, score
+      FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.u = s.a AND e.v = s.b)
+      ORDER BY score DESC, a, b
+      LIMIT {k}
+    """
+
+
+def sssp(edges: DataFrame, sources: DataFrame, *, src: str = "src",
+         dst: str = "dst", weight_col: str = "w", id_col: str = "id",
+         rounds: int = 4) -> DataFrame:
+    """Bounded-round multi-source WEIGHTED shortest paths (synchronous
+    Bellman–Ford) over a DIRECTED edge relation with non-negative
+    integer weights: after ``rounds`` relaxations, ``(id, dist)`` holds
+    the exact shortest distance among paths of <= ``rounds`` edges —
+    run with ``rounds >= diameter`` this is the exact SSSP, and a fixed
+    round count keeps the computation identical (and value-hashable)
+    against the unrolled single-node oracle (:func:`sssp_oracle_sql`).
+    Distances are exact BIGINT sums, so no schedule or engine can
+    disagree.
+
+    Distributed shape (the :func:`bfs_hops` frontier discipline):
+    each round relaxes ONLY the edges leaving nodes whose distance
+    improved last round — one equi-join of the frontier onto the edge
+    relation, one keyed MIN aggregation, one full-outer merge with the
+    settled state. Work is O(edges touched by improving nodes), state
+    is one row per reached node; an empty frontier short-circuits the
+    remaining rounds (no further relaxation can improve anything).
+    Per-round state is ``localCheckpoint``ed with superseded rounds
+    released eagerly (the :func:`pagerank` lineage contract).
+    """
+    if rounds < 0:
+        raise ValueError("sssp: rounds must be >= 0")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .localCheckpoint(eager=False))
+    track_checkpoint(e)
+    dist = (sources.select(F.col(id_col).alias("id")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    track_checkpoint(dist)
+    frontier = dist
+    prev = [dist]
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        cand = (frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id"),
+                        (F.col("dist") + F.col("w")).alias("nd"))
+                .groupBy("id").agg(F.min("nd").alias("nd")))
+        merged = (dist.join(cand, "id", "full_outer")
+                  .select("id",
+                          F.when(F.col("dist").isNull(), F.col("nd"))
+                          .when(F.col("nd").isNull(), F.col("dist"))
+                          .when(F.col("nd") < F.col("dist"), F.col("nd"))
+                          .otherwise(F.col("dist")).alias("dist"),
+                          (F.col("dist").isNull()
+                           | (F.col("nd") < F.col("dist")))
+                          .alias("_improved")))
+        nxt = merged.select("id", "dist").localCheckpoint(eager=True)
+        track_checkpoint(nxt)
+        fr = (merged.where("_improved").select("id", "dist")
+              .localCheckpoint(eager=True))
+        track_checkpoint(fr)
+        for p in prev:
+            unpersist_checkpoint(p)
+        dist, frontier, prev = nxt, fr, [nxt, fr]
+    return dist
+
+
+def sssp_oracle_sql(edges_sql: str, sources_sql: str, *,
+                    rounds: int = 4) -> str:
+    """ANSI-SQL twin of :func:`sssp`, rounds unrolled as chained
+    MATERIALIZED CTEs (DuckDB 1.0 inlines CTEs per reference — see
+    :func:`kcore_oracle_sql`). ``edges_sql`` yields (src, dst, w);
+    ``sources_sql`` yields (id)."""
+    parts = [f"e AS MATERIALIZED ({edges_sql})",
+             f"""d0 AS MATERIALIZED (
+               SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist
+               FROM ({sources_sql}))"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+          SELECT e.dst AS id, MIN(d{i - 1}.dist + e.w) AS nd
+          FROM e JOIN d{i - 1} ON e.src = d{i - 1}.id
+          GROUP BY e.dst)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+          SELECT COALESCE(d.id, c.id) AS id,
+                 CAST(CASE WHEN d.dist IS NULL THEN c.nd
+                           WHEN c.nd IS NULL THEN d.dist
+                           WHEN c.nd < d.dist THEN c.nd
+                           ELSE d.dist END AS BIGINT) AS dist
+          FROM d{i - 1} d FULL OUTER JOIN c{i} c ON d.id = c.id)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(id AS BIGINT) AS id, dist FROM d{rounds}")

@@ -272,3 +272,127 @@ def test_kcore_validates_and_empty(spark):
     # k=2 on a single edge: both endpoints have deg 1 -> everything
     # peels away in round 1
     assert kcore_peel(df, k=2, rounds=2).count() == 0
+
+
+def _brute_adamic(edges, k, scale=10**6):
+    import math
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    out = []
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            s = sum(round(scale / math.log(len(adj[v])))
+                    for v in adj[a] & adj[b])
+            if s:
+                out.append((a, b, s))
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:k]
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import adamic_adar
+    edges = _random_edges(45, 180, seed=17)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [tuple(r) for r in adamic_adar(df, k=30).collect()]
+    assert got == _brute_adamic(edges, 30)
+
+
+def test_adamic_adar_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import (adamic_adar,
+                                                adamic_adar_oracle_sql)
+    raw = _random_edges(30, 120, seed=41)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    got = [tuple(r) for r in
+           adamic_adar(spark.createDataFrame(raw, "src int, dst int"),
+                       k=20).collect()]
+    vals = ", ".join(f"({u}, {v})" for u, v in und)
+    sql = adamic_adar_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(u, v)", k=20)
+    want = [(int(a), int(b), int(s)) for a, b, s
+            in duckdb.sql(sql).fetchall()]
+    assert got == want
+
+
+def test_adamic_adar_excludes_existing_edges_and_validates(spark):
+    from cdap_geo_spark.operators.graph import adamic_adar
+    # triangle + pendant: (1,3) adjacent -> excluded; (1,4)/(2,4) share
+    # neighbor 3 (deg 3); (1,2) adjacent
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                               "src long, dst long")
+    got = {(r.a, r.b) for r in adamic_adar(df, k=10).collect()}
+    assert got == {(1, 4), (2, 4)}
+    with pytest.raises(ValueError):
+        adamic_adar(df, k=0)
+
+
+def _brute_sssp(wedges, sources, rounds):
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for a, b, w in wedges:
+            if a in dist and dist[a] + w < nd.get(b, float("inf")):
+                nd[b] = dist[a] + w
+        if nd == dist:
+            break
+        dist = nd
+    return dist
+
+
+def test_sssp_matches_bruteforce(spark):
+    import random
+    from cdap_geo_spark.operators.graph import sssp
+    rng = random.Random(19)
+    wedges = [(a, b, rng.randrange(1, 10))
+              for a, b in _random_edges(50, 260, seed=19)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,), (7,), (13,)], "id long")
+    for rounds in (1, 3, 5):
+        got = {r.id: r.dist for r in
+               sssp(df, srcs, rounds=rounds).collect()}
+        assert got == _brute_sssp(wedges, [0, 7, 13], rounds), rounds
+
+
+def test_sssp_short_circuit_equals_converged(spark):
+    from cdap_geo_spark.operators.graph import sssp
+    # chain 0-1-2-3 with a shortcut; huge round budget == fixpoint
+    wedges = [(0, 1, 5), (1, 2, 5), (2, 3, 5), (0, 3, 20), (3, 4, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in sssp(df, srcs, rounds=50).collect()}
+    assert got == {0: 0, 1: 5, 2: 10, 3: 15, 4: 16}
+
+
+def test_sssp_oracle_sql_twin_matches(spark):
+    import duckdb
+    import random
+    from cdap_geo_spark.operators.graph import sssp, sssp_oracle_sql
+    rng = random.Random(23)
+    wedges = [(a, b, rng.randrange(1, 8))
+              for a, b in _random_edges(35, 150, seed=23)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,), (4,)], "id long")
+    got = {r.id: r.dist for r in sssp(df, srcs, rounds=3).collect()}
+    vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in wedges)
+    sql = sssp_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, w)",
+        "SELECT * FROM (VALUES (1), (4)) AS s(id)", rounds=3)
+    want = {int(i): int(d) for i, d in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_sssp_validates(spark):
+    from cdap_geo_spark.operators.graph import sssp
+    df = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        sssp(df, srcs, rounds=-1)
+    # rounds=0: only the sources at distance 0
+    got = {r.id: r.dist for r in sssp(df, srcs, rounds=0).collect()}
+    assert got == {1: 0}
