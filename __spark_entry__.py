@@ -1639,6 +1639,32 @@ def _kcore_sql() -> str:
     return kcore_oracle_sql(edges, k=6, rounds=4)
 
 
+def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster heat-map smoothing (operators/cluster.grid_heatmap):
+    doc-hash points collapse to a cell histogram in one shuffle, then a
+    bounded 5x5 integer tent-kernel scatter over OCCUPIED CELLS —
+    KDE-shaped smoothing whose every weight and sum is an exact
+    BIGINT."""
+    from cdap_geo_spark.operators.cluster import grid_heatmap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return grid_heatmap(pts, cell_size=50000, radius=2)
+
+
+def _heatmap_sql() -> str:
+    """DuckDB twin of `heatmap` (see
+    operators/cluster.grid_heatmap_oracle_sql)."""
+    from cdap_geo_spark.operators.cluster import grid_heatmap_oracle_sql
+    pts = """
+      SELECT (doc_id * 48271 + 17) % 700000 AS x,
+             (doc_id * 69621 + 29) % 1300000 AS y
+      FROM documents
+    """
+    return grid_heatmap_oracle_sql(pts, cell_size=50000, radius=2)
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round weighted shortest paths (operators/graph.sssp)
     from every 97th region over the bbox-adjacency graph with
@@ -1832,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": _q_scd2,
         "adamic_adar": _q_adamic,
         "sssp": _q_sssp,
+        "heatmap": _q_heatmap,
     }
 
 
@@ -3485,4 +3512,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "adamic_adar": _adamic_sql(),
         "sssp": _sssp_sql(),
+        "heatmap": _heatmap_sql(),
     }

@@ -110,3 +110,71 @@ def grid_cluster_oracle_sql(points_sql: str, *, cell_size: int,
              COALESCE(comp.cluster, k.key) AS cluster
       FROM k LEFT JOIN comp ON k.key = comp.key
     """
+
+
+def grid_heatmap(points: DataFrame, *, x_col: str = "x",
+                 y_col: str = "y", cell_size: int,
+                 radius: int = 1) -> DataFrame:
+    """Rasterized density heat-map — the KDE-lite a 100 TB point corpus
+    can afford: points collapse to an integer grid-cell histogram (ONE
+    keyed aggregation), then each occupied cell scatters its count into
+    the ``(2r+1)²`` neighborhood under the separable integer pyramid
+    kernel ``w(dx,dy) = (r+1-|dx|) * (r+1-|dy|)`` (the discrete tent —
+    the 2-fold box convolution, so the smoothing is genuinely
+    kernel-shaped while every weight stays an exact integer). Returns
+    ``(cx, cy, heat)`` for every cell with non-zero heat, including
+    halo cells that hold no raw point. Counts, weights, and the
+    convolved sums are all BIGINTs — order-independent, cross-engine
+    hashable.
+
+    Plan shape: the corpus shuffles ONCE (the histogram agg with
+    map-side partials); the scatter is a bounded map-side explode of
+    the occupied-cell relation (× (2r+1)²) into a second keyed agg —
+    cost scales with OCCUPIED CELLS, not corpus points. Same
+    non-negative coordinate contract as :func:`grid_cluster` (Spark
+    DIV truncates toward zero; SQL ``//`` floors).
+    """
+    if cell_size <= 0:
+        raise ValueError("grid_heatmap: cell_size must be > 0")
+    if radius < 0:
+        raise ValueError("grid_heatmap: radius must be >= 0")
+    cs, r = int(cell_size), int(radius)
+    cells = (points.select(
+        F.expr(f"CAST({x_col} AS BIGINT) DIV {cs}").alias("cx"),
+        F.expr(f"CAST({y_col} AS BIGINT) DIV {cs}").alias("cy"))
+        .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n")))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit((r + 1 - abs(dx)) * (r + 1 - abs(dy)))
+                 .cast("long").alias("w"))
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)])
+    return (cells.select("cx", "cy", "n", F.explode(offsets).alias("o"))
+            .groupBy((F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy"))
+            .agg(F.sum(F.col("n") * F.col("o.w")).cast("long")
+                 .alias("heat")))
+
+
+def grid_heatmap_oracle_sql(points_sql: str, *, cell_size: int,
+                            radius: int = 1) -> str:
+    """ANSI-SQL twin of :func:`grid_heatmap` (same integer pyramid
+    kernel; offsets as a VALUES relation)."""
+    r = int(radius)
+    vals = ", ".join(
+        f"({dx}, {dy}, {(r + 1 - abs(dx)) * (r + 1 - abs(dy))})"
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1))
+    return f"""
+      WITH pts AS ({points_sql}),
+      cells AS (
+        SELECT CAST(x AS BIGINT) // {int(cell_size)} AS cx,
+               CAST(y AS BIGINT) // {int(cell_size)} AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+      ),
+      off(dx, dy, w) AS (SELECT * FROM (VALUES {vals}))
+      SELECT CAST(c.cx + o.dx AS BIGINT) AS cx,
+             CAST(c.cy + o.dy AS BIGINT) AS cy,
+             CAST(SUM(c.n * o.w) AS BIGINT) AS heat
+      FROM cells c CROSS JOIN off o
+      GROUP BY 1, 2
+    """

@@ -89,3 +89,59 @@ def test_grid_cluster_oracle_twin_matches(spark):
     want = {tuple(int(v) for v in row)
             for row in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def _brute_heat(pts, cs, r):
+    from collections import Counter
+    hist = Counter((x // cs, y // cs) for x, y in pts)
+    heat = Counter()
+    for (cx, cy), n in hist.items():
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                heat[(cx + dx, cy + dy)] += \
+                    n * (r + 1 - abs(dx)) * (r + 1 - abs(dy))
+    return {k: v for k, v in heat.items() if v}
+
+
+def test_grid_heatmap_matches_bruteforce(spark):
+    import random
+    from cdap_geo_spark.operators.cluster import grid_heatmap
+    rng = random.Random(31)
+    pts = [(rng.randrange(0, 1000), rng.randrange(0, 1000))
+           for _ in range(400)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    for r in (0, 1, 2):
+        got = {(row.cx, row.cy): row.heat for row in
+               grid_heatmap(df, cell_size=100, radius=r).collect()}
+        assert got == _brute_heat(pts, 100, r), f"radius={r}"
+
+
+def test_grid_heatmap_radius0_is_histogram(spark):
+    from cdap_geo_spark.operators.cluster import grid_heatmap
+    df = spark.createDataFrame([(5, 5), (7, 7), (205, 5)],
+                               "x long, y long")
+    got = {(r.cx, r.cy): r.heat for r in
+           grid_heatmap(df, cell_size=100, radius=0).collect()}
+    assert got == {(0, 0): 2, (2, 0): 1}
+
+
+def test_grid_heatmap_oracle_twin_and_validation(spark):
+    import duckdb
+    import pytest as _pt
+    from cdap_geo_spark.operators.cluster import (grid_heatmap,
+                                                  grid_heatmap_oracle_sql)
+    pts = [(i * 37 % 500, i * 91 % 500) for i in range(120)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.cx, r.cy): r.heat for r in
+           grid_heatmap(df, cell_size=50, radius=1).collect()}
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    sql = grid_heatmap_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(x, y)",
+        cell_size=50, radius=1)
+    want = {(int(a), int(b)): int(h)
+            for a, b, h in duckdb.sql(sql).fetchall()}
+    assert got == want
+    with _pt.raises(ValueError):
+        grid_heatmap(df, cell_size=0)
+    with _pt.raises(ValueError):
+        grid_heatmap(df, cell_size=10, radius=-1)
