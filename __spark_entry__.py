@@ -1639,6 +1639,41 @@ def _kcore_sql() -> str:
     return kcore_oracle_sql(edges, k=6, rounds=4)
 
 
+def _q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality score (operators/text.
+    bigram_logloss): add-one smoothed corpus bigram model, per-term
+    cost one micro-rounded log of an exact integer ratio, summed as
+    BIGINT — the context-aware twin of unigram_logloss."""
+    from cdap_geo_spark.operators.text import bigram_logloss
+    return bigram_logloss(_docs(spark, sf_dir))
+
+
+def _bigram_logloss_sql() -> str:
+    """DuckDB twin of `bigram_logloss` (see operators/text.py)."""
+    from cdap_geo_spark.operators.text import bigram_logloss_oracle_sql
+    return bigram_logloss_oracle_sql("SELECT doc_id, text FROM documents")
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot (functions/relational.pivot_counts): per-user
+    event counts by type plus an integer value sum, over an EXPLICIT
+    category list (static schema, no inference scan) — one
+    map-side-combining exchange."""
+    from cdap_geo_spark.functions.relational import pivot_counts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("v100", F.round(F.col("value") * 100).cast("long"))
+    counts = pivot_counts(ev, group_col="user_id",
+                          pivot_col="event_type",
+                          values=["view", "click", "purchase"])
+    sums = pivot_counts(ev, group_col="user_id",
+                        pivot_col="event_type",
+                        values=["view"], value_col="v100") \
+        .withColumnRenamed("view", "view_v100")
+    return (counts.join(sums, "user_id")
+            .select(F.col("user_id").cast("long"), "view", "click",
+                    "purchase", "view_v100"))
+
+
 def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster heat-map smoothing (operators/cluster.grid_heatmap):
     doc-hash points collapse to a cell histogram in one shuffle, then a
@@ -1859,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic,
         "sssp": _q_sssp,
         "heatmap": _q_heatmap,
+        "pivot": _q_pivot,
+        "bigram_logloss": _q_bigram_logloss,
     }
 
 
@@ -3513,4 +3550,18 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": _adamic_sql(),
         "sssp": _sssp_sql(),
         "heatmap": _heatmap_sql(),
+        "pivot": """
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(COUNT(*) FILTER (event_type = 'view')
+                      AS BIGINT) AS view,
+                 CAST(COUNT(*) FILTER (event_type = 'click')
+                      AS BIGINT) AS click,
+                 CAST(COUNT(*) FILTER (event_type = 'purchase')
+                      AS BIGINT) AS purchase,
+                 CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                      FILTER (event_type = 'view'), 0)
+                      AS BIGINT) AS view_v100
+          FROM events GROUP BY user_id
+        """,
+        "bigram_logloss": _bigram_logloss_sql(),
     }

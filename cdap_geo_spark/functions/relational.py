@@ -197,3 +197,30 @@ def scd2_build(changes: DataFrame, *, key: str,
                     F.col("_vt").alias("valid_to"),
                     F.col("_vt").isNull().cast("long")
                     .alias("is_current")))
+
+
+def pivot_counts(df: DataFrame, *, group_col: str, pivot_col: str,
+                 values: list, value_col: str | None = None) -> DataFrame:
+    """Wide-format pivot over an EXPLICIT category list — the
+    reporting surface (Catalyst grouping with one map-side-combining
+    exchange). Returns one row per ``group_col`` with a BIGINT count
+    column per category (named after the category), counting rows —
+    or, with ``value_col``, summing its integer values.
+
+    ``values`` is required, not inferred: passing the pivot domain
+    explicitly skips the extra distinct-scan job Spark otherwise runs
+    AND keeps the output schema static — the property a production
+    pipeline (and a cross-engine hash compare) needs. Unmatched
+    categories yield 0, never NULL.
+    """
+    if not values:
+        raise ValueError("pivot_counts: values must be non-empty")
+    agg = (F.sum(F.col(value_col)) if value_col
+           else F.count(F.lit(1)))
+    out = (df.groupBy(group_col)
+           .pivot(pivot_col, values)
+           .agg(agg.alias("_v")))
+    return out.select(
+        group_col,
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(str(v))
+          for v in values])

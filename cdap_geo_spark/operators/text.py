@@ -1184,3 +1184,103 @@ def fuzzy_join(left: DataFrame, right: DataFrame, *, max_dist: int,
                        right_id + "_r" if left_id == right_id else right_id),
                    "dist"))
     return out
+
+
+def bigram_logloss(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one
+    smoothed BIGRAM language model — the context-aware upgrade of
+    :func:`unigram_logloss` (a doc can be made of common words in
+    impossible orders; only a bigram model sees that):
+    ``H(doc) = Σ_bg tf_bg · ln((c1(w1) + V) / (c12(bg) + 1)) / n_bg``
+    where ``c12`` is the corpus count of the bigram, ``c1`` the corpus
+    count of its CONTEXT (bigram instances starting with ``w1``) and
+    ``V`` the vocabulary size. Docs with < 2 tokens have no bigrams
+    and are excluded (H undefined).
+
+    Exactness (the :func:`unigram_logloss` discipline): each distinct
+    (doc, bigram)'s term is ``tf × round(ln((c1+V)/(c12+1))·1e6)`` —
+    one log of an exact integer ratio, micro-rounded — summed as
+    BIGINT; the final normalization is one double over two exact ints.
+
+    Plan: the corpus-sized relation is (doc, bigram, tf) once; bigram
+    and context counts are gram-/token-dimension aggregates of IT
+    (joined back — AQE broadcast at vocabulary scale); V is a 1-row
+    broadcast. Per-doc reduction is a keyed agg with map-side
+    partials. Nothing shuffles the raw token stream twice.
+    """
+    bg = (df.where(F.col(text_col).isNotNull())
+          .select(F.col(id_col),
+                  F.explode(word_2grams(F.col(text_col))).alias("gram")))
+    tf = bg.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("gram").agg(F.sum("tf").alias("c12"))
+    c1 = (c12.groupBy(F.split(F.col("gram"), " ")[0].alias("w1"))
+          .agg(F.sum("c12").alias("c1")))
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.explode(F.split(F.trim(F.col(text_col)),
+                                      r"\s+")).alias("tok"))
+            .where(F.col("tok") != ""))
+    vocab = toks.agg(F.count_distinct("tok").alias("_v"))
+    cost = F.round(F.log((F.col("c1") + F.col("_v")).cast("double")
+                         / (F.col("c12") + 1).cast("double"))
+                   * 1000000.0).cast("long")
+    per_doc = (tf.join(c12, "gram")
+               .withColumn("w1", F.split(F.col("gram"), " ")[0])
+               .join(c1, "w1")
+               .crossJoin(F.broadcast(vocab))
+               .groupBy(id_col)
+               .agg(F.sum(F.col("tf") * cost).alias("_s"),
+                    F.sum("tf").alias("n_bigrams")))
+    h = F.round(F.col("_s").cast("double")
+                / F.col("n_bigrams").cast("double")).cast("long")
+    return per_doc.select(id_col, F.col("n_bigrams").cast("long"),
+                          h.alias("h_micro"))
+
+
+def bigram_logloss_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`bigram_logloss` (same expression
+    shapes; 2-grams by the repetition-oracle idiom)."""
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t
+      ), tf AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM g GROUP BY 1, 2
+      ), c12 AS (
+        SELECT gram, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1
+      ), c1 AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+      ), v AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+          SELECT unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '')) AS tok
+          FROM ({docs_sql}) WHERE text IS NOT NULL)
+      ), pd AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf * CAST(ROUND(
+                 LN(CAST(c1.c1 + v.v AS DOUBLE)
+                    / CAST(c12.c12 + 1 AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams
+        FROM tf
+        JOIN c12 USING (gram)
+        JOIN c1 ON c1.w1 = split_part(tf.gram, ' ', 1)
+        CROSS JOIN v
+        GROUP BY tf.doc_id
+      )
+      SELECT doc_id, n_bigrams,
+             CAST(ROUND(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                  AS BIGINT) AS h_micro
+      FROM pd
+    """

@@ -213,3 +213,24 @@ def test_scd2_current_rows_match_apply_changelog(spark):
     snap = {(r.id, r.val) for r in
             apply_changelog(base, changes, key="id").collect()}
     assert cur == snap
+
+
+def test_pivot_counts_bruteforce_and_zeros(spark):
+    from cdap_geo_spark.functions.relational import pivot_counts
+
+    rows = [(1, "a", 10), (1, "a", 20), (1, "b", 5),
+            (2, "b", 7), (3, "c", 1)]
+    df = spark.createDataFrame(rows, "g long, cat string, v long")
+    got = {r.g: (r.a, r.b) for r in
+           pivot_counts(df, group_col="g", pivot_col="cat",
+                        values=["a", "b"]).collect()}
+    # category 'c' not in the explicit list -> ignored; absent
+    # categories count 0, never NULL
+    assert got == {1: (2, 1), 2: (0, 1), 3: (0, 0)}
+    sums = {r.g: (r.a, r.b) for r in
+            pivot_counts(df, group_col="g", pivot_col="cat",
+                         values=["a", "b"], value_col="v").collect()}
+    assert sums == {1: (30, 5), 2: (0, 7), 3: (0, 0)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pivot_counts(df, group_col="g", pivot_col="cat", values=[])

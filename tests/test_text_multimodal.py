@@ -894,3 +894,76 @@ def test_fuzzy_join_validates(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pt.raises(ValueError):
         fuzzy_join(df, df, max_dist=-1)
+
+
+def test_bigram_logloss_matches_python_and_twin(spark):
+    import math
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import (bigram_logloss,
+                                               bigram_logloss_oracle_sql)
+
+    docs = [(0, "the cat sat on the mat"),
+            (1, "the cat sat"),
+            (2, "cat the cat the cat"),
+            (3, "solo"),            # < 2 tokens: no bigrams, excluded
+            (4, ""),                # empty: excluded
+            (5, None),              # NULL: excluded
+            (6, "the cat sat on the mat the cat")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.h_micro) for r in
+           bigram_logloss(df).collect()}
+
+    # python reference with the identical rounding
+    bgs, toks = {}, set()
+    for i, t in docs:
+        if not t:
+            continue
+        ws = t.split()
+        toks.update(ws)
+        bgs[i] = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    c12, c1 = {}, {}
+    for i, gs in bgs.items():
+        for g in gs:
+            c12[g] = c12.get(g, 0) + 1
+            w1 = g.split(" ")[0]
+            c1[w1] = c1.get(w1, 0) + 1
+    v = len(toks)
+
+    def half_up(x):
+        import decimal
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    want = {}
+    for i, gs in bgs.items():
+        if not gs:
+            continue
+        s = sum(half_up(math.log((c1[g.split(' ')[0]] + v)
+                                 / (c12[g] + 1)) * 1e6) for g in gs)
+        want[i] = (len(gs), half_up(s / len(gs)))
+    assert got == want
+    assert 3 not in got and 4 not in got and 5 not in got
+
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in docs)
+    sql = bigram_logloss_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS d(doc_id, text)")
+    dd = {int(i): (int(n), int(h)) for i, n, h
+          in duckdb.sql(sql).fetchall()}
+    assert dd == got
+
+
+def test_bigram_logloss_detects_scrambled_order(spark):
+    # common words in impossible orders: the bigram model must score
+    # the scrambled doc strictly worse than the in-order one (the
+    # property the unigram model cannot see)
+    from cdap_geo_spark.operators.text import bigram_logloss
+
+    base = "the cat sat on the mat " * 5
+    rows = [(i, base.strip()) for i in range(8)]
+    rows.append((100, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h = {r.doc_id: r.h_micro for r in bigram_logloss(df).collect()}
+    assert h[100] > h[0]
