@@ -793,6 +793,31 @@ def _bm25_sql() -> str:
         k=10)
 
 
+def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine retrieval (operators/text.
+    tfidf_cosine_topk) for the same four probe queries as bm25:
+    milli-rounded idf makes weights exact BIGINTs, so dot products and
+    norms are integer sums and the cosine is one micro-rounded double
+    — rank AND score hash-match."""
+    from cdap_geo_spark.operators.text import tfidf_cosine_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id string, query_text string")
+    return tfidf_cosine_topk(docs, qs, k=10).select(
+        "query_id", F.col("doc_id").cast("long"), "cos_u", "rank")
+
+
+def _tfidf_cosine_sql() -> str:
+    from cdap_geo_spark.operators.text import tfidf_cosine_oracle_sql
+    qv = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    return tfidf_cosine_oracle_sql(
+        docs_sql="SELECT doc_id, text FROM documents",
+        queries_sql=(f"SELECT * FROM (VALUES {qv}) "
+                     f"AS q(query_id, query_text)"),
+        k=10)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A-ES weighted sample of 25 documents by n_chars
     (operators/text.weighted_sample): the sampling decision rides the
@@ -1896,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": _q_heatmap,
         "pivot": _q_pivot,
         "bigram_logloss": _q_bigram_logloss,
+        "tfidf_cosine": _q_tfidf_cosine,
     }
 
 
@@ -3564,4 +3590,5 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY user_id
         """,
         "bigram_logloss": _bigram_logloss_sql(),
+        "tfidf_cosine": _tfidf_cosine_sql(),
     }

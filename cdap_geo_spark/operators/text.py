@@ -1112,24 +1112,37 @@ def fuzzy_join(left: DataFrame, right: DataFrame, *, max_dist: int,
     q-gram blocking (Gravano et al. 2001, q=2):
 
     * **length filter** — ``ed(a,b) <= d`` implies ``|len(a)-len(b)| <= d``;
-    * **count filter** — each edit destroys at most q of a string's
-      overlapping q-grams, so the MULTISET gram intersection obeys
-      ``|G(a) ∩ G(b)| >= max(la,lb) - q + 1 - q*d``. Candidates come
-      from the gram equi-join with ``inter = Σ_g min(tf_a, tf_b)``
-      (the PPJoin min-count idiom) and pairs below the bound are
-      provably beyond ``d`` — never false negatives;
-    * **short-string band** — when BOTH lengths ``<= B = q*d + q - 1``
-      the bound is vacuous, so those rows join by an exploded
-      ``[len-d, len+d]`` length-key equi-join instead (bounded: 2d+1
-      keys per row over the short stratum only). With q=2 a cross-band
-      pair (one side short, one long) always has ``max > B`` and at
-      least one gram on each side, so the two paths are exhaustive.
+    * **count filter + prefix filter** — each edit destroys at most q
+      of a string's overlapping q-grams, so the MULTISET gram
+      intersection obeys ``inter >= T = max(m_a, m_b) - q*d`` (with
+      ``m = len - q + 1`` grams per string). Candidates therefore come
+      from PREFIX filtering (Chaudhuri et al. 2006 / Xiao et al.
+      PPJoin, lifted to multisets): gram OCCURRENCES ``(gram, k)``,
+      ``k = 1..tf``, are a SET whose intersection size equals the
+      multiset intersection; under any fixed global total order, two
+      sets with ``|A ∩ B| >= T`` must share an element within the
+      first ``|A|-T+1`` / ``|B|-T+1`` elements — so each string
+      contributes only its ``q*d + 1`` RAREST gram occurrences
+      (corpus-frequency order, unseen grams rarest) and candidates are
+      the prefix equi-join on ``(gram, k)``. Never a false negative;
+      and unlike a plain gram count-join, ubiquitous grams
+      ("Brand#…") never explode the join — they sort to the END of
+      the order and stay out of prefixes (measured on the sf0.1 part
+      labels: 23.1 s -> ~3 s, identical output);
+    * **short-string band** — a pair needs ``max(la,lb) > B =
+      q*d + q - 1`` for the required overlap T to be >= 1; when BOTH
+      lengths are ``<= B`` rows join by an exploded ``[len-d, len+d]``
+      length-key equi-join instead (bounded: 2d+1 keys per row over
+      the short stratum only). With the length filter, a pair with
+      ``max > B`` always has >= 1 gram occurrence on each side, so
+      the two paths are exhaustive.
 
-    Verification is native ``F.levenshtein`` in whole-stage codegen.
-    Only ``(id, string)`` projections ride the gram shuffle; at corpus
-    scale the exchange carries the gram relations (Σ len rows) and the
-    candidate relation, never an all-pairs product. Self-join callers
-    pass the same relation twice and filter ``l < r`` afterwards.
+    Verification is native ``F.levenshtein`` in whole-stage codegen,
+    behind a residual length filter. Only ``(id, string)`` projections
+    ride the gram shuffle; at corpus scale the exchange carries the
+    gram-occurrence relations (Σ len rows) and the candidate relation,
+    never an all-pairs product. Self-join callers pass the same
+    relation twice and filter ``l < r`` afterwards.
     """
     if max_dist < 0:
         raise ValueError("fuzzy_join: max_dist must be >= 0")
@@ -1154,17 +1167,26 @@ def fuzzy_join(left: DataFrame, right: DataFrame, *, max_dist: int,
 
     lg = grams(l, "_lid", "_ls", "_ll")
     rg = grams(r, "_rid", "_rs", "_rl")
-    inter = (lg.withColumnRenamed("_tf", "_tfa")
-             .join(rg.withColumnRenamed("_tf", "_tfb"), "_g")
-             .groupBy("_lid", "_rid")
-             .agg(F.sum(F.least("_tfa", "_tfb")).alias("_inter")))
-    cand_gram = (inter
-                 .join(l.select("_lid", "_ll"), "_lid")
-                 .join(r.select("_rid", "_rl"), "_rid")
-                 .where((F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
-                        & (F.greatest("_ll", "_rl") > band)
-                        & (F.col("_inter")
-                           >= F.greatest("_ll", "_rl") - 1 - q * max_dist))
+    # global gram order: corpus frequency asc (rare first), unseen
+    # grams rarest — any FIXED total order keeps the prefix lemma
+    # valid; rarity just makes prefixes selective
+    freq = rg.groupBy("_g").agg(F.sum("_tf").alias("_f"))
+    plen = q * max_dist + 1
+
+    def prefix(g, idc):
+        occ = (g.join(freq, "_g", "left")
+               .select(idc, "_g",
+                       F.coalesce("_f", F.lit(0)).alias("_f"),
+                       F.explode(F.expr("sequence(1, _tf)")).alias("_k")))
+        return (occ.groupBy(idc)
+                .agg(F.slice(F.array_sort(F.collect_list(
+                    F.struct("_f", "_g", "_k"))), 1, plen).alias("_p"))
+                .select(idc, F.explode("_p").alias("_o"))
+                .select(idc, F.col("_o._g").alias("_g"),
+                        F.col("_o._k").alias("_k")))
+
+    cand_gram = (prefix(lg, "_lid").join(prefix(rg, "_rid"),
+                                         ["_g", "_k"])
                  .select("_lid", "_rid"))
     short = (l.where(F.col("_ll") <= band)
              .select("_lid", F.explode(F.sequence(
@@ -1174,8 +1196,9 @@ def fuzzy_join(left: DataFrame, right: DataFrame, *, max_dist: int,
                     .select("_rid", F.col("_rl").alias("_k")), "_k")
              .select("_lid", "_rid"))
     cands = cand_gram.unionByName(short).dropDuplicates(["_lid", "_rid"])
-    out = (cands.join(l.select("_lid", "_ls"), "_lid")
-           .join(r.select("_rid", "_rs"), "_rid")
+    out = (cands.join(l.select("_lid", "_ls", "_ll"), "_lid")
+           .join(r.select("_rid", "_rs", "_rl"), "_rid")
+           .where(F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
            .withColumn("dist", F.levenshtein("_ls", "_rs").cast("long"))
            .where(F.col("dist") <= max_dist)
            .select(F.col("_lid").alias(
@@ -1283,4 +1306,151 @@ def bigram_logloss_oracle_sql(docs_sql: str) -> str:
              CAST(ROUND(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
                   AS BIGINT) AS h_micro
       FROM pd
+    """
+
+
+def tfidf_cosine_topk(df: DataFrame, queries: DataFrame, *, k: int = 10,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      query_id_col: str = "query_id",
+                      query_text_col: str = "query_text") -> DataFrame:
+    """Top-``k`` documents per query by SPARSE TF-IDF COSINE similarity
+    — the vector-space retrieval twin of :func:`bm25_topk` (BM25 is the
+    probabilistic ranking; cosine is the geometric one a RAG pipeline
+    uses for lexical recall). Queries are scored as documents of their
+    own text.
+
+    Cross-engine exactness: each component weight is the exact BIGINT
+    ``w(doc,t) = tf × round(idf_t · 1e3)`` with the smoothed idf
+    ``ln((N+1)/(df+1)) + 1`` (the :func:`tfidf_topk` convention) —
+    one transcendental per vocabulary TOKEN, milli-rounded once, so
+    dot products ``Σ w_q·w_d`` and squared norms ``Σ w²`` are exact
+    integer sums (order-independent); the cosine is ONE double
+    ``dot / sqrt(nq·nd)`` over exact ints, micro-rounded BEFORE
+    ranking with ties by doc id — a last-ulp sqrt difference cannot
+    flip an order the rounding already collapsed. Magnitude contract:
+    ``Σ w_q·w_d < 2^63`` — with milli idf (≤ ~4e4 for N ≤ 1e14) and
+    tf ≤ 1e3 each product is ≤ ~1.6e15, safe past 5,000 shared terms
+    per pair; shard queries beyond that.
+
+    Scale shape (the inverted-index discipline): the ONLY corpus-sized
+    relations are (doc, token, tf) and the per-doc norm — both one
+    keyed aggregation with map-side partials; idf is a token-dimension
+    aggregate joined back (AQE broadcast at vocabulary scale); the
+    (query, doc) dot product shuffles only pairs sharing a token
+    (never all-pairs); top-k is a per-query window.
+    """
+    if k < 1:
+        raise ValueError("tfidf_cosine_topk: k must be >= 1")
+
+    def _tf(rel, idc, txt):
+        t = (rel.where(F.col(txt).isNotNull())
+             .select(F.col(idc),
+                     F.explode(F.split(F.lower(F.trim(F.col(txt))),
+                                       r"\s+")).alias("token"))
+             .filter(F.col("token") != ""))
+        return t.groupBy(idc, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    dtf = _tf(df, id_col, text_col)
+    qtf = _tf(queries, query_id_col, query_text_col)
+    docfreq = dtf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = dtf.select(id_col).distinct() \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    idf_m = F.round((F.log((F.col("_n") + 1).cast("double")
+                           / (F.col("df") + 1).cast("double")) + 1.0)
+                    * 1000.0).cast("long")
+    widf = (docfreq.crossJoin(F.broadcast(n))
+            .select("token", idf_m.alias("idf_m")))
+    dw = (dtf.join(widf, "token")
+          .select(id_col, "token",
+                  (F.col("tf") * F.col("idf_m")).alias("w")))
+    # query vectors use the CORPUS idf; query-only tokens (df=0) carry
+    # no corpus match and cannot contribute to any dot product — the
+    # inner join drops them, which also keeps norms consistent with
+    # the match-only semantics (documented: norms cover corpus-vocab
+    # components only, identical in both engines)
+    qw = (qtf.join(widf, "token")
+          .select(query_id_col, "token",
+                  (F.col("tf") * F.col("idf_m")).alias("w")))
+    dn = dw.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w"))
+                                .alias("n2d"))
+    qn = qw.groupBy(query_id_col).agg(F.sum(F.col("w") * F.col("w"))
+                                      .alias("n2q"))
+    dots = (qw.withColumnRenamed("w", "wq")
+            .join(dw.withColumnRenamed("w", "wd"), "token")
+            .groupBy(query_id_col, id_col)
+            .agg(F.sum(F.col("wq") * F.col("wd")).alias("dot")))
+    score = F.round(F.col("dot").cast("double")
+                    / F.sqrt((F.col("n2q") * F.col("n2d"))
+                             .cast("double")) * 1000000.0).cast("long")
+    scored = (dots.join(qn, query_id_col).join(dn, id_col)
+              .select(query_id_col, id_col, score.alias("cos_u")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.desc("cos_u"), F.asc(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cos_u",
+                    F.col("rank").cast("int")))
+
+
+def tfidf_cosine_oracle_sql(*, docs_sql: str, queries_sql: str,
+                            k: int = 10) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_topk` (same expression
+    shapes, same milli/micro rounding, same tie rule)."""
+    return f"""
+      WITH dt AS (
+        SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({docs_sql}) WHERE text IS NOT NULL
+      ), dtf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM dt GROUP BY 1, 2
+      ), qt AS (
+        SELECT query_id, unnest(list_filter(
+                 regexp_split_to_array(lower(trim(query_text)), '\\s+'),
+                 x -> x <> '')) AS token
+        FROM ({queries_sql}) WHERE query_text IS NOT NULL
+      ), qtf AS (
+        SELECT query_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM qt GROUP BY 1, 2
+      ), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+               FROM dtf),
+      widf AS (
+        SELECT token,
+               CAST(ROUND((LN(CAST(n.n + 1 AS DOUBLE)
+                              / CAST(COUNT(*) + 1 AS DOUBLE)) + 1.0)
+                          * 1000.0) AS BIGINT) AS idf_m
+        FROM dtf CROSS JOIN n GROUP BY token, n.n
+      ), dw AS (
+        SELECT doc_id, token, CAST(tf * idf_m AS BIGINT) AS w
+        FROM dtf JOIN widf USING (token)
+      ), qw AS (
+        SELECT query_id, token, CAST(tf * idf_m AS BIGINT) AS w
+        FROM qtf JOIN widf USING (token)
+      ), dn AS (
+        SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2d
+        FROM dw GROUP BY 1
+      ), qn AS (
+        SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS n2q
+        FROM qw GROUP BY 1
+      ), dots AS (
+        SELECT qw.query_id, dw.doc_id,
+               CAST(SUM(qw.w * dw.w) AS BIGINT) AS dot
+        FROM qw JOIN dw USING (token)
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT d.query_id, d.doc_id,
+               CAST(ROUND(CAST(d.dot AS DOUBLE)
+                    / SQRT(CAST(qn.n2q * dn.n2d AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS cos_u
+        FROM dots d JOIN qn USING (query_id) JOIN dn USING (doc_id)
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_u DESC, doc_id ASC)
+                  AS rank
+        FROM scored
+      )
+      SELECT query_id, doc_id, cos_u, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= {k}
     """

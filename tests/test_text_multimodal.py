@@ -967,3 +967,83 @@ def test_bigram_logloss_detects_scrambled_order(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     h = {r.doc_id: r.h_micro for r in bigram_logloss(df).collect()}
     assert h[100] > h[0]
+
+
+def test_tfidf_cosine_topk_matches_python_and_twin(spark):
+    import decimal
+    import math
+
+    import duckdb
+
+    from cdap_geo_spark.operators.text import (tfidf_cosine_oracle_sql,
+                                               tfidf_cosine_topk)
+
+    def half_up(x):
+        return int(decimal.Decimal(x).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    docs = [(0, "the cat sat on the mat"),
+            (1, "dogs and cats and dogs"),
+            (2, "the dog barked"),
+            (3, "cat cat cat"),
+            (4, ""), (5, None)]
+    queries = [("qa", "cat mat"), ("qb", "the dog"),
+               ("qc", "zebra")]           # no corpus token: zero rows
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries,
+                                "query_id string, query_text string")
+    got = [tuple(r) for r in
+           tfidf_cosine_topk(ddf, qdf, k=3)
+           .orderBy("query_id", "rank").collect()]
+
+    # python reference with the identical rounding discipline
+    dtf = {}
+    for i, t in docs:
+        if not t:
+            continue
+        for w in t.lower().split():
+            dtf[(i, w)] = dtf.get((i, w), 0) + 1
+    dfreq = {}
+    for (_, w) in dtf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n = len({i for i, _ in dtf})
+    idf = {w: half_up((math.log((n + 1) / (c + 1)) + 1.0) * 1000.0)
+           for w, c in dfreq.items()}
+    dw = {(i, w): tf * idf[w] for (i, w), tf in dtf.items()}
+    want = []
+    for qid, qt in queries:
+        qtf = {}
+        for w in qt.lower().split():
+            if w in idf:
+                qtf[w] = qtf.get(w, 0) + 1
+        qw = {w: tf * idf[w] for w, tf in qtf.items()}
+        if not qw:
+            continue
+        n2q = sum(v * v for v in qw.values())
+        scores = []
+        for i in {i for i, _ in dw}:
+            dot = sum(qw[w] * dw.get((i, w), 0) for w in qw)
+            if dot == 0:
+                continue
+            n2d = sum(v * v for (j, _), v in dw.items() if j == i)
+            scores.append((i, half_up(dot / math.sqrt(n2q * n2d)
+                                      * 1e6)))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (i, s) in enumerate(scores[:3], 1):
+            want.append((qid, i, s, rank))
+    assert got == want
+
+    dv = ", ".join(f"({i}, {'NULL' if t is None else repr(t)})"
+                   for i, t in docs)
+    qv = ", ".join(f"('{q}', '{t}')" for q, t in queries)
+    sql = tfidf_cosine_oracle_sql(
+        docs_sql=f"SELECT * FROM (VALUES {dv}) AS d(doc_id, text)",
+        queries_sql=(f"SELECT * FROM (VALUES {qv}) "
+                     f"AS q(query_id, query_text)"), k=3)
+    dd = [(q, int(i), int(s), int(r)) for q, i, s, r in
+          duckdb.sql(sql + " ORDER BY query_id, rank").fetchall()]
+    assert dd == got
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tfidf_cosine_topk(ddf, qdf, k=0)
