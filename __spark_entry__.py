@@ -793,6 +793,27 @@ def _bm25_sql() -> str:
         k=10)
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (operators/timeseries.
+    grouped_percentiles): p50/p90/p99 of event value per type by the
+    deterministic ceil(q*n) rank rule over integer-scaled values — the
+    exact counterpart of the hist_quantiles sketch path; one window
+    shuffle total."""
+    from cdap_geo_spark.operators.timeseries import grouped_percentiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_percentiles(ev, group="event_type",
+                               value_col="value", qs=[0.5, 0.9, 0.99])
+
+
+def _q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 3-step event paths (operators/text.path_topk): stacked
+    LAG windows in ONE keyed exchange, map-side path counting, bounded
+    TakeOrdered — the n-step generalization of transition_counts."""
+    from cdap_geo_spark.operators.text import path_topk
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return path_topk(ev, n=3, k=25)
+
+
 def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine retrieval (operators/text.
     tfidf_cosine_topk) for the same four probe queries as bm25:
@@ -1922,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": _q_pivot,
         "bigram_logloss": _q_bigram_logloss,
         "tfidf_cosine": _q_tfidf_cosine,
+        "percentiles": _q_percentiles,
+        "path_topk": _q_path_topk,
     }
 
 
@@ -3591,4 +3614,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_logloss": _bigram_logloss_sql(),
         "tfidf_cosine": _tfidf_cosine_sql(),
+        "percentiles": """
+          WITH b AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events
+          ), r AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM b
+          )
+          SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                     CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                     THEN x END) AS BIGINT) AS p5,
+                 CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                     CAST(0.9 AS DOUBLE) * n) AS BIGINT))
+                     THEN x END) AS BIGINT) AS p9,
+                 CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                     CAST(0.99 AS DOUBLE) * n) AS BIGINT))
+                     THEN x END) AS BIGINT) AS p99
+          FROM r GROUP BY event_type
+        """,
+        "path_topk": """
+          WITH s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type, 2) OVER w AS s0,
+                   LAG(event_type, 1) OVER w AS s1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)
+          ), p AS (
+            SELECT s0 || ' > ' || s1 || ' > ' || event_type AS path,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s WHERE s0 IS NOT NULL
+            GROUP BY 1
+          )
+          SELECT path, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, path ASC)
+                      AS INT) AS rank
+          FROM p ORDER BY cnt DESC, path ASC LIMIT 25
+        """,
     }

@@ -1454,3 +1454,44 @@ def tfidf_cosine_oracle_sql(*, docs_sql: str, queries_sql: str,
       SELECT query_id, doc_id, cos_u, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= {k}
     """
+
+
+def path_topk(events: DataFrame, *, key_col: str = "user_id",
+              ts_col: str = "ts", step_col: str = "event_type",
+              tie_col: str = "event_id", n: int = 3,
+              k: int = 25) -> DataFrame:
+    """Top-``k`` most frequent length-``n`` event PATHS (consecutive
+    step sequences under each key's event-time order) — the n-step
+    generalization of the Markov ``transition_counts`` matrix, the
+    clickstream-mining staple. Returns ``(path, cnt, rank)`` with
+    ``path`` the ' > '-joined step sequence, counts exact BIGINTs and
+    ties ranked by path string, so the ranking hash-matches
+    cross-engine.
+
+    Plan: ONE keyed exchange carries all ``n-1`` LAG windows (same
+    (key, ts, tie) clustered order — Catalyst plans a single sort /
+    exchange for the stacked windows); path counting collapses
+    map-side to the distinct-path relation; top-k is a bounded
+    TakeOrdered, never a global sort.
+    """
+    if n < 2:
+        raise ValueError("path_topk: n must be >= 2")
+    if k < 1:
+        raise ValueError("path_topk: k must be >= 1")
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    steps = [F.lag(F.col(step_col), n - 1 - i).over(w)
+             for i in range(n - 1)] + [F.col(step_col)]
+    path = F.concat_ws(" > ", *steps)
+    full = steps[0].isNotNull()  # lag(n-1) non-null => all shorter too
+    paths = (events
+             .select(key_col, ts_col, tie_col, step_col)
+             .withColumn("_p", F.when(full, path))
+             .where(F.col("_p").isNotNull())
+             .groupBy(F.col("_p").alias("path"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return (paths.orderBy(F.desc("cnt"), "path").limit(k)
+            .select("path", "cnt",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("cnt"), "path"))
+                    .cast("int").alias("rank")))

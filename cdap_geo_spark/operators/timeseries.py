@@ -501,3 +501,42 @@ def trajectory_segments(events: DataFrame, *, key: str = "user_id",
                  .alias("first_id"),
                  F.max_by(F.col(tie_col), F.struct("_us", tie_col))
                  .alias("last_id")))
+
+
+def grouped_percentiles(df: DataFrame, *, group: str, value_col: str,
+                        qs: list[float] = (0.5, 0.9, 0.99),
+                        value_scale: int = 100) -> DataFrame:
+    """EXACT per-group percentiles by the deterministic rank rule
+    ``q-th percentile = value at rank ceil(q·n)`` over integer-scaled
+    values — the exact counterpart of the sketch path
+    (``operators/sketch.hist_quantiles``): no interpolation, no float
+    quantile, so every output is a BIGINT the oracle hashes directly.
+    Returns one row per group: ``(group, n, p<q>...)`` with percentile
+    columns in scaled units.
+
+    Plan: ONE window shuffle ranks each group's rows; the percentile
+    picks collapse to one row per group via map-side-partial
+    conditional aggregates (same shape as :func:`winsorize`'s bounds).
+    Use the sketch path when even one ranking pass per group is too
+    wide — this one is for when exactness is the requirement (SLA
+    reporting, regression gates).
+    """
+    if not qs:
+        raise ValueError("grouped_percentiles: qs must be non-empty")
+    if not all(0 < q <= 1 for q in qs):
+        raise ValueError("grouped_percentiles: each q must be in (0, 1]")
+    from pyspark.sql import Window
+    base = df.withColumn(
+        "_x", F.round(F.col(value_col) * value_scale).cast("long"))
+    ranked = (base.withColumn(
+        "_r", F.row_number().over(
+            Window.partitionBy(group).orderBy("_x")))
+        .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy(group))))
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for q in qs:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("_n")))
+        name = f"p{str(q).replace('0.', '').replace('.', '_')}"
+        aggs.append(F.max(F.when(F.col("_r") == rank, F.col("_x")))
+                    .cast("long").alias(name))
+    return ranked.groupBy(group).agg(*aggs)

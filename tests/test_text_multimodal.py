@@ -1047,3 +1047,43 @@ def test_tfidf_cosine_topk_matches_python_and_twin(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         tfidf_cosine_topk(ddf, qdf, k=0)
+
+
+def test_path_topk_matches_bruteforce(spark):
+    import random
+    from collections import Counter
+
+    from cdap_geo_spark.operators.text import path_topk
+
+    rng = random.Random(13)
+    rows = [(i % 7, i, i, rng.choice("abc")) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string")
+    got = [(r.path, r.cnt, r.rank) for r in
+           path_topk(df, n=3, k=10).collect()]
+    paths = Counter()
+    byu = {}
+    for u, ts, eid, et in rows:
+        byu.setdefault(u, []).append((ts, eid, et))
+    for u, evs in byu.items():
+        evs.sort()
+        for i in range(2, len(evs)):
+            paths[" > ".join(e[2] for e in evs[i - 2:i + 1])] += 1
+    want = sorted(paths.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert got == [(p, c, i + 1) for i, (p, c) in enumerate(want)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        path_topk(df, n=1)
+    with _pt.raises(ValueError):
+        path_topk(df, k=0)
+
+
+def test_path_topk_short_keys_yield_nothing(spark):
+    from cdap_geo_spark.operators.text import path_topk
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "a"), (1, 2, 2, "b"), (2, 1, 3, "a")],
+        "user_id long, ts long, event_id long, event_type string")
+    assert path_topk(df, n=3, k=5).count() == 0
+    got = [(r.path, r.cnt) for r in path_topk(df, n=2, k=5).collect()]
+    assert got == [("a > b", 1)]

@@ -415,3 +415,39 @@ def test_trajectory_segments_matches_bruteforce(spark):
             want[(uid, si)] = (len(s), tous(s[0].ts), tous(s[-1].ts),
                                s[0].event_id, s[-1].event_id)
     assert got == want
+
+
+def test_grouped_percentiles_matches_bruteforce(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.timeseries import grouped_percentiles
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 3}", rng.uniform(-50, 50)) for i in range(700)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: (r.n, r.p5, r.p9, r.p99) for r in
+           grouped_percentiles(df, group="g", value_col="value",
+                               qs=[0.5, 0.9, 0.99]).collect()}
+    want = {}
+    for gname in ("g0", "g1", "g2"):
+        xs = sorted(round(v * 100) for g, v in rows if g == gname)
+        n = len(xs)
+        pick = lambda q: xs[max(1, math.ceil(q * n)) - 1]
+        want[gname] = (n, pick(0.5), pick(0.9), pick(0.99))
+    assert got == want
+
+
+def test_grouped_percentiles_edges(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import grouped_percentiles
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, value double")
+    got = grouped_percentiles(df, group="g", value_col="value",
+                              qs=[0.5]).collect()[0]
+    assert (got.n, got.p5) == (1, 100)
+    with _pt.raises(ValueError):
+        grouped_percentiles(df, group="g", value_col="value", qs=[])
+    with _pt.raises(ValueError):
+        grouped_percentiles(df, group="g", value_col="value", qs=[1.5])
