@@ -793,6 +793,34 @@ def _bm25_sql() -> str:
         k=10)
 
 
+def _q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy_join self-join (prefix-
+    filtered q-gram blocking, levenshtein <= 2 on the part labels) ->
+    pointer-jumping connected components (operators/dedup.
+    dedup_components) -> cluster label = min member. The DuckDB twin
+    is the quadratic fuzzy join + recursive-CTE transitive closure
+    (the dup_clusters pattern). Nodes with no fuzzy neighbor are
+    singletons and excluded, matching the closure twin."""
+    from cdap_geo_spark.operators.dedup import dedup_components
+    from cdap_geo_spark.operators.text import fuzzy_join
+    # the absolute key cap bounds the QUADRATIC DuckDB twin (and its
+    # recursive-CTE closure) at every SF; the engine side needs no cap
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where((F.col("p_partkey") % 3 == 0)
+               & (F.col("p_partkey") < 6000))
+    lab = F.concat_ws(" ", "p_name", "p_brand", "p_type",
+                      F.col("p_size").cast("string"))
+    rel = p.select(F.col("p_partkey").alias("pk"), lab.alias("s"))
+    pairs = (fuzzy_join(rel, rel, max_dist=2, left_id="pk",
+                        left_str="s", right_id="pk", right_str="s")
+             .where(F.col("pk_l") < F.col("pk_r"))
+             .select(F.col("pk_l").alias("id_a"),
+                     F.col("pk_r").alias("id_b")))
+    comp = dedup_components(pairs)
+    return comp.select(F.col("node").cast("long"),
+                       F.col("component").cast("long"))
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (operators/timeseries.
     grouped_percentiles): p50/p90/p99 of event value per type by the
@@ -1945,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": _q_tfidf_cosine,
         "percentiles": _q_percentiles,
         "path_topk": _q_path_topk,
+        "fuzzy_clusters": _q_fuzzy_clusters,
     }
 
 
@@ -3656,5 +3685,32 @@ def oracle_sql() -> dict[str, str]:
                  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, path ASC)
                       AS INT) AS rank
           FROM p ORDER BY cnt DESC, path ASC LIMIT 25
+        """,
+        # quadratic fuzzy join + recursive-CTE transitive closure
+        # (the dup_clusters pattern); the engine's prefix-blocked
+        # fuzzy_join + pointer-jumping components must reproduce it
+        "fuzzy_clusters": """
+          WITH RECURSIVE p AS (
+            SELECT p_partkey AS pk,
+                   p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+                   CAST(p_size AS VARCHAR) AS s
+            FROM part WHERE p_partkey % 3 = 0 AND p_partkey < 6000
+          ), fp AS (
+            SELECT a.pk AS pa, b.pk AS pb
+            FROM p a JOIN p b
+              ON a.pk < b.pk
+             AND abs(length(a.s) - length(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) <= 2
+          ), edges AS (
+            SELECT pa AS src, pb AS dst FROM fp
+            UNION SELECT pb, pa FROM fp
+          ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          )
+          SELECT CAST(src AS BIGINT) AS node,
+                 CAST(least(src, min(dst)) AS BIGINT) AS component
+          FROM reach GROUP BY src
         """,
     }
