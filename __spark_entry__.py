@@ -1106,6 +1106,27 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").cast("long"), "triangles")
 
 
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/graph.clustering_coeff)
+    over the region bbox-adjacency graph: deg and triangles are exact
+    BIGINTs, the coefficient one micro-rounded double with the
+    identical literal shape in both engines — community structure as
+    a hashable relation."""
+    from cdap_geo_spark.operators.graph import clustering_coeff
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    out = clustering_coeff(edges, src="a", dst="b")
+    return out.select(F.col("id").cast("long"), "deg", "triangles",
+                      "coeff_micro")
+
+
 def _hull_sql() -> str:
     """DuckDB twin of `convex_hull`: the O(n^3) hull-edge definition
     over the same hash-derived points (see operators/hull.py —
@@ -1133,6 +1154,21 @@ def _triangles_sql() -> str:
       WHERE a.region_id < c.region_id
     """
     return triangle_oracle_sql(edges)
+
+
+def _clustering_sql() -> str:
+    """DuckDB twin of `clustering_coeff`: the same canonical u<v
+    bbox-adjacency edges fed to the clustering twin (see
+    operators/graph.clustering_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import clustering_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return clustering_oracle_sql(edges)
 
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1562,6 +1598,26 @@ def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "est_distinct", "n_filled")
 
 
+def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGE under the oracle gate (operators/sketch.
+    hll_merge): the per-lang sketch relation is built ONCE, finalized
+    per lang, then folded into one global sketch by re-max per bucket
+    and finalized as the 'ALL' row. The oracle never merges — it
+    sketches the raw corpus directly — so a hash match proves the
+    merge is lossless: exactly how a 1000-executor run folds
+    per-partition sketches with a shuffle bounded by groups x 2^p."""
+    from cdap_geo_spark.operators.sketch import (
+        hll_finalize, hll_merge, hll_relation)
+    d = _docs(spark, sf_dir)
+    rel = hll_relation(d.select("lang", "text"), value_col="text",
+                       group_cols=["lang"], p=9)
+    per_lang = hll_finalize(rel, group_cols=["lang"], p=9)
+    merged = hll_merge(rel, group_cols_out=[])
+    union = hll_finalize(merged, p=9) \
+        .select(F.lit("ALL").alias("lang"), "est_distinct", "n_filled")
+    return per_lang.unionByName(union)
+
+
 def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch under the oracle gate: frequency estimates for
     the distinct tokens of every 97th document, read back out of a
@@ -1974,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "path_topk": _q_path_topk,
         "fuzzy_clusters": _q_fuzzy_clusters,
+        "hll_union": _q_hll_union,
+        "clustering_coeff": _q_clustering,
     }
 
 
@@ -2239,6 +2297,22 @@ def _hll_sql() -> str:
     from cdap_geo_spark.operators.sketch import hll_oracle_sql
     return hll_oracle_sql(table_expr="documents", value_expr="text",
                           group_exprs=[("lang", "lang")], p=9)
+
+
+def _hll_union_sql() -> str:
+    """DuckDB twin of `hll_union`: per-lang estimates UNION ALL a
+    direct sketch of the WHOLE corpus — the Spark side must reproduce
+    the latter via hll_merge of the per-lang relation, proving the
+    merge lossless (see operators/sketch.hll_merge)."""
+    from cdap_geo_spark.operators.sketch import hll_oracle_sql
+    per_lang = hll_oracle_sql(table_expr="documents", value_expr="text",
+                              group_exprs=[("lang", "lang")], p=9)
+    global_ = hll_oracle_sql(table_expr="documents", value_expr="text",
+                             p=9)
+    return (f"SELECT * FROM ({per_lang}) "
+            f"UNION ALL "
+            f"SELECT 'ALL' AS lang, est_distinct, n_filled "
+            f"FROM ({global_})")
 
 
 def _cms_sql() -> str:
@@ -3713,4 +3787,6 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(src, min(dst)) AS BIGINT) AS component
           FROM reach GROUP BY src
         """,
+        "hll_union": _hll_union_sql(),
+        "clustering_coeff": _clustering_sql(),
     }

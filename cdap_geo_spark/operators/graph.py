@@ -150,6 +150,82 @@ def triangle_counts(edges: DataFrame, *, src: str = "src",
                     .cast("long").alias("triangles")))
 
 
+def clustering_coeff(edges: DataFrame, *, src: str = "src",
+                     dst: str = "dst",
+                     scale: int = 1_000_000) -> DataFrame:
+    """Local clustering coefficient per node over an UNDIRECTED graph:
+    ``2·triangles / (deg·(deg−1))`` — how close each node's
+    neighborhood is to a clique (the community-structure signal).
+    Returns ``(id, deg, triangles, coeff_micro)``.
+
+    Cross-engine exactness: ``deg`` and ``triangles`` are exact
+    BIGINTs (see :func:`triangle_counts`); the coefficient is ONE
+    double expression over those integers — ``(2·scale·t) / (deg·
+    (deg−1))`` — written with the identical literal shape in the SQL
+    twin and rounded to micro-units BEFORE emission, so the value
+    hash cannot see a schedule. Nodes with ``deg < 2`` emit 0.
+
+    Scale: composes :func:`triangle_counts` (degree-ordered wedge
+    join, Σ out-deg² = O(m^1.5)) plus one keyed degree aggregation
+    and an AQE-sized equi-join of two node-dimension relations — no
+    step scales past the triangle count itself.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    track_checkpoint(e)
+    deg = (e.select(F.col("u").alias("id"))
+           .unionByName(e.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    tri = triangle_counts(e, src="u", dst="v")
+    num = F.lit(float(2 * scale)) * F.col("triangles")
+    den = (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long")
+    coeff = F.when(F.col("deg") >= 2,
+                   F.round(num / den).cast("long")) \
+             .otherwise(F.lit(0).cast("long"))
+    return (deg.join(tri, "id")
+            .select("id", F.col("deg").cast("long").alias("deg"),
+                    "triangles", coeff.alias("coeff_micro")))
+
+
+def clustering_oracle_sql(edges_sql: str, *,
+                          scale: int = 1_000_000) -> str:
+    """ANSI-SQL twin of :func:`clustering_coeff`. ``edges_sql`` must
+    yield CANONICAL undirected edges ``(u, v)`` with ``u < v`` and no
+    duplicates; the coefficient expression is the same literal shape
+    as the Spark plan (one double over exact BIGINTs, rounded to
+    micro-units), so the two engines cannot disagree."""
+    return f"""
+      WITH e AS ({edges_sql}),
+      t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ), x AS (
+        SELECT a AS id FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+      ), d AS (
+        SELECT id, COUNT(*) AS deg FROM (
+          SELECT u AS id FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY id
+      )
+      SELECT CAST(d.id AS BIGINT) AS id,
+             CAST(d.deg AS BIGINT) AS deg,
+             CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles,
+             CASE WHEN d.deg >= 2
+                  THEN CAST(ROUND(({float(2 * scale)!r}
+                                   * COALESCE(cnt.c, 0))
+                                  / CAST(d.deg * (d.deg - 1) AS BIGINT))
+                            AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS coeff_micro
+      FROM d LEFT JOIN (SELECT id, COUNT(*) AS c FROM x GROUP BY id) cnt
+             ON d.id = cnt.id
+    """
+
+
 def bfs_hops(edges: DataFrame, sources: DataFrame, *,
              src: str = "src", dst: str = "dst", id_col: str = "id",
              max_hops: int = 4) -> DataFrame:

@@ -85,6 +85,29 @@ def hll_estimate(df: DataFrame, *, value_col: str,
                         round_dp=round_dp)
 
 
+def hll_merge(rel: DataFrame, *, group_cols_out: list[str] | None = None
+              ) -> DataFrame:
+    """Merge HLL sketch relations by re-``max`` per (group, bucket) —
+    THE mergeability operation that makes the sketch a 100 TB citizen:
+    per-partition / per-day / per-source sketches fold into any coarser
+    grouping (``group_cols_out`` ⊆ the relation's group columns; pass
+    ``[]``/``None`` to collapse everything into one global sketch)
+    with a shuffle bounded by ``groups_out × 2^p`` rows, never by the
+    data. Exact, not approximate-on-approximate: max is idempotent,
+    commutative and associative, so the merged relation is IDENTICAL
+    to the sketch built over the unioned raw data (pytest pins it, and
+    the ``hll_union`` oracle hash-checks it against an independent
+    engine that sketches the raw union directly).
+
+    Input may be one relation or a ``unionByName`` of several (the
+    caller unions; this folds). Output schema matches
+    :func:`hll_relation`, ready for :func:`hll_finalize`.
+    """
+    g = list(group_cols_out or [])
+    return (rel.groupBy(*g, "bucket")
+               .agg(F.max("max_rank").alias("max_rank")))
+
+
 def hll_finalize(rel: DataFrame, *, group_cols: list[str] | None = None,
                  p: int = 9, round_dp: int = 4) -> DataFrame:
     """Estimates from an EXISTING sketch relation (columns: groups +

@@ -149,6 +149,56 @@ def test_triangle_oracle_sql_twin_matches(spark):
     assert got == want
 
 
+def test_clustering_coeff_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import clustering_coeff
+    raw = _random_edges(40, 220, seed=23)
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    tri = _brute_triangles(und)
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = {}
+    for n, d in deg.items():
+        t = tri.get(n, 0)
+        want[n] = (d, t,
+                   round(2_000_000.0 * t / (d * (d - 1))) if d >= 2
+                   else 0)
+    got = {r.id: (r.deg, r.triangles, r.coeff_micro) for r in
+           clustering_coeff(
+               spark.createDataFrame(raw, "src int, dst int")).collect()}
+    assert got == want
+
+
+def test_clustering_coeff_clique_and_pendant(spark):
+    from cdap_geo_spark.operators.graph import clustering_coeff
+    # K4 (every coeff 1.0) + pendant node 5 hanging off node 1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    got = {r.id: r.coeff_micro for r in
+           clustering_coeff(spark.createDataFrame(
+               edges, "src int, dst int")).collect()}
+    assert got[2] == got[3] == got[4] == 1_000_000
+    assert got[5] == 0          # deg 1
+    assert got[1] == 500_000    # 3 triangles of C(4,2)=6 pairs
+
+
+def test_clustering_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import (clustering_coeff,
+                                                clustering_oracle_sql)
+    raw = _random_edges(35, 180, seed=31)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    got = {r.id: (r.deg, r.triangles, r.coeff_micro) for r in
+           clustering_coeff(spark.createDataFrame(
+               raw, "src int, dst int")).collect()}
+    vals = ", ".join(f"({u}, {v})" for u, v in und)
+    sql = clustering_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(u, v)")
+    want = {int(i): (int(d), int(t), int(c))
+            for i, d, t, c in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
 def _brute_bfs(edges, sources, max_hops):
     adj = {}
     for a, b in edges:

@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 
 from cdap_geo_spark.operators.sketch import (
     bloom_contains, bloom_relation, cms_estimate, cms_relation,
-    hist_quantiles, hist_relation, hll_estimate, hll_relation,
-    hll_oracle_sql)
+    hist_quantiles, hist_relation, hll_estimate, hll_finalize,
+    hll_merge, hll_relation, hll_oracle_sql)
 
 
 def _mk(spark, values, lang="en"):
@@ -83,6 +83,21 @@ def test_hll_p_validation(spark):
     df = _mk(spark, ["a"])
     with pytest.raises(ValueError):
         hll_relation(df, value_col="text", p=3)
+
+
+def test_hll_merge_to_coarser_group_equals_direct_sketch(spark):
+    # fold per-lang sketches into one global sketch: the finalized
+    # estimate must be IDENTICAL to sketching the raw union directly
+    # (max per bucket is exact, not approximate-on-approximate)
+    a = _mk(spark, [f"a{i}" for i in range(250)], lang="en")
+    b = _mk(spark, [f"a{i}" for i in range(100, 400)], lang="fr")
+    df = a.unionByName(b)
+    rel = hll_relation(df, value_col="text", group_cols=["lang"], p=7)
+    merged = hll_merge(rel, group_cols_out=[])
+    got = hll_finalize(merged, p=7).collect()[0]
+    want = hll_estimate(df, value_col="text", p=7).collect()[0]
+    assert (got["est_distinct"], got["n_filled"]) == \
+           (want["est_distinct"], want["n_filled"])
 
 
 # ---------------------------------------------------------------- CMS
