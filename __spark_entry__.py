@@ -1106,6 +1106,23 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").cast("long"), "triangles")
 
 
+def _q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 association rules by lift (operators/mining.assoc_rules)
+    over order→brand baskets: supports exact BIGINTs from the distinct
+    presence relation; confidence/lift one micro-rounded double each
+    over exact integer products; ranking a bounded TakeOrdered under a
+    total order — rank AND score hash-match the quadratic twin."""
+    from cdap_geo_spark.operators.mining import assoc_rules
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    baskets = li.join(F.broadcast(pt),
+                      li["l_partkey"] == pt["p_partkey"]) \
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("p_brand").alias("item"))
+    return assoc_rules(baskets, min_support=5, k=50)
+
+
 def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (operators/graph.clustering_coeff)
     over the region bbox-adjacency graph: deg and triangles are exact
@@ -1154,6 +1171,17 @@ def _triangles_sql() -> str:
       WHERE a.region_id < c.region_id
     """
     return triangle_oracle_sql(edges)
+
+
+def _assoc_sql() -> str:
+    """DuckDB twin of `assoc_rules` (see
+    operators/mining.assoc_oracle_sql)."""
+    from cdap_geo_spark.operators.mining import assoc_oracle_sql
+    baskets = """
+      SELECT l_orderkey AS basket, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    """
+    return assoc_oracle_sql(baskets, min_support=5, k=50)
 
 
 def _clustering_sql() -> str:
@@ -2032,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_clusters": _q_fuzzy_clusters,
         "hll_union": _q_hll_union,
         "clustering_coeff": _q_clustering,
+        "assoc_rules": _q_assoc,
     }
 
 
@@ -3789,4 +3818,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_union": _hll_union_sql(),
         "clustering_coeff": _clustering_sql(),
+        "assoc_rules": _assoc_sql(),
     }
