@@ -833,6 +833,17 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                value_col="value", qs=[0.5, 0.9, 0.99])
 
 
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier stats via median/MAD
+    (operators/timeseries.grouped_mad): both medians by the exact
+    ceil-rank rule over integer-scaled values, the |x-med| > 3*MAD
+    flag an exact BIGINT comparison — entirely float-free, no rounding
+    contract anywhere."""
+    from cdap_geo_spark.operators.timeseries import grouped_mad
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_mad(ev, group="event_type", value_col="value", k=3)
+
+
 def _q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 3-step event paths (operators/text.path_topk): stacked
     LAG windows in ONE keyed exchange, map-side path counting, bounded
@@ -2061,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union": _q_hll_union,
         "clustering_coeff": _q_clustering,
         "assoc_rules": _q_assoc,
+        "mad_outliers": _q_mad,
     }
 
 
@@ -3819,4 +3831,47 @@ def oracle_sql() -> dict[str, str]:
         "hll_union": _hll_union_sql(),
         "clustering_coeff": _clustering_sql(),
         "assoc_rules": _assoc_sql(),
+        # median/MAD by the exact ceil-rank rule — float-free
+        "mad_outliers": """
+          WITH b AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+          ), r1 AS (
+            SELECT event_type, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM b
+          ), med AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                       CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                       THEN x END) AS BIGINT) AS med
+            FROM r1 GROUP BY event_type
+          ), dev AS (
+            SELECT b.event_type, med.n, med.med,
+                   ABS(b.x - med.med) AS d
+            FROM b JOIN med USING (event_type)
+          ), r2 AS (
+            SELECT event_type, n, med, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY d) AS rn
+            FROM dev
+          ), mad AS (
+            SELECT event_type,
+                   CAST(MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+                       CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                       THEN d END) AS BIGINT) AS mad
+            FROM r2 GROUP BY event_type
+          )
+          SELECT dev.event_type, CAST(MAX(dev.n) AS BIGINT) AS n,
+                 CAST(MAX(dev.med) AS BIGINT) AS med,
+                 CAST(MAX(mad.mad) AS BIGINT) AS mad,
+                 CAST(SUM(CASE WHEN dev.d > 3 * mad.mad
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+          FROM dev JOIN mad USING (event_type)
+          GROUP BY dev.event_type
+        """,
     }

@@ -540,3 +540,54 @@ def grouped_percentiles(df: DataFrame, *, group: str, value_col: str,
         aggs.append(F.max(F.when(F.col("_r") == rank, F.col("_x")))
                     .cast("long").alias(name))
     return ranked.groupBy(group).agg(*aggs)
+
+
+def grouped_mad(df: DataFrame, *, group: str, value_col: str,
+                value_scale: int = 100, k: int = 3) -> DataFrame:
+    """Per-group robust outlier stats via median / MAD (median absolute
+    deviation) — the outlier test that, unlike the z-score
+    (:func:`outlier_flags`), is not itself dragged by the outliers it
+    hunts. Returns one row per group: ``(group, n, med, mad,
+    n_outliers)`` where ``n_outliers`` counts rows with
+    ``|x − med| > k·MAD``. ENTIRELY float-free: values are
+    integer-scaled, both medians use the deterministic ceil(q·n) rank
+    rule of :func:`grouped_percentiles`, and the flag compares exact
+    BIGINTs — every output hashes cross-engine with no rounding
+    contract at all.
+
+    Plan: two window rankings per group (values, then deviations) and
+    two group-dimension broadcast joins — the deviation pass cannot be
+    folded into the first window because MAD is a median OF A DERIVED
+    column that needs the first median; 2 keyed exchanges total, both
+    carrying the raw relation once.
+    """
+    if k < 1:
+        raise ValueError("grouped_mad: k must be >= 1")
+    from pyspark.sql import Window
+    base = df.where(F.col(value_col).isNotNull()).withColumn(
+        "_x", F.round(F.col(value_col) * value_scale).cast("long"))
+    half = lambda n: F.greatest(  # noqa: E731 — shared rank expression
+        F.lit(1), F.ceil(F.lit(0.5) * n).cast("long"))
+    r1 = (base.withColumn("_r", F.row_number().over(
+            Window.partitionBy(group).orderBy("_x")))
+          .withColumn("_n", F.count(F.lit(1)).over(
+            Window.partitionBy(group))))
+    med = r1.groupBy(group).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max(F.when(F.col("_r") == half(F.col("_n")), F.col("_x")))
+         .cast("long").alias("med"))
+    dev = (base.join(F.broadcast(med), group)
+           .withColumn("_d", F.abs(F.col("_x") - F.col("med"))))
+    r2 = dev.withColumn("_r2", F.row_number().over(
+        Window.partitionBy(group).orderBy("_d")))
+    mad = r2.groupBy(group).agg(
+        F.max(F.when(F.col("_r2") == half(F.col("n")), F.col("_d")))
+         .cast("long").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), group)
+    return (flagged.groupBy(group)
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.max("med").cast("long").alias("med"),
+                 F.max("mad").cast("long").alias("mad"),
+                 F.sum(F.when(F.col("_d") > F.lit(k) * F.col("mad"),
+                              1).otherwise(0))
+                  .cast("long").alias("n_outliers")))

@@ -451,3 +451,55 @@ def test_grouped_percentiles_edges(spark):
         grouped_percentiles(df, group="g", value_col="value", qs=[])
     with _pt.raises(ValueError):
         grouped_percentiles(df, group="g", value_col="value", qs=[1.5])
+
+
+def test_grouped_mad_matches_bruteforce(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.timeseries import grouped_mad
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.uniform(-50, 50)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {r.g: (r.n, r.med, r.mad, r.n_outliers) for r in
+           grouped_mad(df, group="g", value_col="value", k=3).collect()}
+    want = {}
+    for gname in ("g0", "g1", "g2"):
+        xs = sorted(round(v * 100) for g, v in rows if g == gname)
+        n = len(xs)
+        pick = lambda vals: sorted(vals)[max(1, math.ceil(0.5 * len(vals))) - 1]  # noqa
+        med = pick(xs)
+        mad = pick([abs(x - med) for x in xs])
+        n_out = sum(1 for x in xs if abs(x - med) > 3 * mad)
+        want[gname] = (n, med, mad, n_out)
+    assert got == want
+
+
+def test_grouped_mad_resists_outlier_drag(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_mad
+
+    # 99 values at ~10 plus one at 10000: the z-score threshold gets
+    # dragged up by the outlier itself; MAD does not budge
+    rows = [("a", 10.0 + (i % 5) * 0.01) for i in range(99)] \
+        + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = grouped_mad(df, group="g", value_col="value", k=3).collect()[0]
+    assert got.n == 100
+    assert got.med == 1002          # 10.02 scaled
+    assert got.mad <= 2             # tight cluster
+    assert got.n_outliers >= 1      # the 10000 is flagged
+
+
+def test_grouped_mad_nulls_and_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import grouped_mad
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0)],
+        "g string, value double")
+    got = grouped_mad(df, group="g", value_col="value").collect()[0]
+    assert (got.n, got.med, got.mad, got.n_outliers) == (3, 200, 100, 0)
+    with _pt.raises(ValueError):
+        grouped_mad(df, group="g", value_col="value", k=0)
