@@ -833,6 +833,19 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                value_col="value", qs=[0.5, 0.9, 0.99])
 
 
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA (operators/timeseries.ewma_bounded):
+    alpha=1/2 over the last 8 observations per user — finite geometric
+    weights make numerator/denominator exact BIGINTs in ONE keyed
+    exchange of stacked LAGs; the output is one micro-rounded double
+    divide, so every per-event smoothed value hash-matches."""
+    from cdap_geo_spark.operators.timeseries import ewma_bounded
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ewma_bounded(ev, window=8)
+    return out.select(F.col("user_id").cast("long"),
+                      F.col("event_id").cast("long"), "ewma_u")
+
+
 def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier stats via median/MAD
     (operators/timeseries.grouped_mad): both medians by the exact
@@ -1182,6 +1195,13 @@ def _triangles_sql() -> str:
       WHERE a.region_id < c.region_id
     """
     return triangle_oracle_sql(edges)
+
+
+def _ewma_sql() -> str:
+    """DuckDB twin of `ewma` (see
+    operators/timeseries.ewma_oracle_sql)."""
+    from cdap_geo_spark.operators.timeseries import ewma_oracle_sql
+    return ewma_oracle_sql(table_expr="events", window=8)
 
 
 def _assoc_sql() -> str:
@@ -2073,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering,
         "assoc_rules": _q_assoc,
         "mad_outliers": _q_mad,
+        "ewma": _q_ewma,
     }
 
 
@@ -3874,4 +3895,5 @@ def oracle_sql() -> dict[str, str]:
           FROM dev JOIN mad USING (event_type)
           GROUP BY dev.event_type
         """,
+        "ewma": _ewma_sql(),
     }

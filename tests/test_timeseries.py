@@ -503,3 +503,66 @@ def test_grouped_mad_nulls_and_validation(spark):
     assert (got.n, got.med, got.mad, got.n_outliers) == (3, 200, 100, 0)
     with _pt.raises(ValueError):
         grouped_mad(df, group="g", value_col="value", k=0)
+
+
+def test_ewma_bounded_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.timeseries import ewma_bounded
+
+    rng = random.Random(3)
+    rows = [(i % 4, i, 1000 + i, rng.uniform(-20, 20))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsi long, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = {r.event_id: r.ewma_u for r in
+           ewma_bounded(df, window=8).collect()}
+    by_user = {}
+    want = {}
+    for uid, eid, _, v in rows:  # already in (ts, id) order per user
+        hist = by_user.setdefault(uid, [])
+        hist.append(round(v * 100))
+        tail = hist[-8:]
+        k = len(tail)
+        num = sum(x * (1 << (8 - 1 - (k - 1 - i)))
+                  for i, x in enumerate(tail))
+        den = sum(1 << (8 - 1 - (k - 1 - i)) for i in range(k))
+        want[eid] = round(1_000_000.0 * num / den)
+    assert got == want
+
+
+def test_ewma_bounded_warmup_and_steady(spark):
+    from cdap_geo_spark.operators.timeseries import ewma_bounded
+
+    # constant series: EWMA == the constant at every prefix length
+    rows = [(1, i, i, 5.0) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsi long, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    out = ewma_bounded(df, window=8).collect()
+    assert all(r.ewma_u == 500_000_000 for r in out)
+    # first event IS the value regardless of window
+    rows2 = [(1, 0, 0, 7.25), (1, 1, 1, 0.0)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id long, tsi long, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = {r.event_id: r.ewma_u for r in
+           ewma_bounded(df2, window=4).collect()}
+    assert got[0] == 725_000_000
+    # second: (0*8 + 725*4... ) weights newest=8, prev=4 -> 725*4/(8+4)
+    assert got[1] == round(1_000_000.0 * (725 * 4) / 12)
+
+
+def test_ewma_bounded_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import ewma_bounded
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0)], "user_id long, event_id long, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    with _pt.raises(ValueError):
+        ewma_bounded(df, window=0)
+    with _pt.raises(ValueError):
+        ewma_bounded(df, window=63)
