@@ -833,6 +833,20 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                value_col="value", qs=[0.5, 0.9, 0.99])
 
 
+def _q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles (operators/timeseries.
+    quantile_bucketize) of document length: edges by the integer-ceil
+    rank rule over a distinct-value histogram (raw rows shuffle once),
+    assignment a broadcast array scan — entirely integer arithmetic,
+    no float anywhere."""
+    from cdap_geo_spark.operators.timeseries import quantile_bucketize
+    d = _docs(spark, sf_dir)
+    out = quantile_bucketize(d.select("doc_id", "n_chars"),
+                             value_col="n_chars", n_bins=10)
+    return out.select(F.col("doc_id").cast("long"),
+                      F.col("n_chars").cast("long"), "bin")
+
+
 def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-window EWMA (operators/timeseries.ewma_bounded):
     alpha=1/2 over the last 8 observations per user — finite geometric
@@ -2094,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _q_assoc,
         "mad_outliers": _q_mad,
         "ewma": _q_ewma,
+        "quantile_bins": _q_bucketize,
     }
 
 
@@ -3896,4 +3911,30 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY dev.event_type
         """,
         "ewma": _ewma_sql(),
+        # equi-depth deciles: integer-ceil rank edges over the
+        # distinct-value histogram; ties to the lower bin
+        "quantile_bins": """
+          WITH b AS (
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars IS NOT NULL
+          ), h AS (
+            SELECT n_chars AS v, COUNT(*) AS cnt FROM b GROUP BY 1
+          ), c AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM h
+          ), n AS (SELECT COUNT(*) AS n FROM b),
+          ii AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i),
+          e AS (
+            SELECT ii.i, MIN(c.v) AS e
+            FROM c CROSS JOIN n CROSS JOIN ii
+            WHERE c.cum >= (ii.i * n.n + 9) // 10
+            GROUP BY ii.i
+          )
+          SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                 CAST(b.n_chars AS BIGINT) AS n_chars,
+                 CAST(COUNT(e.e) AS BIGINT) AS bin
+          FROM b LEFT JOIN e ON b.n_chars > e.e
+          GROUP BY b.doc_id, b.n_chars
+        """,
     }

@@ -615,6 +615,50 @@ def ewma_oracle_sql(*, table_expr: str = "events",
     """
 
 
+def quantile_bucketize(df: DataFrame, *, value_col: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Exact equi-depth binning of an INTEGER column (Spark ML's
+    QuantileDiscretizer with the approximation removed): computes the
+    ``n_bins − 1`` global quantile edges by the deterministic
+    integer-ceil rank rule ``r_i = ⌈i·n / n_bins⌉ = (i·n + n_bins − 1)
+    DIV n_bins`` and assigns every row ``bin = #{edges e : x > e}``
+    (ties to the lower bin). ENTIRELY integer arithmetic — no float
+    anywhere, so the result hashes cross-engine unconditionally.
+    Returns the input keyed rows with ``bin`` attached.
+
+    Scale: the raw relation shuffles ONCE into the (value, count)
+    histogram; the cumulative ranking runs over DISTINCT VALUES only
+    (the :func:`grouped_mode` trick — a single-partition window, but
+    bounded by the value domain, not the corpus; documented contract:
+    the column must be low-cardinality relative to memory, true for
+    lengths/counts/sizes). Edges are ``n_bins − 1`` rows collapsed to
+    one array row and broadcast; assignment is a map-side array scan.
+    """
+    if n_bins < 2:
+        raise ValueError("quantile_bucketize: n_bins must be >= 2")
+    from pyspark.sql import Window
+    base = df.where(F.col(value_col).isNotNull())
+    hist = (base.groupBy(F.col(value_col).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    cum = hist.withColumn(
+        "_cum", F.sum("_cnt").over(
+            Window.orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    ii = F.explode(F.array(*[F.lit(i) for i in range(1, n_bins)])) \
+        .alias("_i")
+    ranks = (cum.crossJoin(F.broadcast(tot)).select("_v", "_cum", "_n", ii)
+             .withColumn("_r", F.expr(
+                 f"(_i * _n + {n_bins - 1}) div {n_bins}")))
+    edges = (ranks.where(F.col("_cum") >= F.col("_r"))
+             .groupBy("_i").agg(F.min("_v").alias("_e")))
+    earr = edges.agg(F.array_sort(F.collect_list("_e")).alias("_edges"))
+    out = base.crossJoin(F.broadcast(earr))
+    bin_ = F.size(F.filter(
+        F.col("_edges"), lambda e: F.col(value_col) > e)).cast("long")
+    return out.withColumn("bin", bin_).drop("_edges")
+
+
 def grouped_mad(df: DataFrame, *, group: str, value_col: str,
                 value_scale: int = 100, k: int = 3) -> DataFrame:
     """Per-group robust outlier stats via median / MAD (median absolute

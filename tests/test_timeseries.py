@@ -566,3 +566,49 @@ def test_ewma_bounded_validation(spark):
         ewma_bounded(df, window=0)
     with _pt.raises(ValueError):
         ewma_bounded(df, window=63)
+
+
+def test_quantile_bucketize_matches_bruteforce(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.timeseries import quantile_bucketize
+
+    rng = random.Random(17)
+    rows = [(i, rng.randint(0, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long")
+    got = {r.id: r.bin for r in
+           quantile_bucketize(df, value_col="x", n_bins=4).collect()}
+    xs = sorted(x for _, x in rows)
+    n = len(xs)
+    edges = []
+    for i in range(1, 4):
+        r = (i * n + 3) // 4  # integer ceil(i*n/4)
+        # smallest value whose cumulative count >= r == xs[r-1]
+        edges.append(xs[r - 1])
+    want = {i: sum(1 for e in edges if x > e) for i, x in rows}
+    assert got == want
+    # equi-depth: each bin within one tie-run of n/4
+    from collections import Counter
+    c = Counter(got.values())
+    assert set(c) <= {0, 1, 2, 3}
+
+
+def test_quantile_bucketize_ties_and_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import quantile_bucketize
+
+    # all-equal values: every edge equals the value, ties go LOW ->
+    # everything lands in bin 0
+    df = spark.createDataFrame([(i, 7) for i in range(20)],
+                               "id long, x long")
+    out = quantile_bucketize(df, value_col="x", n_bins=5).collect()
+    assert all(r.bin == 0 for r in out)
+    with _pt.raises(ValueError):
+        quantile_bucketize(df, value_col="x", n_bins=1)
+    # nulls are excluded, not binned
+    df2 = spark.createDataFrame([(1, 1), (2, None), (3, 9)],
+                                "id long, x long")
+    got = quantile_bucketize(df2, value_col="x", n_bins=2).collect()
+    assert {r.id for r in got} == {1, 3}
