@@ -1691,6 +1691,20 @@ def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_lang.unionByName(union)
 
 
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set overlap from bottom-k sketches (operators/sketch.
+    kmv_relation + kmv_pairwise): Jaccard / union / intersection
+    estimates between every source pair's text sets — the sketch HLL
+    cannot provide. k=16 keeps the estimator branch live at both gate
+    scales; every estimate is one double over exact integer hashes
+    with identical literal shape in both engines."""
+    from cdap_geo_spark.operators.sketch import kmv_pairwise, kmv_relation
+    d = _docs(spark, sf_dir)
+    rel = kmv_relation(d.select("source", "text"), value_col="text",
+                       group_col="source", k=16)
+    return kmv_pairwise(rel, k=16)
+
+
 def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch under the oracle gate: frequency estimates for
     the distinct tokens of every 97th document, read back out of a
@@ -2109,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad,
         "ewma": _q_ewma,
         "quantile_bins": _q_bucketize,
+        "kmv_overlap": _q_kmv,
     }
 
 
@@ -2390,6 +2405,14 @@ def _hll_union_sql() -> str:
             f"UNION ALL "
             f"SELECT 'ALL' AS lang, est_distinct, n_filled "
             f"FROM ({global_})")
+
+
+def _kmv_sql() -> str:
+    """DuckDB twin of `kmv_overlap` (see
+    operators/sketch.kmv_oracle_sql)."""
+    from cdap_geo_spark.operators.sketch import kmv_oracle_sql
+    return kmv_oracle_sql(table_expr="documents", value_expr="text",
+                          group_expr="source", k=16)
 
 
 def _cms_sql() -> str:
@@ -3937,4 +3960,5 @@ def oracle_sql() -> dict[str, str]:
           FROM b LEFT JOIN e ON b.n_chars > e.e
           GROUP BY b.doc_id, b.n_chars
         """,
+        "kmv_overlap": _kmv_sql(),
     }

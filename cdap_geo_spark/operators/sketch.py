@@ -140,6 +140,150 @@ def hll_finalize(rel: DataFrame, *, group_cols: list[str] | None = None,
                       F.col("n_filled").cast("long").alias("n_filled"))
 
 
+def kmv_relation(df: DataFrame, *, value_col: str, group_col: str,
+                 k: int = 256) -> DataFrame:
+    """Bottom-k (KMV / k-minimum-values, Bar-Yossef et al. 2002)
+    sketch relation: per group, the ``k`` smallest 60-bit md5 hashes
+    of the distinct values — the sketch that, unlike HLL, supports
+    SET-INTERSECTION and Jaccard estimates between groups
+    (:func:`kmv_pairwise`). One row per (group, hash), ≤ k per group.
+
+    Scale: the raw relation collapses to the DISTINCT (group, hash)
+    relation in one keyed aggregation (map-side partials bound the
+    exchange by distinct values, not rows); the per-group bottom-k is
+    one ranking window over that reduced relation. Merge sketches by
+    union + re-bottom-k (pytest pins merge == sketch-of-union).
+    """
+    if k < 2:
+        raise ValueError("kmv_relation: k must be >= 2")
+    from pyspark.sql import Window
+    h = _hash60(F.col(value_col))
+    dist = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), h.alias("h"))
+            .distinct())
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("h"))
+    return dist.withColumn("_rn", rn).where(F.col("_rn") <= k) \
+               .select("g", "h")
+
+
+def kmv_pairwise(rel: DataFrame, *, k: int = 256,
+                 round_dp: int = 0) -> DataFrame:
+    """Pairwise set-overlap estimates from a :func:`kmv_relation`
+    sketch: for every group pair ``ga < gb`` returns
+    ``(ga, gb, jaccard_micro, est_union, est_inter)``.
+
+    The estimator (classic KMV): take the union of the two bottom-k
+    sets, keep ITS bottom-k; with ``rho`` = the k-th smallest union
+    hash and ``c`` = how many of those k hashes sit in BOTH sketches,
+    ``est_union = (k-1)·2^60 / rho`` and ``est_inter = c·est_union/k``
+    (J = c/k). When the union sketch holds fewer than k hashes the
+    sketch IS the exact distinct set, and the exact counts are used
+    (the small-range branch, mirrored in the SQL twin).
+
+    Determinism: hashes are exact BIGINTs; each estimate is ONE double
+    expression over exact integers with the identical literal shape in
+    both engines, rounded before emission. The pair fan-out is
+    groups², each pair carrying ≤ 2k sketch rows — dimension-sized,
+    never data-sized.
+    """
+    if k < 2:
+        raise ValueError("kmv_pairwise: k must be >= 2")
+    from pyspark.sql import Window
+    a = rel.select(F.col("g").alias("ga"), "h")
+    b = rel.select(F.col("g").alias("gb"), "h")
+    pairs = (a.select("ga").distinct()
+             .join(b.select("gb").distinct(),
+                   F.col("ga") < F.col("gb")))
+    tagged = (pairs.join(a, "ga")
+              .select("ga", "gb", "h", F.lit(1).alias("in_a"),
+                      F.lit(0).alias("in_b"))
+              .unionByName(
+                  pairs.join(b, "gb")
+                  .select("ga", "gb", "h", F.lit(0).alias("in_a"),
+                          F.lit(1).alias("in_b"))))
+    u = (tagged.groupBy("ga", "gb", "h")
+         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    rn = F.row_number().over(
+        Window.partitionBy("ga", "gb").orderBy("h"))
+    topk = u.withColumn("_rn", rn).where(F.col("_rn") <= k)
+    agg = (topk.groupBy("ga", "gb")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.max("h").alias("rho"),
+                F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+                 .alias("c")))
+    two60 = float(1 << 60)
+    est_union = F.when(
+        F.col("cnt") < k, F.col("cnt").cast("double")) \
+        .otherwise(F.round((F.lit(float(k - 1)) * F.lit(two60))
+                           / F.col("rho").cast("double")))
+    agg = agg.withColumn("est_union", est_union.cast("long"))
+    jac = F.round(F.lit(1_000_000.0) * F.col("c")
+                  / F.least(F.col("cnt"), F.lit(k))).cast("long")
+    inter = F.round((F.col("c").cast("double") * F.col("est_union"))
+                    / F.least(F.col("cnt"), F.lit(k))).cast("long")
+    return agg.select("ga", "gb", jac.alias("jaccard_micro"),
+                      "est_union", inter.alias("est_inter"))
+
+
+def kmv_oracle_sql(*, table_expr: str, value_expr: str,
+                   group_expr: str, k: int = 256) -> str:
+    """ANSI-SQL twin of :func:`kmv_relation` + :func:`kmv_pairwise`
+    over one table: the same md5 hashes, the same bottom-k windows,
+    and the identical estimate expression shapes."""
+    two60 = repr(float(1 << 60))
+    return f"""
+      WITH dist AS (
+        SELECT DISTINCT {group_expr} AS g,
+               CAST(concat('0x', substr(md5({value_expr}), 1, 15))
+                    AS BIGINT) AS h
+        FROM {table_expr} WHERE {value_expr} IS NOT NULL
+      ), sk AS (
+        SELECT g, h FROM (
+          SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY h) AS rn
+          FROM dist
+        ) WHERE rn <= {k}
+      ), gs AS (SELECT DISTINCT g FROM sk),
+      pr AS (
+        SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+      ), tagged AS (
+        SELECT pr.ga, pr.gb, sk.h, 1 AS in_a, 0 AS in_b
+        FROM pr JOIN sk ON sk.g = pr.ga
+        UNION ALL
+        SELECT pr.ga, pr.gb, sk.h, 0, 1
+        FROM pr JOIN sk ON sk.g = pr.gb
+      ), u AS (
+        SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM tagged GROUP BY ga, gb, h
+      ), topk AS (
+        SELECT * FROM (
+          SELECT ga, gb, h, in_a, in_b,
+                 ROW_NUMBER() OVER (PARTITION BY ga, gb
+                                    ORDER BY h) AS rn
+          FROM u
+        ) WHERE rn <= {k}
+      ), agg AS (
+        SELECT ga, gb, COUNT(*) AS cnt, MAX(h) AS rho,
+               SUM(CAST(in_a * in_b AS BIGINT)) AS c
+        FROM topk GROUP BY ga, gb
+      ), est AS (
+        SELECT ga, gb, cnt, c,
+               CAST(CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE)
+                    ELSE ROUND(({float(k - 1)!r} * {two60})
+                               / CAST(rho AS DOUBLE)) END AS BIGINT)
+                 AS est_union
+        FROM agg
+      )
+      SELECT ga, gb,
+             CAST(ROUND(1000000.0 * c / LEAST(cnt, {k})) AS BIGINT)
+               AS jaccard_micro,
+             est_union,
+             CAST(ROUND((CAST(c AS DOUBLE) * est_union)
+                        / LEAST(cnt, {k})) AS BIGINT) AS est_inter
+      FROM est
+    """
+
+
 def _q_name(q: float) -> str:
     """0.5 -> q50, 0.9 -> q90, 0.99 -> q99, 0.999 -> q999."""
     frac = str(q)[2:]

@@ -235,3 +235,77 @@ def test_hist_validation(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         hist_relation(df, value_col="v", lo=5.0, hi=5.0, nbins=4)
+
+
+# ---------------------------------------------------------------- KMV
+
+def _kmv_mk(spark, pairs):
+    return spark.createDataFrame(pairs, "g string, v string")
+
+
+def test_kmv_small_range_branch_is_exact(spark):
+    from cdap_geo_spark.operators.sketch import kmv_pairwise, kmv_relation
+    # both sets smaller than k: sketch IS the set -> exact answers
+    rows = [("a", f"x{i}") for i in range(10)] \
+        + [("b", f"x{i}") for i in range(5, 20)]
+    rel = kmv_relation(_kmv_mk(spark, rows), value_col="v",
+                       group_col="g", k=64)
+    got = kmv_pairwise(rel, k=64).collect()[0]
+    # |A|=10, |B|=15, inter=5, union=20
+    assert got.est_union == 20
+    assert got.est_inter == 5
+    assert got.jaccard_micro == round(1_000_000.0 * 5 / 20)
+
+
+def test_kmv_estimates_near_truth(spark):
+    from cdap_geo_spark.operators.sketch import kmv_pairwise, kmv_relation
+    # |A|=|B|=3000, inter=1000 -> union=5000, J=0.2; k=256 gives
+    # ~1/sqrt(k) ~ 6% standard error
+    rows = [("a", f"v{i}") for i in range(3000)] \
+        + [("b", f"v{i}") for i in range(2000, 5000)]
+    rel = kmv_relation(_kmv_mk(spark, rows), value_col="v",
+                       group_col="g", k=256)
+    got = kmv_pairwise(rel, k=256).collect()[0]
+    assert abs(got.est_union - 5000) / 5000 < 0.25
+    assert abs(got.jaccard_micro - 200_000) / 200_000 < 0.4
+    assert abs(got.est_inter - 1000) / 1000 < 0.5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from pyspark.sql import Window
+    from cdap_geo_spark.operators.sketch import kmv_relation
+    a = _kmv_mk(spark, [("g", f"p{i}") for i in range(200)])
+    b = _kmv_mk(spark, [("g", f"p{i}") for i in range(100, 300)])
+    ra = kmv_relation(a, value_col="v", group_col="g", k=32)
+    rb = kmv_relation(b, value_col="v", group_col="g", k=32)
+    merged = (ra.unionByName(rb).distinct()
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("g").orderBy("h")))
+              .where(F.col("_rn") <= 32).select("g", "h"))
+    whole = kmv_relation(a.unionByName(b), value_col="v",
+                         group_col="g", k=32)
+    assert sorted(r.h for r in merged.collect()) == \
+           sorted(r.h for r in whole.collect())
+
+
+def test_kmv_oracle_twin_and_validation(spark):
+    import duckdb
+    import pytest as _pt
+    from cdap_geo_spark.operators.sketch import (
+        kmv_oracle_sql, kmv_pairwise, kmv_relation)
+    rows = [(f"s{j}", f"t{i * (j + 2)}") for j in range(3)
+            for i in range(40)]
+    df = _kmv_mk(spark, rows)
+    rel = kmv_relation(df, value_col="v", group_col="g", k=8)
+    got = sorted(tuple(r) for r in kmv_pairwise(rel, k=8).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.execute(
+        kmv_oracle_sql(table_expr="t", value_expr="v",
+                       group_expr="g", k=8)).fetchall())
+    assert got == [(a, b, int(j), int(u), int(i))
+                   for a, b, j, u, i in want]
+    with _pt.raises(ValueError):
+        kmv_relation(df, value_col="v", group_col="g", k=1)
+    with _pt.raises(ValueError):
+        kmv_pairwise(rel, k=1)
