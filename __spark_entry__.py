@@ -1161,6 +1161,17 @@ def _q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assoc_rules(baskets, min_support=5, k=50)
 
 
+def _q_cell_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact box->grid rasterization (operators/zonal.cell_coverage):
+    per 50km-cell covering-box count and summed clip area, all BIGINT
+    (rect x rect clips are exact integers) — map-side cell fan-out,
+    one keyed exchange."""
+    from cdap_geo_spark.operators.zonal import cell_coverage
+    from cdap_geo_spark.sources import relational as R
+    regions = R.region_boxes(spark, sf_dir)
+    return cell_coverage(regions, cell=50_000)
+
+
 def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (operators/graph.clustering_coeff)
     over the region bbox-adjacency graph: deg and triangles are exact
@@ -2124,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": _q_ewma,
         "quantile_bins": _q_bucketize,
         "kmv_overlap": _q_kmv,
+        "cell_coverage": _q_cell_coverage,
     }
 
 
@@ -3961,4 +3973,36 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY b.doc_id, b.n_chars
         """,
         "kmv_overlap": _kmv_sql(),
+        # exact integer rect-clip rasterization; lateral range() fans
+        # out each box's covered cell window
+        "cell_coverage": f"""
+          WITH b AS (
+            SELECT CAST(minx AS BIGINT) AS x0, CAST(miny AS BIGINT) AS y0,
+                   CAST(maxx AS BIGINT) AS x1, CAST(maxy AS BIGINT) AS y1
+            FROM ({_BOXES})
+          ), e1 AS (
+            -- DuckDB range() rejects lateral column args; per-row
+            -- unnest(range(..)) in two stages builds the cross fan-out
+            SELECT x0, y0, x1, y1,
+                   CAST(unnest(range(x0 // 50000, x1 // 50000 + 1))
+                        AS BIGINT) AS cx
+            FROM b
+          ), e AS (
+            SELECT x0, y0, x1, y1, cx,
+                   CAST(unnest(range(y0 // 50000, y1 // 50000 + 1))
+                        AS BIGINT) AS cy
+            FROM e1
+          ), c AS (
+            SELECT cx, cy,
+                   LEAST(x1, (cx + 1) * 50000)
+                     - GREATEST(x0, cx * 50000) AS w,
+                   LEAST(y1, (cy + 1) * 50000)
+                     - GREATEST(y0, cy * 50000) AS h
+            FROM e
+          )
+          SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_boxes,
+                 CAST(SUM(w * h) AS BIGINT) AS covered
+          FROM c WHERE w > 0 AND h > 0
+          GROUP BY cx, cy
+        """,
     }

@@ -191,3 +191,49 @@ def test_gearys_c_matches_bruteforce_and_sign(spark):
 
     out2 = run([0 if i % 2 == 0 else 1000 for i in range(n)])
     assert out2.c_micro > 1_500_000  # alternating: C ~ 2
+
+
+def test_cell_coverage_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.zonal import cell_coverage
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(60):
+        x0, y0 = rng.randrange(0, 900), rng.randrange(0, 900)
+        rows.append((x0, y0, x0 + rng.randrange(1, 350),
+                     y0 + rng.randrange(1, 350)))
+    df = spark.createDataFrame(
+        rows, "minx long, miny long, maxx long, maxy long")
+    C = 100
+    got = {(r.cx, r.cy): (r.n_boxes, r.covered) for r in
+           cell_coverage(df, cell=C).collect()}
+    want = {}
+    for x0, y0, x1, y1 in rows:
+        for cx in range(x0 // C, x1 // C + 1):
+            for cy in range(y0 // C, y1 // C + 1):
+                w = min(x1, (cx + 1) * C) - max(x0, cx * C)
+                h = min(y1, (cy + 1) * C) - max(y0, cy * C)
+                if w > 0 and h > 0:
+                    n, a = want.get((cx, cy), (0, 0))
+                    want[(cx, cy)] = (n + 1, a + w * h)
+    assert got == want
+    # conservation: total clipped area == total box area
+    assert sum(a for _, a in got.values()) == \
+        sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rows)
+
+
+def test_cell_coverage_boundary_and_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.zonal import cell_coverage
+
+    # box exactly on cell boundaries: no zero-width ghost cells
+    df = spark.createDataFrame([(100, 100, 200, 300)],
+                               "minx long, miny long, maxx long, maxy long")
+    got = {(r.cx, r.cy): (r.n_boxes, r.covered) for r in
+           cell_coverage(df, cell=100).collect()}
+    assert got == {(1, 1): (1, 10000), (1, 2): (1, 10000)}
+    with _pt.raises(ValueError):
+        cell_coverage(df, cell=0)
