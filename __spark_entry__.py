@@ -860,6 +860,18 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("event_id").cast("long"), "ewma_u")
 
 
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomalies (operators/timeseries.
+    seasonal_residuals): top-50 events by |value - (event_type, hour)
+    mean|; baseline one micro-rounded double over exact sums, residual
+    exact BIGINT, ties broken on the unique event id."""
+    from cdap_geo_spark.operators.timeseries import seasonal_residuals
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = seasonal_residuals(ev, k=50)
+    return out.select(F.col("event_id").cast("long"), "event_type",
+                      "hour", "resid_u")
+
+
 def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier stats via median/MAD
     (operators/timeseries.grouped_mad): both medians by the exact
@@ -2136,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": _q_bucketize,
         "kmv_overlap": _q_kmv,
         "cell_coverage": _q_cell_coverage,
+        "seasonal": _q_seasonal,
     }
 
 
@@ -4004,5 +4017,27 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(w * h) AS BIGINT) AS covered
           FROM c WHERE w > 0 AND h > 0
           GROUP BY cx, cy
+        """,
+        # top-50 |residual| vs the (event_type, hour) seasonal mean;
+        # baseline micro-rounded once, residual exact BIGINT
+        "seasonal": """
+          WITH b AS (
+            SELECT event_id AS id, event_type AS g,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL
+          ), dim AS (
+            SELECT g, hour,
+                   CAST(ROUND(1000000.0 * SUM(x) / COUNT(*)) AS BIGINT)
+                     AS base_u
+            FROM b GROUP BY g, hour
+          ), r AS (
+            SELECT b.id, b.g, b.hour,
+                   1000000 * b.x - dim.base_u AS resid_u
+            FROM b JOIN dim USING (g, hour)
+          )
+          SELECT CAST(id AS BIGINT) AS event_id, g AS event_type,
+                 hour, resid_u
+          FROM r ORDER BY ABS(resid_u) DESC, id LIMIT 50
         """,
     }

@@ -615,6 +615,43 @@ def ewma_oracle_sql(*, table_expr: str = "events",
     """
 
 
+def seasonal_residuals(df: DataFrame, *, group: str = "event_type",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value", k: int = 50,
+                       value_scale: int = 100) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event's value against
+    its (group, hour-of-day) mean — the decompose-and-flag shape
+    (traffic dips, metering spikes) reduced to its exact core. Returns
+    the top-``k`` events by absolute residual:
+    ``(id, group, hour, resid_u)``.
+
+    Exactness: the seasonal baseline is ``round(1e6·Σx/n)`` — ONE
+    double over two exact BIGINTs per (group, hour) — and the residual
+    ``1e6·x − baseline_u`` is then exact BIGINT arithmetic, so the
+    ranking is schedule-independent; ties break on the unique event
+    id. Plan: one keyed aggregation to the (group, hour) baseline
+    dimension (24·|groups| rows, broadcast back), map-side residuals,
+    bounded TakeOrdered — two exchanges total, neither data-sized
+    beyond the raw scan.
+    """
+    if k < 1:
+        raise ValueError("seasonal_residuals: k must be >= 1")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(group).alias("_g"),
+        F.hour(ts_col).cast("long").alias("hour"),
+        F.round(F.col(value_col) * value_scale).cast("long").alias("_x"))
+    dim = base.groupBy("_g", "hour").agg(
+        F.round(F.lit(1_000_000.0) * F.sum("_x") / F.count(F.lit(1)))
+         .cast("long").alias("_base_u"))
+    resid = (base.join(F.broadcast(dim), ["_g", "hour"])
+             .withColumn("resid_u",
+                         F.lit(1_000_000) * F.col("_x") - F.col("_base_u")))
+    return (resid.orderBy(F.abs(F.col("resid_u")).desc(), "_id")
+            .limit(k)
+            .select(F.col("_id").alias(id_col),
+                    F.col("_g").alias(group), "hour", "resid_u"))
+
+
 def quantile_bucketize(df: DataFrame, *, value_col: str,
                        n_bins: int = 10) -> DataFrame:
     """Exact equi-depth binning of an INTEGER column (Spark ML's

@@ -612,3 +612,49 @@ def test_quantile_bucketize_ties_and_validation(spark):
                                 "id long, x long")
     got = quantile_bucketize(df2, value_col="x", n_bins=2).collect()
     assert {r.id for r in got} == {1, 3}
+
+
+def test_seasonal_residuals_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.timeseries import seasonal_residuals
+
+    rng = random.Random(41)
+    rows = [(i, f"t{i % 2}", i % 5, rng.uniform(-10, 10))
+            for i in range(300)]
+    # inject two blatant anomalies
+    rows[7] = (7, "t1", 2, 500.0)
+    rows[11] = (11, "t1", 1, -400.0)
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, hr long, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("hr") * 3600))
+    got = [(r.event_id, r.event_type, r.hour, r.resid_u) for r in
+           seasonal_residuals(df, k=10).collect()]
+    # python reference
+    from collections import defaultdict
+    sums = defaultdict(lambda: [0, 0])
+    for eid, g, hr, v in rows:
+        s = sums[(g, hr)]
+        s[0] += round(v * 100)
+        s[1] += 1
+    base = {k2: round(1_000_000.0 * s / n) for k2, (s, n) in sums.items()}
+    res = [(eid, g, hr, 1_000_000 * round(v * 100) - base[(g, hr)])
+           for eid, g, hr, v in rows]
+    res.sort(key=lambda r: (-abs(r[3]), r[0]))
+    assert got == res[:10]
+    assert got[0][0] in (7, 11) and got[1][0] in (7, 11)
+
+
+def test_seasonal_residuals_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import seasonal_residuals
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "event_id long, event_type string, value double") \
+        .withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    with _pt.raises(ValueError):
+        seasonal_residuals(df, k=0)
+    # single event: residual exactly 0
+    got = seasonal_residuals(df, k=5).collect()
+    assert len(got) == 1 and got[0].resid_u == 0
