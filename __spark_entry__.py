@@ -860,6 +860,19 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("event_id").cast("long"), "ewma_u")
 
 
+def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (operators/timeseries.
+    grouped_corr) of value vs hour-of-day: five exact BIGINT sums in
+    one map-side-combining pass; the statistic is one double over
+    those integers (sqrt is IEEE-correctly-rounded, so safe),
+    micro-rounded."""
+    from cdap_geo_spark.operators.timeseries import grouped_corr
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("hr", F.hour("ts"))
+    return grouped_corr(ev, group="event_type", x_col="hr",
+                        y_col="value")
+
+
 def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomalies (operators/timeseries.
     seasonal_residuals): top-50 events by |value - (event_type, hour)
@@ -2149,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv,
         "cell_coverage": _q_cell_coverage,
         "seasonal": _q_seasonal,
+        "grouped_corr": _q_corr,
     }
 
 
@@ -4039,5 +4053,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(id AS BIGINT) AS event_id, g AS event_type,
                  hour, resid_u
           FROM r ORDER BY ABS(resid_u) DESC, id LIMIT 50
+        """,
+        # Pearson r from five exact integer sums; parens force the
+        # same mul-after-div shape as the Spark plan
+        "grouped_corr": """
+          WITH b AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x,
+                   CAST(ROUND(value * 100) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), a AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy
+            FROM b GROUP BY event_type
+          )
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+                 CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                      THEN CAST(ROUND(1000000.0 *
+                           (CAST(n*sxy - sx*sy AS DOUBLE)
+                            / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                                   * CAST(n*syy - sy*sy AS DOUBLE))))
+                           AS BIGINT)
+                      ELSE NULL END AS corr_micro
+          FROM a
         """,
     }

@@ -249,6 +249,47 @@ def grouped_ols(df: DataFrame, *, group: str, x_col: str, y_col: str,
                       intercept.alias("intercept"))
 
 
+def grouped_corr(df: DataFrame, *, group: str, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 100) -> DataFrame:
+    """Per-group Pearson correlation in ONE aggregate pass — the
+    :func:`grouped_ols` sibling for association STRENGTH::
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Every Σ is an exact BIGINT over integer-scaled inputs (the
+    aggregation is order-independent); the statistic is one double
+    expression over those integers — and ``sqrt`` is safe where
+    ``ln``/``exp`` are not, because IEEE 754 specifies it correctly
+    rounded, so both engines compute the identical double. Emitted as
+    ``corr_micro`` (micro-rounded; scale factors cancel in r). Groups
+    with zero variance on either axis emit NULL.
+
+    Returns ``(group, n, corr_micro)``. Plan: one map-side-combining
+    groupBy — exchange bounded by the group dimension.
+    Magnitude contract (same as grouped_ols): ``n·Σy²`` must fit in
+    BIGINT — with ``|y·y_scale| <= B`` that needs ``n²·B² < 9.2e18``.
+    """
+    xs = F.round(F.col(x_col) * x_scale).cast("long")
+    ys = F.round(F.col(y_col) * y_scale).cast("long")
+    base = df.where(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull()) \
+             .select(F.col(group), xs.alias("_x"), ys.alias("_y"))
+    agg = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"))
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))
+    corr = F.when((dx > 0) & (dy > 0),
+                  F.round(F.lit(1_000_000.0) * r).cast("long"))
+    return agg.select(group, F.col("n").cast("long").alias("n"),
+                      corr.alias("corr_micro"))
+
+
 def winsorize(df: DataFrame, *, group: str, value_col: str,
               lo_q: float = 0.05, hi_q: float = 0.95,
               value_scale: int = 100) -> DataFrame:

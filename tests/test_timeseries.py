@@ -658,3 +658,44 @@ def test_seasonal_residuals_validation(spark):
     # single event: residual exactly 0
     got = seasonal_residuals(df, k=5).collect()
     assert len(got) == 1 and got[0].resid_u == 0
+
+
+def test_grouped_corr_matches_python(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.timeseries import grouped_corr
+
+    rng = random.Random(47)
+    rows = [(f"g{i % 2}", float(i % 7), rng.uniform(-5, 5) + (i % 7))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, x double, value double")
+    got = {r.g: (r.n, r.corr_micro) for r in
+           grouped_corr(df, group="g", x_col="x",
+                        y_col="value").collect()}
+    for gname in ("g0", "g1"):
+        xs = [round(x) for g, x, _ in rows if g == gname]
+        ys = [round(v * 100) for g, _, v in rows if g == gname]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        r = (n * sxy - sx * sy) / math.sqrt(
+            float((n * sxx - sx * sx)) * float((n * syy - sy * sy)))
+        assert got[gname] == (n, round(1_000_000.0 * r))
+        # x drives y upward: strong positive correlation
+        assert got[gname][1] > 500_000
+
+
+def test_grouped_corr_perfect_and_degenerate(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_corr
+
+    rows = [("lin", float(i), 2.0 * i + 1) for i in range(50)] \
+        + [("flat", float(i), 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double, value double")
+    got = {r.g: r.corr_micro for r in
+           grouped_corr(df, group="g", x_col="x",
+                        y_col="value").collect()}
+    assert got["lin"] == 1_000_000       # exactly linear
+    assert got["flat"] is None           # zero y-variance -> NULL
