@@ -860,6 +860,27 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("event_id").cast("long"), "ewma_u")
 
 
+def _q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix (operators/timeseries.od_matrix) over
+    hash-derived per-event positions: per-user first/last endpoints
+    via min_by/max_by keyed aggregation (map-side partials, NO sort
+    window), snapped to 100km cells and counted — all BIGINT."""
+    from cdap_geo_spark.operators.timeseries import od_matrix
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    return od_matrix(ev, cell=100_000)
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document length (operators/timeseries.
+    grouped_gini): exact rank formula, tie-proof integer sums, one
+    micro-rounded double — the corpus-balance diagnostic."""
+    from cdap_geo_spark.operators.timeseries import grouped_gini
+    d = _docs(spark, sf_dir)
+    return grouped_gini(d, group="source", value_col="n_chars")
+
+
 def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation (operators/timeseries.
     grouped_corr) of value vs hour-of-day: five exact BIGINT sums in
@@ -2163,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_coverage": _q_cell_coverage,
         "seasonal": _q_seasonal,
         "grouped_corr": _q_corr,
+        "od_matrix": _q_od,
+        "gini": _q_gini,
     }
 
 
@@ -4076,6 +4099,60 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(n*syy - sy*sy AS DOUBLE))))
                            AS BIGINT)
                       ELSE NULL END AS corr_micro
+          FROM a
+        """,
+        # per-user endpoints by row_number (the twin need not share
+        # the min_by plan, only the result), snapped to 100km cells
+        "od_matrix": """
+          WITH b AS (
+            SELECT user_id, ts, event_id,
+                   CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS x,
+                   CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL
+          ), r AS (
+            SELECT user_id, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                     AS rl
+            FROM b
+          ), ends AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rf = 1 THEN x END) AS ox,
+                   MAX(CASE WHEN rf = 1 THEN y END) AS oy,
+                   MAX(CASE WHEN rl = 1 THEN x END) AS dx,
+                   MAX(CASE WHEN rl = 1 THEN y END) AS dy
+            FROM r GROUP BY user_id
+          )
+          SELECT ox // 100000 AS o_cx, oy // 100000 AS o_cy,
+                 dx // 100000 AS d_cx, dy // 100000 AS d_cy,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys
+          FROM ends GROUP BY 1, 2, 3, 4
+        """,
+        # exact rank-formula Gini; ties are assignment-independent
+        "gini": """
+          WITH b AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars >= 0
+          ), r AS (
+            SELECT source, x,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY x) AS i
+            FROM b
+          ), a AS (
+            SELECT source, COUNT(*) AS n, SUM(x) AS sum_x,
+                   SUM(i * x) AS sixi
+            FROM r GROUP BY source
+          )
+          SELECT source, CAST(n AS BIGINT) AS n,
+                 CAST(sum_x AS BIGINT) AS sum_x,
+                 CASE WHEN n * sum_x > 0
+                      THEN CAST(ROUND(1000000.0 *
+                           (CAST(2*sixi - (n+1)*sum_x AS DOUBLE)
+                            / CAST(n * sum_x AS DOUBLE))) AS BIGINT)
+                      ELSE NULL END AS gini_micro
           FROM a
         """,
     }

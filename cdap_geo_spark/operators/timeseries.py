@@ -249,6 +249,49 @@ def grouped_ols(df: DataFrame, *, group: str, x_col: str, y_col: str,
                       intercept.alias("intercept"))
 
 
+def grouped_gini(df: DataFrame, *, group: str,
+                 value_col: str) -> DataFrame:
+    """Per-group Gini coefficient of a NON-NEGATIVE integer measure —
+    the concentration / inequality diagnostic (is one source hogging
+    the token budget?). Uses the exact rank formula over ascending
+    values::
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    Every Σ is an exact BIGINT; tied values make ``Σ i·x_i``
+    assignment-independent (equal x across a rank run contributes
+    x·Σi whatever the permutation), so ``row_number`` ties cannot
+    flip the hash. The statistic is ONE micro-rounded double over two
+    exact integers. Returns ``(group, n, sum_x, gini_micro)``;
+    zero-sum groups emit NULL.
+
+    Plan: one ranking window per group + one map-side-collapsing
+    aggregation — the raw relation shuffles once.
+    Magnitude contract: ``2·Σ i·x_i <= 2·n²·max(x)`` must fit int64.
+    """
+    from pyspark.sql import Window
+    base = df.where(F.col(value_col).isNotNull()
+                    & (F.col(value_col) >= 0)) \
+             .select(F.col(group), F.col(value_col).cast("long")
+                     .alias("_x"))
+    r = base.withColumn("_i", F.row_number().over(
+        Window.partitionBy(group).orderBy("_x")))
+    agg = r.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sum_x"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_sixi"))
+    num = (F.lit(2) * F.col("_sixi")
+           - (F.col("n") + 1) * F.col("sum_x"))
+    den = F.col("n") * F.col("sum_x")
+    gini = F.when(den > 0,
+                  F.round(F.lit(1_000_000.0)
+                          * (num.cast("double") / den.cast("double")))
+                  .cast("long"))
+    return agg.select(group, F.col("n").cast("long").alias("n"),
+                      F.col("sum_x").cast("long").alias("sum_x"),
+                      gini.alias("gini_micro"))
+
+
 def grouped_corr(df: DataFrame, *, group: str, x_col: str, y_col: str,
                  x_scale: int = 1, y_scale: int = 100) -> DataFrame:
     """Per-group Pearson correlation in ONE aggregate pass — the
@@ -654,6 +697,42 @@ def ewma_oracle_sql(*, table_expr: str = "events",
                         / ({" + ".join(wts)})) AS BIGINT) AS ewma_u
       FROM b
     """
+
+
+def od_matrix(df: DataFrame, *, key: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              x_col: str = "x", y_col: str = "y",
+              cell: int = 100_000) -> DataFrame:
+    """Origin-destination matrix — the mobility-analytics staple: each
+    key's FIRST and LAST position under the total (ts, id) order,
+    snapped to integer grid cells, counted per (origin cell, dest
+    cell). Returns ``(o_cx, o_cy, d_cx, d_cy, n_keys)``, all BIGINT —
+    float-free.
+
+    Plan (the scale point): no window at all — the endpoints come from
+    ``min_by``/``max_by`` keyed on the (ts, id) struct, which
+    aggregates WITH MAP-SIDE PARTIALS (a per-key sort window would
+    shuffle every event row into a sort; min_by ships one candidate
+    per key per task). One keyed exchange to the per-key endpoints,
+    one dimension-sized exchange to the OD counts. Deterministic
+    because (ts, id) is unique per key. Coordinates must be
+    non-negative integers (div truncation contract, as
+    :func:`cdap_geo_spark.operators.cluster.grid_cluster`).
+    """
+    if cell < 1:
+        raise ValueError("od_matrix: cell must be >= 1")
+    ordk = F.struct(F.col(ts_col), F.col(id_col))
+    pos = F.struct(F.col(x_col).cast("long").alias("x"),
+                   F.col(y_col).cast("long").alias("y"))
+    ends = (df.where(F.col(ts_col).isNotNull())
+            .groupBy(key)
+            .agg(F.min_by(pos, ordk).alias("_o"),
+                 F.max_by(pos, ordk).alias("_d")))
+    c = lambda col: F.expr(f"{col} div {cell}")  # noqa: E731
+    return (ends.select(c("_o.x").alias("o_cx"), c("_o.y").alias("o_cy"),
+                        c("_d.x").alias("d_cx"), c("_d.y").alias("d_cy"))
+            .groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys")))
 
 
 def seasonal_residuals(df: DataFrame, *, group: str = "event_type",

@@ -699,3 +699,77 @@ def test_grouped_corr_perfect_and_degenerate(spark):
                         y_col="value").collect()}
     assert got["lin"] == 1_000_000       # exactly linear
     assert got["flat"] is None           # zero y-variance -> NULL
+
+
+def test_od_matrix_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.timeseries import od_matrix
+
+    rng = random.Random(53)
+    rows = [(i % 7, i, i * 13 % 97, rng.randrange(0, 1000),
+             rng.randrange(0, 1000)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsi long, x long, y long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = {(r.o_cx, r.o_cy, r.d_cx, r.d_cy): r.n_keys for r in
+           od_matrix(df, cell=100).collect()}
+    byu = {}
+    for uid, eid, tsi, x, y in rows:
+        byu.setdefault(uid, []).append((tsi, eid, x, y))
+    want = {}
+    for uid, evs in byu.items():
+        evs.sort()
+        o, d = evs[0], evs[-1]
+        k = (o[2] // 100, o[3] // 100, d[2] // 100, d[3] // 100)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_od_matrix_single_event_user_and_validation(spark):
+    import pytest as _pt
+
+    from cdap_geo_spark.operators.timeseries import od_matrix
+
+    # a single-event user is its own origin AND destination
+    df = spark.createDataFrame([(1, 1, 0, 250, 250)],
+                               "user_id long, event_id long, tsi long,"
+                               " x long, y long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = od_matrix(df, cell=100).collect()
+    assert [(r.o_cx, r.o_cy, r.d_cx, r.d_cy, r.n_keys)
+            for r in got] == [(2, 2, 2, 2, 1)]
+    with _pt.raises(ValueError):
+        od_matrix(df, cell=0)
+
+
+def test_grouped_gini_known_values(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_gini
+
+    rows = [("eq", 10)] * 40 \
+        + [("conc", 0)] * 39 + [("conc", 1000)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: (r.n, r.sum_x, r.gini_micro) for r in
+           grouped_gini(df, group="g", value_col="x").collect()}
+    # perfectly equal -> G = 0; one holder of everything in n=40 ->
+    # G = (n-1)/n = 0.975
+    assert got["eq"] == (40, 400, 0)
+    assert got["conc"] == (40, 1000, 975_000)
+
+
+def test_grouped_gini_tie_permutation_stability(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_gini
+
+    rows = [("g", v) for v in [5, 5, 5, 1, 9, 9]]
+    df = spark.createDataFrame(rows, "g string, x long")
+    a = grouped_gini(df.repartition(1), group="g",
+                     value_col="x").collect()[0]
+    b = grouped_gini(df.repartition(8), group="g",
+                     value_col="x").collect()[0]
+    assert (a.n, a.sum_x, a.gini_micro) == (b.n, b.sum_x, b.gini_micro)
+    # python reference on the sorted sequence
+    xs = sorted(v for _, v in rows)
+    n, sx = len(xs), sum(xs)
+    sixi = sum((i + 1) * x for i, x in enumerate(xs))
+    assert a.gini_micro == round(
+        1_000_000.0 * ((2 * sixi - (n + 1) * sx) / (n * sx)))
