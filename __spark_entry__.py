@@ -872,6 +872,20 @@ def _q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(ev, cell=100_000)
 
 
+def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user traveled path length (operators/timeseries.
+    path_length) over hash-derived positions: dx²+dy² exact BIGINT,
+    step = micro-rounded IEEE sqrt (correctly rounded by spec, hence
+    cross-engine safe), BIGINT sum per user — one keyed exchange."""
+    from cdap_geo_spark.operators.timeseries import path_length
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    out = path_length(ev)
+    return out.select(F.col("user_id").cast("long"), "n_steps",
+                      "path_u")
+
+
 def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini of document length (operators/timeseries.
     grouped_gini): exact rank formula, tie-proof integer sums, one
@@ -2186,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_corr": _q_corr,
         "od_matrix": _q_od,
         "gini": _q_gini,
+        "path_length": _q_path_length,
     }
 
 
@@ -4154,5 +4169,33 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(n * sum_x AS DOUBLE))) AS BIGINT)
                       ELSE NULL END AS gini_micro
           FROM a
+        """,
+        # micro-rounded IEEE sqrt per step (correctly rounded by the
+        # 754 spec, so both engines agree), BIGINT sum per user
+        "path_length": """
+          WITH b AS (
+            SELECT user_id, ts, event_id,
+                   CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS x,
+                   CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL
+          ), d AS (
+            SELECT user_id,
+                   x - LAG(x) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dx,
+                   y - LAG(y) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dy
+            FROM b
+          ), s AS (
+            SELECT user_id,
+                   CASE WHEN dx IS NULL THEN NULL
+                        ELSE CAST(ROUND(1000000.0 * SQRT(
+                             CAST(dx*dx + dy*dy AS DOUBLE)))
+                             AS BIGINT) END AS step
+            FROM d
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(COUNT(step) AS BIGINT) AS n_steps,
+                 CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_u
+          FROM s GROUP BY user_id
         """,
     }

@@ -699,6 +699,44 @@ def ewma_oracle_sql(*, table_expr: str = "events",
     """
 
 
+def path_length(df: DataFrame, *, key: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-key traveled path length over the event-time-ordered point
+    stream — the mobility companion of :func:`trajectory_segments`
+    (which deliberately stays on SQUARED distances; this op needs the
+    root). Returns ``(key, n_steps, path_u)`` with the length in
+    micro-units.
+
+    Cross-engine exactness hinges on one fact: IEEE 754 specifies
+    ``sqrt`` CORRECTLY ROUNDED (unlike ln/exp, which vary by libm), so
+    with ``dx² + dy²`` an exact BIGINT (< 2^53) both engines compute
+    the bit-identical step length; each step is micro-rounded to
+    BIGINT and the per-key sum is then order-independent. Plan: one
+    keyed exchange carries the LAG window and the map-side-collapsing
+    sum — nothing else.
+
+    Magnitude contract: coordinates must satisfy ``dx²+dy² < 2^53``
+    (|Δ| < ~6.7e7) and ``Σ step_u`` within int64.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key), F.col(ts_col), F.col(id_col),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    dx = F.col("_x") - F.lag("_x", 1).over(w)
+    dy = F.col("_y") - F.lag("_y", 1).over(w)
+    d2 = (dx * dx + dy * dy).cast("long")
+    step = F.round(F.lit(1_000_000.0)
+                   * F.sqrt(d2.cast("double"))).cast("long")
+    stepped = base.withColumn("_s", step)
+    return (stepped.groupBy(key)
+            .agg(F.count("_s").cast("long").alias("n_steps"),
+                 F.coalesce(F.sum("_s"), F.lit(0)).cast("long")
+                  .alias("path_u")))
+
+
 def od_matrix(df: DataFrame, *, key: str = "user_id",
               ts_col: str = "ts", id_col: str = "event_id",
               x_col: str = "x", y_col: str = "y",

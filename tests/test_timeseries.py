@@ -773,3 +773,45 @@ def test_grouped_gini_tie_permutation_stability(spark):
     sixi = sum((i + 1) * x for i, x in enumerate(xs))
     assert a.gini_micro == round(
         1_000_000.0 * ((2 * sixi - (n + 1) * sx) / (n * sx)))
+
+
+def test_path_length_matches_python(spark):
+    import math
+    import random
+
+    from cdap_geo_spark.operators.timeseries import path_length
+
+    rng = random.Random(59)
+    rows = [(i % 5, i, i * 7 % 31, rng.randrange(0, 10000),
+             rng.randrange(0, 10000)) for i in range(250)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsi long, x long, y long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = {r.user_id: (r.n_steps, r.path_u) for r in
+           path_length(df).collect()}
+    byu = {}
+    for uid, eid, tsi, x, y in rows:
+        byu.setdefault(uid, []).append((tsi, eid, x, y))
+    want = {}
+    for uid, evs in byu.items():
+        evs.sort()
+        total = 0
+        for (_, _, x0, y0), (_, _, x1, y1) in zip(evs, evs[1:]):
+            total += round(1_000_000.0
+                           * math.sqrt(float((x1 - x0) ** 2
+                                             + (y1 - y0) ** 2)))
+        want[uid] = (len(evs) - 1, total)
+    assert got == want
+
+
+def test_path_length_degenerates(spark):
+    from cdap_geo_spark.operators.timeseries import path_length
+
+    # single event: 0 steps, 0 length; stationary pair: 1 step, 0
+    rows = [(1, 1, 0, 5, 5), (2, 2, 0, 9, 9), (2, 3, 1, 9, 9)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsi long, x long, y long") \
+        .withColumn("ts", F.timestamp_seconds(F.col("tsi")))
+    got = {r.user_id: (r.n_steps, r.path_u) for r in
+           path_length(df).collect()}
+    assert got == {1: (0, 0), 2: (1, 0)}
