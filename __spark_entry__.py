@@ -153,6 +153,29 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "num", "den", "est_centi")
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification (operators/knn.knn_classify):
+    each nation query point labeled by the most frequent lang among
+    its 5 nearest document points (certified neighbor set, ties to the
+    smallest label) — votes exact BIGINT."""
+    from cdap_geo_spark.operators.knn import knn_classify
+    _spatial_conf(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"),
+        F.col("lang").alias("label"))
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    queries = n.select(
+        F.col("n_nationkey").alias("query_id"),
+        ((F.col("n_nationkey") * 104729 + 7) % 700000).alias("x"),
+        ((F.col("n_nationkey") * 130363 + 3) % 1300000).alias("y"))
+    out = knn_classify(queries, corpus, k=5, level=8, max_rounds=40)
+    return out.select(F.col("query_id").cast("long"),
+                      F.col("label"), "votes")
+
+
 def _q_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark import udfs
     from cdap_geo_spark.sources import relational as R
@@ -2201,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": _q_od,
         "gini": _q_gini,
         "path_length": _q_path_length,
+        "knn_classify": _q_knn_classify,
     }
 
 
@@ -4197,5 +4221,33 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(step) AS BIGINT) AS n_steps,
                  CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_u
           FROM s GROUP BY user_id
+        """,
+        # certified-kNN majority vote: neighbors from the exact
+        # distance ranking, label counts, ties to smallest label
+        "knn_classify": f"""
+          WITH q AS ({_QPTS}), c AS ({_PTS}),
+          lbl AS (SELECT doc_id, lang AS label FROM documents),
+          ranked AS (
+            SELECT q.query_id, c.doc_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y),
+                              c.doc_id) AS rank
+            FROM q CROSS JOIN c),
+          votes AS (
+            SELECT r.query_id, lbl.label,
+                   CAST(COUNT(*) AS BIGINT) AS votes
+            FROM ranked r JOIN lbl ON r.doc_id = lbl.doc_id
+            WHERE r.rank <= 5
+            GROUP BY r.query_id, lbl.label
+          ), win AS (
+            SELECT query_id, label, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, label ASC)
+                     AS rn
+            FROM votes
+          )
+          SELECT CAST(query_id AS BIGINT) AS query_id, label, votes
+          FROM win WHERE rn = 1
         """,
     }

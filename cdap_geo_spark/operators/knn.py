@@ -397,3 +397,47 @@ def idw_interpolate(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
                   / F.col("den").cast("double") * 100.0).cast("long")
     return agg.select(query_id, F.col("n_nb").cast("long"),
                       "num", "den", est.alias("est_centi"))
+
+
+def knn_classify(queries: DataFrame, corpus: DataFrame, *, k: int = 5,
+                 label_col: str = "label",
+                 query_id: str = "query_id", corpus_id: str = "doc_id",
+                 x_col: str = "x", y_col: str = "y",
+                 level: int = 8, max_rounds: int = 40) -> DataFrame:
+    """Majority-vote kNN classification — the sibling of
+    :func:`idw_interpolate` for CATEGORICAL targets: each query point
+    takes the most frequent label among its k nearest corpus points
+    (ties to the lexicographically smallest label, so the result is a
+    total function of the certified neighbor set). Returns
+    ``(query_id, label, votes)`` — votes exact BIGINT, no float
+    anywhere beyond the certified kNN itself.
+
+    Plan: :func:`knn_join` produces the exact neighbor relation
+    (query·k rows); labels ride back on one corpus-id equi-join (AQE
+    broadcasts the neighbor side when small); the vote is a keyed
+    count plus a ranking window over the votes relation (queries ×
+    distinct labels — dimension-sized, never corpus-sized).
+    """
+    from pyspark.sql import Window
+    from cdap_geo_spark import udfs
+    q = queries.select(
+        F.col(query_id),
+        udfs.st_point()(F.col(x_col).cast("double"),
+                        F.col(y_col).cast("double")).alias("geometry"))
+    c = corpus.select(
+        F.col(corpus_id), F.col(label_col).alias("_lbl"),
+        udfs.st_point()(F.col(x_col).cast("double"),
+                        F.col(y_col).cast("double")).alias("geometry"))
+    nn = knn_join(q.select(query_id, "geometry"),
+                  c.select(corpus_id, "geometry"),
+                  k=k, level=level, max_rounds=max_rounds,
+                  query_id=query_id, corpus_id=corpus_id)
+    votes = (nn.select(query_id, corpus_id)
+             .join(c.select(corpus_id, "_lbl"), corpus_id)
+             .groupBy(query_id, "_lbl")
+             .agg(F.count(F.lit(1)).cast("long").alias("votes")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc())
+    return (votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(query_id, F.col("_lbl").alias(label_col), "votes"))

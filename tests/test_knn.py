@@ -293,3 +293,47 @@ def test_idw_coincident_point_dominates(spark):
         k=4, level=5, max_rounds=60).collect()[0]
     assert r.n_nb == 4
     assert abs(r.est_centi - 77700) < 100  # coincident value dominates
+
+
+def test_knn_classify_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.operators.knn import knn_classify
+
+    rng = random.Random(61)
+    corpus = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000),
+               f"L{i % 3}") for i in range(120)]
+    queries = [(j, rng.randrange(0, 1000), rng.randrange(0, 1000))
+               for j in range(8)]
+    cdf = spark.createDataFrame(
+        corpus, "doc_id long, x long, y long, label string")
+    qdf = spark.createDataFrame(queries, "query_id long, x long, y long")
+    got = {r.query_id: (r.label, r.votes) for r in
+           knn_classify(qdf, cdf, k=5, level=6,
+                        max_rounds=60).collect()}
+    want = {}
+    for qid, qx, qy in queries:
+        ranked = sorted(corpus,
+                        key=lambda c: ((c[1] - qx) ** 2 + (c[2] - qy) ** 2,
+                                       c[0]))[:5]
+        from collections import Counter
+        cnt = Counter(c[3] for c in ranked)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[qid] = best
+    assert got == want
+
+
+def test_knn_classify_tie_breaks_to_smallest_label(spark):
+    from cdap_geo_spark.operators.knn import knn_classify
+
+    # 4 neighbors, 2-2 label split at k=4: 'A' must win the tie
+    corpus = [(1, 10, 0, "B"), (2, 0, 10, "A"),
+              (3, 10, 10, "B"), (4, 5, 5, "A"),
+              (5, 900, 900, "C")]
+    queries = [(0, 0, 0)]
+    cdf = spark.createDataFrame(
+        corpus, "doc_id long, x long, y long, label string")
+    qdf = spark.createDataFrame(queries, "query_id long, x long, y long")
+    got = knn_classify(qdf, cdf, k=4, level=6, max_rounds=60).collect()
+    assert [(r.query_id, r.label, r.votes) for r in got] == [(0, "A", 2)]
