@@ -895,6 +895,23 @@ def _q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od_matrix(ev, cell=100_000)
 
 
+def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage (operators/timeseries.
+    interval_union): events become [ts, ts + (id%7+1) minutes)
+    intervals; overlapping ones merge into islands in ONE keyed window
+    (running max of previous ends), totals exact BIGINT micros."""
+    from cdap_geo_spark.operators.timeseries import interval_union
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull()) \
+        .withColumn("s_us", F.unix_micros(F.col("ts").cast("timestamp"))) \
+        .withColumn("e_us", F.col("s_us")
+                    + (F.col("event_id") % 7 + 1) * 60_000_000)
+    out = interval_union(ev, key="user_id", start_col="s_us",
+                         end_col="e_us", id_col="event_id")
+    return out.select(F.col("user_id").cast("long"), "n_intervals",
+                      "n_islands", "covered")
+
+
 def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user traveled path length (operators/timeseries.
     path_length) over hash-derived positions: dx²+dy² exact BIGINT,
@@ -2225,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": _q_gini,
         "path_length": _q_path_length,
         "knn_classify": _q_knn_classify,
+        "interval_union": _q_interval_union,
     }
 
 
@@ -4249,5 +4267,42 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT CAST(query_id AS BIGINT) AS query_id, label, votes
           FROM win WHERE rn = 1
+        """,
+        # island merge: start > running max of previous ends; all
+        # BIGINT micros
+        "interval_union": """
+          WITH b AS (
+            SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+            FROM events WHERE ts IS NOT NULL
+          ), m AS (
+            SELECT user_id, s, e,
+                   CASE WHEN MAX(e) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                          OR s > MAX(e) OVER (PARTITION BY user_id
+                                              ORDER BY s, event_id
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_isl,
+                   event_id
+            FROM b
+          ), isl AS (
+            SELECT user_id, s, e,
+                   SUM(new_isl) OVER (PARTITION BY user_id
+                                      ORDER BY s, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS isl
+            FROM m
+          ), per AS (
+            SELECT user_id, isl, COUNT(*) AS n,
+                   MIN(s) AS i_s, MAX(e) AS i_e
+            FROM isl GROUP BY user_id, isl
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(SUM(n) AS BIGINT) AS n_intervals,
+                 CAST(COUNT(*) AS BIGINT) AS n_islands,
+                 CAST(SUM(i_e - i_s) AS BIGINT) AS covered
+          FROM per GROUP BY user_id
         """,
     }

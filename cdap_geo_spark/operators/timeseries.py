@@ -699,6 +699,53 @@ def ewma_oracle_sql(*, table_expr: str = "events",
     """
 
 
+def interval_union(df: DataFrame, *, key: str,
+                   start_col: str, end_col: str,
+                   id_col: str) -> DataFrame:
+    """Per-key union of possibly-overlapping intervals — the classic
+    coverage/uptime computation (SLA windows, session coverage,
+    sensor duty cycle): merge overlapping [start, end) intervals into
+    islands, report ``(key, n_intervals, n_islands, covered)`` with
+    ``covered`` = total length of the union. ENTIRELY integer
+    arithmetic over the caller's units — no float, no rounding
+    contract.
+
+    The distributed shape: ONE keyed window ordering carries all
+    three steps — an island starts where ``start > max(previous
+    ends)`` (running max over the preceding frame), island ids are
+    the running sum of those starts, and the final aggregation
+    composes per-island extents map-side. Intervals with
+    ``end <= start`` are dropped (documented: zero-length contributes
+    nothing to a half-open union). Ties in start are ordered by
+    ``id_col`` so the running max is deterministic (the max itself is
+    order-insensitive; the tie rule only pins the frame).
+    """
+    from pyspark.sql import Window
+    base = df.where(F.col(start_col).isNotNull()
+                    & F.col(end_col).isNotNull()
+                    & (F.col(end_col) > F.col(start_col))) \
+        .select(F.col(key), F.col(id_col).alias("_id"),
+                F.col(start_col).cast("long").alias("_s"),
+                F.col(end_col).cast("long").alias("_e"))
+    w = Window.partitionBy(key).orderBy("_s", "_id")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = base.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col("_s") > prev_max), 1).otherwise(0))
+    islands = marked.withColumn(
+        "_isl", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_island = (islands.groupBy(key, "_isl")
+                  .agg(F.count(F.lit(1)).alias("_n"),
+                       F.min("_s").alias("_is"), F.max("_e").alias("_ie")))
+    return (per_island.groupBy(key)
+            .agg(F.sum("_n").cast("long").alias("n_intervals"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum(F.col("_ie") - F.col("_is")).cast("long")
+                  .alias("covered")))
+
+
 def path_length(df: DataFrame, *, key: str = "user_id",
                 ts_col: str = "ts", id_col: str = "event_id",
                 x_col: str = "x", y_col: str = "y") -> DataFrame:

@@ -815,3 +815,45 @@ def test_path_length_degenerates(spark):
     got = {r.user_id: (r.n_steps, r.path_u) for r in
            path_length(df).collect()}
     assert got == {1: (0, 0), 2: (1, 0)}
+
+
+def test_interval_union_matches_bruteforce(spark):
+    import random
+
+    from cdap_geo_spark.operators.timeseries import interval_union
+
+    rng = random.Random(67)
+    rows = []
+    for i in range(300):
+        s = rng.randrange(0, 5000)
+        rows.append((i % 6, i, s, s + rng.randrange(1, 400)))
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    got = {r.k: (r.n_intervals, r.n_islands, r.covered) for r in
+           interval_union(df, key="k", start_col="s", end_col="e",
+                          id_col="id").collect()}
+    want = {}
+    for key in set(k for k, *_ in rows):
+        ivs = sorted((s, e) for k, _, s, e in rows if k == key)
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[key] = (len(ivs), len(islands),
+                     sum(e - s for s, e in islands))
+    assert got == want
+
+
+def test_interval_union_edges(spark):
+    from cdap_geo_spark.operators.timeseries import interval_union
+
+    # touching intervals [0,10) + [10,20) merge (start > prev max
+    # fails at equality); zero/negative-length dropped; nulls dropped
+    rows = [(1, 1, 0, 10), (1, 2, 10, 20), (1, 3, 30, 30),
+            (1, 4, None, 5), (2, 5, 0, 5), (2, 6, 7, 9)]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    got = {r.k: (r.n_intervals, r.n_islands, r.covered) for r in
+           interval_union(df, key="k", start_col="s", end_col="e",
+                          id_col="id").collect()}
+    assert got == {1: (2, 1, 20), 2: (2, 2, 7)}
