@@ -912,6 +912,42 @@ def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_islands", "covered")
 
 
+def _q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-intersection join (operators/segments.
+    segment_join): which road segments cross which trip segments —
+    the orientation-sign predicate is pure BIGINT (no float anywhere),
+    candidates come from ONE (cx, cy) cell equi-join, refine before
+    dedup. Roads from part, trips from documents, both hash-derived."""
+    from cdap_geo_spark.operators.segments import segment_join
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    roads = p.select(
+        F.col("p_partkey").alias("road_id"),
+        ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
+        ((F.col("p_partkey") * 69301 + 257) % 1200000 + 50000).alias("ay"))
+    roads = roads.select(
+        "road_id", "ax", "ay",
+        (F.col("ax") + (F.col("road_id") * 97 + 13) % 80001 - 40000)
+        .alias("bx"),
+        (F.col("ay") + (F.col("road_id") * 89 + 37) % 80001 - 40000)
+        .alias("by"))
+    trips = d.select(
+        F.col("doc_id").alias("trip_id"),
+        ((F.col("doc_id") * 48271 + 17) % 600000 + 50000).alias("cx"),
+        ((F.col("doc_id") * 69621 + 29) % 1200000 + 50000).alias("cy"))
+    trips = trips.select(
+        "trip_id", "cx", "cy",
+        (F.col("cx") + (F.col("trip_id") * 31 + 7) % 80001 - 40000)
+        .alias("dx"),
+        (F.col("cy") + (F.col("trip_id") * 37 + 11) % 80001 - 40000)
+        .alias("dy"))
+    out = segment_join(roads, trips, cell=40_000)
+    return out.select(F.col("road_id").cast("long"),
+                      F.col("trip_id").cast("long"))
+
+
 def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user traveled path length (operators/timeseries.
     path_length) over hash-derived positions: dx²+dy² exact BIGINT,
@@ -2243,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length": _q_path_length,
         "knn_classify": _q_knn_classify,
         "interval_union": _q_interval_union,
+        "segment_join": _q_segment_join,
     }
 
 
@@ -4304,5 +4341,61 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) AS BIGINT) AS n_islands,
                  CAST(SUM(i_e - i_s) AS BIGINT) AS covered
           FROM per GROUP BY user_id
+        """,
+        # exact integer segment-intersection join: bbox prefilter is
+        # redundant (intersecting segments always share bbox overlap),
+        # kept for oracle speed; predicate = CLRS orientation test
+        "segment_join": """
+          WITH roads0 AS (
+            SELECT p_partkey AS road_id,
+                   (p_partkey*40503 + 101) % 600000 + 50000 AS ax,
+                   (p_partkey*69301 + 257) % 1200000 + 50000 AS ay,
+                   (p_partkey*40503 + 101) % 600000 + 50000
+                     + (p_partkey*97 + 13) % 80001 - 40000 AS bx,
+                   (p_partkey*69301 + 257) % 1200000 + 50000
+                     + (p_partkey*89 + 37) % 80001 - 40000 AS by
+            FROM part
+          ), roads AS (
+            -- bbox precomputed as plain columns: duckdb 1.0 IEJoin
+            -- rejects LEAST/GREATEST inside a range-join condition
+            SELECT *, LEAST(ax,bx) AS rx0, GREATEST(ax,bx) AS rx1,
+                      LEAST(ay,by) AS ry0, GREATEST(ay,by) AS ry1
+            FROM roads0
+          ), trips0 AS (
+            SELECT doc_id AS trip_id,
+                   (doc_id*48271 + 17) % 600000 + 50000 AS cx,
+                   (doc_id*69621 + 29) % 1200000 + 50000 AS cy,
+                   (doc_id*48271 + 17) % 600000 + 50000
+                     + (doc_id*31 + 7) % 80001 - 40000 AS dx,
+                   (doc_id*69621 + 29) % 1200000 + 50000
+                     + (doc_id*37 + 11) % 80001 - 40000 AS dy
+            FROM documents
+          ), trips AS (
+            SELECT *, LEAST(cx,dx) AS tx0, GREATEST(cx,dx) AS tx1,
+                      LEAST(cy,dy) AS ty0, GREATEST(cy,dy) AS ty1
+            FROM trips0
+          ), cand AS (
+            SELECT road_id, trip_id, ax, ay, bx, by, cx, cy, dx, dy,
+                   (dx-cx)*(ay-cy) - (dy-cy)*(ax-cx) AS d1,
+                   (dx-cx)*(by-cy) - (dy-cy)*(bx-cx) AS d2,
+                   (bx-ax)*(cy-ay) - (by-ay)*(cx-ax) AS d3,
+                   (bx-ax)*(dy-ay) - (by-ay)*(dx-ax) AS d4
+            FROM roads JOIN trips
+              ON rx0 <= tx1 AND rx1 >= tx0
+             AND ry0 <= ty1 AND ry1 >= ty0
+          )
+          SELECT CAST(road_id AS BIGINT) AS road_id,
+                 CAST(trip_id AS BIGINT) AS trip_id
+          FROM cand
+          WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+                 AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
+             OR (d1 = 0 AND ax BETWEEN LEAST(cx,dx) AND GREATEST(cx,dx)
+                         AND ay BETWEEN LEAST(cy,dy) AND GREATEST(cy,dy))
+             OR (d2 = 0 AND bx BETWEEN LEAST(cx,dx) AND GREATEST(cx,dx)
+                         AND by BETWEEN LEAST(cy,dy) AND GREATEST(cy,dy))
+             OR (d3 = 0 AND cx BETWEEN LEAST(ax,bx) AND GREATEST(ax,bx)
+                         AND cy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
+             OR (d4 = 0 AND dx BETWEEN LEAST(ax,bx) AND GREATEST(ax,bx)
+                         AND dy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
         """,
     }
