@@ -948,6 +948,30 @@ def _q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("trip_id").cast("long"))
 
 
+def _q_heading_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heading histogram (operators/timeseries.heading_sectors):
+    per-user counts of step directions in eight 45° sectors — every
+    sector boundary is an axis or diagonal, so classification is pure
+    integer comparison (no atan2/libm); LAG window + keyed count."""
+    from cdap_geo_spark.operators.timeseries import heading_sectors
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    return heading_sectors(ev)
+
+
+def _q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell dwell/exposure raster (operators/timeseries.
+    cell_dwell): each step's duration (exact integer micros to the
+    user's next event) attributed to the starting point's 100km cell;
+    LEAD window + one (cx, cy) keyed agg."""
+    from cdap_geo_spark.operators.timeseries import cell_dwell
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    return cell_dwell(ev, cell=100_000)
+
+
 def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user traveled path length (operators/timeseries.
     path_length) over hash-derived positions: dx²+dy² exact BIGINT,
@@ -2280,6 +2304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "interval_union": _q_interval_union,
         "segment_join": _q_segment_join,
+        "heading_sectors": _q_heading_sectors,
+        "cell_dwell": _q_cell_dwell,
     }
 
 
@@ -4397,5 +4423,60 @@ def oracle_sql() -> dict[str, str]:
                          AND cy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
              OR (d4 = 0 AND dx BETWEEN LEAST(ax,bx) AND GREATEST(ax,bx)
                          AND dy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
+        """,
+        # 45°-sector heading histogram: every boundary is an axis or
+        # diagonal, so the CASE is pure integer comparison (no atan2)
+        "heading_sectors": """
+          WITH b AS (
+            SELECT user_id, event_id, ts,
+                   (event_id*48271 + 17) % 700000  AS x,
+                   (event_id*69621 + 29) % 1300000 AS y
+            FROM events WHERE ts IS NOT NULL
+          ), s AS (
+            SELECT user_id,
+                   x - LAG(x) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dx,
+                   y - LAG(y) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dy
+            FROM b
+          ), o AS (
+            SELECT user_id,
+                   CASE WHEN dx IS NULL OR dy IS NULL THEN NULL
+                        WHEN dx = 0 AND dy = 0 THEN NULL
+                        WHEN dx > 0 AND dy >= 0 AND dy < dx THEN 0
+                        WHEN dx > 0 AND dy >= dx THEN 1
+                        WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2
+                        WHEN dy > 0 AND dy <= -dx THEN 3
+                        WHEN dx < 0 AND dy <= 0 AND dy > dx THEN 4
+                        WHEN dx < 0 AND dy <= dx THEN 5
+                        WHEN dx >= 0 AND dy < 0 AND dx < -dy THEN 6
+                        ELSE 7 END AS sector
+            FROM s
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(sector AS BIGINT) AS sector,
+                 CAST(COUNT(*) AS BIGINT) AS n_steps
+          FROM o WHERE sector IS NOT NULL
+          GROUP BY user_id, sector
+        """,
+        # per-cell dwell: step duration in exact micros, attributed to
+        # the starting point's 100km cell
+        "cell_dwell": """
+          WITH b AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t,
+                   (event_id*48271 + 17) % 700000  AS x,
+                   (event_id*69621 + 29) % 1300000 AS y
+            FROM events WHERE ts IS NOT NULL
+          ), s AS (
+            SELECT x // 100000 AS cx, y // 100000 AS cy,
+                   LEAD(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) - t AS dt
+            FROM b
+          )
+          SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+                 CAST(COUNT(*) AS BIGINT) AS n_stays,
+                 CAST(SUM(dt) AS BIGINT) AS dwell_us
+          FROM s WHERE dt IS NOT NULL
+          GROUP BY cx, cy
         """,
     }

@@ -950,3 +950,88 @@ def grouped_mad(df: DataFrame, *, group: str, value_col: str,
                  F.sum(F.when(F.col("_d") > F.lit(k) * F.col("mad"),
                               1).otherwise(0))
                   .cast("long").alias("n_outliers")))
+
+
+def _octant(dx, dy):
+    """Exact 45°-sector index of an integer step vector.
+
+    Sector s covers angles [45s°, 45(s+1)°) counter-clockwise from
+    +x; every boundary lies on an axis or a diagonal, so membership
+    is decided by INTEGER comparisons only — no atan2, no libm, no
+    rounding contract. Zero vectors return NULL (caller filters).
+    """
+    return (
+        F.when(dx.isNull() | dy.isNull(),    # first row per key (LAG)
+               F.lit(None).cast("long"))
+         .when((dx == 0) & (dy == 0), F.lit(None).cast("long"))
+         .when((dx > 0) & (dy >= 0) & (dy < dx), 0)
+         .when((dx > 0) & (dy >= dx), 1)
+         .when((dx <= 0) & (dy > 0) & (dy > -dx), 2)
+         .when((dy > 0) & (dy <= -dx), 3)
+         .when((dx < 0) & (dy <= 0) & (dy > dx), 4)
+         .when((dx < 0) & (dy <= dx), 5)
+         .when((dx >= 0) & (dy < 0) & (dx < -dy), 6)
+         .otherwise(7).cast("long"))
+
+
+def heading_sectors(df: DataFrame, *, key: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-key histogram of movement directions in eight 45° sectors —
+    the heading-distribution diagnostic (commute anisotropy, drift
+    detection) computed WITHOUT atan2: every sector boundary is an
+    axis or a 45° diagonal, so classification is exact integer
+    comparison (see :func:`_octant`), bit-equal across engines.
+
+    Returns ``(key, sector, n_steps)``; stationary steps (zero
+    vector) are excluded. Plan: the keyed LAG window and the
+    (key, sector) count share one exchange — the count's map-side
+    partials collapse inside the window's partitioning.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key), F.col(ts_col), F.col(id_col),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    dx = F.col("_x") - F.lag("_x", 1).over(w)
+    dy = F.col("_y") - F.lag("_y", 1).over(w)
+    stepped = base.select(F.col(key), _octant(dx, dy).alias("sector"))
+    return (stepped.where(F.col("sector").isNotNull())
+            .groupBy(key, "sector")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_steps")))
+
+
+def cell_dwell(df: DataFrame, *, key: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               x_col: str = "x", y_col: str = "y",
+               cell: int = 100_000) -> DataFrame:
+    """Per-grid-cell dwell time: each step's duration (time to the
+    key's NEXT event, exact integer micros) is attributed to the cell
+    of the step's STARTING point — the presence/exposure raster that
+    OD matrices and heatmaps both coarsen away. Returns
+    ``(cx, cy, n_stays, dwell_us)``, all BIGINT.
+
+    Scale: the keyed LEAD window orders each key's events once; the
+    (cx, cy) aggregation is the only other exchange and its partials
+    collapse map-side. Coordinates must be non-negative integers
+    (same truncating-div contract as ``zonal.cell_coverage``).
+    """
+    if cell < 1:
+        raise ValueError("cell_dwell: cell must be >= 1")
+    # order by the integer micros (monotone image of ts_col) — ts_col
+    # itself is projected away below
+    w = Window.partitionBy(key).orderBy("_t", id_col)
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key), F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    nxt = F.lead("_t", 1).over(w)
+    stepped = base.select(
+        (F.col("_x") / cell).cast("long").alias("cx"),
+        (F.col("_y") / cell).cast("long").alias("cy"),
+        (nxt - F.col("_t")).alias("_dt"))
+    return (stepped.where(F.col("_dt").isNotNull())
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_stays"),
+                 F.sum("_dt").cast("long").alias("dwell_us")))

@@ -857,3 +857,62 @@ def test_interval_union_edges(spark):
            interval_union(df, key="k", start_col="s", end_col="e",
                           id_col="id").collect()}
     assert got == {1: (2, 1, 20), 2: (2, 2, 7)}
+
+
+def test_heading_sectors_octants(spark):
+    """Each of the 8 compass octants + boundaries classify exactly."""
+    from cdap_geo_spark.operators.timeseries import heading_sectors
+    # one user walks a star: steps with known 45°-sector membership
+    steps = [
+        (10, 0, 0),    # 0° -> s0
+        (10, 10, 1),   # 45° boundary -> s1
+        (0, 10, 2),    # 90° -> s2
+        (-10, 10, 3),  # 135° boundary -> s3
+        (-10, 0, 4),   # 180° -> s4
+        (-10, -10, 5), # 225° boundary -> s5
+        (0, -10, 6),   # 270° -> s6
+        (10, -10, 7),  # 315° boundary -> s7
+        (10, 3, 0),    # interior s0
+        (3, 10, 1),    # interior s1
+        (0, 0, None),  # stationary -> dropped
+    ]
+    rows, x, y = [], 100, 100
+    rows.append((1, 0, x, y))
+    for i, (dx, dy, _) in enumerate(steps):
+        x, y = x + dx, y + dy
+        rows.append((1, i + 1, x, y))
+    df = spark.createDataFrame(
+        [(u, i, f"2024-01-01 00:{i:02d}:00", xx, yy)
+         for (u, i, xx, yy) in rows],
+        "user_id long, event_id long, ts string, x long, y long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["sector"]: r["n_steps"]
+           for r in heading_sectors(df).collect()}
+    want = {}
+    for _, _, s in steps:
+        if s is not None:
+            want[s] = want.get(s, 0) + 1
+    assert got == want
+
+
+def test_cell_dwell_attribution(spark):
+    """Dwell goes to the STARTING cell; last event contributes none."""
+    from cdap_geo_spark.operators.timeseries import cell_dwell
+    import pytest as _pt
+    rows = [
+        # user 1: 60s in cell (0,0), 30s in cell (1,0), end in (1,1)
+        (1, 1, "2024-01-01 00:00:00", 50, 50),
+        (1, 2, "2024-01-01 00:01:00", 150, 50),
+        (1, 3, "2024-01-01 00:01:30", 150, 150),
+        # user 2: 10s in cell (0,0)
+        (2, 4, "2024-01-01 00:00:00", 10, 10),
+        (2, 5, "2024-01-01 00:00:10", 20, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, x long, y long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["cx"], r["cy"]): (r["n_stays"], r["dwell_us"])
+           for r in cell_dwell(df, cell=100).collect()}
+    assert got == {(0, 0): (2, 70_000_000), (1, 0): (1, 30_000_000)}
+    with _pt.raises(ValueError):
+        cell_dwell(df, cell=0)
