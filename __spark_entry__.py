@@ -948,6 +948,32 @@ def _q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("trip_id").cast("long"))
 
 
+def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching-lite (operators/segments.snap_to_segments): each
+    event ping snapped to its nearest road segment within 20km —
+    candidates from ONE cell equi-join of r-dilated segment covers
+    against single-cell points, exact-integer branch selection in the
+    point-to-segment distance, min_by argmin with map-side partials."""
+    from cdap_geo_spark.operators.segments import snap_to_segments
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    roads = p.select(
+        F.col("p_partkey").alias("road_id"),
+        ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
+        ((F.col("p_partkey") * 69301 + 257) % 1200000 + 50000).alias("ay"))
+    roads = roads.select(
+        "road_id", "ax", "ay",
+        (F.col("ax") + (F.col("road_id") * 97 + 13) % 80001 - 40000)
+        .alias("bx"),
+        (F.col("ay") + (F.col("road_id") * 89 + 37) % 80001 - 40000)
+        .alias("by"))
+    out = snap_to_segments(ev, roads, radius=20_000, cell=50_000)
+    return out.select(F.col("event_id").cast("long"),
+                      F.col("road_id").cast("long"), "d2_u", "frac_u")
+
+
 def _q_heading_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heading histogram (operators/timeseries.heading_sectors):
     per-user counts of step directions in eight 45° sectors — every
@@ -2304,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "interval_union": _q_interval_union,
         "segment_join": _q_segment_join,
+        "snap_points": _q_snap_points,
         "heading_sectors": _q_heading_sectors,
         "cell_dwell": _q_cell_dwell,
     }
@@ -4423,6 +4450,63 @@ def oracle_sql() -> dict[str, str]:
                          AND cy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
              OR (d4 = 0 AND dx BETWEEN LEAST(ax,bx) AND GREATEST(ax,bx)
                          AND dy BETWEEN LEAST(ay,by) AND GREATEST(ay,by))
+        """,
+        # nearest-segment snap: exact-integer branch selection, the
+        # interior branch is two correctly-rounded IEEE ops (cr*cr/len2)
+        # so both engines produce the bit-identical double; candidates
+        # from the r-dilated bbox range join (superset; the residual
+        # d2 <= r^2 predicate decides membership identically)
+        "snap_points": """
+          WITH roads0 AS (
+            SELECT p_partkey AS road_id,
+                   (p_partkey*40503 + 101) % 600000 + 50000 AS ax,
+                   (p_partkey*69301 + 257) % 1200000 + 50000 AS ay,
+                   (p_partkey*40503 + 101) % 600000 + 50000
+                     + (p_partkey*97 + 13) % 80001 - 40000 AS bx,
+                   (p_partkey*69301 + 257) % 1200000 + 50000
+                     + (p_partkey*89 + 37) % 80001 - 40000 AS by
+            FROM part
+          ), roads AS (
+            SELECT road_id, ax, ay, bx, by,
+                   LEAST(ax,bx) - 20000 AS x0, GREATEST(ax,bx) + 20000 AS x1,
+                   LEAST(ay,by) - 20000 AS y0, GREATEST(ay,by) + 20000 AS y1
+            FROM roads0
+          ), pts AS (
+            SELECT event_id,
+                   CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS px,
+                   CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS py
+            FROM events
+          ), cand AS (
+            SELECT event_id, road_id,
+                   (px-ax)*(bx-ax) + (py-ay)*(by-ay) AS dot,
+                   (bx-ax)*(bx-ax) + (by-ay)*(by-ay) AS len2,
+                   (px-ax)*(px-ax) + (py-ay)*(py-ay) AS ap2,
+                   (px-bx)*(px-bx) + (py-by)*(py-by) AS bp2,
+                   (px-ax)*(by-ay) - (py-ay)*(bx-ax) AS cr
+            FROM pts JOIN roads
+              ON px BETWEEN x0 AND x1 AND py BETWEEN y0 AND y1
+          ), d AS (
+            SELECT event_id, road_id,
+                   CASE WHEN len2 = 0 OR dot <= 0 THEN CAST(ap2 AS DOUBLE)
+                        WHEN dot >= len2 THEN CAST(bp2 AS DOUBLE)
+                        ELSE (CAST(cr AS DOUBLE)*CAST(cr AS DOUBLE))
+                             / CAST(len2 AS DOUBLE) END AS d2,
+                   CASE WHEN len2 = 0 OR dot <= 0 THEN 0.0
+                        WHEN dot >= len2 THEN 1.0
+                        ELSE CAST(dot AS DOUBLE)/CAST(len2 AS DOUBLE)
+                        END AS t
+            FROM cand
+          ), r AS (
+            SELECT event_id, road_id, d2, t,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY d2, road_id) AS rn
+            FROM d WHERE d2 <= 400000000.0
+          )
+          SELECT CAST(event_id AS BIGINT) AS event_id,
+                 CAST(road_id AS BIGINT) AS road_id,
+                 CAST(ROUND(d2 * 1000000) AS BIGINT) AS d2_u,
+                 CAST(ROUND(t * 1000000) AS BIGINT) AS frac_u
+          FROM r WHERE rn = 1
         """,
         # 45°-sector heading histogram: every boundary is an axis or
         # diagonal, so the CASE is pure integer comparison (no atan2)

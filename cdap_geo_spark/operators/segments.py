@@ -119,3 +119,118 @@ def segment_join_count(left: DataFrame, right: DataFrame, *,
     pairs = segment_join(left, right, cell=cell, **kw)
     return pairs.groupBy(left_id).agg(
         F.count(F.lit(1)).cast("long").alias("n_crossings"))
+
+
+def point_segment_dist2(px, py, ax, ay, bx, by) -> Column:
+    """Squared Euclidean distance from point P to closed segment AB,
+    as a DOUBLE with a FIXED expression shape.
+
+    Exactness contract (the cross-engine hashability argument): with
+    BIGINT inputs, ``dot = AP·AB``, ``len2 = |AB|²`` and the endpoint
+    distances are exact BIGINTs; the branch selectors compare those
+    integers exactly, so both engines always take the same branch.
+    Each branch's value is at most TWO IEEE-754 basic operations on
+    exactly-representable integers (``cross·cross`` then ``/len2``) —
+    both correctly rounded by the 754 spec, hence bit-identical in any
+    compliant engine. The boundary caveat: when ``cross² > 2^53`` the
+    product rounds once, so a comparison of the result against an
+    exact integer threshold can differ from true math by < 2 ulp —
+    deterministically, the same way, in every engine (documented at
+    :func:`snap_to_segments`).
+    """
+    apx, apy = px - ax, py - ay
+    bpx, bpy = px - bx, py - by
+    abx, aby = bx - ax, by - ay
+    dot = (apx * abx + apy * aby).cast("long")
+    len2 = (abx * abx + aby * aby).cast("long")
+    ap2 = (apx * apx + apy * apy).cast("long").cast("double")
+    bp2 = (bpx * bpx + bpy * bpy).cast("long").cast("double")
+    cross = (apx * aby - apy * abx).cast("long").cast("double")
+    return (F.when((len2 == 0) | (dot <= 0), ap2)
+            .when(dot >= len2, bp2)
+            .otherwise((cross * cross) / len2.cast("double")))
+
+
+def snap_to_segments(points: DataFrame, segments: DataFrame, *,
+                     radius: int, cell: int,
+                     point_id: str = "event_id",
+                     px: str = "x", py: str = "y",
+                     seg_id: str = "road_id",
+                     seg_coords=("ax", "ay", "bx", "by")) -> DataFrame:
+    """Map-matching-lite: snap each point to its NEAREST segment within
+    ``radius`` — the linear-referencing primitive (GPS pings onto a
+    road network) the areal join surface cannot express. Points with
+    no segment within ``radius`` are dropped (the unmatched-ping
+    semantics; left-join the result back by ``point_id`` to keep
+    them). Returns ``(point_id, seg_id, d2_u, frac_u)``:
+
+    - ``d2_u``   = round(1e6 · d²) to the winning segment (BIGINT);
+    - ``frac_u`` = round(1e6 · t) where t ∈ [0,1] is the clamped
+      projection parameter along AB — the chainage fraction for
+      linear referencing (0 at A, 1 at B).
+
+    Plan (the scale story): each segment fans out map-side to the grid
+    cells covered by its bbox DILATED by ``radius`` (bounded by
+    ``(len/cell + 2r/cell + 2)²`` — the caller picks ``cell`` near the
+    median segment length); each point maps to exactly ONE cell, so
+    the single (cx, cy) equi-join produces every qualifying pair at
+    most once — no dedup pass at all. The distance never leaves
+    whole-stage codegen, and the per-point argmin is a ``min_by``
+    keyed aggregation WITH map-side partials (one candidate per point
+    per task rides the final exchange), never a sort window over the
+    candidate relation. At 100 TB the candidate relation is 7 longs
+    wide and AQE splits skewed (dense-urban) cells.
+
+    Correctness of the cover: any segment within true distance r of p
+    has its r-dilated bbox containing p, hence covers p's cell —
+    candidates are a superset of matches, and the residual predicate
+    ``d² ≤ r²`` (evaluated on the deterministic rounded double of
+    :func:`point_segment_dist2`, ulp-exact per that docstring) decides
+    membership identically in every engine. Ties on d² break to the
+    smallest ``seg_id``. Non-negative integer coordinates required
+    (truncating ``div``), as :func:`segment_join`.
+    """
+    if radius < 1 or cell < 1:
+        raise ValueError("snap_to_segments: radius and cell must be >= 1")
+    ca = list(seg_coords)
+    s = segments.select(F.col(seg_id),
+                        *[F.col(c).cast("long").alias(c) for c in ca])
+    x0 = F.greatest(F.least(F.col(ca[0]), F.col(ca[2])) - radius, F.lit(0))
+    x1 = F.greatest(F.col(ca[0]), F.col(ca[2])) + radius
+    y0 = F.greatest(F.least(F.col(ca[1]), F.col(ca[3])) - radius, F.lit(0))
+    y1 = F.greatest(F.col(ca[1]), F.col(ca[3])) + radius
+    sc = (s.withColumn("_cx", F.explode(F.sequence(
+              (x0 / cell).cast("long"), (x1 / cell).cast("long"))))
+           .withColumn("_cy", F.explode(F.sequence(
+              (y0 / cell).cast("long"), (y1 / cell).cast("long")))))
+    p = points.select(F.col(point_id),
+                      F.col(px).cast("long").alias("_px"),
+                      F.col(py).cast("long").alias("_py"),
+                      (F.col(px).cast("long") / cell).cast("long")
+                      .alias("_cx"),
+                      (F.col(py).cast("long") / cell).cast("long")
+                      .alias("_cy"))
+    _px, _py = F.col("_px"), F.col("_py")
+    A = [F.col(c) for c in ca]
+    d2 = point_segment_dist2(_px, _py, *A)
+    dot = ((_px - A[0]) * (A[2] - A[0])
+           + (_py - A[1]) * (A[3] - A[1])).cast("long")
+    len2 = ((A[2] - A[0]) * (A[2] - A[0])
+            + (A[3] - A[1]) * (A[3] - A[1])).cast("long")
+    frac = (F.when((len2 == 0) | (dot <= 0), F.lit(0.0))
+            .when(dot >= len2, F.lit(1.0))
+            .otherwise(dot.cast("double") / len2.cast("double")))
+    cand = (p.join(sc, ["_cx", "_cy"])
+            .withColumn("_d2", d2)
+            .where(F.col("_d2") <= F.lit(float(radius) * float(radius)))
+            .withColumn("_t", frac))
+    win = F.struct(F.col(seg_id).alias("seg"),
+                   F.col("_d2").alias("d2"), F.col("_t").alias("t"))
+    best = (cand.groupBy(point_id)
+            .agg(F.min_by(win, F.struct(F.col("_d2"), F.col(seg_id)))
+                 .alias("_w")))
+    return best.select(
+        point_id,
+        F.col("_w.seg").alias(seg_id),
+        F.round(F.col("_w.d2") * 1_000_000).cast("long").alias("d2_u"),
+        F.round(F.col("_w.t") * 1_000_000).cast("long").alias("frac_u"))

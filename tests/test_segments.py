@@ -116,3 +116,100 @@ def test_segment_join_count_and_validation(spark):
         == {(1, 2)}
     with pytest.raises(ValueError):
         segment_join(left, right, cell=0)
+
+
+# ---------------------------------------------------------------------------
+# snap_to_segments (map-matching-lite)
+# ---------------------------------------------------------------------------
+
+
+def _brute_snap(points, segments, radius):
+    """Quadratic python reference with the operator's exact branch
+    rule: per point the (d2, seg_id)-smallest segment with d2 <= r²."""
+    out = {}
+    for pid, px, py in points:
+        best = None
+        for sid, ax, ay, bx, by in segments:
+            apx, apy = px - ax, py - ay
+            abx, aby = bx - ax, by - ay
+            dot = apx * abx + apy * aby
+            len2 = abx * abx + aby * aby
+            if len2 == 0 or dot <= 0:
+                d2, t = float(apx * apx + apy * apy), 0.0
+            elif dot >= len2:
+                d2 = float((px - bx) ** 2 + (py - by) ** 2)
+                t = 1.0
+            else:
+                cr = apx * aby - apy * abx
+                d2 = (float(cr) * float(cr)) / float(len2)
+                t = float(dot) / float(len2)
+            if d2 <= float(radius) * float(radius):
+                key = (d2, sid)
+                if best is None or key < best[0]:
+                    best = (key, sid, d2, t)
+        if best is not None:
+            import decimal
+            rnd = lambda v: int(  # noqa: E731  half-up like Spark/DuckDB
+                decimal.Decimal(v * 1_000_000).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP))
+            out[pid] = (best[1], rnd(best[2]), rnd(best[3]))
+    return out
+
+
+def test_snap_brute_force(spark):
+    from cdap_geo_spark.operators.segments import snap_to_segments
+    rng = np.random.default_rng(7)
+    pts = [(i, int(rng.integers(0, 1000)), int(rng.integers(0, 1000)))
+           for i in range(150)]
+    segs = []
+    for j in range(60):
+        ax, ay = int(rng.integers(0, 1000)), int(rng.integers(0, 1000))
+        segs.append((j, ax, ay, ax + int(rng.integers(-120, 121)),
+                     ay + int(rng.integers(-120, 121))))
+    want = _brute_snap(pts, segs, radius=90)
+    p = spark.createDataFrame(pts, "event_id long, x long, y long")
+    s = spark.createDataFrame(
+        segs, "road_id long, ax long, ay long, bx long, by long")
+    got = {
+        r["event_id"]: (r["road_id"], r["d2_u"], r["frac_u"])
+        for r in snap_to_segments(p, s, radius=90, cell=64).collect()
+    }
+    assert got == want
+    assert len(got) > 20  # the fixture must exercise real matches
+
+
+def test_snap_radius_and_degenerate(spark):
+    """A point outside the radius is dropped; a zero-length segment
+    snaps at its point with frac 0; nearer segment wins a tie on id."""
+    from cdap_geo_spark.operators.segments import snap_to_segments
+    p = spark.createDataFrame(
+        [(1, 100, 100), (2, 900, 900), (3, 0, 50)],
+        "event_id long, x long, y long")
+    s = spark.createDataFrame(
+        [(10, 100, 103, 100, 103),   # zero-length, 3 above point 1
+         (11, 0, 107, 200, 107),     # horizontal, 7 above point 1
+         (12, 0, 40, 0, 60)],        # passes through point 3
+        "road_id long, ax long, ay long, bx long, by long")
+    got = {r["event_id"]: (r["road_id"], r["d2_u"], r["frac_u"])
+           for r in snap_to_segments(p, s, radius=20, cell=50).collect()}
+    assert got[1] == (10, 9_000_000, 0)
+    assert got[3] == (12, 0, 500_000)
+    assert 2 not in got
+    with pytest.raises(ValueError):
+        snap_to_segments(p, s, radius=0, cell=50)
+
+
+def test_snap_candidates_from_single_join(spark):
+    """Plan property: one equi-join, no dedup pass needed (each point
+    lives in exactly one cell) and no nested-loop join anywhere."""
+    from cdap_geo_spark.operators.segments import snap_to_segments
+    p = spark.createDataFrame(
+        [(1, 100, 100)], "event_id long, x long, y long")
+    s = spark.createDataFrame(
+        [(10, 0, 0, 500, 500)],
+        "road_id long, ax long, ay long, bx long, by long")
+    plan = snap_to_segments(
+        p, s, radius=50, cell=64)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
