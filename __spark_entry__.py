@@ -2053,6 +2053,39 @@ def _kcore_sql() -> str:
     return kcore_oracle_sql(edges, k=6, rounds=4)
 
 
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.
+    lpa_communities) over the region bbox-adjacency graph: 3 rounds of
+    neighbor-majority voting, ties to the smallest label — integer
+    labels and counts make the fixed-round result value-hashable
+    against the unrolled CTE twin."""
+    from cdap_geo_spark.operators.graph import lpa_communities
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return lpa_communities(edges, rounds=3, src="a", dst="b")
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin of `lpa`: canonical u<v bbox-adjacency edges fed to
+    the unrolled 3-round vote (see operators/graph.lpa_oracle_sql)."""
+    from cdap_geo_spark.operators.graph import lpa_oracle_sql
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return lpa_oracle_sql(edges, rounds=3)
+
+
 def _q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy quality score (operators/text.
     bigram_logloss): add-one smoothed corpus bigram model, per-term
@@ -2304,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": _q_skyline,
         "fuzzy_join": _q_fuzzy,
         "kcore": _q_kcore,
+        "lpa": _q_lpa,
         "scd2": _q_scd2,
         "adamic_adar": _q_adamic,
         "sssp": _q_sssp,
@@ -3984,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE levenshtein(q.s, p.s) <= 2
         """,
         "kcore": _kcore_sql(),
+        "lpa": _lpa_sql(),
         "scd2": """
           WITH base AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

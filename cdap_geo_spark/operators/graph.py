@@ -603,3 +603,84 @@ def sssp_oracle_sql(edges_sql: str, sources_sql: str, *,
           FROM d{i - 1} d FULL OUTER JOIN c{i} c ON d.id = c.id)""")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT CAST(id AS BIGINT) AS id, dist FROM d{rounds}")
+
+
+def lpa_communities(edges: DataFrame, *, rounds: int = 3,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) made DETERMINISTIC — the property the original algorithm
+    lacks (it breaks ties randomly and updates asynchronously, so two
+    runs disagree). Here every node starts labelled with its own id
+    and each round simultaneously adopts the most frequent label among
+    its NEIGHBORS, ties to the smallest label — all integer counts and
+    integer labels, so a fixed round count is bit-reproducible on any
+    schedule and value-hashable against the unrolled single-node twin
+    (:func:`lpa_oracle_sql`). Returns ``(id, label)`` for every node
+    incident to an edge.
+
+    Distributed shape (per round): ONE equi-join of the node-dimension
+    label relation onto the neighbor relation (AQE broadcasts labels
+    when they fit), one (id, label) keyed count WITH map-side partials,
+    one ``max_by`` argmax aggregation — no window over the edge-sized
+    relation, no driver row loop. Label state is one row per node,
+    checkpointed per round with superseded rounds released eagerly
+    (the :func:`pagerank` lineage contract: consume the result inside
+    the caller's ``checkpoint_scope``).
+    """
+    if rounds < 0:
+        raise ValueError("lpa_communities: rounds must be >= 0")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    nbr = (e.select(F.col("u").alias("id"), F.col("v").alias("nbr"))
+           .unionByName(
+               e.select(F.col("v").alias("id"), F.col("u").alias("nbr")))
+           .localCheckpoint(eager=True))
+    track_checkpoint(nbr)
+    lab = (nbr.select("id").distinct()
+           .select("id", F.col("id").alias("label"))
+           .localCheckpoint(eager=True))
+    track_checkpoint(lab)
+    for _ in range(rounds):
+        votes = (nbr.join(lab.withColumnRenamed("id", "nbr"), "nbr")
+                 .groupBy("id", "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        nxt = (votes.groupBy("id")
+               .agg(F.max_by(
+                   F.col("label"),
+                   F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                   .alias("label"))
+               .localCheckpoint(eager=True))
+        track_checkpoint(nxt)
+        nxt.count()
+        unpersist_checkpoint(lab)
+        lab = nxt
+    return lab.select(F.col("id").cast("long"),
+                      F.col("label").cast("long"))
+
+
+def lpa_oracle_sql(edges_sql: str, *, rounds: int = 3) -> str:
+    """ANSI-SQL twin of :func:`lpa_communities`, rounds unrolled as
+    chained CTEs (every CTE MATERIALIZED — the DuckDB 1.0 re-inlining
+    lesson at :func:`kcore_oracle_sql`). ``edges_sql`` must yield
+    CANONICAL undirected edges ``(u, v)``, ``u < v``, deduplicated."""
+    parts = [f"e AS MATERIALIZED ({edges_sql})",
+             """nb AS MATERIALIZED (
+               SELECT u AS id, v AS nbr FROM e
+               UNION ALL SELECT v, u FROM e)""",
+             """l0 AS MATERIALIZED (
+               SELECT DISTINCT id, id AS label FROM nb)"""]
+    for i in range(rounds):
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+          SELECT id, label FROM (
+            SELECT nb.id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY nb.id
+                                      ORDER BY COUNT(*) DESC, l.label)
+                     AS rn
+            FROM nb JOIN l{i} l ON nb.nbr = l.id
+            GROUP BY nb.id, l.label)
+          WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(id AS BIGINT) AS id,"
+              f" CAST(label AS BIGINT) AS label FROM l{rounds}")

@@ -446,3 +446,75 @@ def test_sssp_validates(spark):
     # rounds=0: only the sources at distance 0
     got = {r.id: r.dist for r in sssp(df, srcs, rounds=0).collect()}
     assert got == {1: 0}
+
+
+# ---------------------------------------------------------------------------
+# lpa_communities
+# ---------------------------------------------------------------------------
+
+
+def _brute_lpa(raw_edges, rounds):
+    und = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbrs.items():
+            cnt = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_bruteforce(spark):
+    from cdap_geo_spark.operators.graph import lpa_communities
+    edges = _random_edges(45, 180, seed=17)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (0, 1, 3):
+        got = {r.id: r.label for r in
+               lpa_communities(df, rounds=rounds).collect()}
+        assert got == _brute_lpa(edges, rounds), f"rounds={rounds}"
+
+
+def test_lpa_two_cliques_form_two_communities(spark):
+    # two 5-cliques joined by a single bridge edge: after 3 sync
+    # rounds each clique converges onto its own minimum id
+    from cdap_geo_spark.operators.graph import lpa_communities
+    import itertools
+    a = list(itertools.combinations(range(5), 2))
+    b = list(itertools.combinations(range(10, 15), 2))
+    edges = a + b + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.label for r in lpa_communities(df, rounds=3).collect()}
+    assert got == _brute_lpa(edges, 3)
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}
+
+
+def test_lpa_oracle_sql_twin_matches(spark):
+    import duckdb
+    from cdap_geo_spark.operators.graph import (lpa_communities,
+                                                lpa_oracle_sql)
+    raw = _random_edges(35, 140, seed=41)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    got = {r.id: r.label for r in
+           lpa_communities(spark.createDataFrame(raw, "src int, dst int"),
+                           rounds=3).collect()}
+    vals = ", ".join(f"({u}, {v})" for u, v in und)
+    sql = lpa_oracle_sql(f"SELECT * FROM (VALUES {vals}) AS t(u, v)",
+                         rounds=3)
+    want = {int(i): int(lb) for i, lb in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_lpa_validates(spark):
+    from cdap_geo_spark.operators.graph import lpa_communities
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lpa_communities(df, rounds=-1)
