@@ -1012,6 +1012,26 @@ def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "path_u")
 
 
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1 autocorrelation (operators/timeseries.
+    grouped_autocorr): five exact BIGINT sums over the LAG-paired
+    relation in ONE keyed exchange; the statistic's only irrational op
+    is IEEE-correctly-rounded sqrt."""
+    from cdap_geo_spark.operators.timeseries import grouped_autocorr
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_autocorr(ev, group="event_type", lag=1)
+
+
+def _q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM changepoint (operators/timeseries.
+    cusum_changepoint): argmax |n·S_i − i·S_n| in exact BIGINT (no
+    division, no float in the ranking), earliest index on ties; one
+    keyed window exchange + a max_by argmax."""
+    from cdap_geo_spark.operators.timeseries import cusum_changepoint
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_changepoint(ev, group="event_type")
+
+
 def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini of document length (operators/timeseries.
     grouped_gini): exact rank formula, tie-proof integer sums, one
@@ -2358,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_coverage": _q_cell_coverage,
         "seasonal": _q_seasonal,
         "grouped_corr": _q_corr,
+        "autocorr": _q_autocorr,
+        "changepoint": _q_changepoint,
         "od_matrix": _q_od,
         "gini": _q_gini,
         "path_length": _q_path_length,
@@ -4282,6 +4304,65 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT)
                       ELSE NULL END AS corr_micro
           FROM a
+        """,
+        # lag-1 pairs from the same (ts, id) window order; five exact
+        # BIGINT sums, sqrt-only final expression (grouped_corr shape)
+        "autocorr": """
+          WITH b AS (
+            SELECT event_type, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS a
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+          ), p AS (
+            SELECT event_type, a,
+                   LAG(a, 1) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS bb
+            FROM b
+          ), agg AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(a) AS sa, SUM(bb) AS sb, SUM(a*bb) AS sab,
+                   SUM(a*a) AS saa, SUM(bb*bb) AS sbb
+            FROM p WHERE bb IS NOT NULL GROUP BY event_type
+          )
+          SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                 CASE WHEN (n*saa - sa*sa) > 0 AND (n*sbb - sb*sb) > 0
+                      THEN CAST(ROUND(1000000.0 *
+                           (CAST(n*sab - sa*sb AS DOUBLE)
+                            / SQRT(CAST(n*saa - sa*sa AS DOUBLE)
+                                   * CAST(n*sbb - sb*sb AS DOUBLE))))
+                           AS BIGINT)
+                      ELSE NULL END AS autocorr_micro
+          FROM agg
+        """,
+        # CUSUM argmax |n*S_i - i*S_n| in exact BIGINT; earliest index
+        # wins ties (ORDER BY stat DESC, i)
+        "changepoint": """
+          WITH b AS (
+            SELECT event_type, ts, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+          ), w AS (
+            SELECT event_type, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id)
+                        AS BIGINT) AS i,
+                   SUM(x) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n,
+                   SUM(x) OVER (PARTITION BY event_type) AS tot
+            FROM b
+          ), s AS (
+            SELECT event_type, n, i, event_id,
+                   ABS(n*cum - i*tot) AS stat,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY ABS(n*cum - i*tot) DESC,
+                                               i) AS rn
+            FROM w
+          )
+          SELECT event_type, n, i AS cp_index,
+                 CAST(event_id AS BIGINT) AS cp_id, stat
+          FROM s WHERE rn = 1
         """,
         # per-user endpoints by row_number (the twin need not share
         # the min_by plan, only the result), snapped to 100km cells

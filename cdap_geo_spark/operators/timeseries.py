@@ -1035,3 +1035,102 @@ def cell_dwell(df: DataFrame, *, key: str = "user_id",
             .groupBy("cx", "cy")
             .agg(F.count(F.lit(1)).cast("long").alias("n_stays"),
                  F.sum("_dt").cast("long").alias("dwell_us")))
+
+
+def grouped_autocorr(df: DataFrame, *, group: str, lag: int = 1,
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value",
+                     value_scale: int = 100) -> DataFrame:
+    """Per-group lag-``k`` autocorrelation — the serial-dependence
+    diagnostic (is this metric mean-reverting? is the sensor stream
+    white noise?). Pearson r between ``x_t`` and ``x_{t-lag}`` over
+    the total (ts, id) event order, the :func:`grouped_corr`
+    discipline applied to a LAGGED pair relation: five exact BIGINT
+    sums over integer-scaled values (order-independent aggregation),
+    then ONE double expression whose only irrational op is IEEE-754
+    correctly-rounded ``sqrt``. Returns ``(group, n_pairs,
+    autocorr_micro)``; groups with < 2 pairs or zero variance emit
+    NULL.
+
+    Plan: one keyed exchange carries the LAG window AND the map-side-
+    collapsing aggregate (the pair relation never re-shuffles).
+    Magnitude contract as :func:`grouped_corr`: n²·B² < 9.2e18 for
+    ``|x·scale| <= B``.
+    """
+    from pyspark.sql import Window
+    if lag < 1:
+        raise ValueError("grouped_autocorr: lag must be >= 1")
+    w = Window.partitionBy(group).orderBy(ts_col, id_col)
+    xs = F.round(F.col(value_col) * value_scale).cast("long")
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(group), F.col(ts_col), F.col(id_col),
+                    xs.alias("_a"))
+            .withColumn("_b", F.lag("_a", lag).over(w))
+            .where(F.col("_b").isNotNull()))
+    agg = base.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_a").alias("sa"), F.sum("_b").alias("sb"),
+        F.sum(F.col("_a") * F.col("_b")).alias("sab"),
+        F.sum(F.col("_a") * F.col("_a")).alias("saa"),
+        F.sum(F.col("_b") * F.col("_b")).alias("sbb"))
+    da = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    r = num.cast("double") / F.sqrt(da.cast("double") * db.cast("double"))
+    ac = F.when((da > 0) & (db > 0),
+                F.round(F.lit(1_000_000.0) * r).cast("long"))
+    return agg.select(group, F.col("n").cast("long").alias("n_pairs"),
+                      ac.alias("autocorr_micro"))
+
+
+def cusum_changepoint(df: DataFrame, *, group: str,
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value",
+                      value_scale: int = 100) -> DataFrame:
+    """Per-group CUSUM changepoint: the index where the cumulative sum
+    deviates most from the uniform-mean line — argmax over i of
+    ``|n·S_i − i·S_n|`` (the classic mean-shift statistic, scaled by
+    ``n`` so it stays EXACT BIGINT: no division, no float anywhere in
+    the ranking, hence schedule-independent and cross-engine
+    hashable). Ties break to the earliest i. Returns ``(group, n,
+    cp_index, cp_id, stat)`` with ``stat = max |n·S_i − i·S_n|``.
+
+    Plan: ONE keyed exchange — the running sum (ordered frame), the
+    group total and count (unbounded frame), and ``row_number`` all
+    share the same window partitioning, so Catalyst plans a single
+    Exchange; the argmax is a ``max_by`` keyed aggregation with
+    map-side partials, never a second data-sized shuffle.
+
+    Magnitude contract: ``n²·B < 9.2e18`` for ``|x·scale| <= B``
+    (n=1e6 rows/group at B=1e6 is the ceiling; shard longer series
+    by time first).
+    """
+    from pyspark.sql import Window
+    wo = Window.partitionBy(group).orderBy(ts_col, id_col)
+    wa = Window.partitionBy(group)
+    xs = F.round(F.col(value_col) * value_scale).cast("long")
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+            .select(F.col(group), F.col(ts_col), F.col(id_col),
+                    xs.alias("_x"))
+            .withColumn("_i", F.row_number().over(wo).cast("long"))
+            .withColumn("_cum", F.sum("_x").over(wo))
+            .withColumn("_n", F.count(F.lit(1)).over(wa).cast("long"))
+            .withColumn("_tot", F.sum("_x").over(wa)))
+    stat = F.abs(F.col("_n") * F.col("_cum")
+                 - F.col("_i") * F.col("_tot"))
+    scored = base.withColumn("_stat", stat)
+    win = F.struct(F.col("_i").alias("i"),
+                   F.col(id_col).alias("id"),
+                   F.col("_stat").alias("s"),
+                   F.col("_n").alias("n"))
+    best = (scored.groupBy(group)
+            .agg(F.max_by(win, F.struct(F.col("_stat"),
+                                        (-F.col("_i")).alias("ni")))
+                 .alias("_w")))
+    return best.select(
+        group, F.col("_w.n").alias("n"),
+        F.col("_w.i").alias("cp_index"),
+        F.col("_w.id").cast("long").alias("cp_id"),
+        F.col("_w.s").alias("stat"))

@@ -916,3 +916,111 @@ def test_cell_dwell_attribution(spark):
     assert got == {(0, 0): (2, 70_000_000), (1, 0): (1, 30_000_000)}
     with _pt.raises(ValueError):
         cell_dwell(df, cell=0)
+
+
+# ---------------------------------------------------------------------------
+# grouped_autocorr / cusum_changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_autocorr_matches_bruteforce(spark):
+    import math
+    import numpy as np
+    from cdap_geo_spark.operators.timeseries import grouped_autocorr
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(80):
+            rows.append((g, i, i, float(rng.normal(50, 10))))
+    df = spark.createDataFrame(
+        rows, "g string, ts long, event_id long, value double")
+    for lag in (1, 3):
+        got = {r.g: (r.n_pairs, r.autocorr_micro) for r in
+               grouped_autocorr(df, group="g", lag=lag).collect()}
+        for g in ("a", "b"):
+            xs = [round(v * 100) for gg, _, _, v in rows if gg == g]
+            a, b = xs[lag:], xs[:-lag]
+            n = len(a)
+            sa, sb = sum(a), sum(b)
+            sab = sum(x * y for x, y in zip(a, b))
+            saa, sbb = sum(x * x for x in a), sum(x * x for x in b)
+            da, db = n * saa - sa * sa, n * sbb - sb * sb
+            r = (n * sab - sa * sb) / math.sqrt(float(da) * float(db))
+            assert got[g][0] == n
+            assert abs(got[g][1] - round(1_000_000.0 * r)) <= 1, (g, lag)
+
+
+def test_grouped_autocorr_edges(spark):
+    from cdap_geo_spark.operators.timeseries import grouped_autocorr
+    # constant series -> zero variance -> NULL; single row -> no pairs
+    df = spark.createDataFrame(
+        [("c", 0, 0, 5.0), ("c", 1, 1, 5.0), ("c", 2, 2, 5.0),
+         ("s", 0, 0, 1.0)],
+        "g string, ts long, event_id long, value double")
+    got = {r.g: (r.n_pairs, r.autocorr_micro) for r in
+           grouped_autocorr(df, group="g").collect()}
+    assert got["c"] == (2, None)
+    assert "s" not in got
+    with pytest.raises(ValueError):
+        grouped_autocorr(df, group="g", lag=0)
+
+
+def _brute_cusum(xs):
+    n, tot = len(xs), sum(xs)
+    cum, best = 0, None
+    for i, x in enumerate(xs, start=1):
+        cum += x
+        stat = abs(n * cum - i * tot)
+        if best is None or stat > best[0]:
+            best = (stat, i)
+    return best[1], best[0], n
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.timeseries import cusum_changepoint
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("a", "b"):
+        shift = 40 if g == "a" else 73
+        for i in range(120):
+            mu = 20.0 if i < shift else 35.0
+            rows.append((g, i, 1000 + i, float(rng.normal(mu, 2))))
+    df = spark.createDataFrame(
+        rows, "g string, ts long, event_id long, value double")
+    got = {r.g: (r.n, r.cp_index, r.cp_id, r.stat) for r in
+           cusum_changepoint(df, group="g").collect()}
+    for g, shift in (("a", 40), ("b", 73)):
+        xs = [round(v * 100) for gg, _, _, v in rows if gg == g]
+        i, stat, n = _brute_cusum(xs)
+        assert got[g] == (n, i, 1000 + i - 1, stat)
+        # the detected index is near the injected shift
+        assert abs(got[g][1] - shift) <= 3, g
+
+
+def test_cusum_tie_breaks_to_earliest(spark):
+    from cdap_geo_spark.operators.timeseries import cusum_changepoint
+    # single spike: i=1 and i=2 tie on |n*S_i - i*S_n|; earliest wins
+    rows = [("g", 0, 0, 0.0), ("g", 1, 1, 1.0), ("g", 2, 2, 0.0)]
+    df = spark.createDataFrame(
+        rows, "g string, ts long, event_id long, value double")
+    r = cusum_changepoint(df, group="g").collect()[0]
+    xs = [0, 100, 0]
+    n, tot = 3, sum(xs)
+    stats = [abs(n * sum(xs[:i + 1]) - (i + 1) * tot) for i in range(3)]
+    assert stats[0] == stats[1]  # the tie is real
+    assert (r.cp_index, r.stat) == (1, stats[0])
+
+
+def test_cusum_single_exchange_plan(spark):
+    """The running sum, totals, and argmax must share ONE data-sized
+    hash exchange (ordered + unbounded frames on the same key)."""
+    from cdap_geo_spark.operators.timeseries import cusum_changepoint
+    df = spark.createDataFrame(
+        [("g", 0, 0, 1.0)], "g string, ts long, event_id long, value double")
+    out = cusum_changepoint(df, group="g")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2
