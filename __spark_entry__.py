@@ -599,6 +599,45 @@ def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "est_distinct", "n_filled")
 
 
+def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-5 users by exact event count (streaming/windows.
+    windowed_counts_by_key + topk_finalize): one stateful aggregation
+    emits the mergeable count relation (state = active keys per
+    window, watermark-evictable); the rank is a stateless read over
+    windows × active keys, never the raw events."""
+    from cdap_geo_spark.streaming.windows import (topk_finalize,
+                                                  windowed_counts_by_key)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    rel = windowed_counts_by_key(ev, key_col="user_id", window="1 hour")
+    out = topk_finalize(rel, k=5, key_col="user_id")
+    return out.select(F.col("window_start").cast("string"),
+                      F.col("user_id").cast("long"),
+                      F.col("n").cast("long"), "rank")
+
+
+#: hash-split cut points: python ints embedded verbatim in BOTH the
+#: Spark when-chain and the SQL oracle (the stratified_sample pattern)
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 23
+
+
+def _split_cuts() -> list:
+    from cdap_geo_spark.operators.text import hash_split_cuts
+    return hash_split_cuts(SPLIT_FRACTIONS)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/text.
+    hash_split): md5(doc_id:seed) 60-bit prefix against cumulative
+    cut points — map-side, no shuffle, leakage-stable under retries,
+    repartitioning and engine changes."""
+    from cdap_geo_spark.operators.text import hash_split
+    out = hash_split(_docs(spark, sf_dir), SPLIT_FRACTIONS,
+                     seed=SPLIT_SEED)
+    return out.select(F.col("doc_id").cast("long"), "split")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join (operators/timeseries.asof_join): every click
     event matched to the user's most recent view at-or-before it — the
@@ -2321,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "tfidf_topk": _q_tfidf,
         "window_distinct": _q_window_distinct,
+        "window_topk": _q_window_topk,
+        "hash_split": _q_hash_split,
         "window_cms": _q_window_cms,
         "asof_join": _q_asof_join,
         "rolling_stats": _q_rolling_stats,
@@ -3645,6 +3686,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct": _hll_sql(),
         "window_distinct": _window_distinct_sql(),
+        # exact per-window counts then rank (n DESC, user ASC) — the
+        # stateless readout over the mergeable count relation
+        "window_topk": """
+          WITH c AS (
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
+                     AS window_start,
+                   user_id, COUNT(*) AS n
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1, 2
+          )
+          SELECT window_start, CAST(user_id AS BIGINT) AS user_id,
+                 CAST(n AS BIGINT) AS n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                         ORDER BY n DESC, user_id)
+                      AS BIGINT) AS rank
+          FROM c
+          QUALIFY rank <= 5
+        """,
+        # cumulative md5 cut points embedded as the same python ints
+        # (operators/text.hash_split_cuts — one shared accumulation)
+        "hash_split": f"""
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CASE WHEN h < {_split_cuts()[0]} THEN 'train'
+                      WHEN h < {_split_cuts()[1]} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(concat(
+                            CAST(doc_id AS VARCHAR), ':',
+                            '{SPLIT_SEED}')), 1, 15)) AS BIGINT) AS h
+                FROM documents)
+        """,
         "window_cms": """
           WITH ev AS (
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)

@@ -361,6 +361,55 @@ def stratified_sample(df, fractions: dict, *, strata_col: str = "lang",
     return df.filter(h < thr)
 
 
+def hash_split_cuts(splits: dict) -> list:
+    """The exact integer cut points :func:`hash_split` compares the
+    60-bit hash against — exposed so a SQL twin can embed the SAME
+    Python ints (cumulative float addition is not associative; both
+    engines must share one accumulation)."""
+    scale = 1 << 60
+    cuts, acc = [], 0.0
+    for lbl in list(splits)[:-1]:
+        acc += splits[lbl]
+        cuts.append(int(acc * scale))
+    cuts.append(scale)  # last bucket catches everything
+    return cuts
+
+
+def hash_split(df, splits: dict, *, id_col: str = "doc_id",
+               seed: int = 17, label_col: str = "split"):
+    """Deterministic train/val/test assignment — the split every ML
+    pipeline runs before training, made retry/resume/engine-stable the
+    :func:`stratified_sample` way: the row's ``md5(id || ':' || seed)``
+    60-bit prefix lands in cumulative-fraction buckets, so the
+    assignment rides the ROW (repartitioning, task retries, AQE
+    re-plans, or a different engine recomputing the split can never
+    move a document between train and test — the leakage-safety
+    property). Pure map-side: no shuffle, no RNG state, no sort.
+
+    ``splits`` maps label -> fraction; fractions must sum to 1 (±1e-9).
+    The LAST bucket's threshold is pinned to exactly 2^60 so float
+    accumulation error cannot leave a row unlabelled. Cut-points are
+    computed once in Python ints — embed the same ints in any SQL twin
+    for bit-identical assignment.
+    """
+    if not splits:
+        raise ValueError("hash_split: splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: fractions sum to {total}, not 1")
+    h = F.conv(F.substring(
+        F.md5(F.encode(F.concat_ws(":", F.col(id_col).cast("string"),
+                                   F.lit(str(seed))), "UTF-8")),
+        1, 15), 16, 10).cast("long")
+    labels = list(splits)
+    cuts = hash_split_cuts(splits)
+    expr = None
+    for lbl, cut in zip(labels, cuts):
+        expr = (F.when(h < cut, F.lit(lbl)) if expr is None
+                else expr.when(h < cut, F.lit(lbl)))
+    return df.withColumn(label_col, expr)
+
+
 def source_cap(df, *, cap: int, source_col: str = "source",
                id_col: str = "doc_id") -> "DataFrame":
     """C4/CCNet-style per-source quota: keep at most ``cap`` documents

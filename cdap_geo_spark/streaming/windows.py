@@ -99,6 +99,52 @@ def windowed_cms(events: DataFrame, *, value_col: str = "user_id",
                     "hrow", "bucket", "cnt"))
 
 
+def windowed_counts_by_key(events: DataFrame, *,
+                           key_col: str = "user_id",
+                           window: str = "1 hour",
+                           watermark: str | None = None) -> DataFrame:
+    """Per-window per-key event counts ``(window_start, key, n)`` —
+    the EXACT relation behind windowed top-k / heavy-hitter readouts,
+    in the family's store-the-relation design: ONE stateful
+    aggregation that runs identically on batch and streaming inputs
+    (append mode under a watermark; late rows fold into their
+    still-open window's count; state = one row per (window, active
+    key), evictable once the watermark passes the window end). The
+    ranked readout is the stateless :func:`topk_finalize` at query
+    time; counts merge across days/sources by union + re-sum.
+
+    When exact per-key state is too wide for the key cardinality, the
+    sketch path is :func:`windowed_cms` (bounded state, ±εN error).
+    """
+    src = events
+    if watermark is not None:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    return (src.where(F.col(key_col).isNotNull())
+            .groupBy(F.window("ts", window).alias("w"), key_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col(key_col), F.col("n")))
+
+
+def topk_finalize(counts: DataFrame, *, k: int,
+                  key_col: str = "user_id") -> DataFrame:
+    """Stateless read-time top-``k`` over a
+    :func:`windowed_counts_by_key` relation: rank per window by
+    ``(n DESC, key ASC)`` — the integer-count/smallest-key total order
+    that makes the readout cross-engine hashable. The rank window runs
+    over the COUNT relation (windows × active keys), never the raw
+    events."""
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError("topk_finalize: k must be >= 1")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col(key_col))
+    return (counts.withColumn(
+                "rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
 def sessionize(events: DataFrame, *, gap_minutes: int = 30,
                tie_break: str | None = "event_id") -> DataFrame:
     """Per-user session ids: a new session starts after a gap larger

@@ -544,3 +544,91 @@ def test_attach_within_stream_equals_batch_across_microbatches(spark,
     assert (1, 10, 11, 30 * 60 * 1_000_000) in streamed
     assert (4, 41, 40, 0) in streamed
     assert not any(k == 3 for k, *_ in streamed)
+
+
+def test_windowed_topk_batch_bruteforce(spark):
+    """Exact per-window counts + the (n DESC, key ASC) rank rule."""
+    import datetime as dt
+    from cdap_geo_spark.streaming.windows import (topk_finalize,
+                                                  windowed_counts_by_key)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(t0 + dt.timedelta(hours=h, minutes=m), u)
+            for h, m, u in [(0, 1, 1), (0, 2, 1), (0, 3, 2), (0, 4, 2),
+                            (0, 5, 3), (1, 1, 9)]]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    rel = windowed_counts_by_key(df, key_col="user_id", window="1 hour")
+    got = sorted((str(r.window_start), r.user_id, r.n, r.rank)
+                 for r in topk_finalize(rel, k=2).collect())
+    w0, w1 = str(t0), str(t0 + dt.timedelta(hours=1))
+    # users 1 and 2 tie at n=2 -> smaller id ranks first; 3 is cut
+    assert got == [(w0, 1, 2, 1), (w0, 2, 2, 2), (w1, 9, 1, 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        topk_finalize(rel, k=0)
+
+
+def test_windowed_topk_stream_equals_batch(spark, tmp_path):
+    """The streaming twin emits the same count relation as the batch
+    twin, including a late event folding into a still-open window —
+    so the stateless topk_finalize readout agrees exactly."""
+    import datetime as dt
+    import time
+
+    from cdap_geo_spark.streaming.windows import (stream_from_directory,
+                                                  windowed_counts_by_key)
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(hh, mm, uid):
+        return (t0 + dt.timedelta(hours=hh, minutes=mm), uid)
+
+    schema = "ts timestamp, user_id long"
+    b1 = spark.createDataFrame(
+        [ev(0, 10, 1), ev(0, 20, 1), ev(0, 25, 2), ev(1, 5, 7)], schema)
+    # late event for user 2 in the still-open [0,1) window
+    late_plus = spark.createDataFrame([ev(0, 50, 2), ev(8, 0, 5)],
+                                      schema)
+    flush = spark.createDataFrame([ev(20, 0, 99)], schema)
+
+    src = str(tmp_path / "topk_src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, b1.schema)
+    q = (windowed_counts_by_key(stream, key_col="user_id",
+                                window="1 hour", watermark="2 hours")
+         .writeStream.format("memory").queryName("topk_win")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+         .trigger(processingTime="1 second").start())
+
+    def n_windows():
+        return spark.sql(
+            "select count(distinct window_start) c from topk_win"
+        ).collect()[0].c
+
+    def wait_for(n, timeout=90):
+        t1 = time.time()
+        while n_windows() < n:
+            assert time.time() - t1 < timeout, \
+                f"stuck at {n_windows()}/{n}"
+            q.processAllAvailable()
+            time.sleep(0.2)
+
+    wait_for(0)
+    late_plus.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    flush.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    wait_for(3)
+    q.stop()
+
+    batch_rows = spark.createDataFrame(
+        b1.collect() + late_plus.collect() + flush.collect(), schema)
+    want = {(str(r.window_start), r.user_id, r.n)
+            for r in windowed_counts_by_key(
+                batch_rows, key_col="user_id", window="1 hour")
+            .collect() if r.window_start < t0 + dt.timedelta(hours=19)}
+    got = {(str(r.window_start), r.user_id, r.n)
+           for r in spark.sql("select * from topk_win").collect()}
+    assert got == want
+    # the late event is IN the emitted counts: user 2 has n=2
+    assert (str(t0), 2, 2) in got

@@ -1087,3 +1087,37 @@ def test_path_topk_short_keys_yield_nothing(spark):
     assert path_topk(df, n=3, k=5).count() == 0
     got = [(r.path, r.cnt) for r in path_topk(df, n=2, k=5).collect()]
     assert got == [("a > b", 1)]
+
+
+def test_hash_split_partition_and_stability(spark):
+    from cdap_geo_spark.operators.text import hash_split, hash_split_cuts
+    df = spark.createDataFrame([(i,) for i in range(2000)],
+                               "doc_id long")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=23)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 2000 and None not in rows.values()
+    from collections import Counter
+    c = Counter(rows.values())
+    assert 0.75 * 2000 < c["train"] < 0.85 * 2000
+    assert 0.07 * 2000 < c["val"] < 0.13 * 2000
+    assert 0.07 * 2000 < c["test"] < 0.13 * 2000
+    # the assignment rides the row: identical under repartitioning
+    again = {r.doc_id: r.split for r in
+             hash_split(df.repartition(7),
+                        {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=23).collect()}
+    assert again == rows
+    # cut points are python ints a SQL twin can embed
+    cuts = hash_split_cuts({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert cuts[-1] == 1 << 60 and cuts == sorted(cuts)
+
+
+def test_hash_split_validates(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.text import hash_split
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pt.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4})
+    with _pt.raises(ValueError):
+        hash_split(df, {})
