@@ -2145,6 +2145,87 @@ def _lpa_sql() -> str:
     return lpa_oracle_sql(edges, rounds=3)
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.degree_assortativity) of
+    the region bbox-adjacency graph: exact BIGINT degree sums over
+    both orientations of each edge, one sqrt-only double, micro-
+    rounded."""
+    from cdap_geo_spark.operators.graph import degree_assortativity
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.sources import relational as R
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return degree_assortativity(edges, src="a", dst="b")
+
+
+def _assort_sql() -> str:
+    """DuckDB twin of `assortativity` over the same canonical edges."""
+    edges = f"""
+      SELECT a.region_id AS u, c.region_id AS v
+      FROM ({_BOXES}) a JOIN ({_BOXES}) c
+        ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+             OR a.maxx < c.minx OR a.maxy < c.miny)
+      WHERE a.region_id < c.region_id
+    """
+    return f"""
+      WITH e AS MATERIALIZED ({edges}),
+      deg AS MATERIALIZED (
+        SELECT id, COUNT(*) AS deg FROM (
+          SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        GROUP BY id),
+      p AS (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+      j AS (SELECT da.deg AS x, db.deg AS y
+            FROM p JOIN deg da ON p.a = da.id
+                   JOIN deg db ON p.b = db.id),
+      agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+              FROM j)
+      SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+             CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                  THEN CAST(ROUND(1000000.0 *
+                       (CAST(n*sxy - sx*sy AS DOUBLE)
+                        / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                               * CAST(n*syy - sy*sy AS DOUBLE))))
+                       AS BIGINT)
+                  ELSE NULL END AS assort_micro
+      FROM agg
+    """
+
+
+#: dq_profile column list — string/integer only (float stringification
+#: is engine-specific; the operator docstring owns this contract)
+DQ_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def _q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column data-quality profile (functions/relational.
+    profile_columns): one scan, one 1-row aggregate (k exact
+    distincts via a single Expand), literal explode to the per-column
+    relation."""
+    from cdap_geo_spark.functions.relational import profile_columns
+    return profile_columns(_docs(spark, sf_dir), DQ_COLS)
+
+
+def _dq_profile_sql() -> str:
+    parts = []
+    for c in DQ_COLS:
+        parts.append(f"""
+          SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_nulls,
+                 CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(MIN({c}) AS VARCHAR) AS min_s,
+                 CAST(MAX({c}) AS VARCHAR) AS max_s
+          FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy quality score (operators/text.
     bigram_logloss): add-one smoothed corpus bigram model, per-term
@@ -2399,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": _q_fuzzy,
         "kcore": _q_kcore,
         "lpa": _q_lpa,
+        "assortativity": _q_assortativity,
+        "dq_profile": _q_dq_profile,
         "scd2": _q_scd2,
         "adamic_adar": _q_adamic,
         "sssp": _q_sssp,
@@ -4113,6 +4196,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_sql(),
         "lpa": _lpa_sql(),
+        "assortativity": _assort_sql(),
+        "dq_profile": _dq_profile_sql(),
         "scd2": """
           WITH base AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

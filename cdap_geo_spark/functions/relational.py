@@ -224,3 +224,45 @@ def pivot_counts(df: DataFrame, *, group_col: str, pivot_col: str,
         group_col,
         *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(str(v))
           for v in values])
+
+
+def profile_columns(df: DataFrame, cols: list) -> DataFrame:
+    """Data-quality column profile (the Deequ/Great-Expectations
+    staple): one row per column with ``(column, n_rows, n_nulls,
+    n_distinct, min_s, max_s)``. min/max aggregate on the NATIVE type
+    and stringify afterwards, so numeric columns order numerically;
+    restrict ``cols`` to string/integer columns when the output must
+    be cross-engine hashable (float stringification is engine-
+    specific).
+
+    Plan: ONE pass over the scan into a single 1-row aggregate, then
+    a driver-free literal explode to the per-column relation. The k
+    exact ``count(distinct)``s plan as one Expand (×k row
+    multiplication before the partial aggregate) — the inherent cost
+    of exact multi-column distinct in one pass; when k·rows is too
+    much at corpus scale, profile per column, or take the approximate
+    path (``operators/sketch.hll_relation`` per column: mergeable,
+    bounded exchange).
+    """
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("_n").cast("long").alias("n_rows"),
+                 F.col(f"_nulls_{c}").cast("long").alias("n_nulls"),
+                 F.col(f"_dist_{c}").cast("long").alias("n_distinct"),
+                 F.col(f"_min_{c}").alias("min_s"),
+                 F.col(f"_max_{c}").alias("max_s"))
+        for c in cols])
+    return (one.select(F.explode(rows).alias("_r"))
+            .select("_r.column", "_r.n_rows", "_r.n_nulls",
+                    "_r.n_distinct", "_r.min_s", "_r.max_s"))

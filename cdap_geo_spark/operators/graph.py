@@ -684,3 +684,53 @@ def lpa_oracle_sql(edges_sql: str, *, rounds: int = 3) -> str:
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT CAST(id AS BIGINT) AS id,"
               f" CAST(label AS BIGINT) AS label FROM l{rounds}")
+
+
+def degree_assortativity(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the DIRECTED image of the
+    undirected edge set (each canonical edge contributes both
+    orientations, the standard convention — which also makes the sums
+    symmetric). Positive: hubs attach to hubs; negative: hub-and-
+    spoke. Returns one row ``(n_edges, assort_micro)``; NULL when
+    degenerate (regular graphs have zero degree variance).
+
+    The :func:`~cdap_geo_spark.operators.timeseries.grouped_corr`
+    exactness discipline: degrees are exact BIGINTs, the five sums are
+    exact BIGINT aggregates (order-independent), and the statistic is
+    ONE double whose only irrational op is IEEE-correctly-rounded
+    sqrt, micro-rounded. Plan: one keyed degree aggregation, two
+    node-dimension equi-joins onto the edge relation (AQE broadcasts
+    the degree relation when it fits), one 1-row aggregate.
+    Magnitude contract: ``2m·(max_deg)² < 9.2e18``.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("id"))
+           .unionByName(e.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    both = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionByName(e.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b"))))
+    pairs = (both
+             .join(deg.withColumnRenamed("id", "a")
+                      .withColumnRenamed("deg", "da"), "a")
+             .join(deg.withColumnRenamed("id", "b")
+                      .withColumnRenamed("deg", "db"), "b"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("da").alias("sx"), F.sum("db").alias("sy"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+        F.sum(F.col("da") * F.col("da")).alias("sxx"),
+        F.sum(F.col("db") * F.col("db")).alias("syy"))
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double"))
+    a = F.when((dx > 0) & (dy > 0),
+               F.round(F.lit(1_000_000.0) * r).cast("long"))
+    return agg.select((F.col("n") / 2).cast("long").alias("n_edges"),
+                      a.alias("assort_micro"))

@@ -518,3 +518,41 @@ def test_lpa_validates(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         lpa_communities(df, rounds=-1)
+
+
+def test_degree_assortativity_matches_bruteforce(spark):
+    import math
+    from cdap_geo_spark.operators.graph import degree_assortativity
+    raw = _random_edges(30, 120, seed=9)
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in und:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    r = ((n * sxy - sx * sy)
+         / math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy)))
+    row = degree_assortativity(
+        spark.createDataFrame(raw, "src long, dst long")).collect()[0]
+    assert row.n_edges == len(und)
+    assert abs(row.assort_micro - round(1_000_000.0 * r)) <= 1
+
+
+def test_degree_assortativity_star_and_regular(spark):
+    from cdap_geo_spark.operators.graph import degree_assortativity
+    # star: perfectly disassortative -> -1; ring: regular -> NULL
+    star = [(0, i) for i in range(1, 6)]
+    row = degree_assortativity(
+        spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row.assort_micro == -1_000_000
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    row = degree_assortativity(
+        spark.createDataFrame(ring, "src long, dst long")).collect()[0]
+    assert row.assort_micro is None

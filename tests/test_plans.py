@@ -234,3 +234,18 @@ def test_pivot_counts_bruteforce_and_zeros(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pivot_counts(df, group_col="g", pivot_col="cat", values=[])
+
+
+def test_profile_columns_values_and_validation(spark):
+    import pytest as _pt
+    from cdap_geo_spark.functions.relational import profile_columns
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "a", 30), (4, None, 30)],
+        "id long, s string, v long")
+    got = {r.column: (r.n_rows, r.n_nulls, r.n_distinct, r.min_s, r.max_s)
+           for r in profile_columns(df, ["id", "s", "v"]).collect()}
+    assert got["id"] == (4, 0, 4, "1", "4")
+    assert got["s"] == (4, 1, 2, "a", "b")
+    assert got["v"] == (4, 1, 2, "10", "30")
+    with _pt.raises(ValueError):
+        profile_columns(df, [])
