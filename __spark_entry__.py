@@ -1071,6 +1071,19 @@ def _q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(ev, group="event_type")
 
 
+def _q_path_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory midpoint (operators/timeseries.path_interpolate):
+    the position at half the traveled path length — exact integer
+    chainage target over micro-rounded IEEE-sqrt steps, one keyed
+    exchange, map-side matching-step filter."""
+    from cdap_geo_spark.operators.timeseries import path_interpolate
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    out = path_interpolate(ev, frac_num=1, frac_den=2)
+    return out.select(F.col("user_id").cast("long"), "x_u", "y_u")
+
+
 def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini of document length (operators/timeseries.
     grouped_gini): exact rank formula, tie-proof integer sums, one
@@ -2507,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": _q_od,
         "gini": _q_gini,
         "path_length": _q_path_length,
+        "path_midpoint": _q_path_midpoint,
         "knn_classify": _q_knn_classify,
         "interval_union": _q_interval_union,
         "segment_join": _q_segment_join,
@@ -4574,6 +4588,65 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(n * sum_x AS DOUBLE))) AS BIGINT)
                       ELSE NULL END AS gini_micro
           FROM a
+        """,
+        # exact integer chainage target ceil(tot/2) over micro-rounded
+        # sqrt steps; the matching step is unique (zero-length steps
+        # never advance cum); within-step lerp has identical IEEE shape
+        "path_midpoint": """
+          WITH b AS (
+            SELECT user_id, ts, event_id,
+                   CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS x,
+                   CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL
+          ), l AS (
+            SELECT user_id, ts, event_id, x, y,
+                   LAG(x) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS px,
+                   LAG(y) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS py
+            FROM b
+          ), st AS (
+            SELECT user_id, ts, event_id, x, y, px, py,
+                   CAST(ROUND(1000000.0 * SQRT(CAST(
+                        (x-px)*(x-px) + (y-py)*(y-py) AS DOUBLE)))
+                        AS BIGINT) AS s
+            FROM l WHERE px IS NOT NULL
+          ), c AS (
+            SELECT user_id, x, y, px, py, s,
+                   SUM(s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(s) OVER (PARTITION BY user_id) AS tot
+            FROM st
+          ), m AS (
+            SELECT user_id,
+                   CAST(ROUND(1000000.0 * (CAST(px AS DOUBLE)
+                        + (CAST((tot * 1 + 1) // 2 - (cum - s)
+                                AS DOUBLE) / CAST(s AS DOUBLE))
+                          * CAST(x - px AS DOUBLE))) AS BIGINT) AS x_u,
+                   CAST(ROUND(1000000.0 * (CAST(py AS DOUBLE)
+                        + (CAST((tot * 1 + 1) // 2 - (cum - s)
+                                AS DOUBLE) / CAST(s AS DOUBLE))
+                          * CAST(y - py AS DOUBLE))) AS BIGINT) AS y_u
+            FROM c
+            WHERE tot > 0 AND cum - s < (tot * 1 + 1) // 2
+              AND (tot * 1 + 1) // 2 <= cum
+          ), f AS (
+            SELECT user_id, x, y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM b
+          ), sta AS (
+            SELECT user_id, x*1000000 AS x_u, y*1000000 AS y_u
+            FROM f WHERE rn = 1
+              AND user_id NOT IN (SELECT user_id FROM m)
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(x_u AS BIGINT) AS x_u, CAST(y_u AS BIGINT) AS y_u
+          FROM m
+          UNION ALL
+          SELECT CAST(user_id AS BIGINT), CAST(x_u AS BIGINT),
+                 CAST(y_u AS BIGINT) FROM sta
         """,
         # micro-rounded IEEE sqrt per step (correctly rounded by the
         # 754 spec, so both engines agree), BIGINT sum per user

@@ -1134,3 +1134,81 @@ def cusum_changepoint(df: DataFrame, *, group: str,
         F.col("_w.i").alias("cp_index"),
         F.col("_w.id").cast("long").alias("cp_id"),
         F.col("_w.s").alias("stat"))
+
+
+def path_interpolate(df: DataFrame, *, key: str = "user_id",
+                     frac_num: int = 1, frac_den: int = 2,
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-key position at fraction ``frac_num/frac_den`` of traveled
+    path length — ``ST_LineInterpolatePoint`` over the event-time
+    trajectory (midpoint by default): the linear-referencing aggregate
+    behind "where was the vehicle halfway through its route".
+
+    Exactness layering (each stage hands the next EXACT integers):
+    step lengths are micro-rounded IEEE sqrt (correctly rounded by
+    spec — the :func:`path_length` discipline), the running and total
+    sums are BIGINT, the target chainage is the exact integer
+    ``ceil(total · num / den)``, and the matching step is the unique
+    one with ``cum_prev < target <= cum`` (zero-length steps can never
+    match — their cum doesn't advance). Only the final within-step
+    interpolation is floating point: one division and two fma-free
+    multiply-adds on exactly-representable integers, identical
+    expression shape in both engines, micro-rounded. Keys whose total
+    is zero (stationary or single-event) emit their FIRST point under
+    the (ts, id) order. Returns ``(key, x_u, y_u)`` in micro-units.
+
+    Plan: the LAG window, running sum, and per-key total (unbounded
+    frame) share ONE keyed exchange (the :func:`cusum_changepoint`
+    shape); the matching-step filter is map-side; stationary keys come
+    from a ``min_by`` keyed agg + anti-join — no second data-sized
+    shuffle, no driver loop.
+    """
+    from pyspark.sql import Window
+    if frac_den < 1 or frac_num < 0 or frac_num > frac_den:
+        raise ValueError("path_interpolate: need 0 <= num/den <= 1")
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    wa = Window.partitionBy(key)
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key), F.col(ts_col), F.col(id_col),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    px, py = F.lag("_x", 1).over(w), F.lag("_y", 1).over(w)
+    dx, dy = F.col("_x") - px, F.col("_y") - py
+    d2 = (dx * dx + dy * dy).cast("long")
+    step = F.round(F.lit(1_000_000.0)
+                   * F.sqrt(d2.cast("double"))).cast("long")
+    steps = (base
+             .withColumn("_px", px).withColumn("_py", py)
+             .withColumn("_s", step)
+             .where(F.col("_px").isNotNull())
+             .withColumn("_cum", F.sum("_s").over(w))
+             .withColumn("_tot", F.sum("_s").over(wa)))
+    target = F.expr(f"(_tot * {frac_num} + {frac_den} - 1)"
+                    f" div {frac_den}")
+    hit = (steps.withColumn("_tgt", target)
+           .where((F.col("_tot") > 0)
+                  & (F.col("_cum") - F.col("_s") < F.col("_tgt"))
+                  & (F.col("_tgt") <= F.col("_cum"))))
+    t = ((F.col("_tgt") - (F.col("_cum") - F.col("_s"))).cast("double")
+         / F.col("_s").cast("double"))
+    moved = hit.select(
+        F.col(key),
+        F.round(F.lit(1_000_000.0) * (
+            F.col("_px").cast("double")
+            + t * (F.col("_x") - F.col("_px")).cast("double")))
+         .cast("long").alias("x_u"),
+        F.round(F.lit(1_000_000.0) * (
+            F.col("_py").cast("double")
+            + t * (F.col("_y") - F.col("_py")).cast("double")))
+         .cast("long").alias("y_u"))
+    first = (base.groupBy(key)
+             .agg(F.min_by(F.struct(F.col("_x").alias("x"),
+                                    F.col("_y").alias("y")),
+                           F.struct(F.col(ts_col), F.col(id_col)))
+                  .alias("_p")))
+    stationary = (first.join(moved.select(key), key, "left_anti")
+                  .select(F.col(key),
+                          (F.col("_p.x") * 1_000_000).alias("x_u"),
+                          (F.col("_p.y") * 1_000_000).alias("y_u")))
+    return moved.unionByName(stationary)

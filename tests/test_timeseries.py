@@ -1024,3 +1024,80 @@ def test_cusum_single_exchange_plan(spark):
     import re
     final = plan.split("+- == Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2
+
+
+# ---------------------------------------------------------------------------
+# path_interpolate
+# ---------------------------------------------------------------------------
+
+
+def _brute_path_interp(rows, num, den):
+    """Pure-python reference with the operator's exact layering."""
+    import decimal
+    import math
+
+    def rnd(v):
+        return int(decimal.Decimal(v).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    by_key = {}
+    for k, ts, eid, x, y in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(k, []).append((x, y))
+    out = {}
+    for k, pts in by_key.items():
+        steps = []
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            d2 = (x1 - x0) ** 2 + (y1 - y0) ** 2
+            steps.append(rnd(1_000_000.0 * math.sqrt(float(d2))))
+        tot = sum(steps)
+        if tot == 0:
+            out[k] = (pts[0][0] * 1_000_000, pts[0][1] * 1_000_000)
+            continue
+        tgt = -((-tot * num) // den)  # ceil
+        cum = 0
+        for i, s in enumerate(steps):
+            if cum < tgt <= cum + s:
+                t = float(tgt - cum) / float(s)
+                (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+                out[k] = (rnd(1_000_000.0 * (float(x0)
+                                             + t * float(x1 - x0))),
+                          rnd(1_000_000.0 * (float(y0)
+                                             + t * float(y1 - y0))))
+                break
+            cum += s
+        else:  # num == 0 -> tgt 0 -> first point
+            out[k] = (pts[0][0] * 1_000_000, pts[0][1] * 1_000_000)
+    return out
+
+
+def test_path_interpolate_matches_bruteforce(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.timeseries import path_interpolate
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(8):
+        x, y = 500, 500
+        for i in range(30):
+            x += int(rng.integers(-40, 41))
+            y += int(rng.integers(-40, 41))
+            rows.append((k, i, 100 * k + i, x, y))
+    rows.append((99, 0, 9900, 7, 9))            # single event
+    rows += [(98, i, 9800 + i, 3, 4) for i in range(3)]  # stationary
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, x long, y long")
+    for num, den in ((1, 2), (1, 4), (0, 1), (1, 1)):
+        got = {r.user_id: (r.x_u, r.y_u) for r in
+               path_interpolate(df, frac_num=num, frac_den=den).collect()}
+        assert got == _brute_path_interp(rows, num, den), (num, den)
+    assert got[99] == (7_000_000, 9_000_000)
+    assert got[98] == (3_000_000, 4_000_000)
+
+
+def test_path_interpolate_validates(spark):
+    from cdap_geo_spark.operators.timeseries import path_interpolate
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)],
+        "user_id long, ts long, event_id long, x long, y long")
+    for num, den in ((2, 1), (-1, 2), (1, 0)):
+        with pytest.raises(ValueError):
+            path_interpolate(df, frac_num=num, frac_den=den)
