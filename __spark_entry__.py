@@ -1819,6 +1819,22 @@ def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_cluster(pts, cell_size=50_000, min_pts=3)
 
 
+def _q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex density binning (operators/cluster.hex_bin) of the doc
+    points at circumradius 25km: pure map-side cube-rounding in
+    codegen, ONE (hq, hr) count exchange bounded by occupied hexes."""
+    from cdap_geo_spark.operators.cluster import hex_bin
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return hex_bin(pts, size=25_000.0)
+
+
+def _hex_bin_sql() -> str:
+    from cdap_geo_spark.operators.cluster import hex_bin_oracle_sql
+    return hex_bin_oracle_sql(_PTS, size=25_000.0)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2481,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": _q_gearys,
         "weighted_sample": _q_weighted_sample,
         "grid_cluster": _q_grid_cluster,
+        "hex_bin": _q_hex_bin,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3199,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "weighted_sample": _weighted_sample_sql(),
         "grid_cluster": _grid_cluster_sql(),
+        "hex_bin": _hex_bin_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -178,3 +178,85 @@ def grid_heatmap_oracle_sql(points_sql: str, *, cell_size: int,
       FROM cells c CROSS JOIN off o
       GROUP BY 1, 2
     """
+
+
+def _hex_axial(x, y, size: float):
+    """Fractional axial coords (q, r) of a pointy-top hex grid, then
+    cube-rounded to the containing hex — the standard cube-rounding
+    algorithm (Amit Patel's public hex-grid reference), expressed as
+    pure Column arithmetic so it runs in whole-stage codegen AND can
+    be mirrored token-for-token in a SQL twin.
+
+    Determinism: every step is IEEE-754 basic ops (+,−,·,/, sqrt, the
+    engine's half-up ROUND, comparisons) with a FIXED expression
+    shape on exactly-representable integer inputs — correctly rounded
+    by spec, so any compliant engine computes bit-identical hex ids.
+    (The half-up tie rule on cube rounding is a *defined* convention
+    here; it only has to be the SAME convention in both engines.)
+    """
+    fq = (F.sqrt(F.lit(3.0)) / 3.0 * x - y / F.lit(3.0)) / size
+    fr = (F.lit(2.0) / 3.0 * y) / size
+    fy = -fq - fr
+    rq, rr, ry = F.round(fq), F.round(fr), F.round(fy)
+    dq, dr, dy = F.abs(rq - fq), F.abs(rr - fr), F.abs(ry - fy)
+    q = F.when((dq > dy) & (dq > dr), -ry - rr).otherwise(rq)
+    r = F.when(~((dq > dy) & (dq > dr)) & (dr > dy), -rq - ry) \
+         .otherwise(rr)
+    return q.cast("long"), r.cast("long")
+
+
+def hex_bin(points: DataFrame, *, size: float,
+            x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Hexagonal density binning (the H3/Uber-style analytics surface
+    over a flat CRS): each point lands in its pointy-top hexagon of
+    circumradius ``size``; returns ``(hq, hr, n)`` axial coordinates
+    with exact counts. Hexagons beat squares for density maps because
+    all 6 neighbors are equidistant (no diagonal bias).
+
+    Plan: the hex assignment is pure map-side codegen arithmetic (no
+    UDF, no shuffle); the ONE exchange is the (hq, hr) count with
+    map-side partials — bounded by occupied hexes, not points. At
+    100 TB this is a scan + one dimension-sized aggregate.
+    """
+    if size <= 0:
+        raise ValueError("hex_bin: size must be > 0")
+    q, r = _hex_axial(F.col(x_col).cast("double"),
+                      F.col(y_col).cast("double"), float(size))
+    return (points.where(F.col(x_col).isNotNull()
+                         & F.col(y_col).isNotNull())
+            .select(q.alias("hq"), r.alias("hr"))
+            .groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def hex_bin_oracle_sql(points_sql: str, *, size: float) -> str:
+    """ANSI-SQL twin of :func:`hex_bin` with the identical expression
+    shape (every op correctly rounded ⇒ bit-identical assignment).
+    ``points_sql`` must yield (x, y)."""
+    s = float(size)
+    return f"""
+      WITH p AS ({points_sql}),
+      f AS (
+        SELECT (SQRT(3.0) / 3.0 * CAST(x AS DOUBLE)
+                - CAST(y AS DOUBLE) / 3.0) / {s} AS fq,
+               (2.0 / 3.0 * CAST(y AS DOUBLE)) / {s} AS fr
+        FROM p
+      ), g AS (
+        SELECT fq, fr, -fq - fr AS fy,
+               ROUND(fq) AS rq, ROUND(fr) AS rr,
+               ROUND(-fq - fr) AS ry
+        FROM f
+      ), h AS (
+        SELECT CASE WHEN ABS(rq - fq) > ABS(ry - fy)
+                     AND ABS(rq - fq) > ABS(rr - fr)
+                    THEN -ry - rr ELSE rq END AS q,
+               CASE WHEN NOT (ABS(rq - fq) > ABS(ry - fy)
+                              AND ABS(rq - fq) > ABS(rr - fr))
+                     AND ABS(rr - fr) > ABS(ry - fy)
+                    THEN -rq - ry ELSE rr END AS r
+        FROM g
+      )
+      SELECT CAST(q AS BIGINT) AS hq, CAST(r AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY q, r
+    """

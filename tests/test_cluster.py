@@ -145,3 +145,79 @@ def test_grid_heatmap_oracle_twin_and_validation(spark):
         grid_heatmap(df, cell_size=0)
     with _pt.raises(ValueError):
         grid_heatmap(df, cell_size=10, radius=-1)
+
+
+# ---------------------------------------------------------------------------
+# hex_bin
+# ---------------------------------------------------------------------------
+
+
+def _brute_hex(pts, size):
+    import math
+    out = {}
+    for x, y in pts:
+        fq = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+        fr = (2.0 / 3.0 * y) / size
+        fy = -fq - fr
+        # python round is banker's; the operator defines HALF-UP
+        import decimal
+        rnd = lambda v: float(decimal.Decimal(v).quantize(  # noqa: E731
+            0, rounding=decimal.ROUND_HALF_UP))
+        rq, rr, ry = rnd(fq), rnd(fr), rnd(fy)
+        dq, dr, dy = abs(rq - fq), abs(rr - fr), abs(ry - fy)
+        if dq > dy and dq > dr:
+            q, r = -ry - rr, rr
+        elif dr > dy:
+            q, r = rq, -rq - ry
+        else:
+            q, r = rq, rr
+        k = (int(q), int(r))
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_hex_bin_matches_bruteforce(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.cluster import hex_bin
+    rng = np.random.default_rng(13)
+    pts = [(int(rng.integers(0, 2000)), int(rng.integers(0, 2000)))
+           for _ in range(400)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.hq, r.hr): r.n for r in hex_bin(df, size=90.0).collect()}
+    assert got == _brute_hex(pts, 90.0)
+    assert sum(got.values()) == 400  # every point lands in one hex
+    with pytest.raises(ValueError):
+        hex_bin(df, size=0)
+
+
+def test_hex_bin_center_and_neighbors(spark):
+    # the origin hexagon contains (0,0); one hex-width right
+    # (sqrt(3)*size) is the center of axial (1, 0); the center of
+    # (0, 1) sits at (sqrt(3)/2*size, 1.5*size)
+    import math
+    from cdap_geo_spark.operators.cluster import hex_bin
+    s = 100.0
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (math.sqrt(3.0) * s, 0.0),
+         (math.sqrt(3.0) / 2.0 * s, 1.5 * s)],
+        "x double, y double")
+    got = {(r.hq, r.hr): r.n for r in hex_bin(df, size=s).collect()}
+    assert got == {(0, 0): 1, (1, 0): 1, (0, 1): 1}
+
+
+def test_hex_bin_oracle_twin_matches(spark):
+    import duckdb
+    import numpy as np
+    from cdap_geo_spark.operators.cluster import (hex_bin,
+                                                  hex_bin_oracle_sql)
+    rng = np.random.default_rng(29)
+    pts = [(int(rng.integers(0, 5000)), int(rng.integers(0, 5000)))
+           for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.hq, r.hr): r.n for r in hex_bin(df, size=130.0).collect()}
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    sql = hex_bin_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(x, y)", size=130.0)
+    want = {(int(q), int(r)): int(n)
+            for q, r, n in duckdb.sql(sql).fetchall()}
+    assert got == want
