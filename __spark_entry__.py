@@ -388,6 +388,45 @@ SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
 SAMPLE_SEED = 17
 
 
+def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship over the near-dup clusters (operators/dedup.
+    golden_records): one golden record per cluster (singletons
+    included), survivor = highest n_chars, ties to smallest doc_id —
+    a deterministic total rule, so the keeper set hash-matches the
+    recursive-CTE twin."""
+    from cdap_geo_spark.operators.dedup import (golden_records,
+                                                ngram_jaccard_pairs)
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, k=5, threshold_pct=60)
+    out = golden_records(d, pairs)
+    return out.select(F.col("cluster").cast("long"),
+                      F.col("golden_id").cast("long"),
+                      "n_members", "max_quality")
+
+
+def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/timeseries.stay_points) over
+    hover-with-excursion synthetic positions: exact squared-distance
+    run splits, micro-exact durations, centroid = one double divide
+    of exact sums per axis; ONE keyed exchange."""
+    from cdap_geo_spark.operators.timeseries import stay_points
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("user_id") * 7919) % 600000
+                    + (F.col("event_id") * 48271 + 17) % 1501
+                    + F.when(F.col("event_id") % 13 == 0,
+                             F.lit(150000)).otherwise(F.lit(0))) \
+        .withColumn("y", (F.col("user_id") * 6133) % 1200000
+                    + (F.col("event_id") * 69621 + 29) % 1301
+                    + F.when(F.col("event_id") % 11 == 0,
+                             F.lit(150000)).otherwise(F.lit(0)))
+    out = stay_points(ev, max_jump=10_000, min_duration_s=3600,
+                      min_points=3)
+    return out.select(F.col("user_id").cast("long"),
+                      F.col("seg").cast("long"), "n_points",
+                      "first_us", "last_us", "duration_us",
+                      "cx_u", "cy_u")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum corpus sampling: keep-decision =
     md5(doc_id:seed) 60-bit prefix < fraction*2^60 — map-side only,
@@ -2439,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
+        "golden_records": _q_golden_records,
+        "stay_points": _q_stay_points,
         "stratified_sample": _q_stratified_sample,
         "vocab_topk": _q_vocab_topk,
         "cosine_topk": _q_cosine_topk,
@@ -3595,6 +3636,90 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST(src AS BIGINT) AS node,
                  CAST(least(src, min(dst)) AS BIGINT) AS component
           FROM reach GROUP BY src
+        """,
+        # dup_clusters' transitive closure extended with singleton
+        # clusters and the (quality DESC, id ASC) survivor rule
+        "golden_records": f"""
+          WITH RECURSIVE np AS ({_ngram_sql(60, k=5)}),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM np
+                    UNION SELECT id_b, id_a FROM np),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+          ),
+          assign AS (
+            SELECT src AS node, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+          ),
+          fl AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(a.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN assign a ON d.doc_id = a.node
+          ),
+          r AS (
+            SELECT cluster, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY n_chars DESC, doc_id)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+                   MAX(n_chars) OVER (PARTITION BY cluster) AS mx
+            FROM fl
+          )
+          SELECT CAST(cluster AS BIGINT) AS cluster,
+                 CAST(doc_id AS BIGINT) AS golden_id,
+                 CAST(n_members AS BIGINT) AS n_members,
+                 CAST(mx AS BIGINT) AS max_quality
+          FROM r WHERE rn = 1
+        """,
+        # exact squared-distance run splits over hover+excursion
+        # positions; centroid = one double divide of exact sums
+        "stay_points": """
+          WITH p AS (
+            SELECT user_id, ts, event_id,
+                   (user_id*7919) % 600000
+                     + (event_id*48271 + 17) % 1501
+                     + CASE WHEN event_id % 13 = 0
+                            THEN 150000 ELSE 0 END AS x,
+                   (user_id*6133) % 1200000
+                     + (event_id*69621 + 29) % 1301
+                     + CASE WHEN event_id % 11 = 0
+                            THEN 150000 ELSE 0 END AS y,
+                   epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL
+          ), l AS (
+            SELECT *, LAG(x) OVER w AS px, LAG(y) OVER w AS py
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), b AS (
+            SELECT *, CASE WHEN px IS NULL
+                           OR (x-px)*(x-px) + (y-py)*(y-py) > 100000000
+                           THEN 1 ELSE 0 END AS brk
+            FROM l
+          ), s AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS seg
+            FROM b
+          ), a AS (
+            SELECT user_id, seg, COUNT(*) AS n_points,
+                   MIN(us) AS first_us, MAX(us) AS last_us,
+                   SUM(x) AS sx, SUM(y) AS sy
+            FROM s GROUP BY user_id, seg
+          )
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(seg AS BIGINT) AS seg,
+                 CAST(n_points AS BIGINT) AS n_points,
+                 CAST(first_us AS BIGINT) AS first_us,
+                 CAST(last_us AS BIGINT) AS last_us,
+                 CAST(last_us - first_us AS BIGINT) AS duration_us,
+                 CAST(ROUND(1000000.0 * (CAST(sx AS DOUBLE)
+                      / CAST(n_points AS DOUBLE))) AS BIGINT) AS cx_u,
+                 CAST(ROUND(1000000.0 * (CAST(sy AS DOUBLE)
+                      / CAST(n_points AS DOUBLE))) AS BIGINT) AS cy_u
+          FROM a
+          WHERE last_us - first_us >= 3600000000 AND n_points >= 3
         """,
         "cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id,

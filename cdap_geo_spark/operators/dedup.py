@@ -1140,3 +1140,36 @@ def dedup_survivors_by_components(df: DataFrame, pairs: DataFrame, *,
     losers = comp.filter(F.col("node") != F.col("component")) \
                  .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def golden_records(docs, pairs, *, id_col: str = "doc_id",
+                   quality_col: str = "n_chars"):
+    """Survivorship — the entity-resolution endgame: one GOLDEN record
+    per duplicate cluster. Clusters come from
+    :func:`dedup_components` over the near-dup ``pairs`` relation;
+    documents in no pair form their own singleton cluster. The
+    survivor rule is deterministic and total: highest ``quality_col``,
+    ties to the SMALLEST id — so the keeper set is reproducible under
+    any schedule (the property a resumable dedup pipeline needs).
+    Returns ``(cluster, golden_id, n_members, max_quality)``.
+
+    Plan: components state is one row per PAIRED node (pointer
+    jumping, :func:`dedup_components`); the docs relation left-joins
+    that node-dimension assignment (AQE broadcasts it when the dup set
+    is small — the common case) and one keyed ``max_by`` aggregation
+    with map-side partials picks survivors. The wide payload never
+    rides the components iteration. Lineage: consume inside the
+    caller's ``checkpoint_scope`` (the dedup_components contract).
+    """
+    assign = dedup_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component"))
+    full = (docs.select(F.col(id_col),
+                        F.col(quality_col).cast("long").alias("_q"))
+            .join(assign, id_col, "left")
+            .withColumn("cluster",
+                        F.coalesce(F.col("component"), F.col(id_col))))
+    win = F.struct(F.col("_q"), (-F.col(id_col)).alias("ni"))
+    return (full.groupBy("cluster")
+            .agg(F.max_by(F.col(id_col), win).alias("golden_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.max("_q").alias("max_quality")))

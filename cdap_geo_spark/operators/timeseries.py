@@ -1212,3 +1212,64 @@ def path_interpolate(df: DataFrame, *, key: str = "user_id",
                           (F.col("_p.x") * 1_000_000).alias("x_u"),
                           (F.col("_p.y") * 1_000_000).alias("y_u")))
     return moved.unionByName(stationary)
+
+
+def stay_points(events: DataFrame, *, key: str = "user_id",
+                ts_col: str = "ts", x_col: str = "x", y_col: str = "y",
+                max_jump: int = 10_000, min_duration_s: int = 3600,
+                min_points: int = 2,
+                tie_col: str = "event_id") -> DataFrame:
+    """Stay-point detection (the Li et al. 2008 mobility primitive —
+    home/work/POI discovery): maximal runs of consecutive points where
+    every step stays within ``max_jump``, kept only when the run lasts
+    ``min_duration_s`` and has ``min_points`` observations. Returns
+    ``(key, seg, n_points, first_us, last_us, duration_us, cx_u,
+    cy_u)`` — the centroid in micro-units.
+
+    Exactness: the run split is :func:`trajectory_segments`' exact
+    integer squared-distance test (no sqrt); timestamps are exact
+    micros; the centroid is ONE double divide per axis of two exact
+    BIGINTs (Σx, n), micro-rounded — so every output column is
+    schedule-independent and cross-engine hashable.
+
+    Plan: identical to trajectory_segments — ONE keyed exchange
+    carries the LAG, the running break-flag sum, and the (key, seg)
+    aggregation (the window partitioning already satisfies the
+    grouping); the duration/size filter is map-side on the aggregated
+    (key, seg) relation.
+    """
+    if max_jump < 1 or min_duration_s < 0 or min_points < 1:
+        raise ValueError("stay_points: bad parameters")
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    jump = (dx * dx + dy * dy) > (int(max_jump) * int(max_jump))
+    brk = F.when(jump | F.lag(x_col).over(w).isNull(), 1).otherwise(0)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = (events.where(F.col(ts_col).isNotNull())
+           .withColumn("_b", brk)
+           .withColumn("seg", F.sum("_b").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+           .withColumn("_us", us)
+           .withColumn("_x", F.col(x_col).cast("long"))
+           .withColumn("_y", F.col(y_col).cast("long")))
+    agg = (seg.groupBy(key, "seg")
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.min("_us").alias("first_us"),
+                F.max("_us").alias("last_us"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy")))
+    cx = F.round(F.lit(1_000_000.0)
+                 * (F.col("_sx").cast("double")
+                    / F.col("n_points").cast("double"))).cast("long")
+    cy = F.round(F.lit(1_000_000.0)
+                 * (F.col("_sy").cast("double")
+                    / F.col("n_points").cast("double"))).cast("long")
+    return (agg
+            .withColumn("duration_us",
+                        F.col("last_us") - F.col("first_us"))
+            .where((F.col("duration_us")
+                    >= int(min_duration_s) * 1_000_000)
+                   & (F.col("n_points") >= min_points))
+            .select(key, "seg", "n_points", "first_us", "last_us",
+                    "duration_us", cx.alias("cx_u"), cy.alias("cy_u")))

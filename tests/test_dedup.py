@@ -476,3 +476,19 @@ def test_allpairs_wins_decision():
     assert _allpairs_wins(10, 2, 10)      # 2·100 >= 2·100
     assert not _allpairs_wins(10, 3, 10)  # 200 < 300
     assert not _allpairs_wins(10, 0, 10)  # empty vocab: nothing to do
+
+
+def test_golden_records_survivorship(spark):
+    from cdap_geo_spark.core.lifetime import checkpoint_scope
+    from cdap_geo_spark.operators.dedup import golden_records
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 10)],
+        "doc_id long, n_chars long")
+    # {1,2,3} one cluster (component = 1), {4} and {9} singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "id_a long, id_b long")
+    with checkpoint_scope():
+        got = {r.cluster: (r.golden_id, r.n_members, r.max_quality)
+               for r in golden_records(docs, pairs).collect()}
+    # survivor: highest n_chars, tie (2 vs 3 at 300) -> smaller id
+    assert got == {1: (2, 3, 300), 4: (4, 1, 50), 9: (9, 1, 10)}

@@ -1101,3 +1101,45 @@ def test_path_interpolate_validates(spark):
     for num, den in ((2, 1), (-1, 2), (1, 0)):
         with pytest.raises(ValueError):
             path_interpolate(df, frac_num=num, frac_den=den)
+
+
+def test_stay_points_matches_bruteforce(spark):
+    import datetime as dtm
+    from cdap_geo_spark.operators.timeseries import stay_points
+    t0 = dtm.datetime(2026, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, minutes, x, y):
+        nonlocal eid
+        rows.append((u, t0 + dtm.timedelta(minutes=minutes), eid, x, y))
+        eid += 1
+
+    # user 1: 3-point stay (70 min) -> kept; excursion; 2-point
+    # cluster -> dropped (min_points); user 2: long but 1-point gaps
+    add(1, 0, 100, 100); add(1, 30, 150, 120); add(1, 70, 90, 140)
+    add(1, 80, 50000, 50000)                       # isolated excursion
+    add(1, 90, 100060, 99950); add(1, 200, 100010, 99990)
+    add(2, 0, 500, 500); add(2, 400, 90000, 90000)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x long, y long")
+    got = {(r.user_id, r.seg):
+           (r.n_points, r.duration_us, r.cx_u, r.cy_u)
+           for r in stay_points(df, max_jump=1000, min_duration_s=3600,
+                                min_points=3).collect()}
+    assert list(got) == [(1, 1)]
+    n, dur, cx, cy = got[(1, 1)]
+    assert (n, dur) == (3, 70 * 60 * 1_000_000)
+    import decimal
+    rnd = lambda v: int(decimal.Decimal(v).quantize(  # noqa: E731
+        0, rounding=decimal.ROUND_HALF_UP))
+    assert cx == rnd(1_000_000.0 * (340.0 / 3.0))
+    assert cy == rnd(1_000_000.0 * (360.0 / 3.0))
+    # lowering the bars admits user 1's second cluster (seg 3 — the
+    # isolated excursion is its own singleton seg 2)
+    got2 = {(r.user_id, r.seg) for r in
+            stay_points(df, max_jump=1000, min_duration_s=3600,
+                        min_points=2).collect()}
+    assert (1, 3) in got2 and (1, 2) not in got2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stay_points(df, max_jump=0)
