@@ -755,6 +755,62 @@ def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    maximize_x=True, maximize_y=False)
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/timeseries.
+    interval_overlap_join): maintenance windows (part) against user
+    sessions (documents), dedup-free via the canonical-bin trick —
+    the pair survives only in the bin holding greatest(starts).
+    Aggregated per window (count + exact session-id sum)."""
+    from cdap_geo_spark.operators.timeseries import interval_overlap_join
+    t0 = 1_704_067_200
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    start = (F.lit(t0)
+             + (F.col("p_partkey") * 7919) % (30 * 86400)).cast("long")
+    length = ((F.col("p_partkey") * 131 + 17) % 21600 + 600).cast("long")
+    ivs = part.select(F.col("p_partkey").cast("long").alias("interval_id"),
+                      start.alias("start_s"),
+                      (start + length).alias("end_s"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s2 = (F.lit(t0)
+          + (F.col("doc_id") * 48271 + 17) % (30 * 86400)).cast("long")
+    l2 = ((F.col("doc_id") * 977 + 5) % 10800 + 300).cast("long")
+    sess = d.select(F.col("doc_id").cast("long").alias("session_id"),
+                    s2.alias("s_start"), (s2 + l2).alias("s_end"))
+    pairs = interval_overlap_join(ivs, sess,
+                                  left_start="start_s", left_end="end_s",
+                                  right_start="s_start",
+                                  right_end="s_end", bin_width=3600)
+    return (pairs.groupBy("interval_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.sum("session_id").cast("long").alias("sum_sid")))
+
+
+def _q_time_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (operators/timeseries.time_pyramid):
+    hour/day/week counts + exact scaled sums, each level rolled up
+    from the previous level's relation — raw rows aggregate once."""
+    from cdap_geo_spark.operators.timeseries import time_pyramid
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    return time_pyramid(ev)
+
+
+def _q_dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ expectation checking (functions/relational.dq_check): three
+    row-level rules + one uniqueness rule folded into ONE 1-row
+    aggregate over one scan, literal-exploded to (rule, n_rows,
+    n_violations)."""
+    from cdap_geo_spark.functions.relational import dq_check
+    d = _docs(spark, sf_dir)
+    rules = {
+        "n_chars_nonneg": F.col("n_chars") >= 0,
+        "lang_known": F.col("lang").isin("en", "de", "fr", "es"),
+        "text_present": F.col("text").isNotNull()
+                        & (F.length("text") > 0),
+    }
+    return dq_check(d, rules, unique_cols=["doc_id"])
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1D range join (operators/timeseries.interval_join): events
     joined into deterministic maintenance-window intervals derived
@@ -2519,6 +2575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "interval_join": _q_interval_join,
+        "interval_overlap": _q_interval_overlap,
+        "time_pyramid": _q_time_pyramid,
+        "dq_check": _q_dq_check,
         "grouped_ols": _q_ols,
         "outliers": _q_outliers,
         "winsorize": _q_winsorize,
@@ -4003,6 +4062,91 @@ def oracle_sql() -> dict[str, str]:
                  CAST(COUNT(*) AS BIGINT) AS n_active
           FROM a JOIN f USING (user_id)
           GROUP BY 1, 2
+        """,
+        # interval x interval overlap via the quadratic-affordable
+        # range join; closed-interval predicate matches the operator
+        "interval_overlap": """
+          WITH iv AS (
+            SELECT CAST(p_partkey AS BIGINT) AS interval_id,
+                   1704067200 + (p_partkey * 7919) % 2592000 AS s,
+                   1704067200 + (p_partkey * 7919) % 2592000
+                     + (p_partkey * 131 + 17) % 21600 + 600 AS e
+            FROM part
+          ), sess AS (
+            SELECT CAST(doc_id AS BIGINT) AS session_id,
+                   1704067200 + (doc_id * 48271 + 17) % 2592000 AS ss,
+                   1704067200 + (doc_id * 48271 + 17) % 2592000
+                     + (doc_id * 977 + 5) % 10800 + 300 AS se
+            FROM documents
+          )
+          SELECT iv.interval_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 CAST(SUM(sess.session_id) AS BIGINT) AS sum_sid
+          FROM iv JOIN sess ON iv.s <= sess.se AND sess.ss <= iv.e
+          GROUP BY 1
+        """,
+        # hour/day/week buckets by integer epoch-micros division
+        "time_pyramid": """
+          WITH b AS (
+            SELECT epoch_us(ts) AS us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), h AS (
+            SELECT (us // 3600000000) * 3600000000 AS bucket_start_us,
+                   COUNT(*) AS n_events, SUM(x) AS sum_scaled
+            FROM b GROUP BY 1
+          ), d AS (
+            SELECT (bucket_start_us // 86400000000) * 86400000000
+                     AS bucket_start_us,
+                   SUM(n_events) AS n_events, SUM(sum_scaled) AS sum_scaled
+            FROM h GROUP BY 1
+          ), w AS (
+            SELECT (bucket_start_us // 604800000000) * 604800000000
+                     AS bucket_start_us,
+                   SUM(n_events) AS n_events, SUM(sum_scaled) AS sum_scaled
+            FROM d GROUP BY 1
+          )
+          SELECT 'hour' AS level, CAST(bucket_start_us AS BIGINT)
+                   AS bucket_start_us,
+                 CAST(n_events AS BIGINT) AS n_events,
+                 CAST(sum_scaled AS BIGINT) AS sum_scaled FROM h
+          UNION ALL
+          SELECT 'day', CAST(bucket_start_us AS BIGINT),
+                 CAST(n_events AS BIGINT), CAST(sum_scaled AS BIGINT)
+          FROM d
+          UNION ALL
+          SELECT 'week', CAST(bucket_start_us AS BIGINT),
+                 CAST(n_events AS BIGINT), CAST(sum_scaled AS BIGINT)
+          FROM w
+        """,
+        # NULL rule results count as violations (NOT coalesce(cond,
+        # FALSE) mirrored); uniqueness = n - count(distinct)
+        "dq_check": """
+          WITH a AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN NOT COALESCE(n_chars >= 0, FALSE)
+                            THEN 1 ELSE 0 END) AS v1,
+                   SUM(CASE WHEN NOT COALESCE(
+                              lang IN ('en','de','fr','es'), FALSE)
+                            THEN 1 ELSE 0 END) AS v2,
+                   SUM(CASE WHEN NOT COALESCE(
+                              text IS NOT NULL AND LENGTH(text) > 0,
+                              FALSE)
+                            THEN 1 ELSE 0 END) AS v3,
+                   COUNT(DISTINCT doc_id) AS d1
+            FROM documents
+          )
+          SELECT 'n_chars_nonneg' AS rule, CAST(n AS BIGINT) AS n_rows,
+                 CAST(v1 AS BIGINT) AS n_violations FROM a
+          UNION ALL
+          SELECT 'lang_known', CAST(n AS BIGINT), CAST(v2 AS BIGINT)
+          FROM a
+          UNION ALL
+          SELECT 'text_present', CAST(n AS BIGINT), CAST(v3 AS BIGINT)
+          FROM a
+          UNION ALL
+          SELECT 'unique:doc_id', CAST(n AS BIGINT),
+                 CAST(n - d1 AS BIGINT) FROM a
         """,
         "interval_join": """
           WITH iv AS (

@@ -266,3 +266,43 @@ def profile_columns(df: DataFrame, cols: list) -> DataFrame:
     return (one.select(F.explode(rows).alias("_r"))
             .select("_r.column", "_r.n_rows", "_r.n_nulls",
                     "_r.n_distinct", "_r.min_s", "_r.max_s"))
+
+
+def dq_check(df: DataFrame, rules: dict, *,
+             unique_cols: list = ()) -> DataFrame:
+    """Data-quality expectation checking (the Deequ/Great-Expectations
+    verify step, companion of :func:`profile_columns`): ``rules`` maps
+    rule name -> boolean Column (True = row passes; NULL counts as a
+    VIOLATION — null-hostile by design, like SQL CHECK constraints
+    are not); ``unique_cols`` adds ``unique:<col>`` rules with
+    ``n_rows − n_distinct`` violations (exact). Returns one row per
+    rule: ``(rule, n_rows, n_violations)``.
+
+    Plan: ONE pass — every rule folds into a single 1-row aggregate
+    (map-side partials; uniqueness rules add one Expand, the
+    :func:`profile_columns` cost note), then a literal explode. At
+    100 TB this is a scan plus k counters.
+    """
+    if not rules and not unique_cols:
+        raise ValueError("dq_check: need at least one rule")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in rules.items():
+        aggs.append(F.sum((~F.coalesce(cond, F.lit(False)))
+                          .cast("long")).alias(f"_v_{name}"))
+    for c in unique_cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+    one = df.agg(*aggs)
+    entries = [
+        F.struct(F.lit(name).alias("rule"),
+                 F.col("_n").cast("long").alias("n_rows"),
+                 F.coalesce(F.col(f"_v_{name}"), F.lit(0)).cast("long")
+                 .alias("n_violations"))
+        for name in rules]
+    entries += [
+        F.struct(F.lit(f"unique:{c}").alias("rule"),
+                 F.col("_n").cast("long").alias("n_rows"),
+                 (F.col("_n") - F.col(f"_d_{c}")).cast("long")
+                 .alias("n_violations"))
+        for c in unique_cols]
+    return (one.select(F.explode(F.array(*entries)).alias("_r"))
+            .select("_r.rule", "_r.n_rows", "_r.n_violations"))

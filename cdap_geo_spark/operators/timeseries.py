@@ -1273,3 +1273,89 @@ def stay_points(events: DataFrame, *, key: str = "user_id",
                    & (F.col("n_points") >= min_points))
             .select(key, "seg", "n_points", "first_us", "last_us",
                     "duration_us", cx.alias("cx_u"), cy.alias("cy_u")))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, *,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bin_width: int) -> DataFrame:
+    """Interval × interval OVERLAP join — every (left, right) pair of
+    closed intervals with ``l_start <= r_end AND r_start <= l_end``
+    (meeting conflicts, session/maintenance overlap, bitemporal
+    reconciliation). Column names must not collide between inputs.
+
+    The plan extends :func:`interval_join`'s bin replication to BOTH
+    sides and stays dedup-free with the canonical-bin trick: an
+    overlapping pair co-occurs in every bin covering the overlap
+    region, so each side emits its bin range and the pair is KEPT only
+    in the bin containing ``greatest(l_start, r_start)`` — the overlap
+    region's first instant, which both ranges provably cover. Each
+    qualifying pair therefore survives in exactly ONE bin: a plain
+    equi-join + map-side filter, no dropDuplicates shuffle, no nested
+    loop. Exchange carries ``Σ ceil(len/bin)`` rows per side (the
+    interval_join cost model; pre-split degenerate whole-domain
+    intervals).
+    """
+    if bin_width <= 0:
+        raise ValueError("interval_overlap_join: bin_width > 0 required")
+    b = F.lit(int(bin_width)).cast("long")
+    le = left.withColumn("_bin", F.explode(F.sequence(
+        F.floor(F.col(left_start) / b).cast("long"),
+        F.floor(F.col(left_end) / b).cast("long"))))
+    re_ = right.withColumn("_bin", F.explode(F.sequence(
+        F.floor(F.col(right_start) / b).cast("long"),
+        F.floor(F.col(right_end) / b).cast("long"))))
+    canon = F.floor(F.greatest(F.col(left_start),
+                               F.col(right_start)) / b).cast("long")
+    return (le.join(re_, "_bin")
+            .where((F.col(left_start) <= F.col(right_end))
+                   & (F.col(right_start) <= F.col(left_end))
+                   & (F.col("_bin") == canon))
+            .drop("_bin"))
+
+
+def time_pyramid(events: DataFrame, *, ts_col: str = "ts",
+                 value_col: str = "value",
+                 value_scale: int = 100) -> DataFrame:
+    """Multi-grain time rollup — the temporal twin of
+    ``operators/tiles.tile_pyramid``: exact counts and integer-scaled
+    sums per hour, per day, and per 7-day week (epoch-aligned), each
+    coarser level rolled up FROM the previous level's relation, so raw
+    rows aggregate exactly once and the whole pyramid above the hour
+    grain costs O(occupied hours) whatever the corpus size. Returns
+    ``(level, bucket_start_us, n_events, sum_scaled)`` with level ∈
+    {'hour','day','week'}.
+
+    All integer: bucket = epoch-micros DIV width; sums are BIGINT over
+    ``round(value·scale)`` — order-independent, hashable. One
+    data-sized exchange total (the hour aggregation, map-side
+    partials); day/week exchanges are bounded by the time frame.
+    """
+    hour_us = 3_600_000_000
+    day_us = 24 * hour_us
+    week_us = 7 * day_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    xs = F.round(F.col(value_col) * value_scale).cast("long")
+    base = (events.where(F.col(ts_col).isNotNull()
+                         & F.col(value_col).isNotNull())
+            .select(us.alias("_us"), xs.alias("_x")))
+    hours = (base.groupBy((F.expr(f"_us div {hour_us}") * hour_us)
+                          .alias("bucket_start_us"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum("_x").alias("sum_scaled")))
+
+    def _up(rel, width):
+        return (rel.groupBy(
+                    (F.expr(f"bucket_start_us div {width}") * width)
+                    .alias("bucket_start_us"))
+                .agg(F.sum("n_events").cast("long").alias("n_events"),
+                     F.sum("sum_scaled").alias("sum_scaled")))
+
+    days = _up(hours, day_us)
+    weeks = _up(days, week_us)
+    lvl = lambda rel, name: rel.select(  # noqa: E731
+        F.lit(name).alias("level"), "bucket_start_us", "n_events",
+        "sum_scaled")
+    return (lvl(hours, "hour")
+            .unionByName(lvl(days, "day"))
+            .unionByName(lvl(weeks, "week")))

@@ -249,3 +249,21 @@ def test_profile_columns_values_and_validation(spark):
     assert got["v"] == (4, 1, 2, "10", "30")
     with _pt.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_dq_check_values(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.functions.relational import dq_check
+    df = spark.createDataFrame(
+        [(1, "en", 5), (2, "xx", -1), (3, None, 7), (3, "en", None)],
+        "id long, lang string, n long")
+    got = {r.rule: (r.n_rows, r.n_violations) for r in dq_check(
+        df, {"n_nonneg": F.col("n") >= 0,
+             "lang_known": F.col("lang").isin("en", "de")},
+        unique_cols=["id"]).collect()}
+    # NULL rule results are violations; id=3 duplicated once
+    assert got == {"n_nonneg": (4, 2), "lang_known": (4, 2),
+                   "unique:id": (4, 1)}
+    with _pt.raises(ValueError):
+        dq_check(df, {})

@@ -1143,3 +1143,67 @@ def test_stay_points_matches_bruteforce(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         stay_points(df, max_jump=0)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import numpy as np
+    from cdap_geo_spark.operators.timeseries import interval_overlap_join
+    rng = np.random.default_rng(23)
+    L = [(i, int(rng.integers(0, 500)), 0) for i in range(60)]
+    L = [(i, s, s + int(rng.integers(0, 80))) for i, s, _ in L]
+    R = [(j, int(rng.integers(0, 500)), 0) for j in range(70)]
+    R = [(j, s, s + int(rng.integers(0, 40))) for j, s, _ in R]
+    want = {(i, j) for i, ls, le in L for j, rs, re_ in R
+            if ls <= re_ and rs <= le}
+    ldf = spark.createDataFrame(L, "lid long, ls long, le long")
+    rdf = spark.createDataFrame(R, "rid long, rs long, re long")
+    out = interval_overlap_join(ldf, rdf, left_start="ls", left_end="le",
+                                right_start="rs", right_end="re",
+                                bin_width=37).collect()
+    got = [(r.lid, r.rid) for r in out]
+    assert len(got) == len(set(got)), "dedup-free plan emitted a dup"
+    assert set(got) == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        interval_overlap_join(ldf, rdf, left_start="ls", left_end="le",
+                              right_start="rs", right_end="re",
+                              bin_width=0)
+
+
+def test_interval_overlap_touching_and_nested(spark):
+    from cdap_geo_spark.operators.timeseries import interval_overlap_join
+    ldf = spark.createDataFrame([(1, 10, 20), (2, 100, 200)],
+                                "lid long, ls long, le long")
+    rdf = spark.createDataFrame(
+        [(7, 20, 30),    # touches lid=1 at a point
+         (8, 120, 130),  # nested inside lid=2
+         (9, 31, 99)],   # gap
+        "rid long, rs long, re long")
+    got = {(r.lid, r.rid) for r in interval_overlap_join(
+        ldf, rdf, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=8).collect()}
+    assert got == {(1, 7), (2, 8)}
+
+
+def test_time_pyramid_matches_bruteforce(spark):
+    import datetime as dtm
+    from cdap_geo_spark.operators.timeseries import time_pyramid
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = [(t0 + dtm.timedelta(hours=h, minutes=m), v)
+            for h, m, v in [(0, 5, 1.0), (0, 45, 2.5), (3, 0, 1.25),
+                            (30, 0, 4.0), (24 * 8, 0, 8.0)]]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {(r.level, r.bucket_start_us): (r.n_events, r.sum_scaled)
+           for r in time_pyramid(df).collect()}
+    hour, day, week = (3_600_000_000, 86_400_000_000, 604_800_000_000)
+    want = {}
+    for ts, v in rows:
+        us = int(ts.replace(tzinfo=dtm.timezone.utc).timestamp() * 1e6)
+        for lvl, wd in (("hour", hour), ("day", day), ("week", week)):
+            k = (lvl, (us // wd) * wd)
+            n, s = want.get(k, (0, 0))
+            want[k] = (n + 1, s + round(v * 100))
+    assert got == want
+    # conservation: each level sums to the same totals
+    for lvl in ("hour", "day", "week"):
+        assert sum(n for (l, _), (n, _) in got.items() if l == lvl) == 5
