@@ -1930,6 +1930,30 @@ def _hex_bin_sql() -> str:
     return hex_bin_oracle_sql(_PTS, size=25_000.0)
 
 
+def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert write-layout key (operators/curves.hilbert_index) of the
+    doc points at order 21 (2M x 2M grid): the locality-preserving
+    clustered-write ordering — 21 chained integer Projects, zero
+    exchanges, exact int64 end to end."""
+    from cdap_geo_spark.operators.curves import hilbert_index
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return hilbert_index(pts, order=21).select("doc_id", "h")
+
+
+def _hilbert_sql() -> str:
+    from cdap_geo_spark.operators.curves import hilbert_oracle_sql
+    pts = """
+      SELECT doc_id,
+             (doc_id*48271 + 17) % 700000  AS x,
+             (doc_id*69621 + 29) % 1300000 AS y
+      FROM documents
+    """
+    return hilbert_oracle_sql(pts, order=21)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2598,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "grid_cluster": _q_grid_cluster,
         "hex_bin": _q_hex_bin,
+        "hilbert_key": _q_hilbert_key,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3317,6 +3342,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_sql(),
         "grid_cluster": _grid_cluster_sql(),
         "hex_bin": _hex_bin_sql(),
+        "hilbert_key": _hilbert_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,
