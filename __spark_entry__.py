@@ -1954,6 +1954,33 @@ def _hilbert_sql() -> str:
     return hilbert_oracle_sql(pts, order=21)
 
 
+def _q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join (operators/timeseries.
+    traj_hausdorff): symmetric discrete Hausdorff² between per-user
+    cell signatures of USER-LOCALIZED walks (each user wanders ±100km
+    around a user-hash home), candidates from cell co-occurrence —
+    never all-pairs over users; exact BIGINT end to end."""
+    from cdap_geo_spark.operators.timeseries import traj_hausdorff
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        ((F.col("user_id") * 48271) % 650000
+         + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
+        ((F.col("user_id") * 69621) % 1250000
+         + (F.col("event_id") * 89 + 37) % 100001).alias("y"))
+    return traj_hausdorff(ev, cell=50_000, min_shared=2)
+
+
+def _hausdorff_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import traj_hausdorff_oracle_sql
+    ev = """
+      SELECT user_id AS k,
+             (user_id*48271) % 650000  + (event_id*97 + 13) % 100001 AS x,
+             (user_id*69621) % 1250000 + (event_id*89 + 37) % 100001 AS y
+      FROM events
+    """
+    return traj_hausdorff_oracle_sql(ev, cell=50_000, min_shared=2)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2623,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": _q_grid_cluster,
         "hex_bin": _q_hex_bin,
         "hilbert_key": _q_hilbert_key,
+        "hausdorff": _q_hausdorff,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3343,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cluster": _grid_cluster_sql(),
         "hex_bin": _hex_bin_sql(),
         "hilbert_key": _hilbert_sql(),
+        "hausdorff": _hausdorff_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

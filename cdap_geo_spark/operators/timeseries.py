@@ -1359,3 +1359,116 @@ def time_pyramid(events: DataFrame, *, ts_col: str = "ts",
     return (lvl(hours, "hour")
             .unionByName(lvl(days, "day"))
             .unionByName(lvl(weeks, "week")))
+
+
+def traj_hausdorff(events: DataFrame, *, key: str = "user_id",
+                   x_col: str = "x", y_col: str = "y",
+                   cell: int = 50_000,
+                   min_shared: int = 2) -> DataFrame:
+    """Trajectory-similarity join: symmetric discrete Hausdorff
+    distance² between the CELL SIGNATURES (distinct grid cells
+    visited) of every pair of keys that co-occur in ≥ ``min_shared``
+    cells. Returns ``(a, b, n_shared, h2)`` with ``a < b`` and ``h2``
+    in cell units² — all exact BIGINT, no floating point anywhere.
+
+    Why cell signatures, not raw points: the exact Hausdorff over raw
+    trajectories is |A|·|B| per pair — quadratic in points. Quantizing
+    to cells first (the standard mobility-mining reduction, cf. the
+    stay-point literature) bounds every signature by the keys' spatial
+    extent / cell², and the candidate set by CELL CO-OCCURRENCE — an
+    equi-join on the cell id, never an all-pairs product over keys.
+
+    Plan shape / 100 TB story: (1) one distinct to the signature
+    relation (|keys| × cells-per-key rows, tiny vs the event log);
+    (2) candidates from the per-cell self-join — the only quadratic
+    term is users-per-cell within one cell, the same bounded fanout
+    every LSH-bucket join in this repo rides (a hot cell salts like
+    any other skewed join key); (3) the pair×signature cross is
+    |pairs|·|sigA|·|sigB| with both factors capped by construction;
+    (4) both directed maxima aggregate with map-side partials. The
+    max-of-min over d² equals the Hausdorff argmax (x² is monotone on
+    non-negatives), so the whole statistic stays in integer algebra.
+    """
+    if cell < 1:
+        raise ValueError("traj_hausdorff: cell must be >= 1")
+    if min_shared < 1:
+        raise ValueError("traj_hausdorff: min_shared must be >= 1")
+    cells = (events
+             .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+             .select(F.col(key).alias("k"),
+                     F.expr(f"CAST({x_col} AS BIGINT) DIV {cell}")
+                     .alias("cx"),
+                     F.expr(f"CAST({y_col} AS BIGINT) DIV {cell}")
+                     .alias("cy"))
+             .distinct())
+    a = cells.select(F.col("k").alias("a"), "cx", "cy")
+    b = cells.select(F.col("k").alias("b"), "cx", "cy")
+    pairs = (a.join(b, ["cx", "cy"])
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
+    ca = cells.select(F.col("k").alias("a"), F.col("cx").alias("acx"),
+                      F.col("cy").alias("acy"))
+    cb = cells.select(F.col("k").alias("b"), F.col("cx").alias("bcx"),
+                      F.col("cy").alias("bcy"))
+    d2 = ((F.col("acx") - F.col("bcx")) * (F.col("acx") - F.col("bcx"))
+          + (F.col("acy") - F.col("bcy"))
+          * (F.col("acy") - F.col("bcy"))).alias("d2")
+    cross = (pairs.select("a", "b").join(ca, "a").join(cb, "b")
+             .select("a", "b", "acx", "acy", "bcx", "bcy", d2))
+    ha = (cross.groupBy("a", "b", "acx", "acy")
+          .agg(F.min("d2").alias("m"))
+          .groupBy("a", "b").agg(F.max("m").alias("_hab")))
+    hb = (cross.groupBy("a", "b", "bcx", "bcy")
+          .agg(F.min("d2").alias("m"))
+          .groupBy("a", "b").agg(F.max("m").alias("_hba")))
+    return (pairs.join(ha, ["a", "b"]).join(hb, ["a", "b"])
+            .select("a", "b", "n_shared",
+                    F.greatest("_hab", "_hba").cast("long").alias("h2")))
+
+
+def traj_hausdorff_oracle_sql(events_sql: str, *, cell: int,
+                              min_shared: int = 2) -> str:
+    """ANSI/DuckDB twin of :func:`traj_hausdorff` — the identical
+    integer algebra (cell quantize → co-occurrence pairs → max-of-min
+    of squared cell distances, both directions). ``events_sql`` must
+    yield (k BIGINT-keyable, x BIGINT, y BIGINT)."""
+    return f"""
+      WITH ev AS ({events_sql}),
+      cells AS (
+        SELECT DISTINCT k, x // {cell} AS cx, y // {cell} AS cy
+        FROM ev WHERE x IS NOT NULL AND y IS NOT NULL
+      ),
+      pairs AS (
+        SELECT a.k AS a, b.k AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cells a JOIN cells b
+          ON a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+      ),
+      cr AS (
+        SELECT p.a, p.b,
+               ca.cx AS acx, ca.cy AS acy, cb.cx AS bcx, cb.cy AS bcy,
+               (ca.cx - cb.cx) * (ca.cx - cb.cx)
+               + (ca.cy - cb.cy) * (ca.cy - cb.cy) AS d2
+        FROM pairs p
+        JOIN cells ca ON ca.k = p.a
+        JOIN cells cb ON cb.k = p.b
+      ),
+      ha AS (
+        SELECT a, b, MAX(m) AS hab FROM (
+          SELECT a, b, acx, acy, MIN(d2) AS m FROM cr GROUP BY 1, 2, 3, 4
+        ) GROUP BY 1, 2
+      ),
+      hb AS (
+        SELECT a, b, MAX(m) AS hba FROM (
+          SELECT a, b, bcx, bcy, MIN(d2) AS m FROM cr GROUP BY 1, 2, 3, 4
+        ) GROUP BY 1, 2
+      )
+      SELECT p.a, p.b, p.n_shared,
+             CAST(GREATEST(ha.hab, hb.hba) AS BIGINT) AS h2
+      FROM pairs p
+      JOIN ha ON ha.a = p.a AND ha.b = p.b
+      JOIN hb ON hb.a = p.a AND hb.b = p.b
+    """

@@ -1207,3 +1207,65 @@ def test_time_pyramid_matches_bruteforce(spark):
     # conservation: each level sums to the same totals
     for lvl in ("hour", "day", "week"):
         assert sum(n for (l, _), (n, _) in got.items() if l == lvl) == 5
+
+
+def test_traj_hausdorff_brute_force(spark):
+    """traj_hausdorff == a python brute force over cell signatures:
+    co-occurrence candidate set, exact symmetric max-of-min d2."""
+    import random
+    from cdap_geo_spark.operators.timeseries import traj_hausdorff
+    random.seed(23)
+    cell, min_shared = 10, 2
+    rows = []
+    for u in range(12):
+        hx, hy = random.randrange(80), random.randrange(80)
+        for _ in range(30):
+            rows.append((u, hx + random.randrange(25),
+                         hy + random.randrange(25)))
+    df = spark.createDataFrame(rows, "user_id long, x long, y long")
+    got = {(r.a, r.b): (r.n_shared, r.h2)
+           for r in traj_hausdorff(df, cell=cell,
+                                   min_shared=min_shared).collect()}
+
+    sig = {}
+    for u, x, y in rows:
+        sig.setdefault(u, set()).add((x // cell, y // cell))
+    want = {}
+    for a in sig:
+        for b in sig:
+            if a >= b:
+                continue
+            shared = len(sig[a] & sig[b])
+            if shared < min_shared:
+                continue
+
+            def directed(s1, s2):
+                return max(min((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                               for q in s2) for p in s1)
+
+            want[(a, b)] = (shared,
+                            max(directed(sig[a], sig[b]),
+                                directed(sig[b], sig[a])))
+    assert want  # fixture actually produces overlapping users
+    assert got == want
+
+
+def test_traj_hausdorff_identical_and_disjoint(spark):
+    from cdap_geo_spark.operators.timeseries import traj_hausdorff
+    rows = ([(1, x, 0) for x in (5, 15, 25)]        # same cells as user 2
+            + [(2, x, 1) for x in (5, 15, 25)]
+            + [(3, 500, 500)])                      # far away, no co-occurrence
+    df = spark.createDataFrame(rows, "user_id long, x long, y long")
+    out = {(r.a, r.b): r.h2
+           for r in traj_hausdorff(df, cell=10, min_shared=2).collect()}
+    assert out == {(1, 2): 0}  # identical signatures -> H2 = 0; 3 absent
+
+
+def test_traj_hausdorff_validates(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.timeseries import traj_hausdorff
+    df = spark.createDataFrame([(1, 2, 3)], "user_id long, x long, y long")
+    with _pt.raises(ValueError):
+        traj_hausdorff(df, cell=0)
+    with _pt.raises(ValueError):
+        traj_hausdorff(df, min_shared=0)
