@@ -1981,6 +1981,28 @@ def _hausdorff_sql() -> str:
     return traj_hausdorff_oracle_sql(ev, cell=50_000, min_shared=2)
 
 
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Theil–Sen robust slope (operators/timeseries.
+    theil_sen) of event value vs event time per event_type: median of
+    lag≤10 pairwise slopes under the deterministic rank rule; one
+    keyed exchange, no self-join."""
+    from cdap_geo_spark.operators.timeseries import theil_sen
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = theil_sen(ev, group="event_type")
+    return out.select(F.col("event_type").alias("g"), "n_pairs",
+                      "slope_u")
+
+
+def _theil_sen_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import theil_sen_oracle_sql
+    ev = """
+      SELECT event_type AS g, event_id AS id, epoch_us(ts) AS t,
+             value AS v
+      FROM events
+    """
+    return theil_sen_oracle_sql(ev)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2651,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_bin": _q_hex_bin,
         "hilbert_key": _q_hilbert_key,
         "hausdorff": _q_hausdorff,
+        "theil_sen": _q_theil_sen,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3372,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_bin": _hex_bin_sql(),
         "hilbert_key": _hilbert_sql(),
         "hausdorff": _hausdorff_sql(),
+        "theil_sen": _theil_sen_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

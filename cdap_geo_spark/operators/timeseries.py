@@ -1472,3 +1472,112 @@ def traj_hausdorff_oracle_sql(events_sql: str, *, cell: int,
       JOIN ha ON ha.a = p.a AND ha.b = p.b
       JOIN hb ON hb.a = p.a AND hb.b = p.b
     """
+
+
+def theil_sen(df: DataFrame, *, group: str, ts_col: str = "ts",
+              id_col: str = "event_id", value_col: str = "value",
+              value_scale: int = 100, max_lag: int = 10) -> DataFrame:
+    """Windowed Theil–Sen robust slope per group: the median of the
+    pairwise slopes ``(y_i − y_j) / (t_i − t_j)`` over all pairs at
+    sequence distance ≤ ``max_lag`` — the slope estimator with a 29%
+    breakdown point (one bad sensor cannot drag it, unlike the OLS of
+    :func:`grouped_ols`). Returns ``(group, n_pairs, slope_u)`` with
+    the slope micro-rounded (×1e6, BIGINT).
+
+    The FULL Theil–Sen is O(n²) pairs per group; the windowed variant
+    (pairs within ``max_lag`` sequence steps) is the standard bounded
+    form — O(n·max_lag) pairs from ``max_lag`` LAG columns over ONE
+    keyed window, no self-join at all.
+
+    Determinism contract: slopes are exact-BIGINT dy over exact-BIGINT
+    dt micros; the one IEEE divide is correctly rounded with a fixed
+    expression shape, and the median is selected by the deterministic
+    ceil(n/2) rank rule under the total order ``(slope, dy, dx)`` — a
+    tie on the double slope is broken by the exact rational's parts,
+    so both engines pick value-identical rows. Zero-dt pairs (tied
+    timestamps) are excluded by contract.
+
+    Plan: one keyed exchange carries the LAG window AND the ranking
+    window (same partitioning); the final per-group agg has map-side
+    partials. At 100 TB: state per group is its own rows — no
+    all-pairs relation ever materializes.
+    """
+    if max_lag < 1:
+        raise ValueError("theil_sen: max_lag must be >= 1")
+    from pyspark.sql import Window
+    w = Window.partitionBy(group).orderBy("_t", id_col)
+    base = df.where(F.col(ts_col).isNotNull()
+                    & F.col(value_col).isNotNull()).select(
+        F.col(group), F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+        F.round(F.col(value_col) * value_scale).cast("long").alias("_y"))
+    deltas = F.array(*[
+        F.struct((F.col("_y") - F.lag("_y", d).over(w)).alias("dy"),
+                 (F.col("_t") - F.lag("_t", d).over(w)).alias("dx"))
+        for d in range(1, max_lag + 1)])
+    pairs = (base.select(F.col(group), deltas.alias("_ds"))
+             .select(F.col(group), F.explode("_ds").alias("p"))
+             .select(F.col(group), F.col("p.dy").alias("dy"),
+                     F.col("p.dx").alias("dx"))
+             .where(F.col("dx").isNotNull() & (F.col("dx") > 0)))
+    sl = (F.col("dy").cast("double") / F.col("dx").cast("double")) \
+        .alias("sl")
+    ranked = (pairs.select(F.col(group), "dy", "dx", sl)
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy(group).orderBy("sl", "dy", "dx")))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy(group))))
+    med_rank = F.greatest(F.lit(1),
+                          F.ceil(F.lit(0.5) * F.col("_n")).cast("long"))
+    return (ranked.groupBy(group)
+            .agg(F.max("_n").cast("long").alias("n_pairs"),
+                 F.round(F.lit(1_000_000.0)
+                         * F.max(F.when(F.col("_rn") == med_rank,
+                                        F.col("sl"))))
+                  .cast("long").alias("slope_u")))
+
+
+def theil_sen_oracle_sql(events_sql: str, *, group: str = "g",
+                         value_scale: int = 100,
+                         max_lag: int = 10) -> str:
+    """ANSI/DuckDB twin of :func:`theil_sen`. ``events_sql`` must yield
+    ``(g, id, t BIGINT micros, v DOUBLE)``; same rank rule, same tie
+    order, same one-divide expression shape."""
+    lag_cols = ",\n               ".join(
+        f"LAG(y, {d}) OVER w AS y{d}, LAG(t, {d}) OVER w AS t{d}"
+        for d in range(1, max_lag + 1))
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT g, y - y{d} AS dy, t - t{d} AS dx "
+        f"FROM l WHERE t{d} IS NOT NULL AND t - t{d} > 0"
+        for d in range(1, max_lag + 1))
+    return f"""
+      WITH b AS (
+        SELECT g, id, t, CAST(ROUND(v * {value_scale}) AS BIGINT) AS y
+        FROM ({events_sql}) WHERE t IS NOT NULL AND v IS NOT NULL
+      ),
+      l AS (
+        SELECT g, t, y,
+               {lag_cols}
+        FROM b WINDOW w AS (PARTITION BY g ORDER BY t, id)
+      ),
+      p AS (
+{arms}
+      ),
+      s AS (
+        SELECT g, dy, dx,
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS sl
+        FROM p
+      ),
+      r AS (
+        SELECT g, sl, dy, dx,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY sl, dy, dx) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM s
+      )
+      SELECT g, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             CAST(ROUND(1000000.0 * MAX(CASE WHEN rn = GREATEST(
+               1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN sl END))
+               AS BIGINT) AS slope_u
+      FROM r GROUP BY g
+    """

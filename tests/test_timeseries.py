@@ -1269,3 +1269,77 @@ def test_traj_hausdorff_validates(spark):
         traj_hausdorff(df, cell=0)
     with _pt.raises(ValueError):
         traj_hausdorff(df, min_shared=0)
+
+
+def test_theil_sen_brute_force(spark):
+    """theil_sen == python brute force: windowed pairs, rank-rule
+    median under the (slope, dy, dx) total order."""
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.timeseries import theil_sen
+    random.seed(5)
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        pts = []
+        for i in range(40):
+            ts = t0 + dtm.timedelta(seconds=random.randrange(1, 500) + i * 600)
+            v = (2.0 if g == "a" else -1.5) * i + random.uniform(-3, 3)
+            rows.append((g, i, ts, v))
+            us = int(ts.replace(tzinfo=dtm.timezone.utc).timestamp() * 1e6)
+            pts.append((us, round(v * 100), i))
+        series[g] = sorted(pts, key=lambda p: (p[0], p[2]))
+    df = spark.createDataFrame(rows, "g string, event_id long, ts timestamp, value double")
+    got = {r.g: (r.n_pairs, r.slope_u)
+           for r in theil_sen(df, group="g", max_lag=10).collect()}
+
+    want = {}
+    for g, pts in series.items():
+        slopes = []
+        for j in range(len(pts)):
+            for d in range(1, 11):
+                if j + d >= len(pts):
+                    continue
+                dx = pts[j + d][0] - pts[j][0]
+                dy = pts[j + d][1] - pts[j][1]
+                if dx > 0:
+                    slopes.append((dy / dx, dy, dx))
+        slopes.sort()
+        m = slopes[max(1, -(-len(slopes) // 2)) - 1]  # ceil(n/2), 1-based
+        want[g] = (len(slopes), round(1e6 * m[0]))
+    assert got == want
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """One wild value barely moves the Theil–Sen slope (the point of
+    the estimator): clean series slope 1.0/sec stays ~1.0 with a 1e5
+    outlier injected."""
+    import datetime as dtm
+    from cdap_geo_spark.operators.timeseries import theil_sen
+    t0 = dtm.datetime(2026, 1, 1)
+    clean = [("g", i, t0 + dtm.timedelta(seconds=i), float(i))
+             for i in range(30)]
+    dirty = clean[:15] + [("g", 99, t0 + dtm.timedelta(seconds=15), 1e5)] \
+        + clean[16:]
+    schema = "g string, event_id long, ts timestamp, value double"
+    for rows in (clean, dirty):
+        df = spark.createDataFrame(rows, schema)
+        (r,) = theil_sen(df, group="g").collect()
+        # value_scale=100, micro-units: slope 1.0/s = 100 scaled per 1e6 us
+        assert abs(r.slope_u - round(1e6 * 100 / 1e6)) <= 1
+
+
+def test_theil_sen_validates_and_skips_zero_dt(spark):
+    import datetime as dtm
+    import pytest as _pt
+    from cdap_geo_spark.operators.timeseries import theil_sen
+    t0 = dtm.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("g", 1, t0, 1.0), ("g", 2, t0, 5.0),       # tied ts -> excluded
+         ("g", 3, t0 + dtm.timedelta(seconds=1), 2.0)],
+        "g string, event_id long, ts timestamp, value double")
+    (r,) = theil_sen(df, group="g", max_lag=2).collect()
+    assert r.n_pairs == 2  # (1,3) and (2,3); the tied pair is out
+    with _pt.raises(ValueError):
+        theil_sen(df, group="g", max_lag=0)
