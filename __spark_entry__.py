@@ -2003,6 +2003,145 @@ def _theil_sen_sql() -> str:
     return theil_sen_oracle_sql(ev)
 
 
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit DQ screen (functions/relational.
+    benford_deviation) over event values: digit read from the scaled
+    BIGINT's decimal string (no float in the digit path), chi² as a
+    digit-ordered left fold."""
+    from cdap_geo_spark.functions.relational import benford_deviation
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return benford_deviation(ev, value_col="value")
+
+
+def _benford_sql() -> str:
+    from cdap_geo_spark.functions.relational import BENFORD_P
+    case = " ".join(f"WHEN d.digit = {i + 1} THEN {p!r}"
+                    for i, p in enumerate(BENFORD_P))
+    return f"""
+      WITH v AS (
+        SELECT CAST(ROUND(ABS(value) * 100) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL
+      ),
+      o AS (
+        SELECT CAST(substr(CAST(s AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v WHERE s > 0 GROUP BY 1
+      ),
+      d AS (SELECT CAST(r.range AS BIGINT) AS digit FROM range(1, 10) r),
+      full_ AS (
+        SELECT d.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs,
+               CASE {case} END AS p
+        FROM d LEFT JOIN o ON o.digit = d.digit
+      ),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nt FROM full_),
+      t AS (
+        SELECT digit, n_obs,
+               CAST(nt AS DOUBLE) * p AS e,
+               (CAST(n_obs AS DOUBLE) - CAST(nt AS DOUBLE) * p)
+               * (CAST(n_obs AS DOUBLE) - CAST(nt AS DOUBLE) * p)
+               / (CAST(nt AS DOUBLE) * p) AS term
+        FROM full_, tot
+      ),
+      c AS (SELECT SUM(term ORDER BY digit) AS chi2 FROM t)
+      SELECT digit, n_obs,
+             CAST(ROUND(1000000.0 * e) AS BIGINT) AS exp_u,
+             CAST(ROUND(1000000.0 * chi2) AS BIGINT) AS chi2_u
+      FROM t, c
+    """
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit (functions/relational.k_anonymity)
+    over the quasi-identifier (event_type, value-band, hour-of-day):
+    one groupBy + 1-row rollup, all exact BIGINT."""
+    from cdap_geo_spark.functions.relational import k_anonymity
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 10) AS BIGINT) DIV 500").alias("vb"),
+        F.hour("ts").cast("long").alias("hr"))
+    return k_anonymity(ev, quasi_cols=["event_type", "vb", "hr"], k=5)
+
+
+def _k_anonymity_sql() -> str:
+    return """
+      WITH q AS (
+        SELECT event_type,
+               CAST(ROUND(value * 10) AS BIGINT) // 500 AS vb,
+               CAST(hour(ts) AS BIGINT) AS hr
+        FROM events
+      ),
+      cls AS (
+        SELECT event_type, vb, hr, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM q GROUP BY 1, 2, 3
+      )
+      SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+             CAST(MIN(sz) AS BIGINT) AS min_class_size
+      FROM cls
+    """
+
+
+def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (operators/timeseries.ab_test): users
+    hash-assigned 50/50 (the hash_split rule), conversion = any
+    'purchase' event; exact counts + one fixed-shape IEEE z."""
+    from cdap_geo_spark.operators.timeseries import ab_test
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test(ev, convert=(F.col("event_type") == "purchase"))
+
+
+def _ab_test_sql() -> str:
+    from cdap_geo_spark.operators.text import hash_split_cuts
+    cut = hash_split_cuts({"A": 0.5, "B": 0.5})[0]
+    return f"""
+      WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+      ),
+      armed AS (
+        SELECT conv,
+               CASE WHEN CAST(concat('0x', substr(md5(concat(
+                      CAST(user_id AS VARCHAR), ':', '17')), 1, 15))
+                      AS BIGINT) < {cut}
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM u
+      ),
+      c AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_a,
+               CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_b,
+               CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_b
+        FROM armed
+      )
+      SELECT n_a, conv_a, n_b, conv_b,
+             CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+                       AND conv_a + conv_b < n_a + n_b
+                  THEN CAST(ROUND(1000000.0 * (
+                    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / SQRT(
+                        ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1.0 - (CAST(conv_a AS DOUBLE)
+                                  + CAST(conv_b AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))))) AS BIGINT)
+                  ELSE NULL END AS z_u
+      FROM c
+    """
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2674,6 +2813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": _q_hilbert_key,
         "hausdorff": _q_hausdorff,
         "theil_sen": _q_theil_sen,
+        "benford": _q_benford,
+        "k_anonymity": _q_k_anonymity,
+        "ab_test": _q_ab_test,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3396,6 +3538,9 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": _hilbert_sql(),
         "hausdorff": _hausdorff_sql(),
         "theil_sen": _theil_sen_sql(),
+        "benford": _benford_sql(),
+        "k_anonymity": _k_anonymity_sql(),
+        "ab_test": _ab_test_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -306,3 +306,99 @@ def dq_check(df: DataFrame, rules: dict, *,
         for c in unique_cols]
     return (one.select(F.explode(F.array(*entries)).alias("_r"))
             .select("_r.rule", "_r.n_rows", "_r.n_violations"))
+
+
+# Benford first-digit frequencies log10(1 + 1/d), computed once in
+# Python and embedded as literals in BOTH engines (same literal text ⇒
+# same double ⇒ identical IEEE arithmetic downstream).
+BENFORD_P = tuple(__import__("math").log10(1.0 + 1.0 / d)
+                  for d in range(1, 10))
+
+
+def benford_deviation(df: DataFrame, *, value_col: str,
+                      value_scale: int = 100) -> DataFrame:
+    """Benford's-law conformity check (the classic fraud/DQ screen for
+    naturally-occurring magnitudes): the observed first-significant-
+    digit distribution of ``value_col`` against the Benford expectation
+    ``log10(1 + 1/d)``, plus the chi² statistic. Returns 9 rows
+    ``(digit, n_obs, exp_u, chi2_u)`` — exact counts, micro-rounded
+    expected count, and the (shared) micro-rounded chi² total.
+
+    Determinism: values are integer-scaled; the first digit is read
+    from the BIGINT's decimal string (engines print integers
+    identically — no log10/float in the digit path). The chi² sum is
+    a LEFT FOLD over the digit-sorted term array, so the 9-term float
+    accumulation order is pinned in both engines.
+
+    Plan: one scan → 9-group count, then literal-dimension joins on a
+    9-row frame — scan + counters at any scale.
+    """
+    if value_scale < 1:
+        raise ValueError("benford_deviation: value_scale must be >= 1")
+    scaled = F.round(F.abs(F.col(value_col)) * value_scale).cast("long")
+    obs = (df.where(F.col(value_col).isNotNull())
+           .select(scaled.alias("_s")).where(F.col("_s") > 0)
+           .select(F.substring(F.col("_s").cast("string"), 1, 1)
+                   .cast("long").alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit"))
+    full = (digits.join(obs, "digit", "left")
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).cast("long")
+                    .alias("n_obs")))
+    exp_frac = None
+    for d, p in enumerate(BENFORD_P, start=1):
+        lit = F.lit(p)
+        exp_frac = (F.when(F.col("digit") == d, lit) if exp_frac is None
+                    else exp_frac.when(F.col("digit") == d, lit))
+    n_total = full.agg(F.sum("n_obs").cast("long").alias("_n"))
+    terms = (full.crossJoin(F.broadcast(n_total))
+             .withColumn("_e", F.col("_n").cast("double") * exp_frac)
+             .withColumn("_t", (F.col("n_obs").cast("double")
+                                - F.col("_e"))
+                         * (F.col("n_obs").cast("double") - F.col("_e"))
+                         / F.col("_e")))
+    chi2 = terms.agg(
+        F.aggregate(F.array_sort(F.collect_list(
+            F.struct(F.col("digit"), F.col("_t").alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"]).alias("_chi2"))
+    return (terms.crossJoin(F.broadcast(chi2))
+            .select("digit", "n_obs",
+                    F.round(F.lit(1_000_000.0) * F.col("_e"))
+                    .cast("long").alias("exp_u"),
+                    F.round(F.lit(1_000_000.0) * F.col("_chi2"))
+                    .cast("long").alias("chi2_u")))
+
+
+def k_anonymity(df: DataFrame, *, quasi_cols: list,
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit (the privacy gate a dataset must pass before
+    release): group rows by the quasi-identifier columns and report how
+    many equivalence classes — and how many ROWS — fall below the
+    anonymity threshold ``k``. One row: ``(n_rows, n_classes,
+    n_violating_classes, rows_at_risk, min_class_size)``, all exact
+    BIGINT.
+
+    NULL handling: a NULL quasi-identifier value is its own class value
+    (SQL GROUP BY semantics, identical cross-engine).
+
+    Plan: one groupBy on the quasi columns (map-side partials), then a
+    1-row rollup — two exchanges, the second over class counts only.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity: quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    classes = (df.groupBy(*[F.col(c) for c in quasi_cols])
+               .agg(F.count(F.lit(1)).cast("long").alias("_sz")))
+    viol = F.col("_sz") < k
+    return classes.agg(
+        F.sum("_sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(viol.cast("long")).cast("long")
+         .alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("_sz")).otherwise(0)).cast("long")
+         .alias("rows_at_risk"),
+        F.min("_sz").cast("long").alias("min_class_size"))

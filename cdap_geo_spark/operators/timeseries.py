@@ -1581,3 +1581,55 @@ def theil_sen_oracle_sql(events_sql: str, *, group: str = "g",
                AS BIGINT) AS slope_u
       FROM r GROUP BY g
     """
+
+
+def ab_test(events: DataFrame, *, id_col: str = "user_id",
+            convert, seed: int = 17) -> DataFrame:
+    """Two-proportion A/B z-test over a DETERMINISTIC 50/50 hash
+    assignment: units are assigned to arms by the same leakage-stable
+    ``md5(id ':' seed)`` bucket rule as ``text.hash_split`` (the
+    assignment rides the row — retries, repartitioning or a different
+    engine can never move a unit between arms), a unit converts if ANY
+    of its events satisfies ``convert`` (a boolean Column over event
+    rows), and the statistic is the pooled two-proportion z. Returns
+    ONE row ``(n_a, conv_a, n_b, conv_b, z_u)`` — exact BIGINT counts
+    and the micro-rounded z (NULL when degenerate: empty arm or pooled
+    rate 0 or 1).
+
+    Determinism: everything up to z is exact integers; z itself is a
+    fixed-shape IEEE expression (one sqrt, correctly rounded by spec)
+    over those integers, micro-rounded.
+
+    Plan: one keyed agg to units (map-side partials), map-side arm
+    assignment, one 1-row rollup. No shuffle carries event payloads.
+    """
+    from cdap_geo_spark.operators.text import hash_split
+    units = (events.where(F.col(id_col).isNotNull())
+             .groupBy(id_col)
+             .agg(F.max(F.coalesce(convert, F.lit(False)).cast("long"))
+                  .alias("_conv")))
+    armed = hash_split(units, {"A": 0.5, "B": 0.5}, id_col=id_col,
+                       seed=seed, label_col="_arm")
+    counts = armed.agg(
+        F.sum(F.when(F.col("_arm") == "A", 1).otherwise(0))
+         .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_arm") == "A", F.col("_conv")).otherwise(0))
+         .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("_arm") == "B", 1).otherwise(0))
+         .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_arm") == "B", F.col("_conv")).otherwise(0))
+         .cast("long").alias("conv_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pp = (ca + cb) / (na + nb)
+    z = ((ca / na) - (cb / nb)) \
+        / F.sqrt(pp * (F.lit(1.0) - pp)
+                 * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z_ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b")
+               < F.col("n_a") + F.col("n_b")))
+    return counts.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.when(z_ok, F.round(F.lit(1_000_000.0) * z).cast("long"))
+         .alias("z_u"))

@@ -267,3 +267,87 @@ def test_dq_check_values(spark):
                    "unique:id": (4, 1)}
     with _pt.raises(ValueError):
         dq_check(df, {})
+
+
+def test_benford_deviation_brute_force(spark):
+    """benford_deviation == python brute force, including zero-count
+    digits (they still contribute (0-e)^2/e to chi2) and the
+    zero/NULL-value exclusions."""
+    import math
+    from cdap_geo_spark.functions.relational import benford_deviation
+    vals = ([1.23] * 30 + [19.9] * 18 + [2.5] * 11 + [33.0] * 7
+            + [4.04] * 5 + [0.0] * 4 + [None] * 3 + [91.0] * 2)
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    rows = {r.digit: r for r in
+            benford_deviation(df, value_col="value").collect()}
+    assert set(rows) == set(range(1, 10))
+    obs = {d: 0 for d in range(1, 10)}
+    for v in vals:
+        if v is None:
+            continue
+        s = round(abs(v) * 100)
+        if s > 0:
+            obs[int(str(s)[0])] += 1
+    n = sum(obs.values())
+    chi2 = 0.0
+    for d in range(1, 10):  # digit-ordered left fold, like the engine
+        e = n * math.log10(1 + 1 / d)
+        chi2 += (obs[d] - e) ** 2 / e
+    for d in range(1, 10):
+        e = n * math.log10(1 + 1 / d)
+        assert rows[d].n_obs == obs[d]
+        assert rows[d].exp_u == round(1e6 * e)
+        assert rows[d].chi2_u == round(1e6 * chi2)
+    assert rows[5].n_obs == 0  # a genuinely absent digit was exercised
+
+
+def test_k_anonymity_counts(spark):
+    from cdap_geo_spark.functions.relational import k_anonymity
+    rows = ([("a", 1)] * 6 + [("a", 2)] * 2 + [("b", 1)] * 1
+            + [(None, 1)] * 3)  # NULL is its own class
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    (r,) = k_anonymity(df, quasi_cols=["qa", "qb"], k=5).collect()
+    assert (r.n_rows, r.n_classes, r.n_violating_classes,
+            r.rows_at_risk, r.min_class_size) == (12, 4, 3, 6, 1)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity(df, quasi_cols=[], k=5)
+    with _pt.raises(ValueError):
+        k_anonymity(df, quasi_cols=["qa"], k=1)
+
+
+def test_ab_test_brute_force_and_degenerate(spark):
+    """ab_test == python brute force over the md5 arm rule; degenerate
+    configurations yield NULL z but exact counts."""
+    import hashlib
+    from pyspark.sql import functions as F
+    from cdap_geo_spark.operators.timeseries import ab_test
+    from cdap_geo_spark.operators.text import hash_split_cuts
+    cut = hash_split_cuts({"A": 0.5, "B": 0.5})[0]
+    rows = []
+    for u in range(1, 120):
+        conv = u % 7 == 0  # converted users
+        rows.append((u, "purchase" if conv else "view"))
+        rows.append((u, "click"))  # second event, same user
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    (r,) = ab_test(df, convert=(F.col("event_type") == "purchase")) \
+        .collect()
+
+    def arm(u):
+        h = int(hashlib.md5(f"{u}:17".encode()).hexdigest()[:15], 16)
+        return "A" if h < cut else "B"
+
+    want = {"A": [0, 0], "B": [0, 0]}
+    for u in range(1, 120):
+        a = arm(u)
+        want[a][0] += 1
+        want[a][1] += int(u % 7 == 0)
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (
+        want["A"][0], want["A"][1], want["B"][0], want["B"][1])
+    pa, pb = r.conv_a / r.n_a, r.conv_b / r.n_b
+    pp = (r.conv_a + r.conv_b) / (r.n_a + r.n_b)
+    z = (pa - pb) / ((pp * (1 - pp) * (1 / r.n_a + 1 / r.n_b)) ** 0.5)
+    assert r.z_u == round(1e6 * z)
+    # degenerate: nobody converts -> NULL z, counts still exact
+    (r0,) = ab_test(df, convert=(F.col("event_type") == "nope")).collect()
+    assert r0.z_u is None and r0.n_a + r0.n_b == 119
