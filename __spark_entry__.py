@@ -2142,6 +2142,114 @@ def _ab_test_sql() -> str:
     """
 
 
+def _q_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-overlay length (operators/segments.clip_length_join):
+    road length clipped per region box via Liang–Barsky, candidates
+    from the dedup-free 2D canonical-corner cell join; exact integer
+    branch decisions, micro-rounded lengths summed as BIGINT."""
+    from cdap_geo_spark.operators.segments import clip_length_join
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    roads = part.select(
+        F.col("p_partkey").alias("seg_id"),
+        ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
+        ((F.col("p_partkey") * 69301 + 257) % 1200000 + 50000).alias("ay"))
+    roads = roads.select(
+        "seg_id", "ax", "ay",
+        (F.col("ax") + (F.col("seg_id") * 97 + 13) % 80001 - 40000)
+        .alias("bx"),
+        (F.col("ay") + (F.col("seg_id") * 89 + 37) % 80001 - 40000)
+        .alias("by"))
+    boxes = part.select(
+        F.col("p_partkey").alias("box_id"),
+        ((F.col("p_partkey") * 48271 + 31) % 650000).alias("minx"),
+        ((F.col("p_partkey") * 69621 + 73) % 1250000).alias("miny"))
+    boxes = boxes.select(
+        "box_id", "minx", "miny",
+        (F.col("minx") + (F.col("box_id") * 53 + 11) % 50000 + 1000)
+        .alias("maxx"),
+        (F.col("miny") + (F.col("box_id") * 59 + 23) % 50000 + 1000)
+        .alias("maxy"))
+    return clip_length_join(roads, boxes, cell=100_000,
+                            box_id="box_id")
+
+
+def _clip_length_sql() -> str:
+    return """
+      WITH roads0 AS (
+        SELECT p_partkey AS seg_id,
+               (p_partkey*40503 + 101) % 600000 + 50000 AS ax,
+               (p_partkey*69301 + 257) % 1200000 + 50000 AS ay
+        FROM part
+      ), roads1 AS (
+        SELECT seg_id, ax, ay,
+               ax + (seg_id*97 + 13) % 80001 - 40000 AS bx,
+               ay + (seg_id*89 + 37) % 80001 - 40000 AS by
+        FROM roads0
+      ), roads AS (
+        SELECT seg_id, ax, ay, bx, by,
+               LEAST(ax, bx) AS sminx, GREATEST(ax, bx) AS smaxx,
+               LEAST(ay, by) AS sminy, GREATEST(ay, by) AS smaxy
+        FROM roads1
+      ), boxes0 AS (
+        SELECT p_partkey AS box_id,
+               (p_partkey*48271 + 31) % 650000  AS minx,
+               (p_partkey*69621 + 73) % 1250000 AS miny
+        FROM part
+      ), boxes AS (
+        SELECT box_id, minx, miny,
+               minx + (box_id*53 + 11) % 50000 + 1000 AS maxx,
+               miny + (box_id*59 + 23) % 50000 + 1000 AS maxy
+        FROM boxes0
+      ), cand AS (
+        SELECT seg_id, box_id, ax, ay, minx, miny, maxx, maxy,
+               bx - ax AS dx, by - ay AS dy
+        FROM roads JOIN boxes
+          ON sminx <= maxx AND minx <= smaxx
+         AND sminy <= maxy AND miny <= smaxy
+      ), pq AS (
+        SELECT seg_id, box_id, dx, dy,
+               -dx AS p1, ax - minx AS q1,
+                dx AS p2, maxx - ax AS q2,
+               -dy AS p3, ay - miny AS q3,
+                dy AS p4, maxy - ay AS q4
+        FROM cand
+      ), rr AS (
+        SELECT seg_id, box_id, dx, dy,
+               ((p1 = 0 AND q1 < 0) OR (p2 = 0 AND q2 < 0)
+                OR (p3 = 0 AND q3 < 0) OR (p4 = 0 AND q4 < 0)) AS rej,
+               CASE WHEN p1 < 0 THEN CAST(q1 AS DOUBLE)/CAST(p1 AS DOUBLE)
+                    ELSE 0.0 END AS lo1,
+               CASE WHEN p2 < 0 THEN CAST(q2 AS DOUBLE)/CAST(p2 AS DOUBLE)
+                    ELSE 0.0 END AS lo2,
+               CASE WHEN p3 < 0 THEN CAST(q3 AS DOUBLE)/CAST(p3 AS DOUBLE)
+                    ELSE 0.0 END AS lo3,
+               CASE WHEN p4 < 0 THEN CAST(q4 AS DOUBLE)/CAST(p4 AS DOUBLE)
+                    ELSE 0.0 END AS lo4,
+               CASE WHEN p1 > 0 THEN CAST(q1 AS DOUBLE)/CAST(p1 AS DOUBLE)
+                    ELSE 1.0 END AS hi1,
+               CASE WHEN p2 > 0 THEN CAST(q2 AS DOUBLE)/CAST(p2 AS DOUBLE)
+                    ELSE 1.0 END AS hi2,
+               CASE WHEN p3 > 0 THEN CAST(q3 AS DOUBLE)/CAST(p3 AS DOUBLE)
+                    ELSE 1.0 END AS hi3,
+               CASE WHEN p4 > 0 THEN CAST(q4 AS DOUBLE)/CAST(p4 AS DOUBLE)
+                    ELSE 1.0 END AS hi4
+        FROM pq
+      ), lb AS (
+        SELECT seg_id, box_id, dx, dy, rej,
+               GREATEST(0.0, lo1, lo2, lo3, lo4) AS t0,
+               LEAST(1.0, hi1, hi2, hi3, hi4) AS t1
+        FROM rr
+      )
+      SELECT CAST(box_id AS BIGINT) AS box_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segs,
+             CAST(SUM(CAST(ROUND(1000000.0
+                  * SQRT(CAST(dx*dx + dy*dy AS DOUBLE)) * (t1 - t0))
+                  AS BIGINT)) AS BIGINT) AS len_sum_u
+      FROM lb WHERE NOT rej AND t1 >= t0
+      GROUP BY 1
+    """
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2816,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": _q_benford,
         "k_anonymity": _q_k_anonymity,
         "ab_test": _q_ab_test,
+        "clip_length": _q_clip_length,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3541,6 +3650,7 @@ def oracle_sql() -> dict[str, str]:
         "benford": _benford_sql(),
         "k_anonymity": _k_anonymity_sql(),
         "ab_test": _ab_test_sql(),
+        "clip_length": _clip_length_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -234,3 +234,104 @@ def snap_to_segments(points: DataFrame, segments: DataFrame, *,
         F.col("_w.seg").alias(seg_id),
         F.round(F.col("_w.d2") * 1_000_000).cast("long").alias("d2_u"),
         F.round(F.col("_w.t") * 1_000_000).cast("long").alias("frac_u"))
+
+
+def clip_length_join(segments: DataFrame, boxes: DataFrame, *,
+                     cell: int,
+                     seg_id: str = "seg_id", box_id: str = "box_id",
+                     length_scale: int = 1_000_000) -> DataFrame:
+    """Vector-overlay length: for every (segment, box) pair whose
+    bboxes overlap, the length of the segment clipped to the box
+    (Liang–Barsky parametric clipping), aggregated per box. Returns
+    ``(box_id, n_segs, len_sum_u)`` — the road-length-per-region /
+    cable-length-per-parcel overlay statistic.
+
+    Candidate generation is the repo's dedup-free 2D canonical-corner
+    scheme: both sides explode to covering grid cells of their bbox
+    and the pair is kept ONLY in the cell containing
+    ``(max(sminx, minx), max(sminy, miny))`` — a corner both bboxes
+    provably cover — so each pair survives in exactly one cell: plain
+    equi-join, zero dedup shuffle, never a nested loop.
+
+    Determinism contract: inputs are BIGINT coordinates, so every
+    Liang–Barsky numerator/denominator (p, q) is exact and every
+    branch decision (signs of p, rejection on q) is an integer
+    comparison; the four candidate ``q/p`` ratios are single correctly
+    rounded IEEE divides, t0/t1 are GREATEST/LEAST over them, and the
+    final ``sqrt(len²)·(t1−t0)`` has a fixed expression shape —
+    micro-rounded per pair, then summed as exact BIGINTs.
+
+    Scale: the exchanges are the cell equi-join (fanout = bbox
+    area / cell², bounded by geometry size) and one box-keyed agg with
+    map-side partials. A hot cell salts like any skewed join key.
+
+    Cell assignment uses truncating integer division, so bbox
+    coordinates must be non-negative (the same contract as
+    ``timeseries.cell_dwell`` / ``zonal.cell_coverage``); the clip
+    arithmetic itself has no sign constraint.
+    """
+    if cell < 1:
+        raise ValueError("clip_length_join: cell must be >= 1")
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    s = segments.select(
+        F.col(seg_id).alias("_sid"),
+        ax.cast("long").alias("ax"), ay.cast("long").alias("ay"),
+        bx.cast("long").alias("bx"), by.cast("long").alias("by"),
+        F.least(ax, bx).cast("long").alias("sminx"),
+        F.greatest(ax, bx).cast("long").alias("smaxx"),
+        F.least(ay, by).cast("long").alias("sminy"),
+        F.greatest(ay, by).cast("long").alias("smaxy"))
+    s = (s.withColumn("cx", F.explode(F.sequence(
+            F.expr(f"sminx DIV {cell}"), F.expr(f"smaxx DIV {cell}"))))
+         .withColumn("cy", F.explode(F.sequence(
+            F.expr(f"sminy DIV {cell}"), F.expr(f"smaxy DIV {cell}")))))
+    b = boxes.select(
+        F.col(box_id).alias("_bid"),
+        F.col("minx").cast("long").alias("minx"),
+        F.col("miny").cast("long").alias("miny"),
+        F.col("maxx").cast("long").alias("maxx"),
+        F.col("maxy").cast("long").alias("maxy"))
+    b = (b.withColumn("cx", F.explode(F.sequence(
+            F.expr(f"minx DIV {cell}"), F.expr(f"maxx DIV {cell}"))))
+         .withColumn("cy", F.explode(F.sequence(
+            F.expr(f"miny DIV {cell}"), F.expr(f"maxy DIV {cell}")))))
+    canon = ((F.col("cx") == F.expr(
+                f"GREATEST(sminx, minx) DIV {cell}"))
+             & (F.col("cy") == F.expr(
+                f"GREATEST(sminy, miny) DIV {cell}")))
+    overlap = ((F.col("sminx") <= F.col("maxx"))
+               & (F.col("minx") <= F.col("smaxx"))
+               & (F.col("sminy") <= F.col("maxy"))
+               & (F.col("miny") <= F.col("smaxy")))
+    pairs = s.join(b, ["cx", "cy"]).where(overlap & canon)
+
+    dx = (F.col("bx") - F.col("ax")).alias("dx")
+    dy = (F.col("by") - F.col("ay")).alias("dy")
+    pairs = pairs.select("_sid", "_bid", "ax", "ay", "minx", "miny",
+                         "maxx", "maxy", dx, dy)
+    # Liang–Barsky edge tuples (p, q): exact BIGINTs
+    pq = [(-F.col("dx"), F.col("ax") - F.col("minx")),
+          (F.col("dx"), F.col("maxx") - F.col("ax")),
+          (-F.col("dy"), F.col("ay") - F.col("miny")),
+          (F.col("dy"), F.col("maxy") - F.col("ay"))]
+    reject = None
+    t0_args, t1_args = [F.lit(0.0)], [F.lit(1.0)]
+    for p, q in pq:
+        rj = (p == 0) & (q < 0)
+        reject = rj if reject is None else (reject | rj)
+        r = q.cast("double") / p.cast("double")
+        t0_args.append(F.when(p < 0, r).otherwise(F.lit(0.0)))
+        t1_args.append(F.when(p > 0, r).otherwise(F.lit(1.0)))
+    t0, t1 = F.greatest(*t0_args), F.least(*t1_args)
+    d2 = (F.col("dx") * F.col("dx")
+          + F.col("dy") * F.col("dy")).cast("double")
+    len_u = F.round(F.lit(float(length_scale)) * F.sqrt(d2)
+                    * (t1 - t0)).cast("long")
+    clipped = (pairs.withColumn("_rej", reject)
+               .withColumn("_t0", t0).withColumn("_t1", t1)
+               .where(~F.col("_rej") & (F.col("_t1") >= F.col("_t0")))
+               .select("_sid", "_bid", len_u.alias("len_u")))
+    return (clipped.groupBy(F.col("_bid").alias(box_id))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_segs"),
+                 F.sum("len_u").cast("long").alias("len_sum_u")))

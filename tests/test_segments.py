@@ -213,3 +213,65 @@ def test_snap_candidates_from_single_join(spark):
         .toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _clip_brute(segs, boxes):
+    """Python Liang–Barsky mirror (same branch rules, same IEEE ops)."""
+    out = {}
+    for sid, ax, ay, bx, by in segs:
+        dx, dy = bx - ax, by - ay
+        for bid, minx, miny, maxx, maxy in boxes:
+            if not (min(ax, bx) <= maxx and minx <= max(ax, bx)
+                    and min(ay, by) <= maxy and miny <= max(ay, by)):
+                continue
+            pq = [(-dx, ax - minx), (dx, maxx - ax),
+                  (-dy, ay - miny), (dy, maxy - ay)]
+            if any(p == 0 and q < 0 for p, q in pq):
+                continue
+            t0 = max([0.0] + [q / p for p, q in pq if p < 0])
+            t1 = min([1.0] + [q / p for p, q in pq if p > 0])
+            if t1 >= t0:
+                lu = round(1e6 * (dx * dx + dy * dy) ** 0.5 * (t1 - t0))
+                n, s = out.get(bid, (0, 0))
+                out[bid] = (n + 1, s + lu)
+    return out
+
+
+def test_clip_length_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.segments import clip_length_join
+    random.seed(41)
+    segs = [(i, random.randrange(500), random.randrange(500),
+             random.randrange(500), random.randrange(500))
+            for i in range(80)]
+    boxes = []
+    for j in range(40):
+        x0, y0 = random.randrange(450), random.randrange(450)
+        boxes.append((j, x0, y0, x0 + random.randrange(1, 120),
+                      y0 + random.randrange(1, 120)))
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    bdf = spark.createDataFrame(
+        boxes, "box_id long, minx long, miny long, maxx long, maxy long")
+    got = {r.box_id: (r.n_segs, r.len_sum_u)
+           for r in clip_length_join(sdf, bdf, cell=100).collect()}
+    assert got == _clip_brute(segs, boxes)
+
+
+def test_clip_length_known_geometry(spark):
+    from cdap_geo_spark.operators.segments import clip_length_join
+    segs = [(1, 10, 50, 90, 50),    # fully inside box 1 -> length 80
+            (2, -50, 50, 150, 50),  # crosses box 1 -> clipped to 100
+            (3, 10, 500, 90, 500),  # far away -> absent
+            (4, 20, 20, 20, 20)]    # zero-length inside -> counted, len 0
+    boxes = [(1, 0, 0, 100, 100)]
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    bdf = spark.createDataFrame(
+        boxes, "box_id long, minx long, miny long, maxx long, maxy long")
+    (r,) = clip_length_join(sdf, bdf, cell=64).collect()
+    assert r.n_segs == 3
+    assert r.len_sum_u == 80_000_000 + 100_000_000 + 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        clip_length_join(sdf, bdf, cell=0)
