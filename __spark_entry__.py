@@ -2250,6 +2250,42 @@ def _clip_length_sql() -> str:
     """
 
 
+def _q_line_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line supercover raster (operators/segments.raster_line): tiles
+    each road segment passes through (exact integer corner sign
+    tests, closed-box semantics), aggregated to a (cx, cy) density —
+    the vector→raster assignment for linear networks."""
+    from cdap_geo_spark.operators.segments import raster_line
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    roads = part.select(
+        F.col("p_partkey").alias("seg_id"),
+        ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
+        ((F.col("p_partkey") * 69301 + 257) % 1200000 + 50000).alias("ay"))
+    roads = roads.select(
+        "seg_id", "ax", "ay",
+        (F.col("ax") + (F.col("seg_id") * 97 + 13) % 80001 - 40000)
+        .alias("bx"),
+        (F.col("ay") + (F.col("seg_id") * 89 + 37) % 80001 - 40000)
+        .alias("by"))
+    return raster_line(roads, cell=50_000)
+
+
+def _line_raster_sql() -> str:
+    from cdap_geo_spark.operators.segments import raster_line_oracle_sql
+    segs = """
+      SELECT seg_id, ax, ay,
+             ax + (seg_id*97 + 13) % 80001 - 40000 AS bx,
+             ay + (seg_id*89 + 37) % 80001 - 40000 AS by
+      FROM (
+        SELECT p_partkey AS seg_id,
+               (p_partkey*40503 + 101) % 600000 + 50000 AS ax,
+               (p_partkey*69301 + 257) % 1200000 + 50000 AS ay
+        FROM part
+      )
+    """
+    return raster_line_oracle_sql(segs, cell=50_000)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2925,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "ab_test": _q_ab_test,
         "clip_length": _q_clip_length,
+        "line_raster": _q_line_raster,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3651,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _k_anonymity_sql(),
         "ab_test": _ab_test_sql(),
         "clip_length": _clip_length_sql(),
+        "line_raster": _line_raster_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

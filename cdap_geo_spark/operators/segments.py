@@ -335,3 +335,99 @@ def clip_length_join(segments: DataFrame, boxes: DataFrame, *,
     return (clipped.groupBy(F.col("_bid").alias(box_id))
             .agg(F.count(F.lit(1)).cast("long").alias("n_segs"),
                  F.sum("len_u").cast("long").alias("len_sum_u")))
+
+
+def raster_line(segments: DataFrame, *, cell: int,
+                seg_id: str = "seg_id") -> DataFrame:
+    """Vector→raster supercover for LINES: the set of grid cells each
+    segment passes through, aggregated to a tile-density raster
+    ``(cx, cy, n_segs)`` — the line-network complement of the polygon
+    cell covers in ``core/cells.py`` (reference tile semantics:
+    ``cdap_geo/_indexing.py:232-270`` keeps only cells whose box
+    intersects the geometry; this is that rule for segments, entirely
+    in integer arithmetic).
+
+    Exact test, no floats anywhere: a candidate cell (from the
+    segment's bbox cell range, so cell box × segment bbox overlap
+    holds by construction) is traversed iff the four cell-box corners
+    do NOT lie strictly on one side of the segment's supporting line —
+    four BIGINT cross products and sign tests (closed-box semantics:
+    touching counts, matching the reference's boundary-inclusive
+    covers). Zero-length segments degrade to the point-in-cell test
+    via the same sign rule (all cross products zero).
+
+    Scale: map-side explode bounded by bbox area / cell², one (cx, cy)
+    count exchange with map-side partials — bounded by occupied tiles,
+    not segments. Coordinates must be non-negative (truncating-DIV
+    cell contract).
+    """
+    if cell < 1:
+        raise ValueError("raster_line: cell must be >= 1")
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    s = segments.select(
+        F.col(seg_id).alias("_sid"),
+        ax.cast("long").alias("ax"), ay.cast("long").alias("ay"),
+        bx.cast("long").alias("bx"), by.cast("long").alias("by"),
+        F.least(ax, bx).cast("long").alias("_x0"),
+        F.greatest(ax, bx).cast("long").alias("_x1"),
+        F.least(ay, by).cast("long").alias("_y0"),
+        F.greatest(ay, by).cast("long").alias("_y1"))
+    s = (s.withColumn("cx", F.explode(F.sequence(
+            F.expr(f"_x0 DIV {cell}"), F.expr(f"_x1 DIV {cell}"))))
+         .withColumn("cy", F.explode(F.sequence(
+            F.expr(f"_y0 DIV {cell}"), F.expr(f"_y1 DIV {cell}")))))
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    crosses = []
+    for ix, iy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        px = (F.col("cx") + ix) * cell
+        py = (F.col("cy") + iy) * cell
+        crosses.append(dx * (py - F.col("ay")) - dy * (px - F.col("ax")))
+    all_pos = crosses[0] > 0
+    all_neg = crosses[0] < 0
+    for c in crosses[1:]:
+        all_pos = all_pos & (c > 0)
+        all_neg = all_neg & (c < 0)
+    return (s.where(~(all_pos | all_neg))
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_segs")))
+
+
+def raster_line_oracle_sql(segments_sql: str, *, cell: int) -> str:
+    """ANSI/DuckDB twin of :func:`raster_line` — identical integer
+    sign tests over the same candidate cells. ``segments_sql`` must
+    yield (seg_id, ax, ay, bx, by) BIGINTs."""
+    corners = []
+    for ix, iy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        corners.append(
+            f"((bx - ax) * ((cy + {iy}) * {cell} - ay)"
+            f" - (by - ay) * ((cx + {ix}) * {cell} - ax))")
+    allpos = " AND ".join(f"{c} > 0" for c in corners)
+    allneg = " AND ".join(f"{c} < 0" for c in corners)
+    return f"""
+      WITH s AS ({segments_sql}),
+      bb AS (
+        SELECT seg_id, ax, ay, bx, by,
+               LEAST(ax, bx) // {cell} AS cx0,
+               GREATEST(ax, bx) // {cell} AS cx1,
+               LEAST(ay, by) // {cell} AS cy0,
+               GREATEST(ay, by) // {cell} AS cy1
+        FROM s
+      ),
+      candx AS (
+        -- one axis per stage: multiple UNNESTs in one SELECT would zip
+        SELECT seg_id, ax, ay, bx, by, cy0, cy1,
+               CAST(UNNEST(generate_series(cx0, cx1)) AS BIGINT) AS cx
+        FROM bb
+      ),
+      cand AS (
+        SELECT seg_id, ax, ay, bx, by, cx,
+               CAST(UNNEST(generate_series(cy0, cy1)) AS BIGINT) AS cy
+        FROM candx
+      )
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_segs
+      FROM cand
+      WHERE NOT (({allpos}) OR ({allneg}))
+      GROUP BY 1, 2
+    """

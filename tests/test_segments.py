@@ -275,3 +275,48 @@ def test_clip_length_known_geometry(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         clip_length_join(sdf, bdf, cell=0)
+
+
+def test_raster_line_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.segments import raster_line
+    random.seed(17)
+    cell = 10
+    segs = [(i, random.randrange(200), random.randrange(200),
+             random.randrange(200), random.randrange(200))
+            for i in range(60)]
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    got = {(r.cx, r.cy): r.n_segs
+           for r in raster_line(sdf, cell=cell).collect()}
+    want = {}
+    for _, ax, ay, bx, by in segs:
+        dx, dy = bx - ax, by - ay
+        for cx in range(min(ax, bx) // cell, max(ax, bx) // cell + 1):
+            for cy in range(min(ay, by) // cell,
+                            max(ay, by) // cell + 1):
+                cr = [dx * ((cy + iy) * cell - ay)
+                      - dy * ((cx + ix) * cell - ax)
+                      for ix, iy in ((0, 0), (1, 0), (0, 1), (1, 1))]
+                if not (all(c > 0 for c in cr)
+                        or all(c < 0 for c in cr)):
+                    want[(cx, cy)] = want.get((cx, cy), 0) + 1
+    assert got == want
+
+
+def test_raster_line_known_shapes(spark):
+    from cdap_geo_spark.operators.segments import raster_line
+    segs = [(1, 5, 5, 95, 5),     # horizontal: row of 10 cells at cy=0
+            (2, 5, 5, 95, 95),    # diagonal through cell corners
+            (3, 50, 50, 50, 50)]  # degenerate point -> its own cell
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, ax long, ay long, bx long, by long")
+    cells = {(r.cx, r.cy): r.n_segs
+             for r in raster_line(sdf, cell=10).collect()}
+    assert all(cells.get((cx, 0)) for cx in range(10))  # horizontal row
+    # the exact diagonal y=x touches both (k,k) cells and, at each
+    # corner, the neighbours it passes through the corner of
+    assert all((k, k) in cells for k in range(10))
+    assert cells[(5, 5)] >= 2  # diagonal + the degenerate point
+    # supercover contains both endpoint cells of every segment
+    assert (0, 0) in cells and (9, 9) in cells and (9, 0) in cells
