@@ -2286,6 +2286,31 @@ def _line_raster_sql() -> str:
     return raster_line_oracle_sql(segs, cell=50_000)
 
 
+def _q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour cells (operators/zonal.
+    marching_squares) of the doc-point density raster at iso=3: pure
+    integer case classification, one block exchange bounded by 4x
+    occupied cells."""
+    from cdap_geo_spark.operators.zonal import marching_squares
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr("((doc_id*48271 + 17) % 700000) DIV 50000").alias("cx"),
+        F.expr("((doc_id*69621 + 29) % 1300000) DIV 50000").alias("cy"))
+    grid = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    return marching_squares(grid, iso=3)
+
+
+def _contours_sql() -> str:
+    from cdap_geo_spark.operators.zonal import marching_squares_oracle_sql
+    grid = """
+      SELECT ((doc_id*48271 + 17) % 700000) // 50000 AS cx,
+             ((doc_id*69621 + 29) % 1300000) // 50000 AS cy,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM documents GROUP BY 1, 2
+    """
+    return marching_squares_oracle_sql(grid, iso=3)
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2962,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": _q_ab_test,
         "clip_length": _q_clip_length,
         "line_raster": _q_line_raster,
+        "contours": _q_contours,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3689,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": _ab_test_sql(),
         "clip_length": _clip_length_sql(),
         "line_raster": _line_raster_sql(),
+        "contours": _contours_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

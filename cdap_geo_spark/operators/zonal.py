@@ -258,3 +258,101 @@ def cell_coverage(boxes: DataFrame, *, cell: int,
             .agg(F.count(F.lit(1)).cast("long").alias("n_boxes"),
                  F.sum(F.col("_w") * F.col("_h")).cast("long")
                   .alias("covered")))
+
+
+def marching_squares(grid: DataFrame, *, iso: int,
+                     x_col: str = "cx", y_col: str = "cy",
+                     v_col: str = "v") -> DataFrame:
+    """Marching-squares contour-cell extraction over a SPARSE integer
+    raster: for every 2×2 corner block that the iso-line at level
+    ``iso`` crosses, the block's marching-squares case index and its
+    contour-segment count. Returns ``(bx, by, case_id, n_segs)`` —
+    (bx, by) is the block's lower-left corner cell; cases 0 and 15
+    (no crossing) are omitted. The vector side of the raster↔vector
+    bridge: raster_line / cell covers rasterize vectors, this
+    vectorizes a raster.
+
+    Case bits (the standard convention): bit0 = lower-left ≥ iso,
+    bit1 = lower-right, bit2 = upper-right, bit3 = upper-left; cases
+    5 and 10 are the two-segment saddles. Absent cells are value 0
+    (sparse-raster semantics) — candidate blocks are generated ONLY
+    around present cells, so an all-absent block never appears (it
+    would be case 0 anyway when iso ≥ 1).
+
+    Everything is exact integer comparison — no floats at all.
+
+    Plan: each raster cell fans out map-side to the ≤4 blocks it
+    corners (an explode of 4 literal offsets); ONE (bx, by) exchange
+    aggregates the four corner values by position (map-side partials).
+    At 100 TB the exchange is bounded by 4× occupied cells.
+    """
+    if iso < 1:
+        raise ValueError("marching_squares: iso must be >= 1 "
+                         "(absent cells are value 0)")
+    contrib = (grid.select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(v_col).cast("long").alias("_v"))
+        .select(F.explode(F.array(*[
+            F.struct((F.col("_x") - ix).alias("bx"),
+                     (F.col("_y") - iy).alias("by"),
+                     F.lit(ix).alias("ix"), F.lit(iy).alias("iy"),
+                     F.col("_v").alias("v"))
+            for ix, iy in ((0, 0), (1, 0), (0, 1), (1, 1))]))
+            .alias("c"))
+        .select("c.bx", "c.by", "c.ix", "c.iy", "c.v"))
+    corner = [F.coalesce(F.max(F.when((F.col("ix") == ix)
+                                      & (F.col("iy") == iy),
+                                      F.col("v"))), F.lit(0))
+              for ix, iy in ((0, 0), (1, 0), (1, 1), (0, 1))]
+    blocks = (contrib.groupBy("bx", "by")
+              .agg(*[c.alias(f"_c{i}") for i, c in enumerate(corner)]))
+    case_id = sum((F.col(f"_c{i}") >= iso).cast("long") * (1 << i)
+                  for i in range(4))
+    n_segs = (F.when(case_id.isin(0, 15), 0)
+              .when(case_id.isin(5, 10), 2).otherwise(1))
+    return (blocks.select("bx", "by", case_id.alias("case_id"),
+                          n_segs.cast("long").alias("n_segs"))
+            .where(~F.col("case_id").isin(0, 15)))
+
+
+def marching_squares_oracle_sql(grid_sql: str, *, iso: int) -> str:
+    """ANSI/DuckDB twin of :func:`marching_squares` — same 4-offset
+    block generation (UNION ALL arms), same bit order, pure integer.
+    ``grid_sql`` must yield (cx, cy, v) BIGINTs."""
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT cx - {ix} AS bx, cy - {iy} AS by,"
+        f" {ix} AS ix, {iy} AS iy, v FROM g"
+        for ix, iy in ((0, 0), (1, 0), (0, 1), (1, 1)))
+    return f"""
+      WITH g AS ({grid_sql}),
+      contrib AS (
+{arms}
+      ),
+      blocks AS (
+        SELECT bx, by,
+               COALESCE(MAX(CASE WHEN ix = 0 AND iy = 0 THEN v END), 0)
+                 AS c0,
+               COALESCE(MAX(CASE WHEN ix = 1 AND iy = 0 THEN v END), 0)
+                 AS c1,
+               COALESCE(MAX(CASE WHEN ix = 1 AND iy = 1 THEN v END), 0)
+                 AS c2,
+               COALESCE(MAX(CASE WHEN ix = 0 AND iy = 1 THEN v END), 0)
+                 AS c3
+        FROM contrib GROUP BY 1, 2
+      ),
+      cased AS (
+        SELECT bx, by,
+               (CASE WHEN c0 >= {iso} THEN 1 ELSE 0 END)
+               + (CASE WHEN c1 >= {iso} THEN 2 ELSE 0 END)
+               + (CASE WHEN c2 >= {iso} THEN 4 ELSE 0 END)
+               + (CASE WHEN c3 >= {iso} THEN 8 ELSE 0 END) AS case_id
+        FROM blocks
+      )
+      SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+             CAST(case_id AS BIGINT) AS case_id,
+             CAST(CASE WHEN case_id IN (0, 15) THEN 0
+                       WHEN case_id IN (5, 10) THEN 2
+                       ELSE 1 END AS BIGINT) AS n_segs
+      FROM cased WHERE case_id NOT IN (0, 15)
+    """

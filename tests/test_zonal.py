@@ -237,3 +237,53 @@ def test_cell_coverage_boundary_and_validation(spark):
     assert got == {(1, 1): (1, 10000), (1, 2): (1, 10000)}
     with _pt.raises(ValueError):
         cell_coverage(df, cell=0)
+
+
+def test_marching_squares_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.zonal import marching_squares
+    random.seed(29)
+    cells = {}
+    for _ in range(120):
+        cells[(random.randrange(12), random.randrange(12))] = \
+            random.randrange(0, 8)
+    rows = [(x, y, v) for (x, y), v in cells.items() if v > 0]
+    df = spark.createDataFrame(rows, "cx long, cy long, v long")
+    iso = 3
+    got = {(r.bx, r.by): (r.case_id, r.n_segs)
+           for r in marching_squares(df, iso=iso).collect()}
+    # brute force over blocks adjacent to any present cell
+    blocks = set()
+    for (x, y), v in cells.items():
+        if v > 0:
+            for ix in (0, 1):
+                for iy in (0, 1):
+                    blocks.add((x - ix, y - iy))
+    want = {}
+    for bx, by in blocks:
+        v = [cells.get((bx, by), 0), cells.get((bx + 1, by), 0),
+             cells.get((bx + 1, by + 1), 0), cells.get((bx, by + 1), 0)]
+        case = sum((1 << i) for i in range(4) if v[i] >= iso)
+        if case not in (0, 15):
+            want[(bx, by)] = (case, 2 if case in (5, 10) else 1)
+    assert got == want
+    assert any(c in (5, 10) for c, _ in got.values()) or len(got) > 0
+
+
+def test_marching_squares_known_plateau(spark):
+    """A solid 3x3 plateau at v=5 in an empty plain: the contour ring
+    is exactly the blocks around its boundary; interior block is case
+    15 (omitted); saddle-free."""
+    from cdap_geo_spark.operators.zonal import marching_squares
+    rows = [(x, y, 5) for x in (10, 11, 12) for y in (10, 11, 12)]
+    df = spark.createDataFrame(rows, "cx long, cy long, v long")
+    got = {(r.bx, r.by): r.case_id
+           for r in marching_squares(df, iso=5).collect()}
+    # 4x4 block ring minus the single all-inside center 2x2 region
+    assert (10, 10) not in got and (11, 11) not in got  # case-15 interior
+    assert got[(9, 9)] == 4     # lower-left corner block: only UR corner in
+    assert got[(12, 12)] == 1   # upper-right corner block: only LL corner in
+    assert len(got) == 12       # 16 blocks - 4 interior case-15
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        marching_squares(df, iso=0)
