@@ -2311,6 +2311,70 @@ def _contours_sql() -> str:
     return marching_squares_oracle_sql(grid, iso=3)
 
 
+def _q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction (operators/zonal.knox_pairs):
+    space pairs from a 3x3-neighbor cell join (never all-pairs), time
+    pairs from bin combinatorics + one adjacent-bin join, both-close
+    riding the space relation; exact BIGINT counts + one micro-rounded
+    ratio."""
+    from cdap_geo_spark.operators.zonal import knox_pairs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts",
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    return knox_pairs(ev, delta=5_000, tau_us=3_600_000_000)
+
+
+def _knox_sql() -> str:
+    delta, tau = 5_000, 3_600_000_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id, epoch_us(ts) AS t,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events WHERE ts IS NOT NULL
+      ),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM b),
+      sp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_space_pairs,
+               CAST(COALESCE(SUM(CASE WHEN ABS(a.t - bb.t) <= {tau}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_both_pairs
+        FROM b a JOIN b bb
+          ON a.id < bb.id
+         AND bb.x >= a.x - {delta} AND bb.x <= a.x + {delta}
+         AND bb.y >= a.y - {delta} AND bb.y <= a.y + {delta}
+         AND (a.x - bb.x) * (a.x - bb.x)
+             + (a.y - bb.y) * (a.y - bb.y) <= {delta * delta}
+      ),
+      bins AS (
+        SELECT t // {tau} AS bin, CAST(COUNT(*) AS BIGINT) AS nb
+        FROM b GROUP BY 1
+      ),
+      same AS (
+        SELECT CAST(COALESCE(SUM(nb * (nb - 1) // 2), 0) AS BIGINT)
+          AS n_same FROM bins
+      ),
+      adj AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_adj
+        FROM b t1 JOIN b t2
+          ON (t1.t // {tau}) + 1 = t2.t // {tau}
+         AND t2.t - t1.t <= {tau}
+      )
+      SELECT n_events, n_space_pairs,
+             CAST(n_same + n_adj AS BIGINT) AS n_time_pairs,
+             n_both_pairs,
+             CASE WHEN n_space_pairs > 0 AND n_same + n_adj > 0
+                  THEN CAST(ROUND(1000000.0 *
+                    (CAST(n_both_pairs AS DOUBLE)
+                     * (CAST(n_events * (n_events - 1) AS DOUBLE) / 2.0))
+                    / (CAST(n_space_pairs AS DOUBLE)
+                       * CAST(n_same + n_adj AS DOUBLE))) AS BIGINT)
+                  ELSE NULL END AS knox_u
+      FROM n, sp, same, adj
+    """
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -2988,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_length": _q_clip_length,
         "line_raster": _q_line_raster,
         "contours": _q_contours,
+        "knox": _q_knox,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3716,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
         "clip_length": _clip_length_sql(),
         "line_raster": _line_raster_sql(),
         "contours": _contours_sql(),
+        "knox": _knox_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -356,3 +356,103 @@ def marching_squares_oracle_sql(grid_sql: str, *, iso: int) -> str:
                        ELSE 1 END AS BIGINT) AS n_segs
       FROM cased WHERE case_id NOT IN (0, 15)
     """
+
+
+def knox_pairs(events: DataFrame, *, delta: int, tau_us: int,
+               id_col: str = "event_id", ts_col: str = "ts",
+               x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Knox space–time interaction statistic (the classic epidemiology
+    / incident-analysis test: do events cluster in space AND time
+    together more than marginally?). Returns ONE row ``(n_events,
+    n_space_pairs, n_time_pairs, n_both_pairs, knox_u)`` where pairs
+    are unordered, space-close means ``d² ≤ delta²`` (exact BIGINT),
+    time-close means ``|dt| ≤ tau_us`` micros (exact BIGINT), and
+    ``knox_u`` is the micro-rounded ratio
+    ``n_both · C(n,2) / (n_space · n_time)`` (NULL when degenerate).
+
+    The counting is NEVER all-pairs:
+
+    - space-close pairs: the left side replicates to its 3×3 neighbor
+      cells at cell size ``delta`` (any pair within ``delta`` must sit
+      in adjacent cells), the right side stays in its home cell, and
+      ``a < b`` keeps each unordered pair exactly once — an equi-join
+      whose fanout is events-per-cell², the usual salt-able term;
+    - time-close pairs are counted WITHOUT enumerating same-bin pairs:
+      with bins of width ``tau_us``, every same-bin pair qualifies
+      (max in-bin spread < tau), so same-bin pairs are the
+      combinatorial ``Σ n_b·(n_b−1)/2`` over bin COUNTS; only
+      adjacent-bin pairs need a join (bin b × b+1, dt ≤ tau re-check;
+      bins ≥ 2 apart can never qualify);
+    - both-close pairs ride the already-built space relation (it
+      carries both timestamps) — no third join.
+
+    Plan: one cell equi-join, one bin equi-join, three 1-row
+    aggregates cross-joined at the end. All counts exact BIGINT; the
+    single ratio is a fixed-shape IEEE expression, micro-rounded.
+    """
+    if delta < 1:
+        raise ValueError("knox_pairs: delta must be >= 1")
+    if tau_us < 1:
+        raise ValueError("knox_pairs: tau_us must be >= 1")
+    base = (events
+            .where(F.col(ts_col).isNotNull() & F.col(x_col).isNotNull()
+                   & F.col(y_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    .alias("_t"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y")))
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_t").alias("ta"),
+                        F.col("_x").alias("ax"), F.col("_y").alias("ay"),
+                        F.expr(f"_x DIV {delta}").alias("_cx"),
+                        F.expr(f"_y DIV {delta}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ta", "ax", "ay",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_t").alias("tb"),
+                        F.col("_x").alias("bx"), F.col("_y").alias("by"),
+                        F.expr(f"_x DIV {delta}").alias("cx"),
+                        F.expr(f"_y DIV {delta}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    close = (left.join(right, ["cx", "cy"])
+             .where((F.col("a") < F.col("b"))
+                    & (d2 <= F.lit(delta * delta))))
+    sp = close.agg(
+        F.count(F.lit(1)).cast("long").alias("n_space_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.abs(F.col("ta") - F.col("tb")) <= tau_us, 1)
+                  .otherwise(0)), F.lit(0))
+         .cast("long").alias("n_both_pairs"))
+
+    binned = (base.select(F.expr(f"_t DIV {tau_us}").alias("bin"))
+              .groupBy("bin")
+              .agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    same = binned.agg(
+        F.coalesce(F.sum(F.expr("nb * (nb - 1) DIV 2")), F.lit(0))
+        .cast("long").alias("n_same"))
+    t1 = base.select(F.col("_t").alias("t1"),
+                     F.expr(f"_t DIV {tau_us}").alias("bin"))
+    t2 = base.select(F.col("_t").alias("t2"),
+                     (F.expr(f"_t DIV {tau_us}") - 1).alias("bin"))
+    adj = (t1.join(t2, "bin")
+           .where(F.col("t2") - F.col("t1") <= tau_us)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_adj")))
+
+    out = (nrow.crossJoin(sp).crossJoin(same).crossJoin(adj)
+           .withColumn("n_time_pairs",
+                       (F.col("n_same") + F.col("n_adj")).cast("long")))
+    npairs = (F.col("n_events") * (F.col("n_events") - 1)).cast("double") \
+        / F.lit(2.0)
+    knox = (F.col("n_both_pairs").cast("double") * npairs) \
+        / (F.col("n_space_pairs").cast("double")
+           * F.col("n_time_pairs").cast("double"))
+    ok = (F.col("n_space_pairs") > 0) & (F.col("n_time_pairs") > 0)
+    return out.select(
+        "n_events", "n_space_pairs", "n_time_pairs", "n_both_pairs",
+        F.when(ok, F.round(F.lit(1_000_000.0) * knox).cast("long"))
+         .alias("knox_u"))

@@ -287,3 +287,57 @@ def test_marching_squares_known_plateau(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         marching_squares(df, iso=0)
+
+
+def test_knox_brute_force(spark):
+    """knox_pairs == python brute force over all pairs (space, time,
+    both), including the ratio."""
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.zonal import knox_pairs
+    random.seed(31)
+    t0 = dtm.datetime(2026, 1, 1, tzinfo=dtm.timezone.utc)
+    delta, tau_us = 15, 60_000_000  # 15 units, 60 s
+    rows = []
+    pts = []
+    for i in range(150):
+        x, y = random.randrange(120), random.randrange(120)
+        ts = t0 + dtm.timedelta(seconds=random.randrange(3600))
+        rows.append((i, ts, x, y))
+        pts.append((i, int(ts.timestamp() * 1e6), x, y))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, x long, y long")
+    (r,) = knox_pairs(df, delta=delta, tau_us=tau_us).collect()
+
+    n_sp = n_tm = n_bo = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            _, ti, xi, yi = pts[i]
+            _, tj, xj, yj = pts[j]
+            s = (xi - xj) ** 2 + (yi - yj) ** 2 <= delta * delta
+            t = abs(ti - tj) <= tau_us
+            n_sp += s
+            n_tm += t
+            n_bo += s and t
+    assert (r.n_events, r.n_space_pairs, r.n_time_pairs,
+            r.n_both_pairs) == (150, n_sp, n_tm, n_bo)
+    npairs = 150 * 149 / 2.0
+    assert r.knox_u == round(1e6 * (n_bo * npairs) / (n_sp * n_tm))
+
+
+def test_knox_degenerate_and_validates(spark):
+    import datetime as dtm
+    import pytest as _pt
+    from cdap_geo_spark.operators.zonal import knox_pairs
+    t0 = dtm.datetime(2026, 1, 1)
+    # two events far apart in space and time: no close pairs at all
+    df = spark.createDataFrame(
+        [(1, t0, 0, 0), (2, t0 + dtm.timedelta(days=30), 10**6, 10**6)],
+        "event_id long, ts timestamp, x long, y long")
+    (r,) = knox_pairs(df, delta=10, tau_us=1_000_000).collect()
+    assert (r.n_space_pairs, r.n_time_pairs, r.n_both_pairs) == (0, 0, 0)
+    assert r.knox_u is None
+    with _pt.raises(ValueError):
+        knox_pairs(df, delta=0, tau_us=1)
+    with _pt.raises(ValueError):
+        knox_pairs(df, delta=1, tau_us=0)
