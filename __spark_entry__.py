@@ -1902,6 +1902,66 @@ def _q_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(vals, edges, id_col="id", value_col="x")
 
 
+def _q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISA local Moran's I per region (operators/zonal.local_morans)
+    of region-box area under bbox adjacency: exact-BIGINT spatial lag
+    and numerator, integer quadrant labels, one double scale."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import local_morans
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return local_morans(vals, edges, id_col="id", value_col="x")
+
+
+def _lisa_sql() -> str:
+    return f"""
+      WITH b AS ({_BOXES}),
+      v AS (SELECT region_id AS id,
+                   CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                     // 100000 AS x
+            FROM b),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                    CAST(SUM(x) AS BIGINT) AS s FROM v),
+      z AS (SELECT id, x - (SELECT s // nn FROM st) AS z FROM v),
+      e AS (
+        SELECT a.region_id AS a, c.region_id AS bb
+        FROM ({_BOXES}) a JOIN ({_BOXES}) c
+          ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+               OR a.maxx < c.minx OR a.maxy < c.miny)
+        WHERE a.region_id <> c.region_id
+      ),
+      lag AS (
+        SELECT e.a AS id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(zj.z) AS BIGINT) AS zlag
+        FROM e JOIN z zj ON e.bb = zj.id
+        GROUP BY 1
+      ),
+      dn AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den,
+                    (SELECT nn FROM st) AS nn FROM z)
+      SELECT CAST(lag.id AS BIGINT) AS id, lag.n_neighbors, lag.zlag,
+             CAST(z.z * lag.zlag AS BIGINT) AS num,
+             CASE WHEN z.z >= 0 AND lag.zlag >= 0 THEN 'HH'
+                  WHEN z.z < 0 AND lag.zlag < 0 THEN 'LL'
+                  WHEN z.z >= 0 THEN 'HL' ELSE 'LH' END AS quad,
+             CASE WHEN dn.den > 0 THEN
+               CAST(ROUND(CAST(dn.nn * (z.z * lag.zlag) AS DOUBLE)
+                          / CAST(dn.den AS DOUBLE) * 1000000.0)
+                 AS BIGINT) ELSE NULL END AS i_micro
+      FROM lag JOIN z ON z.id = lag.id CROSS JOIN dn
+    """
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3053,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_raster": _q_line_raster,
         "contours": _q_contours,
         "knox": _q_knox,
+        "lisa": _q_lisa,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3782,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "line_raster": _line_raster_sql(),
         "contours": _contours_sql(),
         "knox": _knox_sql(),
+        "lisa": _lisa_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -456,3 +456,52 @@ def knox_pairs(events: DataFrame, *, delta: int, tau_us: int,
         "n_events", "n_space_pairs", "n_time_pairs", "n_both_pairs",
         F.when(ok, F.round(F.lit(1_000_000.0) * knox).cast("long"))
          .alias("knox_u"))
+
+
+def local_morans(values: DataFrame, edges: DataFrame, *,
+                 id_col: str = "id", value_col: str = "x",
+                 src: str = "a", dst: str = "b") -> DataFrame:
+    """LISA — local Moran's I per unit (Anselin 1995), the hotspot/
+    coldspot decomposition of :func:`morans_i`:
+    ``I_i = n · z_i · Σ_j w_ij z_j / Σ z²`` under binary adjacency,
+    plus the Moran-scatter quadrant label (HH hotspot, LL coldspot,
+    HL/LH outliers). Returns one row per unit WITH neighbors:
+    ``(id, n_neighbors, zlag, num, quad, i_micro)``.
+
+    Same integer-centering recipe as the global statistic: z_i uses
+    the exact floor mean, so the spatial lag ``Σ_j z_j``, the
+    numerator ``z_i · lag`` and the denominator Σz² are exact BIGINTs
+    (order-independent sums); the quadrant label is two integer sign
+    tests; only the final scale ``n·num/den`` is ONE double
+    expression, micro-rounded.
+
+    Plan: edges join the centered values on the neighbor endpoint,
+    aggregate per unit (map-side partials), then join z_i back and
+    broadcast the 1-row denominator — nothing quadratic.
+    """
+    vals = values.select(F.col(id_col).alias("_id"),
+                         F.col(value_col).cast("long").alias("_x"))
+    stat = vals.agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum("_x").alias("_s"))
+    z = (vals.crossJoin(F.broadcast(stat))
+         .select("_id", (F.col("_x") - F.expr("_s DIV _n")).alias("_z")))
+    den_n = z.agg(F.sum(F.col("_z") * F.col("_z")).alias("_den"),
+                  F.count(F.lit(1)).alias("_nn"))
+    zj = z.select(F.col("_id").alias(dst), F.col("_z").alias("_zj"))
+    lag = (edges.select(F.col(src), F.col(dst)).join(zj, dst)
+           .groupBy(src)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+                F.sum("_zj").cast("long").alias("zlag")))
+    zi = z.select(F.col("_id").alias(src), F.col("_z").alias("_zi"))
+    out = (lag.join(zi, src).crossJoin(F.broadcast(den_n)))
+    num = (F.col("_zi") * F.col("zlag")).cast("long")
+    quad = (F.when((F.col("_zi") >= 0) & (F.col("zlag") >= 0), "HH")
+            .when((F.col("_zi") < 0) & (F.col("zlag") < 0), "LL")
+            .when((F.col("_zi") >= 0), "HL").otherwise("LH"))
+    i_u = F.when(F.col("_den") > 0,
+                 F.round((F.col("_nn") * num).cast("double")
+                         / F.col("_den").cast("double")
+                         * 1000000.0).cast("long"))
+    return out.select(F.col(src).alias(id_col), "n_neighbors", "zlag",
+                      num.alias("num"), quad.alias("quad"),
+                      i_u.alias("i_micro"))

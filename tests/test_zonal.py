@@ -341,3 +341,40 @@ def test_knox_degenerate_and_validates(spark):
         knox_pairs(df, delta=0, tau_us=1)
     with _pt.raises(ValueError):
         knox_pairs(df, delta=1, tau_us=0)
+
+
+def test_local_morans_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.zonal import local_morans
+    random.seed(37)
+    n = 25
+    vals = [(i, random.randrange(100)) for i in range(n)]
+    edges = []
+    for i in range(n):       # ring + a few chords, both directions
+        edges += [(i, (i + 1) % n), ((i + 1) % n, i)]
+    edges += [(0, 12), (12, 0), (3, 17), (17, 3)]
+    vdf = spark.createDataFrame(vals, "id long, x long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: (r.n_neighbors, r.zlag, r.num, r.quad, r.i_micro)
+           for r in local_morans(vdf, edf).collect()}
+
+    s = sum(x for _, x in vals)
+    mean = s // n
+    z = {i: x - mean for i, x in vals}
+    den = sum(v * v for v in z.values())
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+    want = {}
+    for i, ns in nbrs.items():
+        lag = sum(z[j] for j in ns)
+        num = z[i] * lag
+        quad = ("HH" if z[i] >= 0 and lag >= 0 else
+                "LL" if z[i] < 0 and lag < 0 else
+                "HL" if z[i] >= 0 else "LH")
+        want[i] = (len(ns), lag, num, quad, round(n * num / den * 1e6))
+    assert got == want
+    # local Morans sum to the global numerator scaled: sum(num) == global num
+    from cdap_geo_spark.operators.zonal import morans_i
+    (g,) = morans_i(vdf, edf).collect()
+    assert sum(v[2] for v in got.values()) == g.num
