@@ -87,3 +87,13 @@ def test_hilbert_locality_beats_morton():
                 for d in range(1, n * n)) / (n * n - 1)
     assert mdist > 1.5  # Morton's seam jumps
     # Hilbert == 1.0 exactly is already pinned by unit-steps above
+
+
+def test_hilbert_index_plan_is_exchange_free(spark):
+    """The whole bit walk must stay map-side: zero Exchange nodes in
+    the physical plan (the 100 TB contract for a write-layout key)."""
+    from cdap_geo_spark.operators.bucketed import plan_has_no_exchange
+    df = spark.range(1000).selectExpr("id", "id % 32 AS x",
+                                      "(id * 7) % 32 AS y")
+    out = hilbert_index(df, order=5)
+    assert plan_has_no_exchange(out)

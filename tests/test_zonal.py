@@ -378,3 +378,21 @@ def test_local_morans_brute_force(spark):
     from cdap_geo_spark.operators.zonal import morans_i
     (g,) = morans_i(vdf, edf).collect()
     assert sum(v[2] for v in got.values()) == g.num
+
+
+def test_knox_plan_has_no_nested_loop(spark):
+    """Both knox DATA joins must plan as equi-joins (cell key, bin
+    key) — a CartesianProduct would be the all-pairs plan the operator
+    exists to avoid. (The final 1-row stat combines are broadcast
+    nested loops over single-row aggregates — bounded by design.)"""
+    import datetime as dtm
+    from cdap_geo_spark.operators.zonal import knox_pairs
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = [(i, t0 + dtm.timedelta(seconds=i * 7), (i * 13) % 500,
+             (i * 29) % 500) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, x long, y long")
+    plan = knox_pairs(df, delta=20, tau_us=60_000_000) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
