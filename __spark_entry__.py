@@ -1962,6 +1962,72 @@ def _lisa_sql() -> str:
     """
 
 
+def _q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit detection (operators/zonal.
+    geofence_transitions): per-event fence sets from a cell equi-join
+    collapse to sorted arrays; ONE user-keyed window LAGs the array;
+    enters/exits are array_except both ways — never events x fences."""
+    from cdap_geo_spark.operators.zonal import geofence_transitions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    fences = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("fence_id"),
+        ((F.col("n_nationkey") * 40503 + 101) % 600000).alias("minx"),
+        ((F.col("n_nationkey") * 69301 + 257) % 1150000).alias("miny"))
+    fences = fences.select(
+        "fence_id", "minx", "miny",
+        (F.col("minx") + (F.col("fence_id") * 97 + 13) % 100001
+         + 50000).alias("maxx"),
+        (F.col("miny") + (F.col("fence_id") * 89 + 37) % 100001
+         + 50000).alias("maxy"))
+    return geofence_transitions(ev, fences, cell=100_000)
+
+
+def _geofence_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT user_id AS u, event_id AS e, epoch_us(ts) AS t,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events WHERE ts IS NOT NULL
+      ),
+      f0 AS (
+        SELECT n_nationkey AS fence_id,
+               (n_nationkey*40503 + 101) % 600000  AS minx,
+               (n_nationkey*69301 + 257) % 1150000 AS miny
+        FROM nation
+      ),
+      f AS (
+        SELECT fence_id, minx, miny,
+               minx + (fence_id*97 + 13) % 100001 + 50000 AS maxx,
+               miny + (fence_id*89 + 37) % 100001 + 50000 AS maxy
+        FROM f0
+      ),
+      fl AS (
+        SELECT b.u, b.e, b.t, f.fence_id,
+               CASE WHEN b.x >= f.minx AND b.x <= f.maxx
+                     AND b.y >= f.miny AND b.y <= f.maxy
+                    THEN 1 ELSE 0 END AS ins
+        FROM b CROSS JOIN f
+      ),
+      lg AS (
+        SELECT u, e, fence_id, ins,
+               COALESCE(LAG(ins) OVER (PARTITION BY u, fence_id
+                                       ORDER BY t, e), 0) AS pins
+        FROM fl
+      )
+      SELECT u AS user_id, CAST(e AS BIGINT) AS event_id,
+             CAST(fence_id AS BIGINT) AS fence_id,
+             'enter' AS kind
+      FROM lg WHERE ins = 1 AND pins = 0
+      UNION ALL
+      SELECT u, CAST(e AS BIGINT), CAST(fence_id AS BIGINT), 'exit'
+      FROM lg WHERE ins = 0 AND pins = 1
+    """
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3114,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": _q_contours,
         "knox": _q_knox,
         "lisa": _q_lisa,
+        "geofence": _q_geofence,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3844,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "contours": _contours_sql(),
         "knox": _knox_sql(),
         "lisa": _lisa_sql(),
+        "geofence": _geofence_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -505,3 +505,83 @@ def local_morans(values: DataFrame, edges: DataFrame, *,
     return out.select(F.col(src).alias(id_col), "n_neighbors", "zlag",
                       num.alias("num"), quad.alias("quad"),
                       i_u.alias("i_micro"))
+
+
+def geofence_transitions(events: DataFrame, fences: DataFrame, *,
+                         cell: int = 100_000,
+                         user_col: str = "user_id",
+                         id_col: str = "event_id", ts_col: str = "ts",
+                         x_col: str = "x", y_col: str = "y",
+                         fence_id: str = "fence_id") -> DataFrame:
+    """Geofence enter/exit detection — the mobility-alerting primitive:
+    for every user's event-time sequence, emit one row per fence
+    boundary crossing: ``(user_id, event_id, fence_id, kind)`` with
+    kind ``enter`` (not inside at the previous event — or no previous
+    event — and inside now) / ``exit`` (inside before, not now).
+    Fences are closed boxes; containment is exact integer comparison.
+
+    The scale trick: transitions need, per event, the SET of fences
+    containing it — NOT an events × fences relation. Containment hits
+    come from a cell equi-join (fences replicate to covering cells,
+    events stay in their home cell), collapse to one sorted
+    fence-array per event, and ONE user-keyed window LAGs the array;
+    enters/exits are ``array_except`` both ways, exploded. Events in
+    no fence still ride the sequence (empty array) — they are what
+    makes an exit observable.
+
+    Exchanges: the cell join, the per-event array agg, and the
+    user-keyed window — all bounded by hits + events, never
+    |events|×|fences|.
+    """
+    if cell < 1:
+        raise ValueError("geofence_transitions: cell must be >= 1")
+    from pyspark.sql import Window
+    base = (events
+            .where(F.col(ts_col).isNotNull() & F.col(x_col).isNotNull()
+                   & F.col(y_col).isNotNull())
+            .select(F.col(user_col).alias("_u"),
+                    F.col(id_col).cast("long").alias("_e"),
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    .alias("_t"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y")))
+    fc = fences.select(
+        F.col(fence_id).cast("long").alias("_f"),
+        F.col("minx").cast("long").alias("minx"),
+        F.col("miny").cast("long").alias("miny"),
+        F.col("maxx").cast("long").alias("maxx"),
+        F.col("maxy").cast("long").alias("maxy"))
+    fcells = (fc.withColumn("cx", F.explode(F.sequence(
+                F.expr(f"minx DIV {cell}"), F.expr(f"maxx DIV {cell}"))))
+              .withColumn("cy", F.explode(F.sequence(
+                F.expr(f"miny DIV {cell}"), F.expr(f"maxy DIV {cell}")))))
+    ecells = base.select("_u", "_e", "_x", "_y",
+                         F.expr(f"_x DIV {cell}").alias("cx"),
+                         F.expr(f"_y DIV {cell}").alias("cy"))
+    hits = (ecells.join(fcells, ["cx", "cy"])
+            .where((F.col("_x") >= F.col("minx"))
+                   & (F.col("_x") <= F.col("maxx"))
+                   & (F.col("_y") >= F.col("miny"))
+                   & (F.col("_y") <= F.col("maxy")))
+            .groupBy("_u", "_e")
+            .agg(F.sort_array(F.collect_set("_f")).alias("_ff")))
+    seq = (base.join(hits, ["_u", "_e"], "left")
+           .select("_u", "_e", "_t",
+                   F.coalesce(F.col("_ff"),
+                              F.array().cast("array<long>")).alias("_ff")))
+    w = Window.partitionBy("_u").orderBy("_t", "_e")
+    seq = seq.withColumn(
+        "_prev", F.coalesce(F.lag("_ff", 1).over(w),
+                            F.array().cast("array<long>")))
+    enters = (seq.select("_u", "_e",
+                         F.explode(F.array_except("_ff", "_prev"))
+                         .alias("_f"))
+              .withColumn("kind", F.lit("enter")))
+    exits = (seq.select("_u", "_e",
+                        F.explode(F.array_except("_prev", "_ff"))
+                        .alias("_f"))
+             .withColumn("kind", F.lit("exit")))
+    return (enters.unionByName(exits)
+            .select(F.col("_u").alias(user_col),
+                    F.col("_e").alias(id_col),
+                    F.col("_f").alias(fence_id), "kind"))

@@ -396,3 +396,64 @@ def test_knox_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_geofence_transitions_brute_force(spark):
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.zonal import geofence_transitions
+    random.seed(43)
+    t0 = dtm.datetime(2026, 1, 1, tzinfo=dtm.timezone.utc)
+    fences = [(j, x0, y0, x0 + 40, y0 + 40)
+              for j, (x0, y0) in enumerate(
+                  (random.randrange(100), random.randrange(100))
+                  for _ in range(6))]
+    ev = []
+    for u in range(8):
+        for i in range(40):
+            ev.append((u, u * 1000 + i,
+                       t0 + dtm.timedelta(seconds=i * 10),
+                       random.randrange(140), random.randrange(140)))
+    edf = spark.createDataFrame(
+        ev, "user_id long, event_id long, ts timestamp, x long, y long")
+    fdf = spark.createDataFrame(
+        fences, "fence_id long, minx long, miny long, maxx long, maxy long")
+    got = {(r.user_id, r.event_id, r.fence_id, r.kind)
+           for r in geofence_transitions(edf, fdf, cell=50).collect()}
+
+    want = set()
+    for u in range(8):
+        seq = sorted((e for e in ev if e[0] == u),
+                     key=lambda e: (e[2], e[1]))
+        prev = set()
+        for _, eid, _, x, y in seq:
+            cur = {j for j, x0, y0, x1, y1 in fences
+                   if x0 <= x <= x1 and y0 <= y <= y1}
+            for j in cur - prev:
+                want.add((u, eid, j, "enter"))
+            for j in prev - cur:
+                want.add((u, eid, j, "exit"))
+            prev = cur
+    assert want and got == want
+    assert any(k == "exit" for _, _, _, k in got)
+
+
+def test_geofence_boundary_and_first_event(spark):
+    import datetime as dtm
+    from cdap_geo_spark.operators.zonal import geofence_transitions
+    t0 = dtm.datetime(2026, 1, 1)
+    # boundary point is inside (closed box); first event inside = enter
+    ev = [(1, 1, t0, 10, 10),                              # on corner
+          (1, 2, t0 + dtm.timedelta(seconds=1), 50, 50),   # inside
+          (1, 3, t0 + dtm.timedelta(seconds=2), 99, 10)]   # outside
+    fdf = spark.createDataFrame([(7, 10, 10, 60, 60)],
+                                "fence_id long, minx long, miny long, "
+                                "maxx long, maxy long")
+    edf = spark.createDataFrame(
+        ev, "user_id long, event_id long, ts timestamp, x long, y long")
+    got = {(r.event_id, r.kind) for r in
+           geofence_transitions(edf, fdf, cell=64).collect()}
+    assert got == {(1, "enter"), (3, "exit")}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        geofence_transitions(edf, fdf, cell=0)
