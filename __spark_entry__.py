@@ -2028,6 +2028,27 @@ def _geofence_sql() -> str:
     """
 
 
+def _q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling (operators/tiles.adaptive_tiles) of
+    the doc points: split until <=500 points per tile (or level 9);
+    one point-volume exchange, then occupied-tile-sized rollups."""
+    from cdap_geo_spark.operators.tiles import adaptive_tiles
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return adaptive_tiles(pts, max_per_tile=500)
+
+
+def _adaptive_tiles_sql() -> str:
+    from cdap_geo_spark.operators.tiles import adaptive_tiles_oracle_sql
+    pts = """
+      SELECT (doc_id*48271 + 17) % 700000  AS x,
+             (doc_id*69621 + 29) % 1300000 AS y
+      FROM documents
+    """
+    return adaptive_tiles_oracle_sql(pts, max_per_tile=500)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3181,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox": _q_knox,
         "lisa": _q_lisa,
         "geofence": _q_geofence,
+        "adaptive_tiles": _q_adaptive_tiles,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3912,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "knox": _knox_sql(),
         "lisa": _lisa_sql(),
         "geofence": _geofence_sql(),
+        "adaptive_tiles": _adaptive_tiles_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -319,3 +319,122 @@ def tile_pyramid(assigned: DataFrame, *, resolutions, factor: int,
         rx, ry = rx * factor, ry * factor
         cur = up
     return out
+
+
+def adaptive_tiles(points: DataFrame, *, max_per_tile: int,
+                   min_level: int = 5, max_level: int = 9,
+                   world_bits: int = 21,
+                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Adaptive quadtree tiling: recursively split tiles until no tile
+    holds more than ``max_per_tile`` points (or ``max_level`` is
+    reached) — the BALANCED write/partition layout a fixed grid cannot
+    give over skewed data (dense cities split fine, empty ocean stays
+    one coarse tile). Returns the leaf tiles ``(level, tx, ty, n)``.
+
+    Leaf rule (deterministic, schedule-independent): a point's leaf is
+    the SHALLOWEST level in ``[min_level, max_level]`` whose ancestor
+    tile count is ≤ ``max_per_tile``, else its ``max_level`` tile. All
+    siblings under a qualifying ancestor pick that same ancestor, so
+    leaves partition the point set exactly (pytest-pinned: Σn
+    conserved, tiles are disjoint by construction, every leaf above
+    ``max_level`` respects the bound).
+
+    Tile addressing is pure bit arithmetic on a ``2^world_bits`` grid:
+    ``tx = x >> (world_bits - level)`` — the quadtree the int64 cell
+    scheme (``core/cells.py``) addresses by Morton id, kept here as
+    (level, tx, ty) for the oracle twin.
+
+    Plan: ONE finest-level count aggregation (the only exchange that
+    sees point volume), then the per-level ancestor counts roll up
+    from the finest relation (occupied-cell-sized groupBys, the
+    tile_pyramid discipline) and join back on ancestor ids — all
+    relations bounded by occupied tiles, never by points.
+    """
+    if not (0 < min_level <= max_level <= world_bits):
+        raise ValueError("adaptive_tiles: need 0 < min_level <= "
+                         "max_level <= world_bits")
+    if max_per_tile < 1:
+        raise ValueError("adaptive_tiles: max_per_tile must be >= 1")
+    shift = world_bits - max_level
+    fin = (points
+           .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+           .select(F.shiftrightunsigned(F.col(x_col).cast("long"), shift)
+                   .alias("tx"),
+                   F.shiftrightunsigned(F.col(y_col).cast("long"), shift)
+                   .alias("ty"))
+           .groupBy("tx", "ty")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    cur = fin
+    for lvl in range(min_level, max_level):
+        d = max_level - lvl
+        anc = (fin.groupBy(
+                F.shiftrightunsigned(F.col("tx"), d).alias("atx"),
+                F.shiftrightunsigned(F.col("ty"), d).alias("aty"))
+               .agg(F.sum("n").cast("long").alias(f"_n{lvl}")))
+        cur = (cur.join(anc,
+                        (F.shiftrightunsigned(F.col("tx"), d)
+                         == F.col("atx"))
+                        & (F.shiftrightunsigned(F.col("ty"), d)
+                           == F.col("aty")))
+               .drop("atx", "aty"))
+    leaf = None
+    for lvl in range(min_level, max_level):
+        cond = F.col(f"_n{lvl}") <= max_per_tile
+        leaf = F.when(cond, lvl) if leaf is None else leaf.when(cond, lvl)
+    leaf = (leaf.otherwise(max_level) if leaf is not None
+            else F.lit(max_level))
+    assigned = (cur.withColumn("level", leaf.cast("long"))
+                .select("level",
+                        F.expr(f"shiftrightunsigned(tx, {max_level} "
+                               "- CAST(level AS INT))").alias("ltx"),
+                        F.expr(f"shiftrightunsigned(ty, {max_level} "
+                               "- CAST(level AS INT))").alias("lty"),
+                        "n"))
+    return (assigned.groupBy("level", F.col("ltx").alias("tx"),
+                             F.col("lty").alias("ty"))
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
+def adaptive_tiles_oracle_sql(points_sql: str, *, max_per_tile: int,
+                              min_level: int = 5, max_level: int = 9,
+                              world_bits: int = 21) -> str:
+    """ANSI/DuckDB twin of :func:`adaptive_tiles` — identical shifts,
+    identical leaf rule. ``points_sql`` must yield (x, y) BIGINTs."""
+    shift = world_bits - max_level
+    anc_ctes, joins, sel = [], [], []
+    for lvl in range(min_level, max_level):
+        d = max_level - lvl
+        anc_ctes.append(
+            f"a{lvl} AS (SELECT tx >> {d} AS atx, ty >> {d} AS aty,"
+            f" CAST(SUM(n) AS BIGINT) AS n{lvl}"
+            f" FROM fin GROUP BY 1, 2)")
+        joins.append(
+            f"JOIN a{lvl} ON fin.tx >> {d} = a{lvl}.atx"
+            f" AND fin.ty >> {d} = a{lvl}.aty")
+        sel.append(f"n{lvl}")
+    case = " ".join(
+        f"WHEN n{lvl} <= {max_per_tile} THEN {lvl}"
+        for lvl in range(min_level, max_level))
+    return f"""
+      WITH p AS ({points_sql}),
+      fin AS (
+        SELECT x >> {shift} AS tx, y >> {shift} AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      {", ".join(anc_ctes)},
+      chain AS (
+        SELECT fin.tx, fin.ty, fin.n, {", ".join(sel)}
+        FROM fin {" ".join(joins)}
+      ),
+      leafed AS (
+        SELECT CASE {case} ELSE {max_level} END AS level, tx, ty, n
+        FROM chain
+      )
+      SELECT CAST(level AS BIGINT) AS level,
+             CAST(tx >> ({max_level} - level) AS BIGINT) AS tx,
+             CAST(ty >> ({max_level} - level) AS BIGINT) AS ty,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM leafed GROUP BY 1, 2, 3
+    """

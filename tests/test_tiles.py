@@ -210,3 +210,62 @@ def test_tile_pyramid_validates_levels(spark):
     df = spark.createDataFrame([(1, "0-0")], "row_id long, tile_id string")
     with pytest.raises(ValueError):
         tile_pyramid(df, resolutions=(10, 10), factor=2, levels=0)
+
+
+def test_adaptive_tiles_brute_force_and_invariants(spark):
+    import random
+    from cdap_geo_spark.operators.tiles import adaptive_tiles
+    random.seed(47)
+    # skewed cloud: hot blob + sparse background
+    pts = [(random.randrange(5000), random.randrange(5000))
+           for _ in range(900)]
+    pts += [(random.randrange(1 << 21), random.randrange(1 << 21))
+            for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    k, lo, hi, wb = 100, 5, 9, 21
+    got = {(r.level, r.tx, r.ty): r.n
+           for r in adaptive_tiles(df, max_per_tile=k, min_level=lo,
+                                   max_level=hi,
+                                   world_bits=wb).collect()}
+
+    from collections import Counter
+    fin = Counter(((x >> (wb - hi), y >> (wb - hi)) for x, y in pts))
+    anc = {lvl: Counter() for lvl in range(lo, hi)}
+    for (tx, ty), n in fin.items():
+        for lvl in range(lo, hi):
+            d = hi - lvl
+            anc[lvl][(tx >> d, ty >> d)] += n
+    want = Counter()
+    for (tx, ty), n in fin.items():
+        leaf = hi
+        for lvl in range(lo, hi):
+            d = hi - lvl
+            if anc[lvl][(tx >> d, ty >> d)] <= k:
+                leaf = lvl
+                break
+        d = hi - leaf
+        want[(leaf, tx >> d, ty >> d)] += n
+    assert got == dict(want)
+    # invariants: conservation; bound respected above max_level;
+    # the skew actually forced deep splits AND kept coarse tiles
+    assert sum(got.values()) == len(pts)
+    assert all(n <= k for (lvl, _, _), n in got.items() if lvl < hi)
+    assert any(lvl == hi for lvl, _, _ in got)   # hot blob hit the floor
+    assert any(lvl == lo for lvl, _, _ in got)   # sparse areas stayed coarse
+    # disjointness: no leaf is an ancestor of another leaf
+    leaves = list(got)
+    anc_set = set()
+    for lvl, tx, ty in leaves:
+        for up in range(lo, lvl):
+            anc_set.add((up, tx >> (lvl - up), ty >> (lvl - up)))
+    assert not (set(leaves) & anc_set)
+
+
+def test_adaptive_tiles_validates(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.tiles import adaptive_tiles
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with _pt.raises(ValueError):
+        adaptive_tiles(df, max_per_tile=0)
+    with _pt.raises(ValueError):
+        adaptive_tiles(df, max_per_tile=5, min_level=10, max_level=9)
