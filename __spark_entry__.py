@@ -2049,6 +2049,74 @@ def _adaptive_tiles_sql() -> str:
     return adaptive_tiles_oracle_sql(pts, max_per_tile=500)
 
 
+def _ipf_od(spark, sf_dir: str, parity: int):
+    """OD relation with 1D cell ids for the IPF query: even-day trips
+    are the matrix, odd-day margins are the targets."""
+    from cdap_geo_spark.operators.timeseries import od_matrix
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y")) \
+        .where(F.dayofmonth("ts") % 2 == parity)
+    od = od_matrix(ev, cell=100_000)
+    return od.select(
+        (F.col("o_cx") * 16 + F.col("o_cy")).alias("o"),
+        (F.col("d_cx") * 16 + F.col("d_cy")).alias("d"),
+        F.col("n_keys").alias("n"))
+
+
+def _q_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF matrix raking (operators/timeseries.ipf_balance): balance
+    the even-day OD matrix to the odd-day margins — per-pass BIGINT
+    re-quantization keeps every margin sum exact (no float-order
+    dependence); 2 unrolled row+column sweeps."""
+    from cdap_geo_spark.operators.timeseries import ipf_balance
+    od_a = _ipf_od(spark, sf_dir, 0)
+    od_b = _ipf_od(spark, sf_dir, 1)
+    rows = od_b.groupBy("o").agg(F.sum("n").cast("long").alias("t"))
+    cols = od_b.groupBy("d").agg(F.sum("n").cast("long").alias("t"))
+    return ipf_balance(od_a, rows, cols, iters=2)
+
+
+def _ipf_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import ipf_oracle_sql
+
+    def od(parity: int) -> str:
+        return f"""
+          SELECT (ox // 100000) * 16 + oy // 100000 AS o,
+                 (dx // 100000) * 16 + dy // 100000 AS d,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN rf = 1 THEN x END) AS ox,
+                   MAX(CASE WHEN rf = 1 THEN y END) AS oy,
+                   MAX(CASE WHEN rl = 1 THEN x END) AS dx,
+                   MAX(CASE WHEN rl = 1 THEN y END) AS dy
+            FROM (
+              SELECT user_id, x, y,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC,
+                                                 event_id DESC) AS rl
+              FROM (
+                SELECT user_id, ts, event_id,
+                       CAST((event_id*48271 + 17) % 700000 AS BIGINT)
+                         AS x,
+                       CAST((event_id*69621 + 29) % 1300000 AS BIGINT)
+                         AS y
+                FROM events
+                WHERE ts IS NOT NULL AND day(ts) % 2 = {parity}
+              )
+            ) GROUP BY user_id
+          ) GROUP BY 1, 2
+        """
+
+    rows = f"SELECT o, CAST(SUM(n) AS BIGINT) AS t FROM ({od(1)}) GROUP BY 1"
+    cols = f"SELECT d, CAST(SUM(n) AS BIGINT) AS t FROM ({od(1)}) GROUP BY 1"
+    return ipf_oracle_sql(od(0), rows, cols, iters=2)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3203,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa": _q_lisa,
         "geofence": _q_geofence,
         "adaptive_tiles": _q_adaptive_tiles,
+        "ipf": _q_ipf,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -3935,6 +4004,7 @@ def oracle_sql() -> dict[str, str]:
         "lisa": _lisa_sql(),
         "geofence": _geofence_sql(),
         "adaptive_tiles": _adaptive_tiles_sql(),
+        "ipf": _ipf_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -1633,3 +1633,85 @@ def ab_test(events: DataFrame, *, id_col: str = "user_id",
         "n_a", "conv_a", "n_b", "conv_b",
         F.when(z_ok, F.round(F.lit(1_000_000.0) * z).cast("long"))
          .alias("z_u"))
+
+
+def ipf_balance(od: DataFrame, row_targets: DataFrame,
+                col_targets: DataFrame, *, o_col: str = "o",
+                d_col: str = "d", n_col: str = "n",
+                iters: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """Iterative proportional fitting (matrix raking / RAS): scale an
+    OD matrix so its row and column sums match target margins — the
+    survey-reweighting / seasonal-adjustment step every OD pipeline
+    runs. ``iters`` full (row-pass + column-pass) sweeps, unrolled.
+    Returns ``(o, d, m_u)`` with the balanced mass in micro-units.
+
+    Determinism (the float-sum trap and its fix): classic IPF keeps
+    fractional masses whose SUMS are float-order-dependent — not
+    cross-engine hashable. Here every pass re-quantizes to BIGINT
+    micro-units, so margin sums are EXACT integer aggregations and
+    the only floats are each pass's per-cell
+    ``round(m · (target·1e6 / rowsum))`` — one fixed-shape expression,
+    identical in any IEEE engine. Quantization error per pass is
+    ≤ 0.5 micro-unit per cell (documented bias, irrelevant at 1e-6).
+
+    Margin semantics: a key missing from the target relation (or with
+    target 0) zeroes its row/column; a zeroed row's later factor is
+    pinned to 0 (never 0·∞ = NaN).
+
+    Plan: per pass, one margin groupBy (map-side partials, bounded by
+    distinct keys) + one AQE-sized join back — 2·iters keyed
+    exchanges over the OD relation, never anything larger.
+    """
+    if iters < 1:
+        raise ValueError("ipf_balance: iters must be >= 1")
+    if scale < 1:
+        raise ValueError("ipf_balance: scale must be >= 1")
+    m = od.select(F.col(o_col).alias("o"), F.col(d_col).alias("d"),
+                  (F.col(n_col).cast("long") * scale).alias("m_u"))
+    rt = row_targets.select(F.col(o_col).alias("o"),
+                            F.col("t").cast("long").alias("_rt"))
+    ct = col_targets.select(F.col(d_col).alias("d"),
+                            F.col("t").cast("long").alias("_ct"))
+
+    def _pass(m, key, tgt, tcol):
+        s = m.groupBy(key).agg(F.sum("m_u").alias("_s"))
+        factor = (F.coalesce(F.col(tcol), F.lit(0)).cast("double")
+                  * float(scale)) / F.col("_s").cast("double")
+        new_m = F.when(F.col("_s") > 0,
+                       F.round(F.col("m_u").cast("double") * factor)
+                       .cast("long")).otherwise(F.lit(0))
+        return (m.join(s, key).join(tgt, key, "left")
+                .select("o", "d", new_m.alias("m_u")))
+
+    for _ in range(iters):
+        m = _pass(m, "o", rt, "_rt")
+        m = _pass(m, "d", ct, "_ct")
+    return m.select("o", "d", F.col("m_u").cast("long").alias("m_u"))
+
+
+def ipf_oracle_sql(od_sql: str, row_sql: str, col_sql: str, *,
+                   iters: int = 2, scale: int = 1_000_000) -> str:
+    """ANSI/DuckDB twin of :func:`ipf_balance` — identical unrolled
+    passes, identical expression shape. ``od_sql`` yields (o, d, n);
+    the target SQLs yield (o, t) / (d, t)."""
+    ctes = [f"m0 AS (SELECT o, d, CAST(n AS BIGINT) * {scale} AS m_u "
+            f"FROM ({od_sql}))",
+            f"rt AS (SELECT o, CAST(t AS BIGINT) AS t FROM ({row_sql}))",
+            f"ct AS (SELECT d, CAST(t AS BIGINT) AS t FROM ({col_sql}))"]
+    i = 0
+    for _ in range(iters):
+        for key, tgt in (("o", "rt"), ("d", "ct")):
+            ctes.append(
+                f"s{i} AS (SELECT {key} AS k, CAST(SUM(m_u) AS BIGINT)"
+                f" AS s FROM m{i} GROUP BY 1)")
+            ctes.append(
+                f"m{i + 1} AS ("
+                f"SELECT m.o, m.d, CASE WHEN s.s > 0 THEN "
+                f"CAST(ROUND(CAST(m.m_u AS DOUBLE) * "
+                f"((CAST(COALESCE(t.t, 0) AS DOUBLE) * {scale}.0) "
+                f"/ CAST(s.s AS DOUBLE))) AS BIGINT) ELSE 0 END AS m_u "
+                f"FROM m{i} m JOIN s{i} s ON m.{key} = s.k "
+                f"LEFT JOIN {tgt} t ON m.{key} = t.{key})")
+            i += 1
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT o, d, CAST(m_u AS BIGINT) AS m_u FROM m{i}")

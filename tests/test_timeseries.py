@@ -1343,3 +1343,51 @@ def test_theil_sen_validates_and_skips_zero_dt(spark):
     assert r.n_pairs == 2  # (1,3) and (2,3); the tied pair is out
     with _pt.raises(ValueError):
         theil_sen(df, group="g", max_lag=0)
+
+
+def test_ipf_balance_brute_force_and_convergence(spark):
+    """ipf_balance == the python mirror pass-for-pass, and after the
+    sweeps each non-zeroed row margin is within quantization error of
+    its target."""
+    import random
+    from cdap_geo_spark.operators.timeseries import ipf_balance
+    random.seed(53)
+    cells = {}
+    for _ in range(40):
+        cells[(random.randrange(6), random.randrange(6))] = \
+            random.randrange(1, 50)
+    od = [(o, d, n) for (o, d), n in cells.items()]
+    rowt = [(o, random.randrange(10, 300)) for o in range(6)]
+    colt = [(d, random.randrange(10, 300)) for d in range(5)]  # 5 absent
+    odf = spark.createDataFrame(od, "o long, d long, n long")
+    rdf = spark.createDataFrame(rowt, "o long, t long")
+    cdf = spark.createDataFrame(colt, "d long, t long")
+    iters, scale = 2, 1_000_000
+    got = {(r.o, r.d): r.m_u
+           for r in ipf_balance(odf, rdf, cdf, iters=iters).collect()}
+
+    m = {(o, d): n * scale for o, d, n in od}
+    rt, ct = dict(rowt), dict(colt)
+    for _ in range(iters):
+        for keyed, tgt, axis in ((rt, rt, 0), (ct, ct, 1)):
+            sums = {}
+            for (o, d), v in m.items():
+                k = (o, d)[axis]
+                sums[k] = sums.get(k, 0) + v
+            m = {(o, d): (round(v * ((tgt.get((o, d)[axis], 0) * 1.0
+                                      * scale) / sums[(o, d)[axis]]))
+                          if sums[(o, d)[axis]] > 0 else 0)
+                 for (o, d), v in m.items()}
+    assert got == m
+    # column 5 had no target -> its cells zeroed
+    assert all(v == 0 for (o, d), v in got.items() if d == 5)
+    # the LAST pass's margins (columns) match targets near-exactly
+    colsum = {}
+    for (o, d), v in got.items():
+        colsum[d] = colsum.get(d, 0) + v
+    for d, s in colsum.items():
+        if s > 0:
+            assert abs(s - ct[d] * scale) <= len(colsum) * iters
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ipf_balance(odf, rdf, cdf, iters=0)
