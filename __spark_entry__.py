@@ -2117,6 +2117,30 @@ def _ipf_sql() -> str:
     return ipf_oracle_sql(od(0), rows, cols, iters=2)
 
 
+def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker trajectory simplification (operators/
+    timeseries.line_simplify) at 3 rounds / tol=300 over quantized
+    user walks: exact integer cross² argmax per interval, one grouped
+    argmax + one join per round."""
+    from cdap_geo_spark.operators.timeseries import line_simplify
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 48271 + 17) % 8192).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 8192).alias("y"))
+    return line_simplify(ev, tol=300, rounds=3)
+
+
+def _simplify_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import line_simplify_oracle_sql
+    traj = """
+      SELECT user_id AS k, event_id AS id, ts,
+             (event_id*48271 + 17) % 8192 AS x,
+             (event_id*69621 + 29) % 8192 AS y
+      FROM events
+    """
+    return line_simplify_oracle_sql(traj, tol=300, rounds=3)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3272,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence": _q_geofence,
         "adaptive_tiles": _q_adaptive_tiles,
         "ipf": _q_ipf,
+        "simplify": _q_simplify,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -4005,6 +4030,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence": _geofence_sql(),
         "adaptive_tiles": _adaptive_tiles_sql(),
         "ipf": _ipf_sql(),
+        "simplify": _simplify_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

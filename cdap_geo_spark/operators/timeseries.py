@@ -1715,3 +1715,180 @@ def ipf_oracle_sql(od_sql: str, row_sql: str, col_sql: str, *,
             i += 1
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT o, d, CAST(m_u AS BIGINT) AS m_u FROM m{i}")
+
+
+def line_simplify(df: DataFrame, *, key: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  x_col: str = "x", y_col: str = "y",
+                  tol: int = 100, rounds: int = 3) -> DataFrame:
+    """Douglas–Peucker trajectory simplification, bounded-depth: keep
+    the endpoints, then for ``rounds`` sweeps split every interval at
+    its farthest-from-chord vertex when that distance exceeds ``tol``.
+    Returns the kept vertices ``(key, id)`` — at most ``2^rounds + 1``
+    per key, the classic polyline reduction under a budget (bounded
+    depth is the batch-friendly form: depth-first recursion does not
+    distribute; one more round doubles the budget).
+
+    Exactness: the farthest vertex maximizes ``cross² / len2`` where
+    the chord (hence len2) is constant per interval — so the argmax
+    compares ``cross²`` alone, an exact BIGINT, tie-broken to the
+    smallest sequence index; the split test ``cross² > tol²·len2`` is
+    exact integer too. Magnitude contract: ``|cross| ≤ 3e9`` (i.e.
+    coordinate extents ≲ 50k units) keeps ``cross²`` inside int64 —
+    the caller quantizes first (same contract family as
+    ``zonal.morans_i``). No floats anywhere.
+
+    Plan: per round, ONE grouped argmax over interior vertices
+    (max_by with map-side partials) + one AQE-sized join back on the
+    interval key; interval state rides each vertex row (lo, hi, chord
+    coords) so no per-key recursion or driver loop over keys exists.
+    """
+    if tol < 0:
+        raise ValueError("line_simplify: tol must be >= 0")
+    if not (1 <= rounds <= 10):
+        raise ValueError("line_simplify: rounds must be in [1, 10]")
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    v = (df.where(F.col(ts_col).isNotNull())
+         .select(F.col(key).alias("_k"), F.col(id_col).alias("_id"),
+                 F.col(ts_col).alias("_ts"),
+                 F.col(x_col).cast("long").alias("_x"),
+                 F.col(y_col).cast("long").alias("_y"))
+         .withColumn("_idx", F.row_number().over(
+             Window.partitionBy("_k").orderBy("_ts", "_id"))
+             .cast("long") - 1)
+         .drop("_ts"))
+    ends = v.groupBy("_k").agg(
+        F.max("_idx").alias("_last"),
+        F.min_by(F.struct("_x", "_y"), F.col("_idx")).alias("_a"),
+        F.max_by(F.struct("_x", "_y"), F.col("_idx")).alias("_b"))
+    state = (v.join(ends, "_k")
+             .select("_k", "_id", "_idx", "_x", "_y",
+                     F.lit(0).cast("long").alias("_lo"),
+                     F.col("_last").alias("_hi"),
+                     F.col("_a._x").alias("_ax"),
+                     F.col("_a._y").alias("_ay"),
+                     F.col("_b._x").alias("_bx"),
+                     F.col("_b._y").alias("_by")))
+    for _ in range(rounds):
+        cross = ((F.col("_x") - F.col("_ax"))
+                 * (F.col("_by") - F.col("_ay"))
+                 - (F.col("_y") - F.col("_ay"))
+                 * (F.col("_bx") - F.col("_ax")))
+        c2 = (cross * cross).alias("_c2")
+        len2 = ((F.col("_bx") - F.col("_ax"))
+                * (F.col("_bx") - F.col("_ax"))
+                + (F.col("_by") - F.col("_ay"))
+                * (F.col("_by") - F.col("_ay")))
+        cand = (state.where((F.col("_idx") > F.col("_lo"))
+                            & (F.col("_idx") < F.col("_hi")))
+                .select("_k", "_lo", "_hi", "_idx", "_x", "_y", c2,
+                        len2.alias("_len2")))
+        split = (cand.groupBy("_k", "_lo", "_hi")
+                 .agg(F.max("_c2").alias("_mc2"),
+                      F.max("_len2").alias("_l2"),
+                      F.max_by(F.struct(F.col("_idx"), F.col("_x"),
+                                        F.col("_y")),
+                               F.struct(F.col("_c2"),
+                                        (F.lit(0) - F.col("_idx"))))
+                      .alias("_s"))
+                 .where(F.col("_mc2") > F.lit(tol * tol) * F.col("_l2"))
+                 .select("_k", "_lo", "_hi",
+                         F.col("_s._idx").alias("_sidx"),
+                         F.col("_s._x").alias("_sx"),
+                         F.col("_s._y").alias("_sy")))
+        j = state.join(split, ["_k", "_lo", "_hi"], "left")
+        state = j.select(
+            "_k", "_id", "_idx", "_x", "_y",
+            F.when(F.col("_sidx").isNull(), F.col("_lo"))
+             .when(F.col("_idx") < F.col("_sidx"), F.col("_lo"))
+             .when(F.col("_idx") > F.col("_sidx"), F.col("_sidx"))
+             .otherwise(F.col("_idx")).alias("_lo"),
+            F.when(F.col("_sidx").isNull(), F.col("_hi"))
+             .when(F.col("_idx") < F.col("_sidx"), F.col("_sidx"))
+             .when(F.col("_idx") > F.col("_sidx"), F.col("_hi"))
+             .otherwise(F.col("_idx")).alias("_hi"),
+            F.when(F.col("_sidx").isNotNull()
+                   & (F.col("_idx") > F.col("_sidx")), F.col("_sx"))
+             .otherwise(F.col("_ax")).alias("_ax"),
+            F.when(F.col("_sidx").isNotNull()
+                   & (F.col("_idx") > F.col("_sidx")), F.col("_sy"))
+             .otherwise(F.col("_ay")).alias("_ay"),
+            F.when(F.col("_sidx").isNotNull()
+                   & (F.col("_idx") < F.col("_sidx")), F.col("_sx"))
+             .otherwise(F.col("_bx")).alias("_bx"),
+            F.when(F.col("_sidx").isNotNull()
+                   & (F.col("_idx") < F.col("_sidx")), F.col("_sy"))
+             .otherwise(F.col("_by")).alias("_by"))
+    return (state.where((F.col("_idx") == F.col("_lo"))
+                        | (F.col("_idx") == F.col("_hi")))
+            .select(F.col("_k").alias(key), F.col("_id").alias(id_col)))
+
+
+def line_simplify_oracle_sql(traj_sql: str, *, tol: int = 100,
+                             rounds: int = 3,
+                             key_out: str = "user_id",
+                             id_out: str = "event_id") -> str:
+    """ANSI/DuckDB twin of :func:`line_simplify` — identical unrolled
+    rounds, identical exact-integer argmax (c2 DESC, idx ASC) and
+    split test. ``traj_sql`` must yield (k, id, ts, x, y)."""
+    ctes = [
+        f"""v0 AS (
+          SELECT k, id, x, y,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, id) - 1
+                   AS idx
+          FROM ({traj_sql}) WHERE ts IS NOT NULL
+        )""",
+        """e0 AS (SELECT k, MAX(idx) AS last FROM v0 GROUP BY 1)""",
+        """aa AS (SELECT k, x AS ax, y AS ay FROM v0 WHERE idx = 0)""",
+        """bb AS (SELECT v0.k, x AS bx, y AS by
+                  FROM v0 JOIN e0 ON v0.k = e0.k AND v0.idx = e0.last)""",
+        """st0 AS (
+          SELECT v0.k, v0.id, v0.idx, v0.x, v0.y,
+                 CAST(0 AS BIGINT) AS lo, e0.last AS hi,
+                 aa.ax, aa.ay, bb.bx, bb.by
+          FROM v0 JOIN e0 ON v0.k = e0.k
+                 JOIN aa ON v0.k = aa.k JOIN bb ON v0.k = bb.k
+        )"""]
+    for r in range(rounds):
+        ctes.append(f"""cand{r} AS (
+          SELECT k, lo, hi, idx, x, y,
+                 ((x-ax)*(by-ay) - (y-ay)*(bx-ax))
+                 * ((x-ax)*(by-ay) - (y-ay)*(bx-ax)) AS c2,
+                 (bx-ax)*(bx-ax) + (by-ay)*(by-ay) AS len2
+          FROM st{r} WHERE idx > lo AND idx < hi
+        )""")
+        ctes.append(f"""sp{r} AS (
+          SELECT k, lo, hi, idx AS sidx, x AS sx, y AS sy
+          FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY k, lo, hi
+                                      ORDER BY c2 DESC, idx ASC) AS rn,
+                   MAX(c2) OVER (PARTITION BY k, lo, hi) AS mc2
+            FROM cand{r}
+          ) WHERE rn = 1 AND mc2 > {tol * tol} * len2
+        )""")
+        ctes.append(f"""st{r + 1} AS (
+          SELECT s.k, s.id, s.idx, s.x, s.y,
+                 CASE WHEN p.sidx IS NULL THEN s.lo
+                      WHEN s.idx < p.sidx THEN s.lo
+                      WHEN s.idx > p.sidx THEN p.sidx
+                      ELSE s.idx END AS lo,
+                 CASE WHEN p.sidx IS NULL THEN s.hi
+                      WHEN s.idx < p.sidx THEN p.sidx
+                      WHEN s.idx > p.sidx THEN s.hi
+                      ELSE s.idx END AS hi,
+                 CASE WHEN p.sidx IS NOT NULL AND s.idx > p.sidx
+                      THEN p.sx ELSE s.ax END AS ax,
+                 CASE WHEN p.sidx IS NOT NULL AND s.idx > p.sidx
+                      THEN p.sy ELSE s.ay END AS ay,
+                 CASE WHEN p.sidx IS NOT NULL AND s.idx < p.sidx
+                      THEN p.sx ELSE s.bx END AS bx,
+                 CASE WHEN p.sidx IS NOT NULL AND s.idx < p.sidx
+                      THEN p.sy ELSE s.by END AS by
+          FROM st{r} s LEFT JOIN sp{r} p
+            ON s.k = p.k AND s.lo = p.lo AND s.hi = p.hi
+        )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT k AS {key_out}, CAST(id AS BIGINT) AS {id_out}"
+            f"\nFROM st{rounds} WHERE idx = lo OR idx = hi")

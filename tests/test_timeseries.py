@@ -1391,3 +1391,86 @@ def test_ipf_balance_brute_force_and_convergence(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ipf_balance(odf, rdf, cdf, iters=0)
+
+
+def _dp_brute(pts, tol, rounds):
+    """Bounded-depth Douglas-Peucker mirror: breadth-first rounds,
+    argmax by (cross^2 desc, idx asc), exact integers."""
+    if not pts:
+        return set()
+    kept = {0, len(pts) - 1}
+    intervals = [(0, len(pts) - 1)]
+    for _ in range(rounds):
+        nxt = []
+        for lo, hi in intervals:
+            if hi - lo < 2:
+                continue
+            ax, ay = pts[lo]
+            bx, by = pts[hi]
+            len2 = (bx - ax) ** 2 + (by - ay) ** 2
+            best = None
+            for i in range(lo + 1, hi):
+                x, y = pts[i]
+                c = (x - ax) * (by - ay) - (y - ay) * (bx - ax)
+                c2 = c * c
+                if best is None or c2 > best[0]:
+                    best = (c2, i)
+            if best and best[0] > tol * tol * len2:
+                s = best[1]
+                kept.add(s)
+                nxt += [(lo, s), (s, hi)]
+        intervals = nxt
+    return kept
+
+
+def test_line_simplify_brute_force(spark):
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.timeseries import line_simplify
+    random.seed(59)
+    t0 = dtm.datetime(2026, 1, 1)
+    rows, series = [], {}
+    for u in range(10):
+        pts = []
+        x = y = 2000
+        for i in range(50):
+            x = max(0, min(8000, x + random.randrange(-400, 401)))
+            y = max(0, min(8000, y + random.randrange(-400, 401)))
+            rows.append((u, u * 100 + i,
+                         t0 + dtm.timedelta(seconds=i * 60), x, y))
+            pts.append((x, y))
+        series[u] = pts
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, x long, y long")
+    tol, rounds = 150, 3
+    got = {}
+    for r in line_simplify(df, tol=tol, rounds=rounds).collect():
+        got.setdefault(r.user_id, set()).add(r.event_id)
+    want = {u: {u * 100 + i for i in _dp_brute(pts, tol, rounds)}
+            for u, pts in series.items()}
+    assert got == want
+    # simplification actually removed points and kept endpoints
+    for u in series:
+        assert 2 <= len(got[u]) < 50
+        assert {u * 100, u * 100 + 49} <= got[u]
+
+
+def test_line_simplify_edge_cases(spark):
+    import datetime as dtm
+    import pytest as _pt
+    from cdap_geo_spark.operators.timeseries import line_simplify
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = [(1, 1, t0, 0, 0),                                 # single point
+            (2, 10, t0, 0, 0),
+            (2, 11, t0 + dtm.timedelta(seconds=1), 100, 0),   # collinear
+            (2, 12, t0 + dtm.timedelta(seconds=2), 200, 0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, x long, y long")
+    got = {(r.user_id, r.event_id)
+           for r in line_simplify(df, tol=5, rounds=2).collect()}
+    # single point kept; collinear interior dropped, endpoints kept
+    assert got == {(1, 1), (2, 10), (2, 12)}
+    with _pt.raises(ValueError):
+        line_simplify(df, tol=-1)
+    with _pt.raises(ValueError):
+        line_simplify(df, rounds=0)
