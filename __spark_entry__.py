@@ -2141,6 +2141,22 @@ def _simplify_sql() -> str:
     return line_simplify_oracle_sql(traj, tol=300, rounds=3)
 
 
+def _q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-continuity audit (operators/timeseries.ts_gaps): per
+    user hourly-bucket completeness between first and last
+    observation — closed-form expected count, occupied-bucket LAG for
+    the longest gap; cost bounded by occupied buckets."""
+    from cdap_geo_spark.operators.timeseries import ts_gaps
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ts_gaps(ev)
+
+
+def _ts_gaps_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import ts_gaps_oracle_sql
+    ev = "SELECT user_id AS k, epoch_us(ts) AS t FROM events"
+    return ts_gaps_oracle_sql(ev)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3297,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": _q_adaptive_tiles,
         "ipf": _q_ipf,
         "simplify": _q_simplify,
+        "ts_gaps": _q_ts_gaps,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -4031,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_tiles": _adaptive_tiles_sql(),
         "ipf": _ipf_sql(),
         "simplify": _simplify_sql(),
+        "ts_gaps": _ts_gaps_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

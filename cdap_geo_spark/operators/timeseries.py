@@ -1892,3 +1892,70 @@ def line_simplify_oracle_sql(traj_sql: str, *, tol: int = 100,
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT k AS {key_out}, CAST(id AS BIGINT) AS {id_out}"
             f"\nFROM st{rounds} WHERE idx = lo OR idx = hi")
+
+
+def ts_gaps(events: DataFrame, *, key: str = "user_id",
+            ts_col: str = "ts",
+            bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Time-series continuity audit: per key, how complete is the
+    event stream at ``bucket_us`` granularity between its own first
+    and last observation? Returns ``(key, n_expected, n_present,
+    n_gaps, longest_gap)`` — all exact BIGINT (longest_gap = longest
+    run of consecutive EMPTY buckets; 0 when the stream is gapless).
+    The sensor-health / feed-freshness check a pipeline runs before
+    trusting windowed aggregates.
+
+    NO bucket-range explode: ``n_expected`` is closed-form arithmetic
+    on the min/max bucket, presence aggregates the DISTINCT occupied
+    buckets, and the longest gap is a LAG over occupied buckets —
+    everything is bounded by occupied buckets, not by the time span
+    (a key silent for a year costs one row, not 8,760).
+
+    Plan: one distinct to (key, bucket), ONE keyed window carrying
+    the LAG, one per-key agg with map-side partials.
+    """
+    if bucket_us < 1:
+        raise ValueError("ts_gaps: bucket_us must be >= 1")
+    from pyspark.sql import Window
+    b = (events.where(F.col(ts_col).isNotNull())
+         .select(F.col(key).alias("_k"),
+                 F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
+                        f"DIV {bucket_us}").alias("_b"))
+         .distinct())
+    w = Window.partitionBy("_k").orderBy("_b")
+    g = b.withColumn("_gap", F.col("_b") - F.lag("_b", 1).over(w) - 1)
+    return (g.groupBy("_k")
+            .agg((F.max("_b") - F.min("_b") + 1).cast("long")
+                 .alias("n_expected"),
+                 F.count(F.lit(1)).cast("long").alias("n_present"),
+                 (F.max("_b") - F.min("_b") + 1
+                  - F.count(F.lit(1))).cast("long").alias("n_gaps"),
+                 F.coalesce(F.max("_gap"), F.lit(0)).cast("long")
+                 .alias("longest_gap"))
+            .select(F.col("_k").alias(key), "n_expected", "n_present",
+                    "n_gaps", "longest_gap"))
+
+
+def ts_gaps_oracle_sql(events_sql: str, *, key_out: str = "user_id",
+                       bucket_us: int = 3_600_000_000) -> str:
+    """ANSI/DuckDB twin of :func:`ts_gaps`. ``events_sql`` must yield
+    (k, t BIGINT micros)."""
+    return f"""
+      WITH b AS (
+        SELECT DISTINCT k, t // {bucket_us} AS bk
+        FROM ({events_sql}) WHERE t IS NOT NULL
+      ),
+      g AS (
+        SELECT k, bk,
+               bk - LAG(bk) OVER (PARTITION BY k ORDER BY bk) - 1
+                 AS gap
+        FROM b
+      )
+      SELECT k AS {key_out},
+             CAST(MAX(bk) - MIN(bk) + 1 AS BIGINT) AS n_expected,
+             CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(MAX(bk) - MIN(bk) + 1 - COUNT(*) AS BIGINT)
+               AS n_gaps,
+             CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap
+      FROM g GROUP BY 1
+    """

@@ -1474,3 +1474,40 @@ def test_line_simplify_edge_cases(spark):
         line_simplify(df, tol=-1)
     with _pt.raises(ValueError):
         line_simplify(df, rounds=0)
+
+
+def test_ts_gaps_brute_force(spark):
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.timeseries import ts_gaps
+    random.seed(61)
+    t0 = dtm.datetime(2026, 1, 1, tzinfo=dtm.timezone.utc)
+    bucket = 3_600_000_000
+    rows, buckets = [], {}
+    for u in range(12):
+        bs = sorted(random.sample(range(200), random.randrange(1, 40)))
+        buckets[u] = bs
+        for b in bs:  # 1-3 events inside the bucket
+            for _ in range(random.randrange(1, 4)):
+                rows.append((u, t0 + dtm.timedelta(
+                    hours=b, minutes=random.randrange(60))))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base = int(t0.timestamp() * 1e6) // bucket
+    got = {r.user_id: (r.n_expected, r.n_present, r.n_gaps,
+                       r.longest_gap) for r in ts_gaps(df).collect()}
+    want = {}
+    for u, bs in buckets.items():
+        exp = bs[-1] - bs[0] + 1
+        longest = max((b2 - b1 - 1 for b1, b2 in zip(bs, bs[1:])),
+                      default=0)
+        want[u] = (exp, len(bs), exp - len(bs), longest)
+    assert got == want
+    assert any(v[3] > 0 for v in got.values())  # real gaps exercised
+    # single-bucket key: expected == present == 1, no gaps
+    one = spark.createDataFrame([(9, t0), (9, t0 + dtm.timedelta(minutes=5))],
+                                "user_id long, ts timestamp")
+    (r,) = ts_gaps(one).collect()
+    assert (r.n_expected, r.n_present, r.n_gaps, r.longest_gap) == (1, 1, 0, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ts_gaps(df, bucket_us=0)
