@@ -126,3 +126,93 @@ def dedup_stream(df: DataFrame, *, key_col: str = "digest",
     return (df.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, DEDUP_STATE,
                                     "append", timeout))
+
+
+GEOFENCE_STATE = T.StructType([
+    T.StructField("inside", T.ArrayType(T.LongType())),
+])
+
+
+def geofence_stream(events: DataFrame, fences: list, *,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    x_col: str = "x", y_col: str = "y",
+                    idle_timeout_s: int | None = None) -> DataFrame:
+    """Streaming twin of ``operators/zonal.geofence_transitions`` —
+    real-time enter/exit alerts: per-user state is the SET of fences
+    the user was last seen inside (one array per key); each
+    micro-batch re-evaluates closed-box containment map-side against
+    the static ``fences`` list (a driver-small dimension, shipped in
+    the closure like any broadcast dim — no stream-side join, no
+    aggregation before the stateful op) and emits the set difference
+    both ways. Output rows: ``(user, event id, fence_id, kind)``,
+    identical to the batch twin on ordered feeds (pytest-pinned,
+    including state carrying an OPEN stay across micro-batches).
+
+    ``fences``: list of ``(fence_id, minx, miny, maxx, maxy)`` ints.
+    Same ordering contract as the other stateful ops: rows sort by
+    event time within each batch; cross-batch late data re-orders
+    transitions (use the batch twin for event-time-exact audits).
+    State per key is one bounded array; ``idle_timeout_s`` evicts
+    idle users (their next event re-enters fences afresh — the
+    documented TTL trade).
+    """
+    if not fences:
+        raise ValueError("geofence_stream: fences must be non-empty")
+    import numpy as np
+    farr = np.asarray([[f[0], f[1], f[2], f[3], f[4]] for f in fences],
+                      dtype=np.int64)
+    out_schema = T.StructType([
+        events.schema[user_col],
+        events.schema[id_col],
+        T.StructField("fence_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_s
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs, state: GroupState):
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        prev = set(state.get[0]) if state.exists else set()
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists or prev:
+                state.update((sorted(prev),))
+            if idle_timeout_s:
+                state.setTimeoutDuration(idle_timeout_s * 1000)
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+            else chunks[0]
+        pdf = pdf.sort_values([ts_col, id_col])
+        xs = pdf[x_col].to_numpy(dtype="int64")
+        ys = pdf[y_col].to_numpy(dtype="int64")
+        # (events x fences) containment in one vectorized pass:
+        # fences is a driver-small dim, so this is the broadcast side
+        ins = ((xs[:, None] >= farr[None, :, 1])
+               & (xs[:, None] <= farr[None, :, 3])
+               & (ys[:, None] >= farr[None, :, 2])
+               & (ys[:, None] <= farr[None, :, 4]))
+        users, eids, fids, kinds = [], [], [], []
+        uvals = pdf[user_col].to_numpy()
+        evals = pdf[id_col].to_numpy()
+        for i in range(len(pdf)):
+            cur = set(farr[ins[i], 0].tolist())
+            for f in sorted(cur - prev):
+                users.append(uvals[i]); eids.append(evals[i])
+                fids.append(f); kinds.append("enter")
+            for f in sorted(prev - cur):
+                users.append(uvals[i]); eids.append(evals[i])
+                fids.append(f); kinds.append("exit")
+            prev = cur
+        state.update((sorted(prev),))
+        if idle_timeout_s:
+            state.setTimeoutDuration(idle_timeout_s * 1000)
+        yield pd.DataFrame({user_col: users, id_col: eids,
+                            "fence_id": fids, "kind": kinds})
+
+    src = events.withColumn(ts_col, events[ts_col].cast("timestamp"))
+    return (src.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, GEOFENCE_STATE,
+                                    "append", timeout))

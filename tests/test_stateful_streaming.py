@@ -632,3 +632,65 @@ def test_windowed_topk_stream_equals_batch(spark, tmp_path):
     assert got == want
     # the late event is IN the emitted counts: user 2 has n=2
     assert (str(t0), 2, 2) in got
+
+
+def _fences():
+    return [(7, 10, 10, 60, 60), (8, 40, 40, 90, 90)]
+
+
+def _walk(spark):
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        # walk: outside -> fence7 -> overlap(7&8) -> fence8 -> outside
+        for k, (x, y) in enumerate([(0, 0), (20, 20), (50, 50),
+                                    (80, 80), (200, 200)]):
+            rows.append((u, eid, T0 + dt.timedelta(minutes=10 * k),
+                         x, y))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, x long, y long")
+
+
+def _run_geofence_stream(spark, tmp_path, files, name):
+    import os
+    from cdap_geo_spark.streaming.stateful import geofence_stream
+    from cdap_geo_spark.streaming.windows import stream_from_directory
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    for f in files:
+        f.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, files[0].schema)
+    q = (geofence_stream(stream, _fences())
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_geofence_stream_matches_batch(spark, tmp_path):
+    from cdap_geo_spark.operators.zonal import geofence_transitions
+    ev = _walk(spark)
+    fdf = spark.createDataFrame(
+        _fences(),
+        "fence_id long, minx long, miny long, maxx long, maxy long")
+    got = _run_geofence_stream(spark, tmp_path, [ev], "geo1")
+    want = geofence_transitions(ev, fdf, cell=64).toPandas()
+    gset = {tuple(r) for r in got.itertuples(index=False)}
+    wset = {tuple(r) for r in want.itertuples(index=False)}
+    assert gset == wset
+    assert any(k == "exit" for *_, k in gset)
+
+
+def test_geofence_stream_state_across_batches(spark, tmp_path):
+    """Split mid-stay: the user enters fence 7 in batch 1 and leaves
+    in batch 2 — a stateless engine would re-enter; the state array
+    must carry the open stay across micro-batches."""
+    ev = _walk(spark)
+    b1 = ev.where("event_id % 5 <= 1")   # outside, enter 7
+    b2 = ev.where("event_id % 5 >= 2")   # 7&8, 8, outside
+    got = _run_geofence_stream(spark, tmp_path, [b1, b2], "geo2")
+    u1 = got[got.user_id == 1].sort_values(["event_id", "fence_id"])
+    seq = list(zip(u1.event_id, u1.fence_id, u1.kind))
+    assert seq == [(1, 7, "enter"), (2, 8, "enter"), (3, 7, "exit"),
+                   (4, 8, "exit")]
