@@ -2157,6 +2157,34 @@ def _ts_gaps_sql() -> str:
     return ts_gaps_oracle_sql(ev)
 
 
+def _q_co_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location mining (operators/timeseries.co_visits): user pairs
+    sharing a 50km cell in the same hour >= 3 times, with the longest
+    consecutive-hour streak; candidates from the space-time bucket
+    self-join, never all-pairs over users."""
+    from cdap_geo_spark.operators.timeseries import co_visits
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+        ((F.col("user_id") * 48271) % 650000
+         + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
+        ((F.col("user_id") * 69621) % 1250000
+         + (F.col("event_id") * 89 + 37) % 100001).alias("y"))
+    return co_visits(ev, cell=50_000, bin_us=3_600_000_000,
+                     min_covisits=3)
+
+
+def _co_visits_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import co_visits_oracle_sql
+    ev = """
+      SELECT user_id AS k, epoch_us(ts) AS t,
+             (user_id*48271) % 650000  + (event_id*97 + 13) % 100001 AS x,
+             (user_id*69621) % 1250000 + (event_id*89 + 37) % 100001 AS y
+      FROM events
+    """
+    return co_visits_oracle_sql(ev, cell=50_000, bin_us=3_600_000_000,
+                                min_covisits=3)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3314,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipf": _q_ipf,
         "simplify": _q_simplify,
         "ts_gaps": _q_ts_gaps,
+        "co_visits": _q_co_visits,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -4049,6 +4078,7 @@ def oracle_sql() -> dict[str, str]:
         "ipf": _ipf_sql(),
         "simplify": _simplify_sql(),
         "ts_gaps": _ts_gaps_sql(),
+        "co_visits": _co_visits_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

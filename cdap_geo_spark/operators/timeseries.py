@@ -1959,3 +1959,110 @@ def ts_gaps_oracle_sql(events_sql: str, *, key_out: str = "user_id",
              CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap
       FROM g GROUP BY 1
     """
+
+
+def co_visits(events: DataFrame, *, key: str = "user_id",
+              ts_col: str = "ts", x_col: str = "x", y_col: str = "y",
+              cell: int = 50_000, bin_us: int = 3_600_000_000,
+              min_covisits: int = 2) -> DataFrame:
+    """Co-location detection (contact-tracing / convoy mining): pairs
+    of keys observed in the SAME space-time bucket (grid cell ×
+    time bin) at least ``min_covisits`` times, with the longest run
+    of CONSECUTIVE co-located time bins. Returns ``(a, b,
+    n_covisits, max_streak)``, ``a < b``, all exact BIGINT.
+
+    Never all-pairs over keys: presence dedups to one row per
+    (key, cell, bin); candidate pairs come from the per-bucket
+    self-join — the quadratic term is keys-per-bucket within ONE
+    bucket (the salt-able bounded fanout every bucket join here has).
+    A pair co-located in k buckets appears k times and collapses in
+    the pair aggregate; the streak is a LAG/run-split over each
+    pair's DISTINCT co-located bins (the stay_points discipline
+    applied to a pair relation).
+
+    Plan: one distinct, one bucket equi-join, one pair agg for the
+    gate, one keyed window + agg for streaks — every relation bounded
+    by presence rows and surviving pairs.
+    """
+    if cell < 1 or bin_us < 1:
+        raise ValueError("co_visits: cell and bin_us must be >= 1")
+    if min_covisits < 1:
+        raise ValueError("co_visits: min_covisits must be >= 1")
+    from pyspark.sql import Window
+    pres = (events
+            .where(F.col(ts_col).isNotNull() & F.col(x_col).isNotNull()
+                   & F.col(y_col).isNotNull())
+            .select(F.col(key).alias("_k"),
+                    F.expr(f"CAST({x_col} AS BIGINT) DIV {cell}")
+                    .alias("cx"),
+                    F.expr(f"CAST({y_col} AS BIGINT) DIV {cell}")
+                    .alias("cy"),
+                    F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                           f" DIV {bin_us}").alias("tb"))
+            .distinct())
+    a = pres.select(F.col("_k").alias("a"), "cx", "cy", "tb")
+    b = pres.select(F.col("_k").alias("b"), "cx", "cy", "tb")
+    met = (a.join(b, ["cx", "cy", "tb"])
+           .where(F.col("a") < F.col("b"))
+           .select("a", "b", "tb").distinct())
+    gate = (met.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_covisits"))
+            .where(F.col("n_covisits") >= min_covisits))
+    w = Window.partitionBy("a", "b").orderBy("tb")
+    runs = (met.join(gate.select("a", "b"), ["a", "b"])
+            .withColumn("_new", (F.coalesce(
+                F.col("tb") - F.lag("tb", 1).over(w), F.lit(2)) > 1)
+                .cast("long"))
+            .withColumn("_run", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    streak = (runs.groupBy("a", "b", "_run")
+              .agg(F.count(F.lit(1)).alias("_len"))
+              .groupBy("a", "b")
+              .agg(F.max("_len").cast("long").alias("max_streak")))
+    return gate.join(streak, ["a", "b"]) \
+        .select("a", "b", "n_covisits", "max_streak")
+
+
+def co_visits_oracle_sql(events_sql: str, *, cell: int,
+                         bin_us: int,
+                         min_covisits: int = 2) -> str:
+    """ANSI/DuckDB twin of :func:`co_visits`. ``events_sql`` must
+    yield (k, t BIGINT micros, x, y)."""
+    return f"""
+      WITH pres AS (
+        SELECT DISTINCT k, x // {cell} AS cx, y // {cell} AS cy,
+               t // {bin_us} AS tb
+        FROM ({events_sql})
+        WHERE t IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL
+      ),
+      met AS (
+        SELECT DISTINCT a.k AS a, b.k AS b, a.tb
+        FROM pres a JOIN pres b
+          ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb AND a.k < b.k
+      ),
+      gate AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_covisits
+        FROM met GROUP BY 1, 2 HAVING COUNT(*) >= {min_covisits}
+      ),
+      lagged AS (
+        SELECT m.a, m.b, m.tb,
+               CASE WHEN m.tb - LAG(m.tb) OVER
+                      (PARTITION BY m.a, m.b ORDER BY m.tb) = 1
+                    THEN 0 ELSE 1 END AS isnew
+        FROM met m JOIN gate g ON m.a = g.a AND m.b = g.b
+      ),
+      runs AS (
+        SELECT a, b, tb,
+               SUM(isnew) OVER (PARTITION BY a, b ORDER BY tb
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM lagged
+      ),
+      streak AS (
+        SELECT a, b, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM (SELECT a, b, run, COUNT(*) AS len
+              FROM runs GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+      )
+      SELECT g.a, g.b, g.n_covisits, s.max_streak
+      FROM gate g JOIN streak s ON g.a = s.a AND g.b = s.b
+    """

@@ -1511,3 +1511,53 @@ def test_ts_gaps_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ts_gaps(df, bucket_us=0)
+
+
+def test_co_visits_brute_force(spark):
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.timeseries import co_visits
+    random.seed(67)
+    t0 = dtm.datetime(2026, 1, 1, tzinfo=dtm.timezone.utc)
+    cell, bin_us, mc = 10, 3_600_000_000, 2
+    rows = []
+    for u in range(10):
+        hx, hy = random.randrange(40), random.randrange(40)
+        for h in range(24):
+            if random.random() < 0.7:
+                rows.append((u, t0 + dtm.timedelta(
+                    hours=h, minutes=random.randrange(60)),
+                    hx + random.randrange(15),
+                    hy + random.randrange(15)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, x long, y long")
+    got = {(r.a, r.b): (r.n_covisits, r.max_streak)
+           for r in co_visits(df, cell=cell, bin_us=bin_us,
+                              min_covisits=mc).collect()}
+
+    pres = set()
+    for u, ts, x, y in rows:
+        t = int(ts.timestamp() * 1e6) // bin_us
+        pres.add((u, x // cell, y // cell, t))
+    met = {}
+    for (u1, cx1, cy1, t1) in pres:
+        for (u2, cx2, cy2, t2) in pres:
+            if u1 < u2 and (cx1, cy1, t1) == (cx2, cy2, t2):
+                met.setdefault((u1, u2), set()).add(t1)
+    want = {}
+    for pair, bins in met.items():
+        if len(bins) < mc:
+            continue
+        bs = sorted(bins)
+        streak = best = 1
+        for b1, b2 in zip(bs, bs[1:]):
+            streak = streak + 1 if b2 - b1 == 1 else 1
+            best = max(best, streak)
+        want[pair] = (len(bins), best)
+    assert want and got == want
+    assert any(v[1] >= 2 for v in got.values())  # real streaks exercised
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        co_visits(df, cell=0)
+    with _pt.raises(ValueError):
+        co_visits(df, min_covisits=0)
