@@ -2185,6 +2185,31 @@ def _co_visits_sql() -> str:
                                 min_covisits=3)
 
 
+def _q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchors (operators/timeseries.home_work): modal
+    night vs working-hours cell per user over localized walks, exact
+    squared commute distance; deterministic tie rule."""
+    from cdap_geo_spark.operators.timeseries import home_work
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+        ((F.col("user_id") * 48271) % 650000
+         + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
+        ((F.col("user_id") * 69621) % 1250000
+         + (F.col("event_id") * 89 + 37) % 100001).alias("y"))
+    return home_work(ev, cell=50_000)
+
+
+def _home_work_sql() -> str:
+    from cdap_geo_spark.operators.timeseries import home_work_oracle_sql
+    ev = """
+      SELECT user_id AS k, ts,
+             (user_id*48271) % 650000  + (event_id*97 + 13) % 100001 AS x,
+             (user_id*69621) % 1250000 + (event_id*89 + 37) % 100001 AS y
+      FROM events
+    """
+    return home_work_oracle_sql(ev, cell=50_000)
+
+
 def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering (operators/cluster.grid_cluster) of the
     doc points: one keyed agg to dense cells, 8-neighbor equi-join,
@@ -3343,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": _q_simplify,
         "ts_gaps": _q_ts_gaps,
         "co_visits": _q_co_visits,
+        "home_work": _q_home_work,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -4079,6 +4105,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify": _simplify_sql(),
         "ts_gaps": _ts_gaps_sql(),
         "co_visits": _co_visits_sql(),
+        "home_work": _home_work_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

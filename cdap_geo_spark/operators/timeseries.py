@@ -2066,3 +2066,108 @@ def co_visits_oracle_sql(events_sql: str, *, cell: int,
       SELECT g.a, g.b, g.n_covisits, s.max_streak
       FROM gate g JOIN streak s ON g.a = s.a AND g.b = s.b
     """
+
+
+def home_work(events: DataFrame, *, key: str = "user_id",
+              ts_col: str = "ts", x_col: str = "x", y_col: str = "y",
+              cell: int = 50_000, night=(0, 6),
+              day=(9, 17)) -> DataFrame:
+    """Home/work anchor inference — the mobility-profiling staple:
+    per key, the MODAL grid cell during night hours (home) and during
+    working hours (work), plus the exact squared cell distance
+    between them (commute length proxy). Returns ``(key, home_cx,
+    home_cy, work_cx, work_cy, commute_d2)`` for keys observed in
+    BOTH windows — all exact BIGINT.
+
+    Determinism: the mode is argmax by ``(count DESC, cx ASC, cy
+    ASC)`` — a total order, so ties pick the same cell in any engine
+    (the grouped_mode discipline). Hour windows are half-open
+    ``[lo, hi)`` on the event's local hour.
+
+    Plan: one (key, period, cell) count (map-side partials), one
+    per-(key, period) argmax via max_by, one self-join of the two
+    period relations on the key — everything bounded by keys ×
+    occupied cells.
+    """
+    if cell < 1:
+        raise ValueError("home_work: cell must be >= 1")
+    (n_lo, n_hi), (d_lo, d_hi) = night, day
+    hr = F.hour(F.col(ts_col).cast("timestamp"))
+    period = (F.when((hr >= n_lo) & (hr < n_hi), "home")
+              .when((hr >= d_lo) & (hr < d_hi), "work"))
+    counts = (events
+              .where(F.col(ts_col).isNotNull()
+                     & F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+              .select(F.col(key).alias("_k"), period.alias("_p"),
+                      F.expr(f"CAST({x_col} AS BIGINT) DIV {cell}")
+                      .alias("cx"),
+                      F.expr(f"CAST({y_col} AS BIGINT) DIV {cell}")
+                      .alias("cy"))
+              .where(F.col("_p").isNotNull())
+              .groupBy("_k", "_p", "cx", "cy")
+              .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    pick = (counts.groupBy("_k", "_p")
+            .agg(F.max_by(F.struct("cx", "cy"),
+                          F.struct(F.col("_n"),
+                                   (F.lit(0) - F.col("cx")),
+                                   (F.lit(0) - F.col("cy"))))
+                 .alias("_c")))
+    h = pick.where(F.col("_p") == "home").select(
+        "_k", F.col("_c.cx").alias("home_cx"),
+        F.col("_c.cy").alias("home_cy"))
+    d = pick.where(F.col("_p") == "work").select(
+        "_k", F.col("_c.cx").alias("work_cx"),
+        F.col("_c.cy").alias("work_cy"))
+    d2 = ((F.col("home_cx") - F.col("work_cx"))
+          * (F.col("home_cx") - F.col("work_cx"))
+          + (F.col("home_cy") - F.col("work_cy"))
+          * (F.col("home_cy") - F.col("work_cy")))
+    return (h.join(d, "_k")
+            .select(F.col("_k").alias(key), "home_cx", "home_cy",
+                    "work_cx", "work_cy",
+                    d2.cast("long").alias("commute_d2")))
+
+
+def home_work_oracle_sql(events_sql: str, *, cell: int,
+                         key_out: str = "user_id",
+                         night=(0, 6), day=(9, 17)) -> str:
+    """ANSI/DuckDB twin of :func:`home_work`. ``events_sql`` must
+    yield (k, ts TIMESTAMP, x, y)."""
+    (n_lo, n_hi), (d_lo, d_hi) = night, day
+    return f"""
+      WITH b AS (
+        SELECT k,
+               CASE WHEN hour(ts) >= {n_lo} AND hour(ts) < {n_hi}
+                    THEN 'home'
+                    WHEN hour(ts) >= {d_lo} AND hour(ts) < {d_hi}
+                    THEN 'work' END AS p,
+               x // {cell} AS cx, y // {cell} AS cy
+        FROM ({events_sql})
+        WHERE ts IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL
+      ),
+      c AS (
+        SELECT k, p, cx, cy, COUNT(*) AS n
+        FROM b WHERE p IS NOT NULL GROUP BY 1, 2, 3, 4
+      ),
+      r AS (
+        SELECT k, p, cx, cy,
+               ROW_NUMBER() OVER (PARTITION BY k, p
+                                  ORDER BY n DESC, cx ASC, cy ASC)
+                 AS rn
+        FROM c
+      ),
+      h AS (SELECT k, cx AS home_cx, cy AS home_cy
+            FROM r WHERE p = 'home' AND rn = 1),
+      d AS (SELECT k, cx AS work_cx, cy AS work_cy
+            FROM r WHERE p = 'work' AND rn = 1)
+      SELECT h.k AS {key_out},
+             CAST(home_cx AS BIGINT) AS home_cx,
+             CAST(home_cy AS BIGINT) AS home_cy,
+             CAST(work_cx AS BIGINT) AS work_cx,
+             CAST(work_cy AS BIGINT) AS work_cy,
+             CAST((home_cx - work_cx) * (home_cx - work_cx)
+                  + (home_cy - work_cy) * (home_cy - work_cy)
+               AS BIGINT) AS commute_d2
+      FROM h JOIN d ON h.k = d.k
+    """

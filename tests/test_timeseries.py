@@ -1561,3 +1561,52 @@ def test_co_visits_brute_force(spark):
         co_visits(df, cell=0)
     with _pt.raises(ValueError):
         co_visits(df, min_covisits=0)
+
+
+def test_home_work_brute_force_and_ties(spark):
+    import datetime as dtm
+    import random
+    from cdap_geo_spark.operators.timeseries import home_work
+    random.seed(71)
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = []
+    obs = {}
+    for u in range(8):
+        for _ in range(60):
+            h = random.randrange(24)
+            x, y = random.randrange(100), random.randrange(100)
+            rows.append((u, t0 + dtm.timedelta(
+                days=random.randrange(5), hours=h), x, y))
+            p = ("home" if 0 <= h < 6 else
+                 "work" if 9 <= h < 17 else None)
+            if p:
+                obs.setdefault((u, p), []).append((x // 10, y // 10))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, x long, y long")
+    got = {r.user_id: (r.home_cx, r.home_cy, r.work_cx, r.work_cy,
+                       r.commute_d2)
+           for r in home_work(df, cell=10).collect()}
+    from collections import Counter
+
+    def modal(cells):
+        cnt = Counter(cells)
+        return min(cnt, key=lambda c: (-cnt[c], c[0], c[1]))
+
+    want = {}
+    for u in range(8):
+        if (u, "home") in obs and (u, "work") in obs:
+            hx, hy = modal(obs[(u, "home")])
+            wx, wy = modal(obs[(u, "work")])
+            want[u] = (hx, hy, wx, wy,
+                       (hx - wx) ** 2 + (hy - wy) ** 2)
+    assert want and got == want
+    # explicit tie: two cells with equal counts -> smallest (cx, cy)
+    tie = [(9, t0 + dtm.timedelta(hours=1), 55, 5),
+           (9, t0 + dtm.timedelta(hours=2), 5, 55),
+           (9, t0 + dtm.timedelta(hours=10), 0, 0)]
+    (r,) = home_work(spark.createDataFrame(
+        tie, "user_id long, ts timestamp, x long, y long"),
+        cell=10).collect()
+    assert (r.home_cx, r.home_cy) == (0, 5)  # (0,5) < (5,0) lexicographic
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        home_work(df, cell=0)
