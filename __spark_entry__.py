@@ -2683,6 +2683,23 @@ def _knox_sql() -> str:
     """
 
 
+def _q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex ring smoothing (operators/cluster.hex_smooth) over the
+    hex_bin density: 7-position literal fanout + one hex-keyed sum;
+    fixed divisor 7 keeps the mean exact."""
+    from cdap_geo_spark.operators.cluster import hex_bin, hex_smooth
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
+    return hex_smooth(hex_bin(pts, size=25_000.0))
+
+
+def _hex_smooth_sql() -> str:
+    from cdap_geo_spark.operators.cluster import (hex_bin_oracle_sql,
+                                                  hex_smooth_oracle_sql)
+    return hex_smooth_oracle_sql(hex_bin_oracle_sql(_PTS, size=25_000.0))
+
+
 def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geary's C of region-box area under bbox adjacency
     (operators/zonal.gearys_c): numerator exact without centering,
@@ -3369,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gaps": _q_ts_gaps,
         "co_visits": _q_co_visits,
         "home_work": _q_home_work,
+        "hex_smooth": _q_hex_smooth,
         "cube_counts": _q_cube,
         "json_stats": _q_json,
         "changelog": _q_changelog,
@@ -4106,6 +4124,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_gaps": _ts_gaps_sql(),
         "co_visits": _co_visits_sql(),
         "home_work": _home_work_sql(),
+        "hex_smooth": _hex_smooth_sql(),
         "trajectory": """
           WITH p AS (
             SELECT user_id, ts, event_id,

@@ -260,3 +260,63 @@ def hex_bin_oracle_sql(points_sql: str, *, size: float) -> str:
              CAST(COUNT(*) AS BIGINT) AS n
       FROM h GROUP BY q, r
     """
+
+
+#: pointy-top axial k=1 ring: the hex itself + its six neighbors
+HEX_RING1 = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+
+
+def hex_smooth(hexes: DataFrame, *, q_col: str = "hq",
+               r_col: str = "hr", n_col: str = "n") -> DataFrame:
+    """k=1 ring smoothing over a hexagonal density surface (the
+    standard H3-style hotspot smoothing pass after :func:`hex_bin`):
+    every hex's smoothed value is the mean of itself and its six
+    axial neighbors, absent hexes counting 0 — the fixed divisor 7 is
+    what keeps the mean EXACT (one micro-rounded divide of an exact
+    BIGINT sum; no occupancy-dependent denominator to disagree on).
+    Returns ``(hq, hr, sum_n, smooth_u)`` for every hex TOUCHED by an
+    occupied hex's ring (the smoothed surface dilates one ring, as
+    any convolution does).
+
+    Plan: each occupied hex fans out to its 7 ring positions (a
+    literal 7-element explode — pure map-side), then ONE (hq, hr) sum
+    with map-side partials, bounded by touched hexes. The hex
+    convolution at 100 TB is a scan + one dimension-sized exchange.
+    """
+    contrib = (hexes.select(
+        F.col(q_col).cast("long").alias("_q"),
+        F.col(r_col).cast("long").alias("_r"),
+        F.col(n_col).cast("long").alias("_n"))
+        .select(F.explode(F.array(*[
+            F.struct((F.col("_q") + dq).alias("hq"),
+                     (F.col("_r") + dr).alias("hr"),
+                     F.col("_n").alias("n"))
+            for dq, dr in HEX_RING1])).alias("c"))
+        .select("c.hq", "c.hr", "c.n"))
+    return (contrib.groupBy("hq", "hr")
+            .agg(F.sum("n").cast("long").alias("sum_n"))
+            .select("hq", "hr", "sum_n",
+                    F.round(F.lit(1_000_000.0)
+                            * F.col("sum_n").cast("double")
+                            / F.lit(7.0)).cast("long")
+                    .alias("smooth_u")))
+
+
+def hex_smooth_oracle_sql(hexes_sql: str) -> str:
+    """ANSI/DuckDB twin of :func:`hex_smooth` — same 7-offset fanout
+    (UNION ALL arms), same fixed-divisor mean. ``hexes_sql`` must
+    yield (hq, hr, n)."""
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT hq + {dq} AS hq, hr + {dr} AS hr, n FROM h"
+        for dq, dr in HEX_RING1)
+    return f"""
+      WITH h AS ({hexes_sql}),
+      contrib AS (
+{arms}
+      )
+      SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(ROUND(1000000.0 * CAST(SUM(n) AS DOUBLE) / 7.0)
+               AS BIGINT) AS smooth_u
+      FROM contrib GROUP BY 1, 2
+    """

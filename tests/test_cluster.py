@@ -221,3 +221,30 @@ def test_hex_bin_oracle_twin_matches(spark):
     want = {(int(q), int(r)): int(n)
             for q, r, n in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_hex_smooth_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.cluster import HEX_RING1, hex_smooth
+    random.seed(73)
+    hexes = {}
+    for _ in range(50):
+        hexes[(random.randrange(-5, 6), random.randrange(-5, 6))] = \
+            random.randrange(1, 20)
+    df = spark.createDataFrame([(q, r, n) for (q, r), n in hexes.items()],
+                               "hq long, hr long, n long")
+    got = {(r.hq, r.hr): (r.sum_n, r.smooth_u)
+           for r in hex_smooth(df).collect()}
+    want = {}
+    for (q, r), n in hexes.items():
+        for dq, dr in HEX_RING1:
+            k = (q + dq, r + dr)
+            want[k] = want.get(k, 0) + n
+    want = {k: (s, round(1e6 * s / 7.0)) for k, s in want.items()}
+    assert got == want
+    # an isolated hex smooths to n/7 at its own position and spreads
+    # the same value to all six neighbors
+    (iso,) = [( (9, 9), 14)]
+    dfi = spark.createDataFrame([(9, 9, 14)], "hq long, hr long, n long")
+    giso = {(r.hq, r.hr): r.smooth_u for r in hex_smooth(dfi).collect()}
+    assert len(giso) == 7 and set(giso.values()) == {2_000_000}
