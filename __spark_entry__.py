@@ -1924,6 +1924,32 @@ def _q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_morans(vals, edges, id_col="id", value_col="x")
 
 
+def _q_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per region (operators/zonal.
+    getis_ord_gstar) of region-box area under bbox adjacency: the
+    multiply-through-by-n recipe keeps numerator and both variance
+    terms exact BIGINTs; one fixed-shape double, micro-rounded; the
+    HOT/COLD label is an exact integer sign test."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import getis_ord_gstar
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return getis_ord_gstar(vals, edges, id_col="id", value_col="x") \
+        .select(F.col("id").cast("long"), "k", "lag", "a_num",
+                "label", "g_micro")
+
+
 def _lisa_sql() -> str:
     return f"""
       WITH b AS ({_BOXES}),
@@ -1959,6 +1985,47 @@ def _lisa_sql() -> str:
                           / CAST(dn.den AS DOUBLE) * 1000000.0)
                  AS BIGINT) ELSE NULL END AS i_micro
       FROM lag JOIN z ON z.id = lag.id CROSS JOIN dn
+    """
+
+
+def _getis_sql() -> str:
+    return f"""
+      WITH b AS ({_BOXES}),
+      v AS (SELECT region_id AS id,
+                   CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                     // 100000 AS x
+            FROM b),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS ss FROM v),
+      e AS (
+        SELECT a.region_id AS a, c.region_id AS bb
+        FROM ({_BOXES}) a JOIN ({_BOXES}) c
+          ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+               OR a.maxx < c.minx OR a.maxy < c.miny)
+        WHERE a.region_id <> c.region_id
+        UNION ALL SELECT id, id FROM v
+      ),
+      lg AS (
+        SELECT e.a AS id, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x.x) AS BIGINT) AS lag
+        FROM e JOIN v x ON e.bb = x.id
+        GROUP BY 1
+      )
+      SELECT CAST(lg.id AS BIGINT) AS id, lg.k, lg.lag,
+             CAST(st.n * lg.lag - st.s * lg.k AS BIGINT) AS a_num,
+             CASE WHEN st.n * lg.lag - st.s * lg.k > 0 THEN 'HOT'
+                  WHEN st.n * lg.lag - st.s * lg.k < 0 THEN 'COLD'
+                  ELSE 'NONE' END AS label,
+             CASE WHEN st.n * st.ss - st.s * st.s > 0
+                   AND st.n * lg.k - lg.k * lg.k > 0 AND st.n > 1 THEN
+               CAST(ROUND(CAST(st.n * lg.lag - st.s * lg.k AS DOUBLE)
+                    / (SQRT(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+                       * SQRT(CAST(st.n * lg.k - lg.k * lg.k AS DOUBLE)
+                              / CAST(st.n - 1 AS DOUBLE)))
+                    * 1000000.0) AS BIGINT)
+             ELSE NULL END AS g_micro
+      FROM lg CROSS JOIN st
     """
 
 
@@ -3379,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": _q_contours,
         "knox": _q_knox,
         "lisa": _q_lisa,
+        "getis_ord": _q_getis,
         "geofence": _q_geofence,
         "adaptive_tiles": _q_adaptive_tiles,
         "ipf": _q_ipf,
@@ -4117,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "contours": _contours_sql(),
         "knox": _knox_sql(),
         "lisa": _lisa_sql(),
+        "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),
         "adaptive_tiles": _adaptive_tiles_sql(),
         "ipf": _ipf_sql(),

@@ -380,6 +380,60 @@ def test_local_morans_brute_force(spark):
     assert sum(v[2] for v in got.values()) == g.num
 
 
+def test_getis_ord_gstar_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import getis_ord_gstar
+    random.seed(41)
+    n = 25
+    vals = [(i, random.randrange(100)) for i in range(n)]
+    edges = []
+    for i in range(n):       # ring + chords, both directions
+        edges += [(i, (i + 1) % n), ((i + 1) % n, i)]
+    edges += [(0, 12), (12, 0), (5, 19), (19, 5)]
+    vdf = spark.createDataFrame(vals, "id long, x long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: (r.k, r.lag, r.a_num, r.label, r.g_micro)
+           for r in getis_ord_gstar(vdf, edf).collect()}
+
+    x = dict(vals)
+    s = sum(x.values())
+    ss = sum(v * v for v in x.values())
+    nbrs = {i: [i] for i in x}           # star variant: self included
+    for a, b in edges:
+        nbrs[a].append(b)
+    want = {}
+    for i, ns in nbrs.items():
+        k, lag = len(ns), sum(x[j] for j in ns)
+        a_num = n * lag - s * k
+        label = "HOT" if a_num > 0 else "COLD" if a_num < 0 else "NONE"
+        g = round(a_num / (math.sqrt(n * ss - s * s)
+                           * math.sqrt((n * k - k * k) / (n - 1))) * 1e6)
+        want[i] = (k, lag, a_num, label, g)
+    assert got == want
+    # classic Gi* check: z-scores sum to ~0 under equal weights is NOT
+    # guaranteed, but the numerators weighted by nothing must satisfy
+    # sum_i A_i = n*sum_i lag_i - s*sum_i k_i exactly
+    assert (sum(v[2] for v in got.values())
+            == n * sum(v[1] for v in got.values())
+            - s * sum(v[0] for v in got.values()))
+
+
+def test_getis_ord_all_equal_values(spark):
+    """Constant surface: every A_i is exactly 0, label NONE, and the
+    global variance term n*ss - s*s == 0 so g_micro is NULL."""
+    from cdap_geo_spark.operators.zonal import getis_ord_gstar
+    vdf = spark.createDataFrame([(i, 7) for i in range(6)],
+                                "id long, x long")
+    edf = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [((i + 1) % 6, i) for i in range(6)], "a long, b long")
+    rows = getis_ord_gstar(vdf, edf).collect()
+    assert len(rows) == 6
+    assert all(r.a_num == 0 and r.label == "NONE" and r.g_micro is None
+               for r in rows)
+
+
 def test_knox_plan_has_no_nested_loop(spark):
     """Both knox DATA joins must plan as equi-joins (cell key, bin
     key) — a CartesianProduct would be the all-pairs plan the operator
