@@ -2700,6 +2700,66 @@ def _q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knox_pairs(ev, delta=5_000, tau_us=3_600_000_000)
 
 
+def _q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K/L point-pattern ladder (operators/zonal.ripley_k):
+    one 3x3-neighbor cell join at r_max, every radius a conditional
+    sum over the SAME pair relation; exact BIGINT pair counts, K and
+    L fixed-shape doubles micro-rounded."""
+    from cdap_geo_spark.operators.zonal import ripley_k
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    return ripley_k(ev, radii=[2_000, 5_000, 10_000],
+                    area=700_000 * 1_300_000)
+
+
+def _ripley_sql() -> str:
+    area = 700_000 * 1_300_000
+    rmax = 10_000
+    rows = []
+    for i, r in enumerate([2_000, 5_000, 10_000]):
+        kd = (f"CAST({area} AS DOUBLE) * CAST(2 * c{i} AS DOUBLE)"
+              f" / CAST(n * (n - 1) AS DOUBLE)")
+        rows.append(f"""
+        SELECT CAST({r} AS BIGINT) AS r,
+               CAST(2 * c{i} AS BIGINT) AS n_pairs,
+               CASE WHEN n > 1 THEN
+                 CAST(ROUND(({kd}) * 1000000.0) AS BIGINT)
+               ELSE NULL END AS k_micro,
+               CASE WHEN n > 1 THEN
+                 CAST(ROUND(SQRT(({kd}) / 3.141592653589793)
+                            * 1000000.0) AS BIGINT)
+               ELSE NULL END AS l_micro
+        FROM c CROSS JOIN nn""")
+    body = " UNION ALL ".join(rows)
+    conds = ", ".join(
+        f"""CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0
+            END), 0) AS BIGINT) AS c{i}"""
+        for i, r in enumerate([2_000, 5_000, 10_000]))
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events
+      ),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      p AS (
+        SELECT (a.x - bb.x) * (a.x - bb.x)
+               + (a.y - bb.y) * (a.y - bb.y) AS d2
+        FROM b a JOIN b bb
+          ON a.id < bb.id
+         AND bb.x >= a.x - {rmax} AND bb.x <= a.x + {rmax}
+         AND bb.y >= a.y - {rmax} AND bb.y <= a.y + {rmax}
+         AND (a.x - bb.x) * (a.x - bb.x)
+             + (a.y - bb.y) * (a.y - bb.y) <= {rmax * rmax}
+      ),
+      c AS (SELECT {conds} FROM p)
+      {body}
+    """
+
+
 def _knox_sql() -> str:
     delta, tau = 5_000, 3_600_000_000
     return f"""
@@ -3445,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_raster": _q_line_raster,
         "contours": _q_contours,
         "knox": _q_knox,
+        "ripley_k": _q_ripley,
         "lisa": _q_lisa,
         "getis_ord": _q_getis,
         "geofence": _q_geofence,
@@ -4184,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "line_raster": _line_raster_sql(),
         "contours": _contours_sql(),
         "knox": _knox_sql(),
+        "ripley_k": _ripley_sql(),
         "lisa": _lisa_sql(),
         "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),

@@ -458,6 +458,82 @@ def knox_pairs(events: DataFrame, *, delta: int, tau_us: int,
          .alias("knox_u"))
 
 
+def ripley_k(points: DataFrame, *, radii: list, area: int,
+             id_col: str = "id", x_col: str = "x",
+             y_col: str = "y") -> DataFrame:
+    """Ripley's K point-pattern statistic (border-uncorrected
+    estimator — the standard large-window analytics form) at a fixed
+    ladder of radii: ``K̂(r) = A · Σ_{i≠j} 1[d_ij ≤ r] / (n·(n−1))``
+    plus the variance-stabilized ``L(r) = sqrt(K/π)`` (clustered ⇢
+    L(r) > r, dispersed ⇢ L(r) < r). Returns one row per radius:
+    ``(r, n_pairs, k_micro, l_micro)`` with ``n_pairs`` the ORDERED
+    i≠j count (2× the unordered join output — exact BIGINT).
+
+    Never all-pairs: ONE cell equi-join at cell size ``max(radii)``
+    (left replicates to its 3×3 neighbors, right stays home, ``a < b``
+    keeps each unordered pair once — any pair within r_max sits in
+    adjacent cells), then every radius is a conditional sum over the
+    SAME pair relation (one aggregate, no per-radius rescan), stacked
+    to rows map-side. d² and all counts are exact BIGINTs; K and L are
+    fixed-shape IEEE expressions over exact integers, micro-rounded.
+
+    At 10^12 points the candidate relation is events-per-cell² — the
+    usual salt-able cell-join term; the aggregate collapses it to ONE
+    row before any further exchange.
+    """
+    rs = sorted(int(r) for r in radii)
+    if not rs or rs[0] < 1:
+        raise ValueError("ripley_k: radii must be positive ints")
+    if int(area) < 1:
+        raise ValueError("ripley_k: area must be >= 1")
+    rmax = rs[-1]
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y")))
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"),
+                        F.expr(f"_x DIV {rmax}").alias("_cx"),
+                        F.expr(f"_y DIV {rmax}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"),
+                        F.expr(f"_x DIV {rmax}").alias("cx"),
+                        F.expr(f"_y DIV {rmax}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    pairs = (left.join(right, ["cx", "cy"])
+             .where((F.col("a") < F.col("b"))
+                    & (d2 <= F.lit(rmax * rmax)))
+             .select(d2.alias("_d2")))
+    counts = pairs.agg(*[
+        F.coalesce(F.sum(F.when(F.col("_d2") <= r * r, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, r in enumerate(rs)])
+    stack = ", ".join(f"{r}L, _c{i}" for i, r in enumerate(rs))
+    per_r = counts.selectExpr(
+        f"stack({len(rs)}, {stack}) as (r, _cnt)")
+    out = per_r.crossJoin(F.broadcast(nrow))
+    npairs = (F.lit(2) * F.col("_cnt")).cast("long")
+    kd = (F.lit(float(area)) * npairs.cast("double")
+          / (F.col("_n") * (F.col("_n") - 1)).cast("double"))
+    ok = F.col("_n") > 1
+    pi = 3.141592653589793
+    return out.select(
+        F.col("r").cast("long"), npairs.alias("n_pairs"),
+        F.when(ok, F.round(kd * 1000000.0).cast("long"))
+         .alias("k_micro"),
+        F.when(ok, F.round(F.sqrt(kd / F.lit(pi)) * 1000000.0)
+               .cast("long")).alias("l_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

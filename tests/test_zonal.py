@@ -380,6 +380,39 @@ def test_local_morans_brute_force(spark):
     assert sum(v[2] for v in got.values()) == g.num
 
 
+def test_ripley_k_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import ripley_k
+    random.seed(43)
+    n, side = 120, 1000
+    pts = [(i, random.randrange(side), random.randrange(side))
+           for i in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    radii, area = [50, 150, 400], side * side
+    got = {r.r: (r.n_pairs, r.k_micro, r.l_micro)
+           for r in ripley_k(df, radii=radii, area=area).collect()}
+    for r in radii:
+        cnt = sum(1 for i, ax, ay in pts for j, bx, by in pts
+                  if i != j
+                  and (ax - bx) ** 2 + (ay - by) ** 2 <= r * r)
+        kd = area * cnt / (n * (n - 1))
+        want = (cnt, round(kd * 1e6), round(math.sqrt(kd / math.pi) * 1e6))
+        assert got[r] == want, (r, got[r], want)
+
+
+def test_ripley_k_validation(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.zonal import ripley_k
+    df = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
+    with _pt.raises(ValueError):
+        ripley_k(df, radii=[], area=100)
+    with _pt.raises(ValueError):
+        ripley_k(df, radii=[0, 5], area=100)
+    with _pt.raises(ValueError):
+        ripley_k(df, radii=[5], area=0)
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
