@@ -2714,6 +2714,63 @@ def _q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
                     area=700_000 * 1_300_000)
 
 
+def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram (operators/zonal.variogram): 3x3 cell
+    join at h_max, lag index by exact integer sqrt (float floor + a
+    two-comparison fix-up), one bin-keyed partial agg; gamma one
+    fixed-shape double over exact BIGINT sums."""
+    from cdap_geo_spark.operators.zonal import variogram
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
+        ((F.col("event_id") * 7919 + 3) % 1000).alias("z"))
+    return variogram(ev, h_max=10_000, n_bins=5)
+
+
+def _variogram_sql() -> str:
+    hmax, width = 10_000, 2_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y,
+               (event_id*7919 + 3)   % 1000    AS z
+        FROM events
+      ),
+      p AS (
+        SELECT (a.x - bb.x) * (a.x - bb.x)
+               + (a.y - bb.y) * (a.y - bb.y) AS d2,
+               (a.z - bb.z) * (a.z - bb.z) AS dz2
+        FROM b a JOIN b bb
+          ON a.id < bb.id
+         AND bb.x >= a.x - {hmax} AND bb.x <= a.x + {hmax}
+         AND bb.y >= a.y - {hmax} AND bb.y <= a.y + {hmax}
+         AND (a.x - bb.x) * (a.x - bb.x)
+             + (a.y - bb.y) * (a.y - bb.y) < {hmax * hmax}
+      ),
+      q AS (
+        SELECT d2, dz2,
+               CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) AS s
+        FROM p
+      ),
+      r AS (
+        SELECT (s + CASE WHEN (s + 1) * (s + 1) <= d2 THEN 1
+                         WHEN s * s > d2 THEN -1 ELSE 0 END)
+               // {width} AS bin,
+               dz2
+        FROM q
+      )
+      SELECT bin, CAST(bin * {width} AS BIGINT) AS lo,
+             CAST((bin + 1) * {width} AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(ROUND(CAST(SUM(dz2) AS DOUBLE)
+                        / CAST(2 * COUNT(*) AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS gamma_micro
+      FROM r GROUP BY 1
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -3506,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contours": _q_contours,
         "knox": _q_knox,
         "ripley_k": _q_ripley,
+        "variogram": _q_variogram,
         "lisa": _q_lisa,
         "getis_ord": _q_getis,
         "geofence": _q_geofence,
@@ -4246,6 +4304,7 @@ def oracle_sql() -> dict[str, str]:
         "contours": _contours_sql(),
         "knox": _knox_sql(),
         "ripley_k": _ripley_sql(),
+        "variogram": _variogram_sql(),
         "lisa": _lisa_sql(),
         "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),

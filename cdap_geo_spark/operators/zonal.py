@@ -534,6 +534,77 @@ def ripley_k(points: DataFrame, *, radii: list, area: int,
                .cast("long")).alias("l_micro"))
 
 
+def variogram(points: DataFrame, *, h_max: int, n_bins: int,
+              id_col: str = "id", x_col: str = "x", y_col: str = "y",
+              value_col: str = "z") -> DataFrame:
+    """Empirical semivariogram (Matheron estimator) — the
+    geostatistics structure function behind kriging/IDW parameter
+    fits: ``γ(h) = Σ_{|d_ij|∈bin h} (z_i − z_j)² / (2·N(h))`` over
+    unordered pairs binned by EXACT euclidean distance into
+    ``n_bins`` equal lags of width ``h_max / n_bins``. Returns one
+    row per occupied lag: ``(bin, lo, hi, n_pairs, gamma_micro)``.
+
+    Exactness: the lag index needs ``floor(|d| / width)`` — float
+    sqrt alone can misround at bin boundaries, so the integer sqrt is
+    computed as ``floor(sqrt(d²))`` plus a two-comparison integer
+    fix-up (``(s+1)² ≤ d² → s+1``, ``s² > d² → s−1``), making the bin
+    assignment exact integer arithmetic in both engines. The squared
+    increment sum and pair count are exact BIGINTs; γ is ONE
+    fixed-shape double per bin, micro-rounded.
+
+    Plan: the usual 3×3-neighbor cell equi-join at cell size
+    ``h_max`` (left replicates, right home, a<b — never all-pairs),
+    then ONE bin-keyed partial aggregate; candidate volume is
+    points-per-cell², the salt-able term.
+    """
+    if h_max < 1 or n_bins < 1 or h_max % n_bins:
+        raise ValueError("variogram: need h_max >= n_bins >= 1 with "
+                         "n_bins dividing h_max (exact lag widths)")
+    width = h_max // n_bins
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(value_col).cast("long").alias("_z")))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"), F.col("_z").alias("za"),
+                        F.expr(f"_x DIV {h_max}").alias("_cx"),
+                        F.expr(f"_y DIV {h_max}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay", "za",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"), F.col("_z").alias("zb"),
+                        F.expr(f"_x DIV {h_max}").alias("cx"),
+                        F.expr(f"_y DIV {h_max}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    dz = F.col("za") - F.col("zb")
+    pairs = (left.join(right, ["cx", "cy"])
+             .where((F.col("a") < F.col("b"))
+                    & (d2 < F.lit(h_max * h_max)))
+             .select(d2.alias("_d2"), (dz * dz).alias("_dz2")))
+    s = F.floor(F.sqrt(F.col("_d2").cast("double"))).cast("long")
+    isqrt = s + (F.when((s + 1) * (s + 1) <= F.col("_d2"), 1)
+                 .when(s * s > F.col("_d2"), -1).otherwise(0))
+    binned = (pairs.select(isqrt.alias("_is"), "_dz2")
+              .selectExpr(f"_is DIV {width} AS bin", "_dz2")
+              .groupBy("bin")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                   F.sum("_dz2").cast("long").alias("_num")))
+    gamma = F.round(F.col("_num").cast("double")
+                    / (F.lit(2) * F.col("n_pairs")).cast("double")
+                    * 1000000.0).cast("long")
+    return binned.select(
+        "bin", (F.col("bin") * width).cast("long").alias("lo"),
+        ((F.col("bin") + 1) * width).cast("long").alias("hi"),
+        "n_pairs", gamma.alias("gamma_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -413,6 +413,50 @@ def test_ripley_k_validation(spark):
         ripley_k(df, radii=[5], area=0)
 
 
+def test_variogram_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import variogram
+    random.seed(47)
+    n, side = 100, 800
+    pts = [(i, random.randrange(side), random.randrange(side),
+            random.randrange(50)) for i in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long, z long")
+    h_max, n_bins = 300, 6
+    width = h_max // n_bins
+    got = {r.bin: (r.lo, r.hi, r.n_pairs, r.gamma_micro)
+           for r in variogram(df, h_max=h_max, n_bins=n_bins).collect()}
+    want = {}
+    acc = {}
+    for i, ax, ay, az in pts:
+        for j, bx, by, bz in pts:
+            if i >= j:
+                continue
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if d2 >= h_max * h_max:
+                continue
+            b = math.isqrt(d2) // width
+            c, s = acc.get(b, (0, 0))
+            acc[b] = (c + 1, s + (az - bz) ** 2)
+    for b, (c, s) in acc.items():
+        # Spark/DuckDB ROUND is half-away-from-zero; python round is
+        # half-even — γ hits exact .5 ties (integer num / 2c)
+        want[b] = (b * width, (b + 1) * width, c,
+                   math.floor(s / (2 * c) * 1e6 + 0.5))
+    assert got == want
+
+
+def test_variogram_validation(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.zonal import variogram
+    df = spark.createDataFrame([(1, 2, 3, 4)],
+                               "id long, x long, y long, z long")
+    with _pt.raises(ValueError):
+        variogram(df, h_max=10, n_bins=3)   # not an exact divisor
+    with _pt.raises(ValueError):
+        variogram(df, h_max=0, n_bins=1)
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
