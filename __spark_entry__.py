@@ -2771,6 +2771,67 @@ def _variogram_sql() -> str:
     """
 
 
+def _q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location participation index (operators/zonal.colocation):
+    one cell join at dist, directed readings fan map-side, ONE
+    distinct-participant agg per type pair; which ratio is the min is
+    an exact integer cross-comparison, the only float one division."""
+    from cdap_geo_spark.operators.zonal import colocation
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
+        F.col("event_type").alias("t"))
+    return colocation(ev, dist=5_000)
+
+
+def _colocation_sql() -> str:
+    dist = 5_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y,
+               event_type AS t
+        FROM events WHERE event_type IS NOT NULL
+      ),
+      p AS (
+        SELECT a.id AS ai, a.t AS ta, bb.id AS bi, bb.t AS tb
+        FROM b a JOIN b bb
+          ON a.id < bb.id
+         AND bb.x >= a.x - {dist} AND bb.x <= a.x + {dist}
+         AND bb.y >= a.y - {dist} AND bb.y <= a.y + {dist}
+         AND (a.x - bb.x) * (a.x - bb.x)
+             + (a.y - bb.y) * (a.y - bb.y) <= {dist * dist}
+         AND a.t <> bb.t
+      ),
+      d AS (
+        SELECT ai AS i, ta AS ti, tb AS tj FROM p
+        UNION ALL
+        SELECT bi AS i, tb AS ti, ta AS tj FROM p
+      ),
+      part AS (
+        SELECT ti, tj, CAST(COUNT(DISTINCT i) AS BIGINT) AS n_with
+        FROM d GROUP BY 1, 2
+      ),
+      c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1)
+      SELECT ab.ti AS type_a, ab.tj AS type_b,
+             ca.n AS n_a, cb.n AS n_b,
+             ab.n_with AS n_a_near_b, ba.n_with AS n_b_near_a,
+             CAST(CASE WHEN ab.n_with * cb.n <= ba.n_with * ca.n
+               THEN ROUND(CAST(ab.n_with AS DOUBLE)
+                          / CAST(ca.n AS DOUBLE) * 1000000.0)
+               ELSE ROUND(CAST(ba.n_with AS DOUBLE)
+                          / CAST(cb.n AS DOUBLE) * 1000000.0)
+             END AS BIGINT) AS pi_micro
+      FROM part ab
+      JOIN part ba ON ab.ti = ba.tj AND ab.tj = ba.ti
+      JOIN c ca ON ca.t = ab.ti
+      JOIN c cb ON cb.t = ab.tj
+      WHERE ab.ti < ab.tj
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -3564,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox": _q_knox,
         "ripley_k": _q_ripley,
         "variogram": _q_variogram,
+        "colocation": _q_colocation,
         "lisa": _q_lisa,
         "getis_ord": _q_getis,
         "geofence": _q_geofence,
@@ -4305,6 +4367,7 @@ def oracle_sql() -> dict[str, str]:
         "knox": _knox_sql(),
         "ripley_k": _ripley_sql(),
         "variogram": _variogram_sql(),
+        "colocation": _colocation_sql(),
         "lisa": _lisa_sql(),
         "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),

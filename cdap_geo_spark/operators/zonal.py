@@ -605,6 +605,95 @@ def variogram(points: DataFrame, *, h_max: int, n_bins: int,
         "n_pairs", gamma.alias("gamma_micro"))
 
 
+def colocation(points: DataFrame, *, dist: int,
+               id_col: str = "id", x_col: str = "x", y_col: str = "y",
+               type_col: str = "t") -> DataFrame:
+    """Co-location pattern mining (Shekhar–Huang participation
+    index) — which FEATURE TYPES occur near each other more than
+    their own abundance explains: for every unordered type pair
+    (A, B), ``pr(A→B)`` = fraction of A instances with ≥1 B neighbor
+    within ``dist``, and ``PI = min(pr(A→B), pr(B→A))``. Returns one
+    row per type pair with at least one cross-type neighbor pair:
+    ``(type_a, type_b, n_a, n_b, n_a_near_b, n_b_near_a, pi_micro)``
+    with ``type_a < type_b``.
+
+    Exactness: all counts are exact BIGINTs; WHICH ratio is the
+    minimum is decided by the exact integer cross-comparison
+    ``nab·nb ≤ nba·na`` (no float min of two divisions), so the only
+    float is ONE division with a fixed shape, micro-rounded.
+
+    Plan: one 3×3-neighbor cell equi-join at cell size ``dist``
+    (a<b unordered, exact d²), the pair relation fans to its two
+    directed readings map-side, ONE distinct-participant aggregate
+    per (type, type), then two small joins against the per-type
+    counts (broadcast — the type dimension is tiny by construction).
+    Never all-pairs; candidate volume is points-per-cell².
+    """
+    if dist < 1:
+        raise ValueError("colocation: dist must be >= 1")
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(type_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(type_col).cast("string").alias("_t")))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"), F.col("_t").alias("ta"),
+                        F.expr(f"_x DIV {dist}").alias("_cx"),
+                        F.expr(f"_y DIV {dist}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay", "ta",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"), F.col("_t").alias("tb"),
+                        F.expr(f"_x DIV {dist}").alias("cx"),
+                        F.expr(f"_y DIV {dist}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    pairs = (left.join(right, ["cx", "cy"])
+             .where((F.col("a") < F.col("b"))
+                    & (d2 <= F.lit(dist * dist))
+                    & (F.col("ta") != F.col("tb")))
+             .select("a", "ta", "b", "tb"))
+    directed = pairs.select(F.col("a").alias("i"),
+                            F.col("ta").alias("ti"),
+                            F.col("tb").alias("tj")).unionByName(
+        pairs.select(F.col("b").alias("i"), F.col("tb").alias("ti"),
+                     F.col("ta").alias("tj")))
+    part = (directed.groupBy("ti", "tj")
+            .agg(F.countDistinct("i").cast("long").alias("n_with")))
+    counts = (base.groupBy(F.col("_t").alias("t"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ab = part.select(F.col("ti").alias("type_a"),
+                     F.col("tj").alias("type_b"),
+                     F.col("n_with").alias("n_a_near_b"))
+    ba = part.select(F.col("tj").alias("type_a"),
+                     F.col("ti").alias("type_b"),
+                     F.col("n_with").alias("n_b_near_a"))
+    out = (ab.join(ba, ["type_a", "type_b"])
+           .where(F.col("type_a") < F.col("type_b"))
+           .join(F.broadcast(counts.select(
+               F.col("t").alias("type_a"), F.col("n").alias("n_a"))),
+               "type_a")
+           .join(F.broadcast(counts.select(
+               F.col("t").alias("type_b"), F.col("n").alias("n_b"))),
+               "type_b"))
+    a_min = (F.col("n_a_near_b") * F.col("n_b")
+             <= F.col("n_b_near_a") * F.col("n_a"))
+    pi = F.when(a_min,
+                F.round(F.col("n_a_near_b").cast("double")
+                        / F.col("n_a").cast("double") * 1000000.0)) \
+          .otherwise(
+                F.round(F.col("n_b_near_a").cast("double")
+                        / F.col("n_b").cast("double") * 1000000.0)) \
+          .cast("long")
+    return out.select("type_a", "type_b", "n_a", "n_b",
+                      "n_a_near_b", "n_b_near_a", pi.alias("pi_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

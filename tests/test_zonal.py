@@ -457,6 +457,46 @@ def test_variogram_validation(spark):
         variogram(df, h_max=0, n_bins=1)
 
 
+def test_colocation_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import colocation
+    random.seed(53)
+    n, side, dist = 90, 500, 60
+    types = ["shop", "cafe", "bank"]
+    pts = [(i, random.randrange(side), random.randrange(side),
+            types[random.randrange(3)]) for i in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long, t string")
+    got = {(r.type_a, r.type_b): (r.n_a, r.n_b, r.n_a_near_b,
+                                  r.n_b_near_a, r.pi_micro)
+           for r in colocation(df, dist=dist).collect()}
+    near = {}      # (type_from, type_to) -> set of participating ids
+    for i, ax, ay, ta in pts:
+        for j, bx, by, tb in pts:
+            if i == j or ta == tb:
+                continue
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= dist * dist:
+                near.setdefault((ta, tb), set()).add(i)
+    cnt = {}
+    for _, _, _, t in pts:
+        cnt[t] = cnt.get(t, 0) + 1
+    want = {}
+    for ta in types:
+        for tb in types:
+            if ta >= tb or (ta, tb) not in near:
+                continue
+            nab, nba = len(near[(ta, tb)]), len(near[(tb, ta)])
+            na, nb = cnt[ta], cnt[tb]
+            pi = (math.floor(nab / na * 1e6 + 0.5)
+                  if nab * nb <= nba * na
+                  else math.floor(nba / nb * 1e6 + 0.5))
+            want[(ta, tb)] = (na, nb, nab, nba, pi)
+    assert got == want
+    # PI is symmetric in construction: every emitted pair has both
+    # directions participating (a cross-type pair feeds both)
+    assert all(v[2] >= 1 and v[3] >= 1 for v in got.values())
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
