@@ -2832,6 +2832,52 @@ def _colocation_sql() -> str:
     """
 
 
+def _q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat CSR test (operators/zonal.quadrat_test): multiply-
+    through-by-k keeps the chi2 numerator an exact BIGINT with empty
+    quadrats in closed form; ONE quadrat-keyed exchange."""
+    from cdap_geo_spark.operators.zonal import quadrat_test
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    return quadrat_test(ev, width=700_000, height=1_300_000,
+                        gx=7, gy=13)
+
+
+def _quadrat_sql() -> str:
+    k, cw, ch = 91, 100_000, 100_000
+    return f"""
+      WITH b AS (
+        SELECT (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events
+      ),
+      cells AS (
+        SELECT x // {cw} AS qx, y // {ch} AS qy,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM b GROUP BY 1, 2
+      ),
+      tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS occupied FROM cells),
+      no AS (
+        SELECT CAST(SUM(({k}*obs - n) * ({k}*obs - n)) AS BIGINT)
+                 AS num_occ,
+               MAX(n) AS n, MAX(occupied) AS occupied
+        FROM cells CROSS JOIN tot
+      )
+      SELECT n, CAST({k} AS BIGINT) AS k, occupied,
+             CASE WHEN n > 0 THEN
+               CAST(ROUND(CAST(num_occ + ({k} - occupied)*n*n AS DOUBLE)
+                          / CAST(n * {k} AS DOUBLE) * 1000000.0)
+                 AS BIGINT) END AS chi2_micro,
+             CASE WHEN n > 0 THEN
+               CAST(ROUND(CAST(num_occ + ({k} - occupied)*n*n AS DOUBLE)
+                          / CAST(n * {k} * {k - 1} AS DOUBLE)
+                          * 1000000.0) AS BIGINT) END AS vmr_micro
+      FROM no
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -3626,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripley_k": _q_ripley,
         "variogram": _q_variogram,
         "colocation": _q_colocation,
+        "quadrat": _q_quadrat,
         "lisa": _q_lisa,
         "getis_ord": _q_getis,
         "geofence": _q_geofence,
@@ -4368,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": _ripley_sql(),
         "variogram": _variogram_sql(),
         "colocation": _colocation_sql(),
+        "quadrat": _quadrat_sql(),
         "lisa": _lisa_sql(),
         "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),

@@ -694,6 +694,66 @@ def colocation(points: DataFrame, *, dist: int,
                       "n_a_near_b", "n_b_near_a", pi.alias("pi_micro"))
 
 
+def quadrat_test(points: DataFrame, *, width: int, height: int,
+                 gx: int, gy: int, x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Quadrat test of complete spatial randomness — the classic
+    χ²-over-grid-counts companion to :func:`ripley_k`: the domain
+    ``[0,width)×[0,height)`` splits into ``gx·gy`` equal quadrats and
+    ``χ² = Σ_c (obs_c − n/k)² / (n/k)`` (df = k−1) plus the
+    variance/mean ratio (clustered ⇢ VMR > 1). Returns ONE row:
+    ``(n, k, occupied, chi2_micro, vmr_micro)``.
+
+    Float-free until the last step: multiply through by k —
+    ``χ² = Σ_c (k·obs_c − n)² / (n·k)`` — so the numerator is an
+    exact BIGINT sum; EMPTY quadrats never materialize (each
+    contributes exactly n², added in closed form as
+    ``(k − occupied)·n²``). χ² and VMR = num/(n·k·(k−1)) are each ONE
+    fixed-shape division, micro-rounded. Magnitude contract:
+    ``(k·max_obs)²·occupied`` within int64.
+
+    Plan: ONE quadrat-keyed partial-agg exchange over the point
+    volume, then a 1-row combine. Points outside the domain raise at
+    runtime via the bin bounds check (callers pre-filter).
+    """
+    if width < gx or height < gy or width % gx or height % gy:
+        raise ValueError("quadrat_test: gx/gy must evenly divide "
+                         "width/height")
+    if gx * gy < 2:
+        raise ValueError("quadrat_test: need at least 2 quadrats")
+    cw, ch = width // gx, height // gy
+    k = gx * gy
+    base = points.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        & (F.col(x_col) >= 0) & (F.col(x_col) < width)
+        & (F.col(y_col) >= 0) & (F.col(y_col) < height)) \
+        .selectExpr(f"CAST({x_col} AS BIGINT) DIV {cw} AS _qx",
+                    f"CAST({y_col} AS BIGINT) DIV {ch} AS _qy")
+    cells = (base.groupBy("_qx", "_qy")
+             .agg(F.count(F.lit(1)).cast("long").alias("_obs")))
+    tot = cells.agg(F.sum("_obs").cast("long").alias("n"),
+                    F.count(F.lit(1)).cast("long").alias("occupied"))
+    joined = cells.crossJoin(F.broadcast(tot))
+    dev = (F.lit(k) * F.col("_obs") - F.col("n"))
+    num_occ = joined.agg(
+        F.sum(dev * dev).cast("long").alias("_num_occ"),
+        F.max("n").alias("n"), F.max("occupied").alias("occupied"))
+    num = (F.col("_num_occ")
+           + (F.lit(k) - F.col("occupied")) * F.col("n") * F.col("n")) \
+        .cast("long")
+    chi2 = F.round(num.cast("double")
+                   / (F.col("n") * F.lit(k)).cast("double")
+                   * 1000000.0).cast("long")
+    vmr = F.round(num.cast("double")
+                  / (F.col("n") * F.lit(k) * F.lit(k - 1))
+                  .cast("double") * 1000000.0).cast("long")
+    ok = F.col("n") > 0
+    return num_occ.select(
+        "n", F.lit(k).cast("long").alias("k"), "occupied",
+        F.when(ok, chi2).alias("chi2_micro"),
+        F.when(ok, vmr).alias("vmr_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

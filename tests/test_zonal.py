@@ -497,6 +497,46 @@ def test_colocation_brute_force(spark):
     assert all(v[2] >= 1 and v[3] >= 1 for v in got.values())
 
 
+def test_quadrat_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import quadrat_test
+    random.seed(59)
+    w, h, gx, gy = 120, 80, 6, 4
+    k = gx * gy
+    # clustered blob + sparse noise so several quadrats stay EMPTY
+    pts = ([(random.randrange(20), random.randrange(20))
+            for _ in range(70)]
+           + [(random.randrange(w), random.randrange(h))
+              for _ in range(30)])
+    df = spark.createDataFrame(pts, "x long, y long")
+    (row,) = quadrat_test(df, width=w, height=h, gx=gx, gy=gy).collect()
+    cw, ch = w // gx, h // gy
+    obs = {}
+    for x, y in pts:
+        q = (x // cw, y // ch)
+        obs[q] = obs.get(q, 0) + 1
+    n = len(pts)
+    num = (sum((k * c - n) ** 2 for c in obs.values())
+           + (k - len(obs)) * n * n)
+    assert (row.n, row.k, row.occupied) == (n, k, len(obs))
+    assert row.chi2_micro == math.floor(num / (n * k) * 1e6 + 0.5)
+    assert row.vmr_micro == math.floor(num / (n * k * (k - 1)) * 1e6
+                                       + 0.5)
+    # clustered blob must read as strongly over-dispersed
+    assert row.vmr_micro > 1_000_000
+
+
+def test_quadrat_validation(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.zonal import quadrat_test
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    with _pt.raises(ValueError):
+        quadrat_test(df, width=100, height=100, gx=3, gy=2)
+    with _pt.raises(ValueError):
+        quadrat_test(df, width=100, height=100, gx=1, gy=1)
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
