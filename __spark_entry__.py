@@ -2878,6 +2878,109 @@ def _quadrat_sql() -> str:
     """
 
 
+def _q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location quotient per (100km grid cell, event_type)
+    (operators/zonal.location_quotient): LQ = n_rt·n/(n_r·n_t) —
+    exact BIGINT counts, one fixed-shape division micro-rounded."""
+    from cdap_geo_spark.operators.zonal import location_quotient
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+        " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS region",
+        "event_type AS t")
+    return location_quotient(ev)
+
+
+def _location_quotient_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS region,
+               event_type AS t
+        FROM events WHERE event_type IS NOT NULL
+      ),
+      rt AS (SELECT region, t, CAST(COUNT(*) AS BIGINT) AS n_rt
+             FROM b GROUP BY 1, 2),
+      r AS (SELECT region, CAST(SUM(n_rt) AS BIGINT) AS n_r
+            FROM rt GROUP BY 1),
+      tt AS (SELECT t, CAST(SUM(n_rt) AS BIGINT) AS n_t
+             FROM rt GROUP BY 1),
+      n AS (SELECT CAST(SUM(n_rt) AS BIGINT) AS n FROM rt)
+      SELECT CAST(rt.region AS BIGINT) AS region, rt.t, rt.n_rt,
+             r.n_r, tt.n_t,
+             CAST(ROUND(CAST(rt.n_rt * n.n AS DOUBLE)
+                        / CAST(r.n_r * tt.n_t AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS lq_micro
+      FROM rt JOIN r USING (region) JOIN tt USING (t) CROSS JOIN n
+    """
+
+
+def _q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff-Ord join counts (operators/zonal.join_counts) over
+    region-box bbox adjacency, flag = area-magnitude parity: BB/BW/WW
+    exact BIGINTs, each obs/exp ratio one fixed-shape division."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import join_counts
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", (F.expr("_a DIV 100000") % 2).alias("is_b"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") < F.col("b"))
+    return join_counts(vals, edges)
+
+
+def _join_counts_sql() -> str:
+    return f"""
+      WITH b AS ({_BOXES}),
+      v AS (SELECT region_id AS id,
+                   (CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                    // 100000) % 2 AS f
+            FROM b),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(f) AS BIGINT) AS nb FROM v),
+      e AS (
+        SELECT a.region_id AS a, c.region_id AS bb
+        FROM ({_BOXES}) a JOIN ({_BOXES}) c
+          ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+               OR a.maxx < c.minx OR a.maxy < c.miny)
+        WHERE a.region_id < c.region_id
+      ),
+      obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+               CAST(SUM(fa.f * fb.f) AS BIGINT) AS bb,
+               CAST(SUM((1 - fa.f) * (1 - fb.f)) AS BIGINT) AS ww
+        FROM e JOIN v fa ON e.a = fa.id JOIN v fb ON e.bb = fb.id
+      )
+      SELECT st.n, st.nb AS n_b, obs.w_pairs, obs.bb,
+             CAST(obs.w_pairs - obs.bb - obs.ww AS BIGINT) AS bw,
+             obs.ww,
+             CASE WHEN obs.w_pairs * st.nb * (st.nb - 1) > 0 THEN
+               CAST(ROUND(CAST(obs.bb * (st.n * (st.n - 1)) AS DOUBLE)
+                    / CAST(obs.w_pairs * st.nb * (st.nb - 1) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) END AS bb_ratio_micro,
+             CASE WHEN 2 * obs.w_pairs * st.nb * (st.n - st.nb) > 0
+               THEN CAST(ROUND(CAST((obs.w_pairs - obs.bb - obs.ww)
+                                    * (st.n * (st.n - 1)) AS DOUBLE)
+                    / CAST(2 * obs.w_pairs * st.nb * (st.n - st.nb)
+                           AS DOUBLE) * 1000000.0) AS BIGINT)
+             END AS bw_ratio_micro,
+             CASE WHEN obs.w_pairs * (st.n - st.nb)
+                       * (st.n - st.nb - 1) > 0 THEN
+               CAST(ROUND(CAST(obs.ww * (st.n * (st.n - 1)) AS DOUBLE)
+                    / CAST(obs.w_pairs * (st.n - st.nb)
+                           * (st.n - st.nb - 1) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) END AS ww_ratio_micro
+      FROM obs CROSS JOIN st
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -3673,6 +3776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": _q_variogram,
         "colocation": _q_colocation,
         "quadrat": _q_quadrat,
+        "location_quotient": _q_location_quotient,
+        "join_counts": _q_join_counts,
         "lisa": _q_lisa,
         "getis_ord": _q_getis,
         "geofence": _q_geofence,
@@ -4416,6 +4521,8 @@ def oracle_sql() -> dict[str, str]:
         "variogram": _variogram_sql(),
         "colocation": _colocation_sql(),
         "quadrat": _quadrat_sql(),
+        "location_quotient": _location_quotient_sql(),
+        "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),
         "getis_ord": _getis_sql(),
         "geofence": _geofence_sql(),

@@ -754,6 +754,99 @@ def quadrat_test(points: DataFrame, *, width: int, height: int,
         F.when(ok, vmr).alias("vmr_micro"))
 
 
+def location_quotient(rows: DataFrame, *, region_col: str = "region",
+                      type_col: str = "t") -> DataFrame:
+    """Location quotient — the regional-concentration measure from
+    economic geography: ``LQ(r,t) = (n_rt / n_r) / (n_t / n)``, > 1
+    where type t is over-represented in region r relative to its
+    global share. Returns one row per occupied (region, type):
+    ``(region, t, n_rt, n_r, n_t, lq_micro)``.
+
+    Float-free core: ``LQ = n_rt·n / (n_r·n_t)`` — all four counts
+    exact BIGINTs from partial-agg exchanges, ONE fixed-shape
+    division micro-rounded (magnitude contract: ``n_rt·n`` within
+    int64). Plan: one (region, type) partial agg over the data
+    volume; region totals roll up FROM that relation (occupied-cell
+    sized, no second data pass); type totals and the grand total ride
+    tiny broadcasts.
+    """
+    base = rows.where(F.col(region_col).isNotNull()
+                      & F.col(type_col).isNotNull()) \
+        .select(F.col(region_col).alias("_r"),
+                F.col(type_col).cast("string").alias("_t"))
+    rt = (base.groupBy("_r", "_t")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_rt")))
+    r = rt.groupBy("_r").agg(F.sum("n_rt").cast("long").alias("n_r"))
+    t = rt.groupBy("_t").agg(F.sum("n_rt").cast("long").alias("n_t"))
+    n = rt.agg(F.sum("n_rt").cast("long").alias("n"))
+    out = (rt.join(r, "_r").join(F.broadcast(t), "_t")
+           .crossJoin(F.broadcast(n)))
+    lq = F.round((F.col("n_rt") * F.col("n")).cast("double")
+                 / (F.col("n_r") * F.col("n_t")).cast("double")
+                 * 1000000.0).cast("long")
+    return out.select(F.col("_r").alias(region_col),
+                      F.col("_t").alias(type_col),
+                      "n_rt", "n_r", "n_t", lq.alias("lq_micro"))
+
+
+def join_counts(values: DataFrame, edges: DataFrame, *,
+                id_col: str = "id", flag_col: str = "is_b",
+                src: str = "a", dst: str = "b") -> DataFrame:
+    """Cliff–Ord join-count statistics — categorical spatial
+    autocorrelation (the binary-map analogue of :func:`morans_i`):
+    over unordered adjacency pairs, count BB / BW / WW joins and
+    compare each against its nonfree-sampling expectation
+    ``E[BB] = W·n_b(n_b−1)/(n(n−1))``, ``E[BW] = 2W·n_b·n_w/(n(n−1))``,
+    ``E[WW] = W·n_w(n_w−1)/(n(n−1))``. Returns ONE row: ``(n, n_b,
+    w_pairs, bb, bw, ww, bb_ratio_micro, bw_ratio_micro,
+    ww_ratio_micro)`` — ratio > 1e6 means more same-color (or
+    cross-color) joins than chance.
+
+    ``edges`` carries each unordered pair ONCE (``a < b`` — pass a
+    deduplicated pair relation, e.g. a cell-join output). The flag
+    must be 0/1. Every count and every expectation NUMERATOR is an
+    exact BIGINT (magnitude contract: ``W·n_b²`` within int64); each
+    obs/exp ratio is ONE fixed-shape division of exact integers,
+    micro-rounded, NULL when the expectation is 0.
+
+    Plan: two endpoint equi-joins attach flags to the pair relation
+    (same shape as :func:`morans_i`'s numerator), one 1-row combine.
+    """
+    vals = values.select(F.col(id_col).alias("_id"),
+                         F.col(flag_col).cast("long").alias("_f"))
+    stat = vals.agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                    F.sum("_f").cast("long").alias("_nb"))
+    fa = vals.select(F.col("_id").alias(src), F.col("_f").alias("_fa"))
+    fb = vals.select(F.col("_id").alias(dst), F.col("_f").alias("_fb"))
+    e = edges.select(F.col(src), F.col(dst))
+    obs = (e.join(fa, src).join(fb, dst)
+           .agg(F.count(F.lit(1)).cast("long").alias("w_pairs"),
+                F.sum(F.col("_fa") * F.col("_fb")).cast("long")
+                .alias("bb"),
+                F.sum((1 - F.col("_fa")) * (1 - F.col("_fb")))
+                .cast("long").alias("ww")))
+    out = obs.crossJoin(F.broadcast(stat))
+    nw = F.col("_n") - F.col("_nb")
+    bw = (F.col("w_pairs") - F.col("bb") - F.col("ww")).cast("long")
+    nn1 = F.col("_n") * (F.col("_n") - 1)
+
+    def ratio(o, exp_num):
+        return F.when(exp_num > 0,
+                      F.round((o * nn1).cast("double")
+                              / exp_num.cast("double")
+                              * 1000000.0).cast("long"))
+
+    return out.select(
+        F.col("_n").alias("n"), F.col("_nb").alias("n_b"),
+        "w_pairs", "bb", bw.alias("bw"), "ww",
+        ratio(F.col("bb"), F.col("w_pairs") * F.col("_nb")
+              * (F.col("_nb") - 1)).alias("bb_ratio_micro"),
+        ratio(bw, F.lit(2) * F.col("w_pairs") * F.col("_nb") * nw)
+        .alias("bw_ratio_micro"),
+        ratio(F.col("ww"), F.col("w_pairs") * nw * (nw - 1))
+        .alias("ww_ratio_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

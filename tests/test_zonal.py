@@ -537,6 +537,78 @@ def test_quadrat_validation(spark):
         quadrat_test(df, width=100, height=100, gx=1, gy=1)
 
 
+def test_location_quotient_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import location_quotient
+    random.seed(61)
+    rows = [(random.randrange(6), random.choice("abc"))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "region long, t string")
+    got = {(r.region, r.t): (r.n_rt, r.n_r, r.n_t, r.lq_micro)
+           for r in location_quotient(df).collect()}
+    n = len(rows)
+    from collections import Counter
+    rt = Counter(rows)
+    rc = Counter(r for r, _ in rows)
+    tc = Counter(t for _, t in rows)
+    want = {(r, t): (c, rc[r], tc[t],
+                     math.floor(c * n / (rc[r] * tc[t]) * 1e6 + 0.5))
+            for (r, t), c in rt.items()}
+    assert got == want
+    # share-weighted mean of LQ over types within a region is 1 by
+    # construction: sum_t n_rt*LQ/n_r = n * sum_t n_rt/(n_r*n_t) ...
+    # pin instead the exact identity sum_t n_rt = n_r per region
+    for r in rc:
+        assert sum(v[0] for (rr, _), v in got.items() if rr == r) \
+            == rc[r]
+
+
+def test_join_counts_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import join_counts
+    random.seed(67)
+    n = 30
+    flags = [(i, random.randrange(2)) for i in range(n)]
+    edges = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if random.random() < 0.2]
+    vdf = spark.createDataFrame(flags, "id long, is_b long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    (row,) = join_counts(vdf, edf).collect()
+    f = dict(flags)
+    nb = sum(f.values())
+    nw = n - nb
+    bb = sum(1 for a, b in edges if f[a] and f[b])
+    ww = sum(1 for a, b in edges if not f[a] and not f[b])
+    bw = len(edges) - bb - ww
+    w = len(edges)
+    assert (row.n, row.n_b, row.w_pairs, row.bb, row.bw, row.ww) \
+        == (n, nb, w, bb, bw, ww)
+    nn1 = n * (n - 1)
+
+    def ratio(o, e):
+        return math.floor(o * nn1 / e * 1e6 + 0.5) if e > 0 else None
+
+    assert row.bb_ratio_micro == ratio(bb, w * nb * (nb - 1))
+    assert row.bw_ratio_micro == ratio(bw, 2 * w * nb * nw)
+    assert row.ww_ratio_micro == ratio(ww, w * nw * (nw - 1))
+
+
+def test_join_counts_all_one_color(spark):
+    """All-B map: bw == ww == 0, bb == W, and the W/BW expectations
+    are degenerate (NULL ratios)."""
+    from cdap_geo_spark.operators.zonal import join_counts
+    vdf = spark.createDataFrame([(i, 1) for i in range(4)],
+                                "id long, is_b long")
+    edf = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                "a long, b long")
+    (row,) = join_counts(vdf, edf).collect()
+    assert (row.bb, row.bw, row.ww) == (3, 0, 0)
+    assert row.bb_ratio_micro == 1_000_000
+    assert row.bw_ratio_micro is None and row.ww_ratio_micro is None
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
