@@ -336,6 +336,51 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_bpeish"))
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.doc_chunks):
+    size-64 windows, 16-token overlap; all map-side (split + bounded
+    sequence explode, no shuffle); exact integer index arithmetic."""
+    from cdap_geo_spark.operators.text import doc_chunks
+    out = doc_chunks(_docs(spark, sf_dir), size=64, overlap=16)
+    return out.select(F.col("doc_id").cast("long"), "chunk_id",
+                      "start_tok", "n_tok", "chunk_text")
+
+
+def _doc_chunks_sql() -> str:
+    size, stride = 64, 48
+    return f"""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND len(trim(text)) > 0
+      ),
+      s AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+      m AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {size} THEN 1
+                    ELSE 1 + (n - {size} + {stride} - 1) // {stride}
+               END AS m
+        FROM s
+      ),
+      c AS (
+        SELECT doc_id, toks, n,
+               UNNEST(generate_series(0, m - 1)) AS chunk_id
+        FROM m
+      )
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(chunk_id * {stride} AS BIGINT) AS start_tok,
+             CAST(LEAST({size}, n - chunk_id * {stride}) AS BIGINT)
+               AS n_tok,
+             array_to_string(
+               toks[chunk_id * {stride} + 1 :
+                    chunk_id * {stride}
+                    + LEAST({size}, n - chunk_id * {stride})],
+               ' ') AS chunk_text
+      FROM c
+    """
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import quality_features
     out = quality_features(_docs(spark, sf_dir))
@@ -3692,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupmax": _q_groupmax,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "doc_chunks": _q_doc_chunks,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "repetition": _q_repetition,
@@ -4772,6 +4818,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS n_docs
           FROM documents GROUP BY 1
         """,
+        "doc_chunks": _doc_chunks_sql(),
         "token_count": """
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  CASE WHEN len(trim(text)) = 0 THEN 0

@@ -1544,3 +1544,52 @@ def path_topk(events: DataFrame, *, key_col: str = "user_id",
                     F.row_number().over(
                         Window.orderBy(F.desc("cnt"), "path"))
                     .cast("int").alias("rank")))
+
+
+def doc_chunks(df: DataFrame, *, size: int, overlap: int = 0,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the training-data prep
+    step between cleaning and packing (:func:`pack_sequences`): each
+    document splits into windows of ``size`` whitespace tokens with
+    ``overlap`` tokens shared between consecutive windows (stride =
+    size − overlap). Returns one row per chunk: ``(doc_id, chunk_id,
+    start_tok, n_tok, chunk_text)``.
+
+    Chunk-count rule (deterministic, coverage-exact): ``m = 1`` if
+    ``n ≤ size`` else ``1 + ceil((n − size) / stride)`` — every chunk
+    except the last has exactly ``size`` tokens, the last covers the
+    tail (never a fully-redundant trailing window), starts are
+    ``c·stride``. All index arithmetic is exact integers; chunk text
+    re-joins the sliced token array with single spaces (original
+    whitespace is collapsed — the documented normalization).
+
+    Plan: split + per-row sequence explode are all map-side (ONE
+    narrow projection, no shuffle at all); the fanout is bounded by
+    total-tokens/stride. Zero-token documents produce zero chunks.
+    """
+    if size < 1 or overlap < 0 or overlap >= size:
+        raise ValueError("doc_chunks: need size >= 1 and "
+                         "0 <= overlap < size")
+    stride = size - overlap
+    base = (df.where(F.col(text_col).isNotNull()
+                     & (F.length(F.trim(F.col(text_col))) > 0))
+            .select(F.col(id_col),
+                    F.split(F.trim(F.col(text_col)), r"\s+")
+                    .alias("_toks")))
+    base = base.select(id_col, "_toks",
+                       F.size("_toks").cast("long").alias("_n"))
+    m = (F.when(F.col("_n") <= size, F.lit(1))
+         .otherwise(F.lit(1) + F.expr(
+             f"(_n - {size} + {stride} - 1) DIV {stride}")))
+    rows = base.select(id_col, "_toks", "_n", m.alias("_m")) \
+        .select(id_col, "_toks", "_n",
+                F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.col("_m") - 1)).alias("chunk_id"))
+    start = (F.col("chunk_id") * stride).cast("long")
+    ln = F.least(F.lit(size).cast("long"), F.col("_n") - start)
+    return rows.select(
+        id_col, F.col("chunk_id").cast("long"),
+        start.alias("start_tok"), ln.alias("n_tok"),
+        F.array_join(F.slice("_toks", (start + 1).cast("int"),
+                             ln.cast("int")), " ").alias("chunk_text"))

@@ -1121,3 +1121,42 @@ def test_hash_split_validates(spark):
         hash_split(df, {"a": 0.5, "b": 0.4})
     with _pt.raises(ValueError):
         hash_split(df, {})
+
+
+def test_doc_chunks_brute_force(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.text import doc_chunks
+    docs = [
+        (1, "a b c d e f g h i j"),          # 10 toks
+        (2, "one two three"),                # 3 toks (single chunk)
+        (3, "   "),                          # whitespace-only: dropped
+        (4, None),                           # null: dropped
+        (5, " x  y\tz\nw v " * 4),           # messy whitespace, 20 toks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    size, overlap = 4, 1
+    stride = size - overlap
+    got = sorted((r.doc_id, r.chunk_id, r.start_tok, r.n_tok,
+                  r.chunk_text)
+                 for r in doc_chunks(df, size=size,
+                                     overlap=overlap).collect())
+    want = []
+    for did, text in docs:
+        if text is None or not text.strip():
+            continue
+        toks = text.split()
+        n = len(toks)
+        m = 1 if n <= size else 1 + -((n - size) // -stride)
+        for c in range(m):
+            s = c * stride
+            ln = min(size, n - s)
+            want.append((did, c, s, ln, " ".join(toks[s:s + ln])))
+    assert got == sorted(want)
+    # coverage: every token of doc 1 appears in some chunk; adjacent
+    # chunks share exactly `overlap` tokens until the tail
+    d1 = [w for w in got if w[0] == 1]
+    assert d1[0][4].split()[-overlap:] == d1[1][4].split()[:overlap]
+    with _pt.raises(ValueError):
+        doc_chunks(df, size=4, overlap=4)
+    with _pt.raises(ValueError):
+        doc_chunks(df, size=0)
