@@ -511,6 +511,93 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("component").cast("long"))
 
 
+#: blob-mix point field for dbscan: every 20th event sits in one of 40
+#: lattice-separated 4000-unit blobs (spacing >> eps, so clusters can
+#: never merge across blobs); the rest is the usual uniform scatter.
+_DBSCAN_PTS = """
+  SELECT event_id AS id,
+         CASE WHEN event_id % 20 = 0
+              THEN ((event_id // 20) % 40) % 8 * 81000 + 5000
+                   + (event_id*331 + 7) % 4000
+              ELSE (event_id*48271 + 17) % 700000 END AS x,
+         CASE WHEN event_id % 20 = 0
+              THEN ((event_id // 20) % 40) // 8 * 200000 + 7000
+                   + (event_id*677 + 13) % 4000
+              ELSE (event_id*69621 + 29) % 1300000 END AS y
+  FROM events
+"""
+
+
+def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-level DBSCAN (operators/cluster.dbscan): eps-graph
+    from one cell join, core flags by exact neighbor counts,
+    components by pointer-jumping min-label propagation, border =
+    min neighboring core cluster, noise NULL."""
+    from cdap_geo_spark.operators.cluster import dbscan
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id AS id",
+        "CASE WHEN event_id % 20 = 0"
+        " THEN ((event_id DIV 20) % 40) % 8 * 81000 + 5000"
+        "      + (event_id*331 + 7) % 4000"
+        " ELSE (event_id*48271 + 17) % 700000 END AS x",
+        "CASE WHEN event_id % 20 = 0"
+        " THEN ((event_id DIV 20) % 40) DIV 8 * 200000 + 7000"
+        "      + (event_id*677 + 13) % 4000"
+        " ELSE (event_id*69621 + 29) % 1300000 END AS y")
+    return dbscan(ev, eps=2_000, min_pts=5)
+
+
+def _dbscan_sql() -> str:
+    eps, minpts = 2_000, 5
+    return f"""
+      WITH RECURSIVE b AS MATERIALIZED ({_DBSCAN_PTS}),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                                (VALUES (-1), (0), (1)) u(oy)),
+      l AS (SELECT id, x, y, x // {eps} + ox AS cx,
+                   y // {eps} + oy AS cy
+            FROM b, o),
+      p AS MATERIALIZED (
+        SELECT l.id AS i, r.id AS j FROM l JOIN b r
+          ON l.cx = r.x // {eps} AND l.cy = r.y // {eps}
+         AND l.id <> r.id
+         AND (l.x - r.x) * (l.x - r.x)
+             + (l.y - r.y) * (l.y - r.y) <= {eps * eps}
+      ),
+      deg AS (SELECT i, COUNT(*) + 1 AS n FROM p GROUP BY 1),
+      core AS MATERIALIZED (
+        SELECT b.id AS c FROM b LEFT JOIN deg ON deg.i = b.id
+        WHERE COALESCE(deg.n, 1) >= {minpts}
+      ),
+      ce AS MATERIALIZED (
+        SELECT p.i, p.j FROM p
+        JOIN core x ON x.c = p.i JOIN core y ON y.c = p.j
+      ),
+      reach(src, dst) AS (
+        SELECT i, j FROM ce
+        UNION
+        SELECT r.src, e.j FROM reach r JOIN ce e ON e.i = r.dst
+      ),
+      assign AS (SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+                 FROM reach GROUP BY src),
+      corelab AS (
+        SELECT c.c AS id, COALESCE(a.comp, c.c) AS cluster,
+               'core' AS kind
+        FROM core c LEFT JOIN assign a ON a.node = c.c
+      ),
+      borderlab AS (
+        SELECT p.i AS id, MIN(cl.cluster) AS cluster, 'border' AS kind
+        FROM p JOIN corelab cl ON cl.id = p.j
+        WHERE p.i NOT IN (SELECT c FROM core)
+        GROUP BY p.i
+      ),
+      lab AS (SELECT * FROM corelab UNION ALL SELECT * FROM borderlab)
+      SELECT CAST(b.id AS BIGINT) AS id,
+             CAST(lab.cluster AS BIGINT) AS cluster,
+             COALESCE(lab.kind, 'noise') AS kind
+      FROM b LEFT JOIN lab ON lab.id = b.id
+    """
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -3822,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": _q_variogram,
         "colocation": _q_colocation,
         "quadrat": _q_quadrat,
+        "dbscan": _q_dbscan,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -4567,6 +4655,7 @@ def oracle_sql() -> dict[str, str]:
         "variogram": _variogram_sql(),
         "colocation": _colocation_sql(),
         "quadrat": _quadrat_sql(),
+        "dbscan": _dbscan_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

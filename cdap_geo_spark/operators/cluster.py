@@ -320,3 +320,96 @@ def hex_smooth_oracle_sql(hexes_sql: str) -> str:
                AS BIGINT) AS smooth_u
       FROM contrib GROUP BY 1, 2
     """
+
+
+def dbscan(points: DataFrame, *, eps: int, min_pts: int,
+           id_col: str = "id", x_col: str = "x",
+           y_col: str = "y") -> DataFrame:
+    """Exact point-level DBSCAN (Ester et al. 1996) — the companion
+    to :func:`grid_cluster` (which trades point-level labels for a
+    histogram-bounded relation): ``core`` = ≥ ``min_pts`` points
+    within ``eps`` (INCLUDING itself, the textbook count), clusters =
+    connected components of the core–core ε-graph, ``border`` =
+    non-core with a core neighbor (assigned the MIN neighboring core
+    cluster — the deterministic tie rule; classic DBSCAN is
+    scan-order-dependent here, which no distributed engine should
+    reproduce), ``noise`` = the rest. Returns ``(id, cluster, kind)``
+    with cluster NULL for noise and cluster = min core id of the
+    component otherwise.
+
+    All arithmetic exact: integer d² ≤ eps², integer counts, min-id
+    labels. The ε-neighbor relation comes from ONE 3×3-neighbor cell
+    equi-join at cell size ``eps`` (directed, i≠j — the count and the
+    border assignment both need direction); components reuse
+    :func:`dedup_components` (pointer-jumping min-label propagation,
+    O(log diameter) rounds, per-round localCheckpoint).
+
+    Scale: candidate volume is points-per-cell² (salt-able); the
+    component state is one row per CORE point. Against 10^12 points
+    pick eps well below the percolation radius or the core graph's
+    giant component makes any engine's label propagation the
+    bottleneck — that trade is the operator's documented contract,
+    same as single-linkage clustering.
+
+    **Lifetime contract**: inherits :func:`dedup_components`'s — the
+    returned frame is checkpoint-backed; materialize fully inside any
+    enclosing ``checkpoint_scope``.
+    """
+    if eps < 1 or min_pts < 1:
+        raise ValueError("dbscan: need eps >= 1 and min_pts >= 1")
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y")))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("i"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"),
+                        F.expr(f"_x DIV {eps}").alias("_cx"),
+                        F.expr(f"_y DIV {eps}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("i", "ax", "ay",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("j"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"),
+                        F.expr(f"_x DIV {eps}").alias("cx"),
+                        F.expr(f"_y DIV {eps}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    nbrs = (left.join(right, ["cx", "cy"])
+            .where((F.col("i") != F.col("j"))
+                   & (d2 <= F.lit(eps * eps)))
+            .select("i", "j"))
+    deg = nbrs.groupBy("i").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("_n_eps"))
+    core = (base.join(deg, base["_id"] == deg["i"], "left")
+            .where(F.coalesce(F.col("_n_eps"), F.lit(1)) >= min_pts)
+            .select(F.col("_id").alias("c")))
+    cedges = (nbrs.where(F.col("i") < F.col("j"))
+              .join(core.select(F.col("c").alias("i")), "i")
+              .join(core.select(F.col("c").alias("j")), "j")
+              .select(F.col("i").alias("id_a"), F.col("j").alias("id_b")))
+    comp = dedup_components(cedges)
+    corelab = (core.join(comp, core["c"] == comp["node"], "left")
+               .select(F.col("c").alias("_id"),
+                       F.coalesce(F.col("component"), F.col("c"))
+                       .alias("cluster"),
+                       F.lit("core").alias("kind")))
+    borderlab = (nbrs
+                 .join(corelab.select(F.col("_id").alias("j"),
+                                      F.col("cluster").alias("_jc")),
+                       "j")
+                 .join(core.select(F.col("c").alias("i")), "i",
+                       "left_anti")
+                 .groupBy("i")
+                 .agg(F.min("_jc").alias("cluster"))
+                 .select(F.col("i").alias("_id"), "cluster",
+                         F.lit("border").alias("kind")))
+    labeled = corelab.unionByName(borderlab)
+    noise = (base.select("_id")
+             .join(labeled.select("_id"), "_id", "left_anti")
+             .select("_id", F.lit(None).cast("long").alias("cluster"),
+                     F.lit("noise").alias("kind")))
+    return (labeled.unionByName(noise)
+            .select(F.col("_id").alias(id_col), "cluster", "kind"))

@@ -248,3 +248,68 @@ def test_hex_smooth_brute_force(spark):
     dfi = spark.createDataFrame([(9, 9, 14)], "hq long, hr long, n long")
     giso = {(r.hq, r.hr): r.smooth_u for r in hex_smooth(dfi).collect()}
     assert len(giso) == 7 and set(giso.values()) == {2_000_000}
+
+
+def test_dbscan_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.cluster import dbscan
+    random.seed(71)
+    # two tight blobs + scatter so all three kinds appear
+    pts = ([(i, 50 + random.randrange(20), 50 + random.randrange(20))
+            for i in range(15)]
+           + [(100 + i, 500 + random.randrange(25),
+               500 + random.randrange(25)) for i in range(12)]
+           + [(200 + i, random.randrange(1000), random.randrange(1000))
+              for i in range(25)]
+           # fringe point: within eps of the first blob's edge but too
+           # sparse a neighborhood to be core itself -> border
+           + [(300, 21, 61)])
+    eps, min_pts = 30, 4
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r.id: (r.cluster, r.kind) for r in
+           dbscan(df, eps=eps, min_pts=min_pts).collect()}
+
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+    nbr = {i: [j for j in ids if j != i
+               and (xy[i][0] - xy[j][0]) ** 2
+               + (xy[i][1] - xy[j][1]) ** 2 <= eps * eps]
+           for i in ids}
+    core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    # components of the core-core eps-graph, label = min member
+    comp = {}
+    for c in sorted(core):
+        if c in comp:
+            continue
+        stack, seen = [c], {c}
+        while stack:
+            u = stack.pop()
+            for v in nbr[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        lab = min(seen)
+        for u in seen:
+            comp[u] = lab
+    want = {}
+    for i in ids:
+        if i in core:
+            want[i] = (comp[i], "core")
+        else:
+            cores_near = [comp[j] for j in nbr[i] if j in core]
+            want[i] = ((min(cores_near), "border") if cores_near
+                       else (None, "noise"))
+    assert got == want
+    assert any(k == "core" for _, k in got.values())
+    assert any(k == "border" for _, k in got.values())
+    assert any(k == "noise" for _, k in got.values())
+
+
+def test_dbscan_validation(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.cluster import dbscan
+    df = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
+    with _pt.raises(ValueError):
+        dbscan(df, eps=0, min_pts=1)
+    with _pt.raises(ValueError):
+        dbscan(df, eps=5, min_pts=0)
