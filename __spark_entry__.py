@@ -3113,6 +3113,100 @@ def _join_counts_sql() -> str:
     """
 
 
+def _q_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend per 100km cell (operators/zonal.
+    mann_kendall over the weekly space-time cube): S, tie-corrected
+    Var*18 and trend label exact integers; z one fixed-shape double."""
+    from cdap_geo_spark.operators.zonal import mann_kendall
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+            "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            " AS p")
+    cube = ev.groupBy("qx", "qy", "p") \
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    out = mann_kendall(cube, key_cols=["qx", "qy"])
+    return out.select(F.col("qx").cast("long"),
+                      F.col("qy").cast("long"),
+                      "t_periods", "occ", "s", "var18", "trend",
+                      "z_micro")
+
+
+def _emerging_sql() -> str:
+    week = 604_800_000_000
+    return f"""
+      WITH b AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy,
+               epoch_us(ts) // {week} AS p
+        FROM events WHERE ts IS NOT NULL
+      ),
+      h AS (SELECT qx, qy, p, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2, 3),
+      rng AS (SELECT MIN(p) AS pmin, MAX(p) AS pmax FROM h),
+      occ AS (
+        SELECT h.qx, h.qy, h.p, h.c, rng.pmin, rng.pmax,
+               ROW_NUMBER() OVER (PARTITION BY h.qx, h.qy
+                                  ORDER BY h.p) AS rn,
+               COUNT(*) OVER (PARTITION BY h.qx, h.qy) AS nocc
+        FROM h CROSS JOIN rng
+      ),
+      pk AS (
+        SELECT qx, qy, CAST(MAX(nocc) AS BIGINT) AS occ,
+               CAST(MAX(pmax - pmin + 1) AS BIGINT) AS t_periods,
+               CAST(SUM((p - pmin - (rn - 1))
+                        - (pmax - p - (nocc - rn))) AS BIGINT) AS szero
+        FROM occ GROUP BY 1, 2
+      ),
+      so AS (
+        SELECT a.qx, a.qy,
+               CAST(SUM(CASE WHEN bb.c > a.c THEN 1
+                             WHEN bb.c < a.c THEN -1
+                             ELSE 0 END) AS BIGINT) AS socc
+        FROM occ a JOIN occ bb
+          ON a.qx = bb.qx AND a.qy = bb.qy AND a.p < bb.p
+        GROUP BY 1, 2
+      ),
+      ti AS (
+        SELECT qx, qy,
+               CAST(SUM(t * (t - 1) * (2*t + 5)) AS BIGINT) AS tie
+        FROM (SELECT qx, qy, c, COUNT(*) AS t
+              FROM occ GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+      ),
+      fin AS (
+        SELECT pk.qx, pk.qy, pk.t_periods, pk.occ,
+               CAST(COALESCE(so.socc, 0) + pk.szero AS BIGINT) AS s,
+               CAST(pk.t_periods * (pk.t_periods - 1)
+                    * (2*pk.t_periods + 5)
+                    - COALESCE(ti.tie, 0)
+                    - (pk.t_periods - pk.occ)
+                      * (pk.t_periods - pk.occ - 1)
+                      * (2*(pk.t_periods - pk.occ) + 5) AS BIGINT)
+                 AS var18
+        FROM pk LEFT JOIN so ON so.qx = pk.qx AND so.qy = pk.qy
+                LEFT JOIN ti ON ti.qx = pk.qx AND ti.qy = pk.qy
+      )
+      SELECT CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy,
+             t_periods, occ, s, var18,
+             CASE WHEN s > 0 THEN 'rising'
+                  WHEN s < 0 THEN 'falling' ELSE 'flat' END AS trend,
+             CASE WHEN var18 <= 0 THEN NULL
+                  WHEN s > 0 THEN
+                    CAST(ROUND(CAST(s - 1 AS DOUBLE)
+                         / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                         * 1000000.0) AS BIGINT)
+                  WHEN s < 0 THEN
+                    CAST(ROUND(CAST(s + 1 AS DOUBLE)
+                         / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                         * 1000000.0) AS BIGINT)
+                  ELSE 0 END AS z_micro
+      FROM fin
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -3910,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation": _q_colocation,
         "quadrat": _q_quadrat,
         "dbscan": _q_dbscan,
+        "emerging": _q_emerging,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -4656,6 +4751,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation": _colocation_sql(),
         "quadrat": _quadrat_sql(),
         "dbscan": _dbscan_sql(),
+        "emerging": _emerging_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -847,6 +847,117 @@ def join_counts(values: DataFrame, edges: DataFrame, *,
         .alias("ww_ratio_micro"))
 
 
+def mann_kendall(values: DataFrame, *, key_cols: list,
+                 period_col: str = "p", value_col: str = "c",
+                 missing_as_zero: bool = True) -> DataFrame:
+    """Mann–Kendall monotone-trend test per key — the statistic
+    behind "emerging hotspot" analysis (per-cell trend of a
+    space–time cube): ``S = Σ_{i<j} sgn(x_j − x_i)`` over the GLOBAL
+    period range [min, max] (shared by all keys — that is what makes
+    cells comparable), with the tie-corrected variance
+    ``Var·18 = T(T−1)(2T+5) − Σ_g t_g(t_g−1)(2t_g+5)`` and the
+    continuity-corrected z. Returns one row per key:
+    ``(*key_cols, t_periods, occ, s, var18, trend, z_micro)`` with
+    trend = rising/falling/flat by the exact sign of S.
+
+    ``missing_as_zero=True`` (the space–time-cube reading): periods
+    absent for a key count as value 0 — handled in CLOSED FORM, never
+    materialized: their pairwise contribution per occupied row is
+    ``zeros_before − zeros_after`` (observed values are > 0 by
+    construction then, enforced), and the zero tie-group enters the
+    variance as ``(T−occ)``. With ``False`` only observed periods
+    pair up (T per key = occ).
+
+    Everything through S and Var·18 is exact BIGINT (sgn = two
+    integer comparisons); z is ONE fixed-shape IEEE expression over
+    exact integers, micro-rounded, NULL when Var = 0.
+
+    Plan: the occupied relation is one partial agg; S_occ is a
+    per-key self-join bounded by occ ≤ T (the period count — a
+    constant, so the fanout is T² per key, not data²); window
+    row-numbers give the zero terms; the global range is a 1-row
+    broadcast. At 10^12 rows the only data-volume exchange is the
+    (key, period) histogram feeding this.
+    """
+    from pyspark.sql import Window
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("mann_kendall: key_cols must be non-empty")
+    base = values.select(
+        *[F.col(k) for k in keys],
+        F.col(period_col).cast("long").alias("_p"),
+        F.col(value_col).cast("long").alias("_c"))
+    if missing_as_zero:
+        neg = base.where(F.col("_c") <= 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "mann_kendall(missing_as_zero=True): observed values "
+                "must be > 0 (zeros are the MISSING periods)")
+    rng = base.agg(F.min("_p").alias("_pmin"),
+                   F.max("_p").alias("_pmax"))
+    w = Window.partitionBy(*keys).orderBy("_p")
+    occ = (base.crossJoin(F.broadcast(rng))
+           .select(*keys, "_p", "_c", "_pmin", "_pmax",
+                   F.row_number().over(w).alias("_rn"),
+                   F.count(F.lit(1)).over(
+                       Window.partitionBy(*keys)).alias("_nocc")))
+    t_global = (F.col("_pmax") - F.col("_pmin") + 1)
+    if missing_as_zero:
+        zeros_before = (F.col("_p") - F.col("_pmin")
+                        - (F.col("_rn") - 1))
+        zeros_after = (F.col("_pmax") - F.col("_p")
+                       - (F.col("_nocc") - F.col("_rn")))
+        szero_col = (zeros_before - zeros_after)
+    else:
+        szero_col = F.lit(0)
+    per_key = (occ.groupBy(*keys)
+               .agg(F.max("_nocc").cast("long").alias("occ"),
+                    F.max(t_global if missing_as_zero
+                          else F.col("_nocc")).cast("long")
+                    .alias("t_periods"),
+                    F.sum(szero_col).cast("long").alias("_szero")))
+    a = occ.select(*keys, F.col("_p").alias("_pa"),
+                   F.col("_c").alias("_ca"))
+    b = occ.select(*keys, F.col("_p").alias("_pb"),
+                   F.col("_c").alias("_cb"))
+    socc = (a.join(b, keys)
+            .where(F.col("_pa") < F.col("_pb"))
+            .groupBy(*keys)
+            .agg(F.sum(F.when(F.col("_cb") > F.col("_ca"), 1)
+                       .when(F.col("_cb") < F.col("_ca"), -1)
+                       .otherwise(0)).cast("long").alias("_socc")))
+    ties = (occ.groupBy(*keys, "_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+            .groupBy(*keys)
+            .agg(F.sum(F.col("_t") * (F.col("_t") - 1)
+                       * (2 * F.col("_t") + 5)).cast("long")
+                 .alias("_tie")))
+    out = (per_key
+           .join(socc, keys, "left")
+           .join(ties, keys, "left")
+           .na.fill({"_socc": 0, "_tie": 0}))
+    s = (F.col("_socc") + F.col("_szero")).cast("long")
+    tt = F.col("t_periods")
+    z0 = tt - F.col("occ")
+    zero_tie = F.when(F.lit(missing_as_zero),
+                      z0 * (z0 - 1) * (2 * z0 + 5)).otherwise(0)
+    var18 = (tt * (tt - 1) * (2 * tt + 5) - F.col("_tie") - zero_tie) \
+        .cast("long")
+    trend = (F.when(s > 0, "rising").when(s < 0, "falling")
+             .otherwise("flat"))
+    zexpr = F.when(var18 <= 0, F.lit(None).cast("long")) \
+        .when(s > 0, F.round((s - 1).cast("double")
+                             / F.sqrt(var18.cast("double") / 18.0)
+                             * 1000000.0).cast("long")) \
+        .when(s < 0, F.round((s + 1).cast("double")
+                             / F.sqrt(var18.cast("double") / 18.0)
+                             * 1000000.0).cast("long")) \
+        .otherwise(F.lit(0).cast("long"))
+    return out.select(*keys, "t_periods", "occ", s.alias("s"),
+                      var18.alias("var18"), trend.alias("trend"),
+                      zexpr.alias("z_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

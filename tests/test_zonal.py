@@ -609,6 +609,73 @@ def test_join_counts_all_one_color(spark):
     assert row.bw_ratio_micro is None and row.ww_ratio_micro is None
 
 
+def _mk_brute(series, pmin, pmax, missing_as_zero):
+    """Python Mann-Kendall over a {period: value} dict."""
+    import math
+    if missing_as_zero:
+        xs = [series.get(p, 0) for p in range(pmin, pmax + 1)]
+    else:
+        xs = [series[p] for p in sorted(series)]
+    t = len(xs)
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(t) for j in range(i + 1, t))
+    from collections import Counter
+    groups = Counter(xs).values()
+    var18 = (t * (t - 1) * (2 * t + 5)
+             - sum(g * (g - 1) * (2 * g + 5) for g in groups))
+    if var18 <= 0:
+        z = None
+    elif s > 0:
+        z = math.floor((s - 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5)
+    elif s < 0:
+        z = -math.floor(-(s + 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5)
+    else:
+        z = 0
+    trend = "rising" if s > 0 else "falling" if s < 0 else "flat"
+    return (t, len(series), s, var18, trend, z)
+
+
+def test_mann_kendall_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.zonal import mann_kendall
+    random.seed(73)
+    keys = list(range(8))
+    rows, truth = [], {}
+    for k in keys:
+        # sparse series with gaps, repeats (ties) and 1-100 values
+        periods = sorted(random.sample(range(100, 120),
+                                       random.randrange(1, 15)))
+        series = {p: random.randrange(1, 6) for p in periods}
+        truth[k] = series
+        rows += [(k, p, c) for p, c in series.items()]
+    df = spark.createDataFrame(rows, "k long, p long, c long")
+    pmin = min(p for s in truth.values() for p in s)
+    pmax = max(p for s in truth.values() for p in s)
+    for maz in (True, False):
+        got = {r.k: (r.t_periods, r.occ, r.s, r.var18, r.trend,
+                     r.z_micro)
+               for r in mann_kendall(df, key_cols=["k"],
+                                     missing_as_zero=maz).collect()}
+        want = {k: _mk_brute(s, pmin, pmax, maz)
+                for k, s in truth.items()}
+        assert got == want, f"missing_as_zero={maz}"
+
+
+def test_mann_kendall_validation_and_flat(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.zonal import mann_kendall
+    df = spark.createDataFrame([(1, 5, 0)], "k long, p long, c long")
+    with _pt.raises(ValueError):
+        mann_kendall(df, key_cols=["k"])          # zero value
+    with _pt.raises(ValueError):
+        mann_kendall(df, key_cols=[])
+    # constant full series: S=0, all tied -> var18=0, z NULL, flat
+    full = spark.createDataFrame([(1, p, 7) for p in range(10)],
+                                 "k long, p long, c long")
+    (r,) = mann_kendall(full, key_cols=["k"]).collect()
+    assert (r.s, r.var18, r.trend, r.z_micro) == (0, 0, "flat", None)
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
