@@ -1320,6 +1320,48 @@ def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_gini(d, group="source", value_col="n_chars")
 
 
+def _q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality with between/within decomposition per lang
+    (operators/timeseries.theil_decomposition): per-element terms
+    micro-rounded and summed as BIGINT (char_entropy discipline)."""
+    from cdap_geo_spark.operators.timeseries import theil_decomposition
+    d = _docs(spark, sf_dir).where(F.col("n_chars") > 0)
+    out = theil_decomposition(d, group_col="lang", value_col="n_chars")
+    return out.select("lang", "n_r", "sum_r", "within_micro",
+                      "between_micro")
+
+
+def _theil_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT lang, n_chars AS x FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+      ),
+      gs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_r,
+                    CAST(SUM(x) AS BIGINT) AS sum_r
+             FROM b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS n,
+                     CAST(SUM(sum_r) AS BIGINT) AS s FROM gs),
+      el AS (
+        SELECT b.lang,
+               CAST(ROUND(CAST(b.x AS DOUBLE) / CAST(tot.s AS DOUBLE)
+                 * LN(CAST(b.x * gs.n_r AS DOUBLE)
+                      / CAST(gs.sum_r AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS t
+        FROM b JOIN gs USING (lang) CROSS JOIN tot
+      ),
+      wi AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS within_micro
+             FROM el GROUP BY 1)
+      SELECT gs.lang, gs.n_r, gs.sum_r, wi.within_micro,
+             CAST(ROUND(CAST(gs.sum_r AS DOUBLE)
+                        / CAST(tot.s AS DOUBLE)
+                        * LN(CAST(gs.sum_r * tot.n AS DOUBLE)
+                             / CAST(tot.s * gs.n_r AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS between_micro
+      FROM gs JOIN wi USING (lang) CROSS JOIN tot
+    """
+
+
 def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation (operators/timeseries.
     grouped_corr) of value vs hour-of-day: five exact BIGINT sums in
@@ -4005,6 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat": _q_quadrat,
         "dbscan": _q_dbscan,
         "emerging": _q_emerging,
+        "theil": _q_theil,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -4752,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         "quadrat": _quadrat_sql(),
         "dbscan": _dbscan_sql(),
         "emerging": _emerging_sql(),
+        "theil": _theil_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

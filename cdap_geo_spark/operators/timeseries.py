@@ -2171,3 +2171,58 @@ def home_work_oracle_sql(events_sql: str, *, cell: int,
                AS BIGINT) AS commute_d2
       FROM h JOIN d ON h.k = d.k
     """
+
+
+def theil_decomposition(df: DataFrame, *, group_col: str = "g",
+                        value_col: str = "x") -> DataFrame:
+    """Theil T inequality index with its exact between/within
+    decomposition — the corpus-balance diagnostic that, unlike Gini
+    (:func:`grouped_gini`), decomposes additively:
+    ``T_total = Σ_r within_r + Σ_r between_r`` with
+    ``within_r = Σ_{i∈r} (x_i/S)·ln(x_i·n_r/S_r)`` and
+    ``between_r = (S_r/S)·ln(S_r·n/(S·n_r))`` (S/S_r totals, n/n_r
+    counts). Returns one row per group:
+    ``(group, n_r, sum_r, within_micro, between_micro)``.
+
+    Exactness (the char_entropy discipline): a distributed float Σ is
+    schedule-dependent, so each element's within-term is ONE
+    fixed-shape IEEE expression over exact integers (x·n_r and the
+    totals are BIGINTs; magnitude contract x·n_r within int64),
+    rounded to MICRO-units and summed as BIGINT — order-independent;
+    the between-term is one fixed-shape expression per group. Values
+    must be > 0 (Theil is undefined otherwise) — enforced.
+
+    Plan: group stats are one partial agg; the 1-row global total
+    broadcasts; the per-element term is map-side (stats join back by
+    group — broadcast-sized by construction) followed by ONE group
+    agg. Nothing quadratic.
+    """
+    base = df.where(F.col(value_col).isNotNull()) \
+        .select(F.col(group_col).alias("_g"),
+                F.col(value_col).cast("long").alias("_x"))
+    if base.where(F.col("_x") <= 0).limit(1).count():
+        raise ValueError("theil_decomposition: values must be > 0")
+    gstat = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.sum("_x").cast("long").alias("sum_r"))
+    tot = gstat.agg(F.sum("n_r").cast("long").alias("_n"),
+                    F.sum("sum_r").cast("long").alias("_s"))
+    el = (base.join(F.broadcast(gstat), "_g")
+          .crossJoin(F.broadcast(tot)))
+    term = F.round(F.col("_x").cast("double")
+                   / F.col("_s").cast("double")
+                   * F.log((F.col("_x") * F.col("n_r")).cast("double")
+                           / F.col("sum_r").cast("double"))
+                   * 1000000.0).cast("long")
+    within = (el.groupBy("_g")
+              .agg(F.sum(term).cast("long").alias("within_micro")))
+    out = gstat.join(within, "_g").crossJoin(F.broadcast(tot))
+    between = F.round(F.col("sum_r").cast("double")
+                      / F.col("_s").cast("double")
+                      * F.log((F.col("sum_r") * F.col("_n"))
+                              .cast("double")
+                              / (F.col("_s") * F.col("n_r"))
+                              .cast("double"))
+                      * 1000000.0).cast("long")
+    return out.select(F.col("_g").alias(group_col), "n_r", "sum_r",
+                      "within_micro", between.alias("between_micro"))

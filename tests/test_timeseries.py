@@ -1610,3 +1610,46 @@ def test_home_work_brute_force_and_ties(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         home_work(df, cell=0)
+
+
+def test_theil_decomposition_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import theil_decomposition
+    random.seed(79)
+    rows = [(random.choice("pqr"), random.randrange(1, 500))
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: (r.n_r, r.sum_r, r.within_micro, r.between_micro)
+           for r in theil_decomposition(df).collect()}
+    n = len(rows)
+    s = sum(x for _, x in rows)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for g, x in rows:
+        groups[g].append(x)
+
+    def rnd(v):
+        return math.floor(v * 1e6 + 0.5) if v >= 0 \
+            else -math.floor(-v * 1e6 + 0.5)
+
+    want = {}
+    for g, xs in groups.items():
+        nr, sr = len(xs), sum(xs)
+        within = sum(rnd(x / s * math.log(x * nr / sr)) for x in xs)
+        between = rnd(sr / s * math.log(sr * n / (s * nr)))
+        want[g] = (nr, sr, within, between)
+    assert got == want
+    # additivity: total Theil ≈ Σ within + Σ between equals the
+    # direct per-element total within quantization slack
+    direct = sum(rnd(x / s * math.log(x * n / s)) for _, x in rows)
+    approx = sum(v[2] + v[3] for v in want.values())
+    assert abs(direct - approx) <= len(rows) + len(groups)
+
+
+def test_theil_rejects_nonpositive(spark):
+    import pytest as _pt
+    from cdap_geo_spark.operators.timeseries import theil_decomposition
+    df = spark.createDataFrame([("a", 0)], "g string, x long")
+    with _pt.raises(ValueError):
+        theil_decomposition(df)
