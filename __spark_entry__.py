@@ -511,6 +511,37 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("component").cast("long"))
 
 
+#: od_matrix oracle (shared by the gravity oracle): per-user
+#: first/last endpoints snapped to 100km cells and counted.
+_OD_SQL = """
+  WITH b AS (
+    SELECT user_id, ts, event_id,
+           CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS x,
+           CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL
+  ), r AS (
+    SELECT user_id, x, y,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC)
+             AS rl
+    FROM b
+  ), ends AS (
+    SELECT user_id,
+           MAX(CASE WHEN rf = 1 THEN x END) AS ox,
+           MAX(CASE WHEN rf = 1 THEN y END) AS oy,
+           MAX(CASE WHEN rl = 1 THEN x END) AS dx,
+           MAX(CASE WHEN rl = 1 THEN y END) AS dy
+    FROM r GROUP BY user_id
+  )
+  SELECT ox // 100000 AS o_cx, oy // 100000 AS o_cy,
+         dx // 100000 AS d_cx, dy // 100000 AS d_cy,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM ends GROUP BY 1, 2, 3, 4
+"""
+
+
 #: blob-mix point field for dbscan: every 20th event sits in one of 40
 #: lattice-separated 4000-unit blobs (spacing >> eps, so clusters can
 #: never merge across blobs); the rest is the usual uniform scatter.
@@ -1159,6 +1190,57 @@ def _q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     return od_matrix(ev, cell=100_000)
+
+
+def _q_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity spatial-interaction model calibrated on the od_matrix
+    flows (operators/timeseries.gravity_model): margins + ΣT exact
+    BIGINT, per-pair deterrence term micro-rounded then BIGINT-summed,
+    prediction/residual single fixed-shape expressions."""
+    from cdap_geo_spark.operators.timeseries import (gravity_model,
+                                                     od_matrix)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    od = od_matrix(ev, cell=100_000)
+    return gravity_model(od, flow_col="n_keys")
+
+
+def _gravity_sql() -> str:
+    return f"""
+      WITH od AS ({_OD_SQL}),
+      prod AS (SELECT o_cx, o_cy, CAST(SUM(n_keys) AS BIGINT) AS p_o
+               FROM od GROUP BY 1, 2),
+      attr AS (SELECT d_cx, d_cy, CAST(SUM(n_keys) AS BIGINT) AS a_d
+               FROM od GROUP BY 1, 2),
+      j AS (
+        SELECT od.o_cx, od.o_cy, od.d_cx, od.d_cy, od.n_keys,
+               prod.p_o, attr.a_d,
+               CAST(ROUND(CAST(prod.p_o * attr.a_d AS DOUBLE)
+                 / CAST((od.o_cx - od.d_cx) * (od.o_cx - od.d_cx)
+                        + (od.o_cy - od.d_cy) * (od.o_cy - od.d_cy)
+                        + 1 AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS g_micro
+        FROM od JOIN prod USING (o_cx, o_cy)
+                JOIN attr USING (d_cx, d_cy)
+      ),
+      tot AS (SELECT CAST(SUM(n_keys) AS BIGINT) AS st,
+                     CAST(SUM(g_micro) AS BIGINT) AS sg FROM j)
+      SELECT j.o_cx, j.o_cy, j.d_cx, j.d_cy, j.n_keys, j.p_o, j.a_d,
+             j.g_micro,
+             CASE WHEN tot.sg > 0 THEN
+               CAST(ROUND(1000000.0
+                    * CAST(tot.st * j.g_micro AS DOUBLE)
+                    / CAST(tot.sg AS DOUBLE)) AS BIGINT) END
+               AS pred_micro,
+             j.n_keys * 1000000
+               - CASE WHEN tot.sg > 0 THEN
+                   CAST(ROUND(1000000.0
+                        * CAST(tot.st * j.g_micro AS DOUBLE)
+                        / CAST(tot.sg AS DOUBLE)) AS BIGINT) END
+               AS resid_micro
+      FROM j CROSS JOIN tot
+    """
 
 
 def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4048,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": _q_dbscan,
         "emerging": _q_emerging,
         "theil": _q_theil,
+        "gravity": _q_gravity,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -4796,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": _dbscan_sql(),
         "emerging": _emerging_sql(),
         "theil": _theil_sql(),
+        "gravity": _gravity_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),
@@ -6316,33 +6400,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-user endpoints by row_number (the twin need not share
         # the min_by plan, only the result), snapped to 100km cells
-        "od_matrix": """
-          WITH b AS (
-            SELECT user_id, ts, event_id,
-                   CAST((event_id*48271 + 17) % 700000  AS BIGINT) AS x,
-                   CAST((event_id*69621 + 29) % 1300000 AS BIGINT) AS y
-            FROM events WHERE ts IS NOT NULL
-          ), r AS (
-            SELECT user_id, x, y,
-                   ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rf,
-                   ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC, event_id DESC)
-                     AS rl
-            FROM b
-          ), ends AS (
-            SELECT user_id,
-                   MAX(CASE WHEN rf = 1 THEN x END) AS ox,
-                   MAX(CASE WHEN rf = 1 THEN y END) AS oy,
-                   MAX(CASE WHEN rl = 1 THEN x END) AS dx,
-                   MAX(CASE WHEN rl = 1 THEN y END) AS dy
-            FROM r GROUP BY user_id
-          )
-          SELECT ox // 100000 AS o_cx, oy // 100000 AS o_cy,
-                 dx // 100000 AS d_cx, dy // 100000 AS d_cy,
-                 CAST(COUNT(*) AS BIGINT) AS n_keys
-          FROM ends GROUP BY 1, 2, 3, 4
-        """,
+        "od_matrix": _OD_SQL,
         # exact rank-formula Gini; ties are assignment-independent
         "gini": """
           WITH b AS (

@@ -2226,3 +2226,66 @@ def theil_decomposition(df: DataFrame, *, group_col: str = "g",
                       * 1000000.0).cast("long")
     return out.select(F.col("_g").alias(group_col), "n_r", "sum_r",
                       "within_micro", between.alias("between_micro"))
+
+
+def gravity_model(od: DataFrame, *, ox: str = "o_cx", oy: str = "o_cy",
+                  dx: str = "d_cx", dy: str = "d_cy",
+                  flow_col: str = "n") -> DataFrame:
+    """Gravity spatial-interaction model over an OD matrix (e.g.
+    :func:`od_matrix` output): productions ``P_o = Σ_d T``,
+    attractions ``A_d = Σ_o T``, deterrence ``1/(d²+1)`` (squared
+    cell distance, +1 so intra-cell flows are defined — the
+    documented convention), the single scaling constant calibrated so
+    total predicted flow equals total observed
+    (``k = ΣT / Σ P·A/(d²+1)``), and per-pair residuals. Returns one
+    row per OBSERVED od pair: ``(o, d cols, n, p_o, a_d, g_micro,
+    pred_micro, resid_micro)``.
+
+    Exactness: P, A, d²+1 and ΣT are exact BIGINTs; the per-pair
+    gravity term ``g = P·A/(d²+1)`` is ONE fixed-shape division
+    micro-rounded then SUMMED AS BIGINT (order-independent — the
+    calibration denominator inherits exactness); prediction
+    ``pred_micro = round(1e6·ΣT·g_micro / Σg_micro)`` and residual
+    ``n·1e6 − pred_micro`` are again single fixed-shape expressions.
+    Magnitude contract: ``P·A·1e6`` within double's exact-integer
+    range (P, A ≤ ~3e6).
+
+    Plan: margins are two partial aggs over the OD relation joined
+    back by key (AQE-sized); the calibration constant is a 1-row
+    broadcast. Note the model only scores OBSERVED pairs — the
+    classic doubly-constrained variant would iterate margins
+    (:func:`ipf_balance` exists for that); this is the
+    singly-calibrated form.
+    """
+    base = od.select(F.col(ox).cast("long").alias("_ox"),
+                     F.col(oy).cast("long").alias("_oy"),
+                     F.col(dx).cast("long").alias("_dx"),
+                     F.col(dy).cast("long").alias("_dy"),
+                     F.col(flow_col).cast("long").alias("_n"))
+    prod = base.groupBy("_ox", "_oy").agg(
+        F.sum("_n").cast("long").alias("p_o"))
+    attr = base.groupBy("_dx", "_dy").agg(
+        F.sum("_n").cast("long").alias("a_d"))
+    j = base.join(prod, ["_ox", "_oy"]).join(attr, ["_dx", "_dy"])
+    d2p1 = ((F.col("_ox") - F.col("_dx")) * (F.col("_ox") - F.col("_dx"))
+            + (F.col("_oy") - F.col("_dy"))
+            * (F.col("_oy") - F.col("_dy")) + 1)
+    g = F.round((F.col("p_o") * F.col("a_d")).cast("double")
+                / d2p1.cast("double") * 1000000.0).cast("long")
+    j = j.select("_ox", "_oy", "_dx", "_dy", "_n", "p_o", "a_d",
+                 g.alias("g_micro"))
+    tot = j.agg(F.sum("_n").cast("long").alias("_st"),
+                F.sum("g_micro").cast("long").alias("_sg"))
+    out = j.crossJoin(F.broadcast(tot))
+    pred = F.when(F.col("_sg") > 0,
+                  F.round(F.lit(1000000.0)
+                          * (F.col("_st") * F.col("g_micro"))
+                          .cast("double")
+                          / F.col("_sg").cast("double"))
+                  .cast("long"))
+    return out.select(
+        F.col("_ox").alias(ox), F.col("_oy").alias(oy),
+        F.col("_dx").alias(dx), F.col("_dy").alias(dy),
+        F.col("_n").alias(flow_col), "p_o", "a_d", "g_micro",
+        pred.alias("pred_micro"),
+        (F.col("_n") * 1000000 - pred).alias("resid_micro"))

@@ -1653,3 +1653,46 @@ def test_theil_rejects_nonpositive(spark):
     df = spark.createDataFrame([("a", 0)], "g string, x long")
     with _pt.raises(ValueError):
         theil_decomposition(df)
+
+
+def test_gravity_model_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import gravity_model
+    random.seed(83)
+    ods = {}
+    for _ in range(40):
+        key = (random.randrange(4), random.randrange(4),
+               random.randrange(4), random.randrange(4))
+        ods[key] = ods.get(key, 0) + random.randrange(1, 9)
+    rows = [(ox, oy, dx, dy, n) for (ox, oy, dx, dy), n in ods.items()]
+    df = spark.createDataFrame(
+        rows, "o_cx long, o_cy long, d_cx long, d_cy long, n long")
+    got = {(r.o_cx, r.o_cy, r.d_cx, r.d_cy):
+           (r.n, r.p_o, r.a_d, r.g_micro, r.pred_micro, r.resid_micro)
+           for r in gravity_model(df).collect()}
+
+    def rnd(v):
+        return math.floor(v * 1e6 + 0.5) if v >= 0 \
+            else -math.floor(-v * 1e6 + 0.5)
+
+    from collections import Counter
+    p = Counter()
+    a = Counter()
+    for (ox, oy, dx, dy), n in ods.items():
+        p[(ox, oy)] += n
+        a[(dx, dy)] += n
+    g = {k: rnd(p[(k[0], k[1])] * a[(k[2], k[3])]
+                / ((k[0] - k[2]) ** 2 + (k[1] - k[3]) ** 2 + 1))
+         for k in ods}
+    st, sg = sum(ods.values()), sum(g.values())
+    want = {}
+    for k, n in ods.items():
+        pred = math.floor(1e6 * st * g[k] / sg + 0.5)
+        want[k] = (n, p[(k[0], k[1])], a[(k[2], k[3])], g[k], pred,
+                   n * 1000000 - pred)
+    assert got == want
+    # calibration: total predicted flow ~= total observed (within
+    # per-pair rounding slack)
+    assert abs(sum(v[4] for v in got.values()) - st * 1000000) \
+        <= len(ods) * 1000000
