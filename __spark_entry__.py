@@ -3331,6 +3331,150 @@ def _emerging_sql() -> str:
     """
 
 
+#: store/site dimension for huff + 2sfca: integer box centers and the
+#: area-derived attractiveness/capacity, all from p_partkey arithmetic
+#: (bit-identical to the region_boxes geometry without touching WKB).
+_STORES_SQL = """
+  SELECT p_partkey AS sid,
+         (p_partkey*40503 + 101) % 650000
+           + ((p_partkey*97 + 13) % 50000 + 1000) // 2 AS sx,
+         (p_partkey*69301 + 257) % 1250000
+           + ((p_partkey*89 + 37) % 50000 + 1000) // 2 AS sy,
+         (((p_partkey*97 + 13) % 50000 + 1000)
+          * ((p_partkey*89 + 37) % 50000 + 1000)) // 100000 AS a
+  FROM part
+"""
+
+_STORES_EXPRS = [
+    "p_partkey AS store_id",
+    "(p_partkey*40503 + 101) % 650000"
+    " + ((p_partkey*97 + 13) % 50000 + 1000) DIV 2 AS sx",
+    "(p_partkey*69301 + 257) % 1250000"
+    " + ((p_partkey*89 + 37) % 50000 + 1000) DIV 2 AS sy",
+    "(((p_partkey*97 + 13) % 50000 + 1000)"
+    " * ((p_partkey*89 + 37) % 50000 + 1000)) DIV 100000 AS a",
+]
+
+
+def _q_huff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff probabilistic catchment (operators/zonal.huff_model):
+    demand = occupied 100km event cells (center points), stores =
+    region-box centers with area attractiveness; weights micro-rounded
+    BIGINT, winner = exact integer argmax, store dim broadcast."""
+    from cdap_geo_spark.operators.zonal import huff_model
+    d = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+        "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy") \
+        .distinct() \
+        .selectExpr("qx", "qy", "qx*100000 + 50000 AS x",
+                    "qy*100000 + 50000 AS y")
+    s = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .selectExpr(*_STORES_EXPRS)
+    out = huff_model(d, s, demand_keys=["qx", "qy"])
+    return out.select(F.col("qx").cast("long"),
+                      F.col("qy").cast("long"), "sum_w_micro",
+                      "best_store", "best_w_micro", "best_p_micro")
+
+
+def _huff_sql() -> str:
+    return f"""
+      WITH d0 AS (
+        SELECT DISTINCT
+               ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy
+        FROM events
+      ),
+      d AS (SELECT qx, qy, qx*100000 + 50000 AS px,
+                   qy*100000 + 50000 AS py FROM d0),
+      s AS ({_STORES_SQL}),
+      j AS (
+        SELECT d.qx, d.qy, s.sid,
+               CAST(ROUND(CAST(s.a AS DOUBLE) * 1000000.0
+                 / CAST((d.px - s.sx) * (d.px - s.sx)
+                        + (d.py - s.sy) * (d.py - s.sy) + 1
+                        AS DOUBLE)) AS BIGINT) AS w
+        FROM d CROSS JOIN s
+      ),
+      m AS (SELECT qx, qy, CAST(SUM(w) AS BIGINT) AS sum_w_micro,
+                   MAX(w) AS bw
+            FROM j GROUP BY 1, 2),
+      best AS (
+        SELECT j.qx, j.qy, CAST(MIN(j.sid) AS BIGINT) AS best_store,
+               CAST(MAX(j.w) AS BIGINT) AS best_w_micro
+        FROM j JOIN m ON j.qx = m.qx AND j.qy = m.qy AND j.w = m.bw
+        GROUP BY 1, 2
+      )
+      SELECT CAST(m.qx AS BIGINT) AS qx, CAST(m.qy AS BIGINT) AS qy,
+             m.sum_w_micro, best.best_store, best.best_w_micro,
+             CASE WHEN m.sum_w_micro > 0 THEN
+               CAST(ROUND(CAST(best.best_w_micro AS DOUBLE)
+                    * 1000000.0
+                    / CAST(m.sum_w_micro AS DOUBLE)) AS BIGINT)
+             END AS best_p_micro
+      FROM m JOIN best ON best.qx = m.qx AND best.qy = m.qy
+    """
+
+
+def _q_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2SFCA accessibility (operators/zonal.catchment_2sfca): demand =
+    event counts per 100km cell, supply = region-box centers with
+    area capacity, d0 = 150km; both steps share ONE cell join."""
+    from cdap_geo_spark.operators.zonal import catchment_2sfca
+    d = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+        "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy") \
+        .groupBy("qx", "qy").agg(F.count(F.lit(1)).alias("pop")) \
+        .selectExpr("qx", "qy", "qx*100000 + 50000 AS x",
+                    "qy*100000 + 50000 AS y", "pop")
+    s = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .selectExpr(*_STORES_EXPRS) \
+        .withColumnRenamed("store_id", "site_id") \
+        .withColumnRenamed("a", "cap")
+    out = catchment_2sfca(d, s, d0=150_000, demand_keys=["qx", "qy"])
+    return out.select(F.col("qx").cast("long"),
+                      F.col("qy").cast("long"), "n_sites",
+                      "access_micro")
+
+
+def _2sfca_sql() -> str:
+    d0 = 150_000
+    return f"""
+      WITH dem AS (
+        SELECT qx, qy, qx*100000 + 50000 AS px,
+               qy*100000 + 50000 AS py,
+               CAST(COUNT(*) AS BIGINT) AS pop
+        FROM (SELECT ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+                     ((event_id*69621 + 29) % 1300000) // 100000 AS qy
+              FROM events)
+        GROUP BY 1, 2
+      ),
+      sup AS ({_STORES_SQL}),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                               (VALUES (-1), (0), (1)) u(oy)),
+      dg AS (SELECT dem.*, px // {d0} + ox AS cx, py // {d0} + oy AS cy
+             FROM dem, o),
+      reach AS (
+        SELECT dg.qx, dg.qy, dg.pop, s.sid, s.a AS cap
+        FROM dg JOIN sup s
+          ON dg.cx = s.sx // {d0} AND dg.cy = s.sy // {d0}
+         AND (dg.px - s.sx) * (dg.px - s.sx)
+             + (dg.py - s.sy) * (dg.py - s.sy) <= {d0 * d0}
+      ),
+      r AS (
+        SELECT sid,
+               CAST(ROUND(CAST(MAX(cap) AS DOUBLE) * 1000000.0
+                    / CAST(SUM(pop) AS DOUBLE)) AS BIGINT) AS rr
+        FROM reach GROUP BY sid HAVING SUM(pop) > 0
+      )
+      SELECT CAST(reach.qx AS BIGINT) AS qx,
+             CAST(reach.qy AS BIGINT) AS qy,
+             CAST(COUNT(*) AS BIGINT) AS n_sites,
+             CAST(SUM(r.rr) AS BIGINT) AS access_micro
+      FROM reach JOIN r USING (sid)
+      GROUP BY 1, 2
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4131,6 +4275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging": _q_emerging,
         "theil": _q_theil,
         "gravity": _q_gravity,
+        "huff": _q_huff,
+        "accessibility": _q_2sfca,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -4880,6 +5026,8 @@ def oracle_sql() -> dict[str, str]:
         "emerging": _emerging_sql(),
         "theil": _theil_sql(),
         "gravity": _gravity_sql(),
+        "huff": _huff_sql(),
+        "accessibility": _2sfca_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -958,6 +958,136 @@ def mann_kendall(values: DataFrame, *, key_cols: list,
                       zexpr.alias("z_micro"))
 
 
+def huff_model(demand: DataFrame, stores: DataFrame, *,
+               dx_col: str = "x", dy_col: str = "y",
+               demand_keys: list = ("x", "y"),
+               store_id: str = "store_id", sx_col: str = "sx",
+               sy_col: str = "sy",
+               attract_col: str = "a") -> DataFrame:
+    """Huff probabilistic catchment model — which store captures each
+    demand point: ``P(i→s) = (A_s/(d²_is+1)) / Σ_s' (A_s'/(d²+1))``
+    over the GLOBAL store choice set (the textbook form; +1 keeps
+    co-located pairs defined, same convention as
+    :func:`cdap_geo_spark.operators.timeseries.gravity_model`).
+    Returns one row per demand point: ``(*demand_keys, sum_w_micro,
+    best_store, best_w_micro, best_p_micro)`` — the captured store,
+    its weight and its capture probability.
+
+    Exactness: per-(point, store) weight ``w = A·1e6/(d²+1)`` is ONE
+    fixed-shape division micro-rounded to BIGINT; the denominator is
+    an order-independent BIGINT sum of those; the winner is the exact
+    integer argmax (ties → smallest store id); the probability is one
+    final fixed-shape division. Magnitude contract: ``A·1e6`` within
+    double's exact-integer range, ``Σw`` within int64.
+
+    Plan: the store dimension BROADCASTS (choice sets are
+    dimension-sized by definition — thousands, not billions); demand
+    stays partitioned, every (point, store) weight is map-side, and
+    ONE per-point aggregate (max_by + sum partials) produces the
+    result. No shuffle grows with stores × demand.
+    """
+    keys = list(demand_keys)
+    d = demand.select(*[F.col(k) for k in keys],
+                      F.col(dx_col).cast("long").alias("_px"),
+                      F.col(dy_col).cast("long").alias("_py"))
+    s = stores.select(F.col(store_id).cast("long").alias("_sid"),
+                      F.col(sx_col).cast("long").alias("_sx"),
+                      F.col(sy_col).cast("long").alias("_sy"),
+                      F.col(attract_col).cast("long").alias("_a"))
+    j = d.crossJoin(F.broadcast(s))
+    d2p1 = ((F.col("_px") - F.col("_sx")) * (F.col("_px") - F.col("_sx"))
+            + (F.col("_py") - F.col("_sy"))
+            * (F.col("_py") - F.col("_sy")) + 1)
+    w = F.round(F.col("_a").cast("double") * 1000000.0
+                / d2p1.cast("double")).cast("long")
+    j = j.select(*keys, F.col("_sid"), w.alias("_w"))
+    out = (j.groupBy(*keys)
+           .agg(F.sum("_w").cast("long").alias("sum_w_micro"),
+                F.max(F.struct(F.col("_w"),
+                               (-F.col("_sid")).alias("_nid")))
+                .alias("_best")))
+    best_w = F.col("_best._w")
+    best_id = (-F.col("_best._nid")).cast("long")
+    p = F.when(F.col("sum_w_micro") > 0,
+               F.round(best_w.cast("double") * 1000000.0
+                       / F.col("sum_w_micro").cast("double"))
+               .cast("long"))
+    return out.select(*keys, "sum_w_micro",
+                      best_id.alias("best_store"),
+                      best_w.cast("long").alias("best_w_micro"),
+                      p.alias("best_p_micro"))
+
+
+def catchment_2sfca(demand: DataFrame, supply: DataFrame, *,
+                    d0: int, demand_keys: list = ("x", "y"),
+                    dx_col: str = "x", dy_col: str = "y",
+                    pop_col: str = "pop",
+                    supply_id: str = "site_id", sx_col: str = "sx",
+                    sy_col: str = "sy",
+                    cap_col: str = "cap") -> DataFrame:
+    """Two-step floating catchment area (2SFCA) accessibility — the
+    health-geography standard (Luo & Wang 2003): step 1 gives every
+    supply site a supply-to-demand ratio over the population within
+    ``d0`` (``R_s = cap_s / Σ_i pop_i``), step 2 sums those ratios
+    over the sites within ``d0`` of each demand point
+    (``A_i = Σ_s R_s``). Returns one row per demand point WITH ≥1
+    reachable site: ``(*demand_keys, n_sites, access_micro)``.
+
+    Exactness: catchment populations are exact BIGINT sums;
+    ``R_s`` is ONE fixed-shape division micro-rounded to BIGINT
+    (sites whose catchment population is 0 get R = NULL and drop —
+    no demand, no ratio, the documented convention); ``A_i`` is an
+    order-independent BIGINT sum of those micro-ratios.
+
+    Plan: BOTH steps are the same 3×3-neighbor cell equi-join at
+    cell size ``d0`` (demand replicates to neighbor cells, supply
+    stays home — built once, reused for both directions), each
+    followed by ONE keyed partial agg. Candidate volume is the usual
+    per-cell product, salt-able; nothing quadratic in sites ×
+    demand.
+    """
+    if d0 < 1:
+        raise ValueError("catchment_2sfca: d0 must be >= 1")
+    keys = list(demand_keys)
+    dem = demand.select(*[F.col(k) for k in keys],
+                        F.col(dx_col).cast("long").alias("_px"),
+                        F.col(dy_col).cast("long").alias("_py"),
+                        F.col(pop_col).cast("long").alias("_pop"))
+    sup = supply.select(F.col(supply_id).cast("long").alias("_sid"),
+                        F.col(sx_col).cast("long").alias("_sx"),
+                        F.col(sy_col).cast("long").alias("_sy"),
+                        F.col(cap_col).cast("long").alias("_cap"))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    dget = (dem.select(*keys, "_px", "_py", "_pop",
+                       F.expr(f"_px DIV {d0}").alias("_cx"),
+                       F.expr(f"_py DIV {d0}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select(*keys, "_px", "_py", "_pop",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    sget = sup.select("_sid", "_sx", "_sy", "_cap",
+                      F.expr(f"_sx DIV {d0}").alias("cx"),
+                      F.expr(f"_sy DIV {d0}").alias("cy"))
+    d2 = ((F.col("_px") - F.col("_sx")) * (F.col("_px") - F.col("_sx"))
+          + (F.col("_py") - F.col("_sy"))
+          * (F.col("_py") - F.col("_sy")))
+    reach = (dget.join(sget, ["cx", "cy"])
+             .where(d2 <= F.lit(d0 * d0))
+             .select(*keys, "_pop", "_sid", "_cap"))
+    r_s = (reach.groupBy("_sid")
+           .agg(F.max("_cap").alias("_c"),
+                F.sum("_pop").cast("long").alias("_p"))
+           .where(F.col("_p") > 0)
+           .select("_sid",
+                   F.round(F.col("_c").cast("double") * 1000000.0
+                           / F.col("_p").cast("double")).cast("long")
+                   .alias("_r")))
+    return (reach.select(*keys, "_sid").join(r_s, "_sid")
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sites"),
+                 F.sum("_r").cast("long").alias("access_micro")))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -676,6 +676,72 @@ def test_mann_kendall_validation_and_flat(spark):
     assert (r.s, r.var18, r.trend, r.z_micro) == (0, 0, "flat", None)
 
 
+def test_huff_model_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import huff_model
+    random.seed(89)
+    dem = [(i, random.randrange(100), random.randrange(100))
+           for i in range(12)]
+    sto = [(s, random.randrange(100), random.randrange(100),
+            random.randrange(1, 50)) for s in range(9)]
+    # duplicate-weight tie: two stores co-located with equal attract
+    sto += [(100, 7, 7, 10), (101, 7, 7, 10)]
+    ddf = spark.createDataFrame(dem, "k long, x long, y long")
+    sdf = spark.createDataFrame(
+        sto, "store_id long, sx long, sy long, a long")
+    got = {r.k: (r.sum_w_micro, r.best_store, r.best_w_micro,
+                 r.best_p_micro)
+           for r in huff_model(ddf, sdf, demand_keys=["k"]).collect()}
+
+    def rnd(v):
+        return math.floor(v * 1e6 + 0.5)
+
+    want = {}
+    for k, x, y in dem:
+        ws = {s: rnd(a / ((x - sx) ** 2 + (y - sy) ** 2 + 1))
+              for s, sx, sy, a in sto}
+        sw = sum(ws.values())
+        bw = max(ws.values())
+        bs = min(s for s, w in ws.items() if w == bw)
+        want[k] = (sw, bs, bw, rnd(bw / sw) if sw > 0 else None)
+    assert got == want
+
+
+def test_catchment_2sfca_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import catchment_2sfca
+    random.seed(97)
+    dem = [(i, random.randrange(200), random.randrange(200),
+            random.randrange(1, 30)) for i in range(15)]
+    sup = [(s, random.randrange(200), random.randrange(200),
+            random.randrange(5, 40)) for s in range(6)]
+    d0 = 60
+    ddf = spark.createDataFrame(dem, "k long, x long, y long, pop long")
+    sdf = spark.createDataFrame(
+        sup, "site_id long, sx long, sy long, cap long")
+    got = {r.k: (r.n_sites, r.access_micro)
+           for r in catchment_2sfca(ddf, sdf, d0=d0,
+                                    demand_keys=["k"]).collect()}
+    rs = {}
+    for s, sx, sy, cap in sup:
+        p = sum(pop for _, x, y, pop in dem
+                if (x - sx) ** 2 + (y - sy) ** 2 <= d0 * d0)
+        if p > 0:
+            rs[s] = math.floor(cap * 1e6 / p + 0.5)
+    want = {}
+    for k, x, y, _ in dem:
+        near = [rs[s] for s, sx, sy, _ in sup
+                if s in rs and (x - sx) ** 2 + (y - sy) ** 2 <= d0 * d0]
+        if near:
+            want[k] = (len(near), sum(near))
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        catchment_2sfca(ddf, sdf, d0=0, demand_keys=["k"])
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
