@@ -3475,6 +3475,63 @@ def _2sfca_sql() -> str:
     """
 
 
+def _q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn's focal slope + aspect octant (operators/zonal.
+    slope_aspect) over the 20km event-density surface: integer
+    gradients, one sqrt, integer octant rule."""
+    from cdap_geo_spark.operators.zonal import slope_aspect
+    g = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "((event_id*48271 + 17) % 700000) DIV 20000 AS cx",
+        "((event_id*69621 + 29) % 1300000) DIV 20000 AS cy") \
+        .groupBy("cx", "cy") \
+        .agg(F.count(F.lit(1)).cast("long").alias("z"))
+    return slope_aspect(g, cell=20_000)
+
+
+def _slope_sql() -> str:
+    cell = 20_000
+    return f"""
+      WITH g AS (
+        SELECT ((event_id*48271 + 17) % 700000) // {cell} AS cx,
+               ((event_id*69621 + 29) % 1300000) // {cell} AS cy,
+               CAST(COUNT(*) AS BIGINT) AS z
+        FROM events GROUP BY 1, 2
+      ),
+      o AS (SELECT dx, dy
+            FROM (VALUES (-1), (0), (1)) a(dx),
+                 (VALUES (-1), (0), (1)) b(dy)
+            WHERE NOT (dx = 0 AND dy = 0)),
+      contrib AS (
+        SELECT cx + dx AS tx, cy + dy AS ty,
+               z * (-dx) * (2 - ABS(dy)) AS c8x,
+               z * (-dy) * (2 - ABS(dx)) AS c8y
+        FROM g, o
+      ),
+      grads AS (SELECT tx, ty, CAST(SUM(c8x) AS BIGINT) AS gx8,
+                       CAST(SUM(c8y) AS BIGINT) AS gy8
+                FROM contrib GROUP BY 1, 2),
+      j AS (
+        SELECT g.cx, g.cy, g.z,
+               COALESCE(grads.gx8, 0) AS gx, COALESCE(grads.gy8, 0) AS gy
+        FROM g LEFT JOIN grads ON grads.tx = g.cx AND grads.ty = g.cy
+      )
+      SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy, z,
+             CAST(gx AS BIGINT) AS gx8, CAST(gy AS BIGINT) AS gy8,
+             CAST(ROUND(SQRT(CAST(gx*gx + gy*gy AS DOUBLE))
+                        / {float(8 * cell)} * 1000000.0) AS BIGINT)
+               AS slope_micro,
+             CASE WHEN gx = 0 AND gy = 0 THEN 'flat'
+                  WHEN 2 * ABS(gy) <= ABS(gx) THEN
+                    CASE WHEN gx > 0 THEN 'E' ELSE 'W' END
+                  WHEN 2 * ABS(gx) <= ABS(gy) THEN
+                    CASE WHEN gy > 0 THEN 'N' ELSE 'S' END
+                  ELSE (CASE WHEN gy > 0 THEN 'N' ELSE 'S' END)
+                       || (CASE WHEN gx > 0 THEN 'E' ELSE 'W' END)
+             END AS octant
+      FROM j
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4277,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity": _q_gravity,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
+        "slope_aspect": _q_slope,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5028,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity": _gravity_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
+        "slope_aspect": _slope_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -1088,6 +1088,84 @@ def catchment_2sfca(demand: DataFrame, supply: DataFrame, *,
                  F.sum("_r").cast("long").alias("access_micro")))
 
 
+def slope_aspect(grid: DataFrame, *, cell: int,
+                 x_col: str = "cx", y_col: str = "cy",
+                 z_col: str = "z") -> DataFrame:
+    """Horn's-method focal slope + aspect octant over a sparse
+    integer raster (absent cell = 0, the :func:`marching_squares`
+    convention) — the terrain-analysis primitive applied to any
+    cell-gridded surface (density, cost, elevation): per occupied
+    cell, the 3×3 finite-difference gradients
+    ``gx·8 = Σ east column·(1,2,1) − Σ west column·(1,2,1)`` and
+    ``gy·8 = Σ north row·(1,2,1) − Σ south row·(1,2,1)``
+    (x increasing east, y increasing north), the slope magnitude
+    ``sqrt(gx8² + gy8²)/(8·cell)`` and the downhill-independent
+    ASPECT OCTANT. Returns ``(cx, cy, z, gx8, gy8, slope_micro,
+    octant)``.
+
+    Exactness: gradients are exact BIGINTs (integer weighted sums);
+    slope is ONE fixed-shape expression (sqrt is IEEE
+    correctly-rounded) micro-rounded; the octant is a pure integer
+    rule — E/W when ``2|gy8| ≤ |gx8|``, N/S when ``2|gx8| ≤ |gy8|``,
+    the diagonal otherwise, 'flat' at zero gradient (boundaries at
+    atan(1/2) ≈ 26.6°, the documented integer-exact approximation of
+    the 22.5° split; no trig crosses an engine boundary).
+
+    Plan: each occupied cell fans its value to its 8 neighbors'
+    target positions with the Horn coefficient decided by the
+    RELATIVE position (coeff_x = rx·(2−|ry|), coeff_y = ry·(2−|rx|))
+    — a literal 8-fanout, ONE target-keyed partial-agg exchange
+    bounded by 8× occupied cells, then an inner join back to the
+    occupied relation (only occupied cells are emitted — the sparse
+    contract).
+    """
+    if cell < 1:
+        raise ValueError("slope_aspect: cell must be >= 1")
+    base = grid.select(F.col(x_col).cast("long").alias("_x"),
+                       F.col(y_col).cast("long").alias("_y"),
+                       F.col(z_col).cast("long").alias("_z"))
+    dirs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    fan = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in dirs])).alias("_d")
+    contrib = base.select("_x", "_y", "_z", fan).select(
+        (F.col("_x") + F.col("_d.dx")).alias("tx"),
+        (F.col("_y") + F.col("_d.dy")).alias("ty"),
+        # relative position of the SOURCE w.r.t. the target
+        (-F.col("_d.dx")).alias("_rx"), (-F.col("_d.dy")).alias("_ry"),
+        "_z") \
+        .select("tx", "ty",
+                (F.col("_z") * F.col("_rx")
+                 * (2 - F.abs(F.col("_ry")))).alias("_cx8"),
+                (F.col("_z") * F.col("_ry")
+                 * (2 - F.abs(F.col("_rx")))).alias("_cy8"))
+    grads = (contrib.groupBy("tx", "ty")
+             .agg(F.sum("_cx8").cast("long").alias("gx8"),
+                  F.sum("_cy8").cast("long").alias("gy8")))
+    out = base.join(grads, (base["_x"] == grads["tx"])
+                    & (base["_y"] == grads["ty"]), "left")
+    gx = F.coalesce(F.col("gx8"), F.lit(0))
+    gy = F.coalesce(F.col("gy8"), F.lit(0))
+    mag2 = gx * gx + gy * gy
+    slope = F.round(F.sqrt(mag2.cast("double"))
+                    / F.lit(float(8 * cell)) * 1000000.0).cast("long")
+    ax, ay = F.abs(gx), F.abs(gy)
+    ew = F.when(gx > 0, "E").otherwise("W")
+    ns = F.when(gy > 0, "N").otherwise("S")
+    octant = (F.when((gx == 0) & (gy == 0), "flat")
+              .when(2 * ay <= ax, ew)
+              .when(2 * ax <= ay, ns)
+              .otherwise(F.concat(ns, ew)))
+    return out.select(F.col("_x").alias(x_col),
+                      F.col("_y").alias(y_col),
+                      F.col("_z").alias(z_col),
+                      gx.cast("long").alias("gx8"),
+                      gy.cast("long").alias("gy8"),
+                      slope.alias("slope_micro"),
+                      octant.alias("octant"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -742,6 +742,60 @@ def test_catchment_2sfca_brute_force(spark):
         catchment_2sfca(ddf, sdf, d0=0, demand_keys=["k"])
 
 
+def test_slope_aspect_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import slope_aspect
+    random.seed(101)
+    cells = {}
+    for _ in range(60):
+        cells[(random.randrange(8), random.randrange(8))] = \
+            random.randrange(1, 30)
+    rows = [(x, y, z) for (x, y), z in cells.items()]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    cell = 10
+    got = {(r.cx, r.cy): (r.z, r.gx8, r.gy8, r.slope_micro, r.octant)
+           for r in slope_aspect(df, cell=cell).collect()}
+
+    def zat(x, y):
+        return cells.get((x, y), 0)
+
+    want = {}
+    for (x, y), z in cells.items():
+        a, b, c = zat(x-1, y+1), zat(x, y+1), zat(x+1, y+1)
+        d, f = zat(x-1, y), zat(x+1, y)
+        g, h, i = zat(x-1, y-1), zat(x, y-1), zat(x+1, y-1)
+        gx8 = (c + 2*f + i) - (a + 2*d + g)
+        gy8 = (a + 2*b + c) - (g + 2*h + i)
+        slope = math.floor(math.sqrt(gx8*gx8 + gy8*gy8)
+                           / (8 * cell) * 1e6 + 0.5)
+        if gx8 == 0 and gy8 == 0:
+            oct_ = "flat"
+        elif 2 * abs(gy8) <= abs(gx8):
+            oct_ = "E" if gx8 > 0 else "W"
+        elif 2 * abs(gx8) <= abs(gy8):
+            oct_ = "N" if gy8 > 0 else "S"
+        else:
+            oct_ = ("N" if gy8 > 0 else "S") + ("E" if gx8 > 0 else "W")
+        want[(x, y)] = (z, gx8, gy8, slope, oct_)
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        slope_aspect(df, cell=0)
+
+
+def test_slope_aspect_flat_plateau(spark):
+    """Uniform interior of a constant plateau has zero gradient."""
+    from cdap_geo_spark.operators.zonal import slope_aspect
+    rows = [(x, y, 7) for x in range(5) for y in range(5)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {(r.cx, r.cy): (r.gx8, r.gy8, r.octant)
+           for r in slope_aspect(df, cell=1).collect()}
+    for x in range(1, 4):
+        for y in range(1, 4):
+            assert got[(x, y)] == (0, 0, "flat")
+
+
 def test_getis_ord_gstar_brute_force(spark):
     import math
     import random
