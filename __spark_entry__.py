@@ -381,6 +381,60 @@ def _doc_chunks_sql() -> str:
     """
 
 
+def _q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant, made a named audited query:
+    every interleaved doc's span sequence (kind, text, media_ref,
+    order) survives a REAL stage boundary — spans are exploded to
+    rows, shuffled, and reassembled by offset — and the geometry
+    span's WKB round-trips through the Arrow-vectorized decoder to
+    the coordinates the doc arithmetic dictates. Output per doc:
+    (doc_id, n_spans, fp = md5 over the ordered kind|text|offset
+    sequence, geom_ok). The oracle computes fp directly from the
+    SOURCE table — equality IS the stage-invariance proof."""
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    docs = R.interleaved_docs(spark, sf_dir)
+    ex = docs.select("doc_id", F.explode("spans").alias("s"))
+    re = (ex.repartition(16, "doc_id")
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list(F.struct(
+              F.col("s.offset").alias("offset"),
+              F.col("s.kind").alias("kind"),
+              F.col("s.text").alias("text"),
+              F.col("s.media_ref").alias("media_ref")))).alias("sp")))
+    items = F.transform(
+        "sp", lambda s: F.concat_ws(
+            "|", s["kind"], F.coalesce(s["text"], F.lit("~")),
+            s["offset"].cast("string")))
+    fp = F.md5(F.concat_ws("\x1f", items))
+    geom_hex = F.filter(
+        "sp", lambda s: s["kind"] == F.lit("geometry"))[0]["media_ref"]
+    xy = udfs.st_centroid_xy()(F.unhex(geom_hex))
+    ok = ((xy["x"].cast("long")
+           == (F.col("doc_id") * 48271 + 17) % 700000)
+          & (xy["y"].cast("long")
+             == (F.col("doc_id") * 69621 + 29) % 1300000))
+    return re.select(F.col("doc_id").cast("long"),
+                     F.size("sp").cast("long").alias("n_spans"),
+                     fp.alias("fp"),
+                     ok.cast("long").alias("geom_ok"))
+
+
+def _span_integrity_sql() -> str:
+    # chr(31) joins spans; '~' is the NULL sentinel; offsets are the
+    # construction's 1 and len(text)+2 — identical strings to the
+    # Spark reassembly, so md5 matches bit-for-bit
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(2 AS BIGINT) AS n_spans,
+             md5('text|' || text || '|1' || chr(31)
+                 || 'geometry|~|' || CAST(len(text) + 2 AS VARCHAR))
+               AS fp,
+             CAST(1 AS BIGINT) AS geom_ok
+      FROM documents
+    """
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import quality_features
     out = quality_features(_docs(spark, sf_dir))
@@ -4244,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "doc_chunks": _q_doc_chunks,
+        "span_integrity": _q_span_integrity,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "repetition": _q_repetition,
@@ -5339,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY 1
         """,
         "doc_chunks": _doc_chunks_sql(),
+        "span_integrity": _span_integrity_sql(),
         "token_count": """
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  CASE WHEN len(trim(text)) = 0 THEN 0

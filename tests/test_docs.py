@@ -49,3 +49,23 @@ def test_explode_geometries_keeps_spans(spark):
     ex = D.explode_geometries(dd)
     assert D.check_span_invariant(dd, ex) == 0
     assert ex.filter(F.col("geometry").isNotNull()).count() >= 50
+
+
+def test_span_integrity_query_roundtrip(spark):
+    """The input_hint invariant: span sequences survive the
+    explode->shuffle->reassemble stage bit-for-bit, and every
+    geometry span decodes to the doc-arithmetic coordinates."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.n_spans, r.fp, r.geom_ok)
+           for r in E._q_span_integrity(spark, sf).collect()}
+    t = pq.read_table(f"{sf}/documents.parquet").to_pydict()
+    assert len(got) == len(t["doc_id"])
+    for did, text in zip(t["doc_id"], t["text"]):
+        raw = (f"text|{text}|1\x1fgeometry|~|{len(text) + 2}"
+               .encode("utf-8"))
+        assert got[did] == (2, hashlib.md5(raw).hexdigest(), 1)
