@@ -381,6 +381,41 @@ def _doc_chunks_sql() -> str:
     """
 
 
+def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel census (operators/text.filter_funnel):
+    first-match attribution, every rule an exact integer predicate
+    (ratios as cross-multiplications); tighter bounds than the
+    defaults so several rules actually fire on the corpus."""
+    from cdap_geo_spark.operators.text import filter_funnel
+    return filter_funnel(_docs(spark, sf_dir), min_tokens=40,
+                         max_chars=500, min_mwl=5, max_mwl=6,
+                         max_symbol_pct=2)
+
+
+def _filter_funnel_sql() -> str:
+    return """
+      WITH f AS (
+        SELECT CASE
+          WHEN text IS NULL OR len(trim(text)) = 0 THEN 'empty'
+          WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 40
+            THEN 'too_short'
+          WHEN len(text) > 500 THEN 'too_long'
+          WHEN len(regexp_replace(text, '\\s', '', 'g'))
+                 < 5 * len(regexp_split_to_array(trim(text), '\\s+'))
+            OR len(regexp_replace(text, '\\s', '', 'g'))
+                 > 6 * len(regexp_split_to_array(trim(text), '\\s+'))
+            THEN 'word_len'
+          WHEN 100 * len(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                        'g'))
+                 > 2 * len(text) THEN 'symbol_ratio'
+          ELSE 'kept' END AS rule
+        FROM documents
+      )
+      SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY 1
+    """
+
+
 def _q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The input_hint's per-row invariant, made a named audited query:
     every interleaved doc's span sequence (kind, text, media_ref,
@@ -4299,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_chunks": _q_doc_chunks,
         "span_integrity": _q_span_integrity,
+        "filter_funnel": _q_filter_funnel,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "repetition": _q_repetition,
@@ -5395,6 +5431,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_chunks": _doc_chunks_sql(),
         "span_integrity": _span_integrity_sql(),
+        "filter_funnel": _filter_funnel_sql(),
         "token_count": """
           SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  CASE WHEN len(trim(text)) = 0 THEN 0

@@ -1593,3 +1593,51 @@ def doc_chunks(df: DataFrame, *, size: int, overlap: int = 0,
         start.alias("start_tok"), ln.alias("n_tok"),
         F.array_join(F.slice("_toks", (start + 1).cast("int"),
                              ln.cast("int")), " ").alias("chunk_text"))
+
+
+def filter_funnel(df: DataFrame, *, min_tokens: int = 5,
+                  max_chars: int = 20_000, min_mwl: int = 2,
+                  max_mwl: int = 12, max_symbol_pct: int = 30,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """C4-style quality-filter funnel with FIRST-MATCH drop
+    attribution — the cleaning-stage diagnostic every corpus pipeline
+    needs: each document is attributed to the first rule it fails
+    (rule order is the funnel's contract) and the output is the per-
+    rule drop census ``(rule, n_docs)`` including ``'kept'``. Rules,
+    in order: ``empty`` (null/whitespace-only), ``too_short``
+    (< min_tokens whitespace tokens), ``too_long`` (> max_chars
+    chars), ``word_len`` (mean word length outside [min_mwl,
+    max_mwl]), ``symbol_ratio`` (non-alphanumeric-non-space share >
+    max_symbol_pct %).
+
+    Every rule is an EXACT integer predicate — ratios become integer
+    cross-multiplications (mean word length bounds:
+    ``n_alpha < min·n_tok`` / ``n_alpha > max·n_tok``; symbol share:
+    ``100·n_sym > pct·n_chars``) — so attribution is bit-stable
+    across engines and partitionings.
+
+    Plan: one narrow map-side projection (token/char/symbol counts
+    are native expressions, no UDF), ONE tiny rule-keyed aggregate.
+    At 10^12 docs this is scan throughput plus a 6-row exchange.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
+             .otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_chars = F.length(t)
+    # chars that are neither alphanumeric nor whitespace
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    # mean-word-length numerator: non-space characters
+    n_alpha = F.length(F.regexp_replace(t, r"\s", ""))
+    rule = (F.when(t.isNull() | (F.length(trimmed) == 0), "empty")
+            .when(n_tok < min_tokens, "too_short")
+            .when(n_chars > max_chars, "too_long")
+            .when((n_alpha < min_mwl * n_tok)
+                  | (n_alpha > max_mwl * n_tok), "word_len")
+            .when(100 * n_sym > max_symbol_pct * n_chars,
+                  "symbol_ratio")
+            .otherwise("kept"))
+    return (df.select(rule.alias("rule"))
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

@@ -1160,3 +1160,28 @@ def test_doc_chunks_brute_force(spark):
         doc_chunks(df, size=4, overlap=4)
     with _pt.raises(ValueError):
         doc_chunks(df, size=0)
+
+
+def test_filter_funnel_first_match_attribution(spark):
+    from cdap_geo_spark.operators.text import filter_funnel
+    docs = [
+        (1, None),                                   # empty (null)
+        (2, "      "),                               # empty (ws-only)
+        (3, "one two three"),                        # too_short (<5)
+        (4, "a " * 6 + "tail"),                      # word_len? no: 7 toks, mwl=(6+4)/7=1.4 -> word_len
+        (5, "x" * 30),                               # 1 tok -> too_short
+        (6, "wordy " * 10 + "#$%@! ***" * 40),       # symbol_ratio
+        (7, "z" * 25000),                            # 1 token -> too_short first
+        (8, ("longword " * 8).strip()),              # kept
+        (9, "ok " * 3000),                           # too_long (9000 chars)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.rule: r.n_docs
+           for r in filter_funnel(df, min_tokens=5, max_chars=8000,
+                                  min_mwl=2, max_mwl=12,
+                                  max_symbol_pct=30).collect()}
+    # first-match: doc 7 (25k chars, 1 token) counts as too_short,
+    # never reaching too_long; doc 4 fails word_len (mwl 10/7 < 2)
+    assert got == {"empty": 2, "too_short": 3, "word_len": 1,
+                   "symbol_ratio": 1, "too_long": 1, "kept": 1}
+    assert sum(got.values()) == len(docs)
