@@ -3621,6 +3621,69 @@ def _slope_sql() -> str:
     """
 
 
+def _q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans NN index (operators/zonal.clark_evans): exact
+    integer argmin + integer-sqrt NN distances BIGINT-summed; R one
+    fixed-shape expression; censoring documented at d_max=10km."""
+    from cdap_geo_spark.operators.zonal import clark_evans
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    return clark_evans(ev, area=700_000 * 1_300_000, d_max=10_000)
+
+
+def _clark_evans_sql() -> str:
+    area, dmax = 700_000 * 1_300_000, 10_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events
+      ),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                               (VALUES (-1), (0), (1)) u(oy)),
+      l AS (SELECT id, x, y, x // {dmax} + ox AS cx,
+                   y // {dmax} + oy AS cy FROM b, o),
+      mind AS (
+        SELECT l.id,
+               MIN((l.x - r.x) * (l.x - r.x)
+                   + (l.y - r.y) * (l.y - r.y)) AS d2
+        FROM l JOIN b r
+          ON l.cx = r.x // {dmax} AND l.cy = r.y // {dmax}
+         AND l.id <> r.id
+         AND (l.x - r.x) * (l.x - r.x)
+             + (l.y - r.y) * (l.y - r.y) <= {dmax * dmax}
+        GROUP BY 1
+      ),
+      iq AS (
+        SELECT d2, CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT)
+                 AS s
+        FROM mind
+      ),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM((s + CASE WHEN (s+1)*(s+1) <= d2 THEN 1
+                                  WHEN s*s > d2 THEN -1 ELSE 0 END)
+                        * 1000000) AS BIGINT) AS sum_nn_micro
+        FROM iq
+      )
+      SELECT nn.n,
+             CAST(nn.n - agg.k AS BIGINT) AS n_censored,
+             agg.sum_nn_micro,
+             CASE WHEN agg.k > 0 AND nn.n > 0 THEN
+               CAST(ROUND(CAST(agg.sum_nn_micro AS DOUBLE) / 1000000.0
+                    * 2.0
+                    * SQRT(CAST(nn.n AS DOUBLE)
+                           / CAST({area} AS DOUBLE))
+                    / CAST(agg.k AS DOUBLE) * 1000000.0) AS BIGINT)
+             END AS r_micro
+      FROM agg CROSS JOIN nn
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4426,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
+        "clark_evans": _q_clark_evans,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5178,6 +5242,7 @@ def oracle_sql() -> dict[str, str]:
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),
+        "clark_evans": _clark_evans_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

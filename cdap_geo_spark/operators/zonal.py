@@ -1166,6 +1166,76 @@ def slope_aspect(grid: DataFrame, *, cell: int,
                       octant.alias("octant"))
 
 
+def clark_evans(points: DataFrame, *, area: int, d_max: int,
+                id_col: str = "id", x_col: str = "x",
+                y_col: str = "y") -> DataFrame:
+    """Clark–Evans nearest-neighbor index — the third classic CSR
+    test next to :func:`ripley_k` / :func:`quadrat_test`:
+    ``R = mean(d_NN) / (0.5/sqrt(n/A))`` (R < 1 clustered, R > 1
+    dispersed). Returns ONE row: ``(n, n_censored, sum_nn_micro,
+    r_micro)``.
+
+    The nearest neighbor comes from the 3×3 cell join at ``d_max``
+    (ONE exchange; points whose nearest neighbor is farther than
+    ``d_max`` are CENSORED — counted, excluded from the mean, the
+    documented trade every bounded-radius NN scan makes; size d_max
+    ≫ the expected NN distance 0.5/sqrt(λ) so censoring is rare).
+
+    Exactness: per-point min d² is an exact integer argmin; each
+    point's NN distance is the exact integer sqrt (float floor + the
+    :func:`variogram` two-comparison fix-up) micro-scaled and summed
+    as BIGINT; R is ONE fixed-shape expression over (sum, counts,
+    area), micro-rounded.
+    """
+    if d_max < 1 or area < 1:
+        raise ValueError("clark_evans: need d_max >= 1 and area >= 1")
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y")))
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"),
+                        F.expr(f"_x DIV {d_max}").alias("_cx"),
+                        F.expr(f"_y DIV {d_max}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"),
+                        F.expr(f"_x DIV {d_max}").alias("cx"),
+                        F.expr(f"_y DIV {d_max}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    nn = (left.join(right, ["cx", "cy"])
+          .where((F.col("a") != F.col("b"))
+                 & (d2 <= F.lit(d_max * d_max)))
+          .groupBy("a")
+          .agg(F.min(d2).alias("_d2")))
+    s = F.floor(F.sqrt(F.col("_d2").cast("double"))).cast("long")
+    isqrt = s + (F.when((s + 1) * (s + 1) <= F.col("_d2"), 1)
+                 .when(s * s > F.col("_d2"), -1).otherwise(0))
+    agg = nn.agg(F.count(F.lit(1)).cast("long").alias("_nnn"),
+                 F.sum(isqrt * 1000000).cast("long")
+                 .alias("sum_nn_micro"))
+    out = agg.crossJoin(F.broadcast(nrow))
+    # R = (sum/k) / (0.5 / sqrt(n/A)) = sum * 2 * sqrt(n/A) / k
+    r = F.when((F.col("_nnn") > 0) & (F.col("_n") > 0),
+               F.round(F.col("sum_nn_micro").cast("double") / 1000000.0
+                       * 2.0
+                       * F.sqrt(F.col("_n").cast("double")
+                                / F.lit(float(area)))
+                       / F.col("_nnn").cast("double")
+                       * 1000000.0).cast("long"))
+    return out.select(
+        F.col("_n").alias("n"),
+        (F.col("_n") - F.col("_nnn")).cast("long").alias("n_censored"),
+        "sum_nn_micro", r.alias("r_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -927,3 +927,39 @@ def test_geofence_boundary_and_first_event(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         geofence_transitions(edf, fdf, cell=0)
+
+
+def test_clark_evans_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import clark_evans
+    random.seed(103)
+    n, side, dmax = 80, 400, 150
+    pts = [(i, random.randrange(side), random.randrange(side))
+           for i in range(n)]
+    # an isolated far-away point -> censored at d_max
+    pts.append((999, 5000, 5000))
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    area = 6000 * 6000
+    (row,) = clark_evans(df, area=area, d_max=dmax).collect()
+    nns = []
+    for i, ax, ay in pts:
+        best = None
+        for j, bx, by in pts:
+            if i == j:
+                continue
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if best is None or d2 < best:
+                best = d2
+        if best is not None and best <= dmax * dmax:
+            nns.append(math.isqrt(best))
+    ntot = len(pts)
+    s_micro = sum(d * 1000000 for d in nns)
+    r = math.floor(s_micro / 1e6 * 2.0
+                   * math.sqrt(ntot / area) / len(nns) * 1e6 + 0.5)
+    assert (row.n, row.n_censored, row.sum_nn_micro, row.r_micro) \
+        == (ntot, ntot - len(nns), s_micro, r)
+    assert row.n_censored == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        clark_evans(df, area=0, d_max=10)
