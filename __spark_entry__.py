@@ -3684,6 +3684,53 @@ def _clark_evans_sql() -> str:
     """
 
 
+def _q_centrography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrographic stats per event_type (operators/zonal.
+    centrography) on km-scale coords (the magnitude contract:
+    n·Σx² within int64): five exact moment sums in one pass, ellipse
+    orientation as an exact integer pair."""
+    from cdap_geo_spark.operators.zonal import centrography
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type AS g",
+        "((event_id*48271 + 17) % 700000) DIV 1000 AS x",
+        "((event_id*69621 + 29) % 1300000) DIV 1000 AS y") \
+        .where(F.col("g").isNotNull())
+    return centrography(ev)
+
+
+def _centrography_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT event_type AS g,
+               ((event_id*48271 + 17) % 700000) // 1000 AS x,
+               ((event_id*69621 + 29) % 1300000) // 1000 AS y
+        FROM events WHERE event_type IS NOT NULL
+      ),
+      a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx,
+               CAST(SUM(y*y) AS BIGINT) AS syy,
+               CAST(SUM(x*y) AS BIGINT) AS sxy
+        FROM b GROUP BY 1
+      )
+      SELECT g, n,
+             CAST(ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS mcx_micro,
+             CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS mcy_micro,
+             CAST(ROUND(SQRT(CAST((n*sxx - sx*sx) + (n*syy - sy*sy)
+                                  AS DOUBLE))
+                        / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS sdist_micro,
+             CAST(2 * (n*sxy - sx*sy) AS BIGINT) AS ell_num,
+             CAST((n*sxx - sx*sx) - (n*syy - sy*sy) AS BIGINT)
+               AS ell_den
+      FROM a
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4490,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
         "clark_evans": _q_clark_evans,
+        "centrography": _q_centrography,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5243,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),
         "clark_evans": _clark_evans_sql(),
+        "centrography": _centrography_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -1236,6 +1236,56 @@ def clark_evans(points: DataFrame, *, area: int, d_max: int,
         "sum_nn_micro", r.alias("r_micro"))
 
 
+def centrography(points: DataFrame, *, group_col: str = "g",
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Centrographic statistics per group — the ESDA summary every
+    point layer gets first (mean center, standard distance, and the
+    standard-deviational-ellipse ORIENTATION): returns one row per
+    group: ``(group, n, mcx_micro, mcy_micro, sdist_micro,
+    ell_num, ell_den)`` where the ellipse angle satisfies
+    ``tan(2θ) = ell_num / ell_den`` with
+    ``ell_num = 2·(n·Σxy − Σx·Σy)`` and
+    ``ell_den = n·Σx² − (Σx)² − (n·Σy² − (Σy)²)``.
+
+    Exactness: the five moment sums are exact BIGINTs from ONE
+    map-side-combining pass (the :func:`grouped_corr` shape); the
+    mean center and the standard distance
+    ``sqrt((n·Σx²−(Σx)² + n·Σy²−(Σy)²)) / n`` are single fixed-shape
+    expressions micro-rounded; the ellipse orientation is emitted as
+    the EXACT INTEGER PAIR (num, den) rather than an atan2 — no trig
+    crosses the engine boundary, and callers get the full-precision
+    angle via atan2(num, den)/2 locally. Magnitude contract:
+    ``n·Σx²`` within int64.
+    """
+    base = points.where(F.col(x_col).isNotNull()
+                        & F.col(y_col).isNotNull()) \
+        .select(F.col(group_col).alias("_g"),
+                F.col(x_col).cast("long").alias("_x"),
+                F.col(y_col).cast("long").alias("_y"))
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"))
+    n = F.col("n")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cxy = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    mcx = F.round(F.col("_sx").cast("double") / n.cast("double")
+                  * 1000000.0).cast("long")
+    mcy = F.round(F.col("_sy").cast("double") / n.cast("double")
+                  * 1000000.0).cast("long")
+    sdist = F.round(F.sqrt((vx + vy).cast("double"))
+                    / n.cast("double") * 1000000.0).cast("long")
+    return agg.select(F.col("_g").alias(group_col), "n",
+                      mcx.alias("mcx_micro"), mcy.alias("mcy_micro"),
+                      sdist.alias("sdist_micro"),
+                      (2 * cxy).cast("long").alias("ell_num"),
+                      (vx - vy).cast("long").alias("ell_den"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

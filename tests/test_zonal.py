@@ -963,3 +963,39 @@ def test_clark_evans_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         clark_evans(df, area=0, d_max=10)
+
+
+def test_centrography_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import centrography
+    random.seed(107)
+    rows = [(random.choice("uv"), random.randrange(500),
+             random.randrange(500)) for _ in range(120)]
+    # an anisotropic group stretched along x: ell_den > 0, num ~ 0
+    rows += [("w", 100 + 5 * i, 200 + (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: (r.n, r.mcx_micro, r.mcy_micro, r.sdist_micro,
+                 r.ell_num, r.ell_den)
+           for r in centrography(df).collect()}
+    from collections import defaultdict
+    gs = defaultdict(list)
+    for g, x, y in rows:
+        gs[g].append((x, y))
+    want = {}
+    for g, pts in gs.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx, vy, cxy = n*sxx - sx*sx, n*syy - sy*sy, n*sxy - sx*sy
+        want[g] = (n,
+                   math.floor(sx / n * 1e6 + 0.5),
+                   math.floor(sy / n * 1e6 + 0.5),
+                   math.floor(math.sqrt(vx + vy) / n * 1e6 + 0.5),
+                   2 * cxy, vx - vy)
+    assert got == want
+    # the stretched group's ellipse leans along x
+    assert got["w"][5] > 0
