@@ -1533,6 +1533,121 @@ def _theil_sql() -> str:
     """
 
 
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance (operators/timeseries.ks_test) between
+    en and de doc-length distributions: exact cross-multiplied D over
+    the merged support, one support-sized cumulative window."""
+    from cdap_geo_spark.operators.timeseries import ks_test
+    d = _docs(spark, sf_dir).where(F.col("lang").isin("en", "de")) \
+        .select(F.col("lang").alias("s"),
+                F.col("n_chars").cast("long").alias("v"))
+    return ks_test(d)
+
+
+def _ks_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT lang AS s, n_chars AS v FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+      ),
+      pv AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN s = 'de' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN s = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d2
+        FROM b GROUP BY 1
+      ),
+      cum AS (
+        SELECT v,
+               CAST(SUM(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+               CAST(SUM(d2) OVER (ORDER BY v) AS BIGINT) AS c2
+        FROM pv
+      ),
+      tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+                     CAST(SUM(d2) AS BIGINT) AS n2 FROM pv),
+      sc AS (
+        SELECT ABS(c1 * tot.n2 - c2 * tot.n1) AS dn, v, tot.n1, tot.n2
+        FROM cum CROSS JOIN tot
+      ),
+      mx AS (SELECT MAX(dn) AS d_num FROM sc)
+      SELECT sc.n1, sc.n2, CAST(mx.d_num AS BIGINT) AS d_num,
+             CAST(MIN(sc.v) AS BIGINT) AS at_v,
+             CASE WHEN sc.n1 > 0 AND sc.n2 > 0 THEN
+               CAST(ROUND(CAST(mx.d_num AS DOUBLE) * 1000000.0
+                    / CAST(sc.n1 * sc.n2 AS DOUBLE)) AS BIGINT) END
+               AS d_micro
+      FROM sc JOIN mx ON sc.dn = mx.d_num
+      GROUP BY sc.n1, sc.n2, mx.d_num
+    """
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Spearman rank correlation of doc length vs token
+    count (operators/timeseries.grouped_spearman): doubled average-tie
+    ranks keep everything exact BIGINT until one fixed-shape rho."""
+    from cdap_geo_spark.operators.timeseries import grouped_spearman
+    from cdap_geo_spark.operators.text import token_count
+    d = _docs(spark, sf_dir).select(
+        F.col("lang").alias("g"),
+        F.col("n_chars").cast("long").alias("x"),
+        token_count(F.col("text")).cast("long").alias("y"))
+    return grouped_spearman(d)
+
+
+def _spearman_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT lang AS g, n_chars AS x,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text),
+                                                        '\\s+'))
+                         AS BIGINT) END AS y
+        FROM documents
+        WHERE n_chars IS NOT NULL AND text IS NOT NULL
+      ),
+      hx AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+             FROM b GROUP BY 1, 2),
+      rx AS (
+        SELECT g, x,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS rxx
+        FROM hx
+      ),
+      hy AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+             FROM b GROUP BY 1, 2),
+      ry AS (
+        SELECT g, y,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS ryy
+        FROM hy
+      ),
+      j AS (
+        SELECT b.g, rx.rxx AS u, ry.ryy AS v
+        FROM b JOIN rx ON rx.g = b.g AND rx.x = b.x
+               JOIN ry ON ry.g = b.g AND ry.y = b.y
+      ),
+      a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS su,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(u*u) AS BIGINT) AS suu,
+               CAST(SUM(v*v) AS BIGINT) AS svv,
+               CAST(SUM(u*v) AS BIGINT) AS suv
+        FROM j GROUP BY 1
+      )
+      SELECT g, n,
+             CASE WHEN n*suu - su*su > 0 AND n*svv - sv*sv > 0 THEN
+               CAST(ROUND(CAST(n*suv - su*sv AS DOUBLE)
+                    / (SQRT(CAST(n*suu - su*su AS DOUBLE))
+                       * SQRT(CAST(n*svv - sv*sv AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS rho_micro
+      FROM a
+    """
+
+
 def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation (operators/timeseries.
     grouped_corr) of value vs hour-of-day: five exact BIGINT sums in
@@ -4533,6 +4648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging": _q_emerging,
         "theil": _q_theil,
         "gravity": _q_gravity,
+        "ks_test": _q_ks,
+        "spearman": _q_spearman,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
@@ -5287,6 +5404,8 @@ def oracle_sql() -> dict[str, str]:
         "emerging": _emerging_sql(),
         "theil": _theil_sql(),
         "gravity": _gravity_sql(),
+        "ks_test": _ks_sql(),
+        "spearman": _spearman_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),

@@ -2289,3 +2289,115 @@ def gravity_model(od: DataFrame, *, ox: str = "o_cx", oy: str = "o_cy",
         F.col("_n").alias(flow_col), "p_o", "a_d", "g_micro",
         pred.alias("pred_micro"),
         (F.col("_n") * 1000000 - pred).alias("resid_micro"))
+
+
+def ks_test(values: DataFrame, *, sample_col: str = "s",
+            value_col: str = "v") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance — the distribution-
+    drift detector (data-quality / train-vs-serve skew):
+    ``D = max_t |F1(t) − F2(t)|`` between the two samples named by
+    ``sample_col`` (exactly two distinct values required, compared in
+    lexical order: first = sample 1). Returns ONE row:
+    ``(n1, n2, d_num, at_v, d_micro)`` where ``d_num =
+    max |c1·n2 − c2·n1|`` over the merged support (EXACT BIGINT — the
+    cross-multiplied form needs no float CDF), ``at_v`` is the
+    smallest value attaining the max (deterministic tie rule), and
+    ``d_micro = round(1e6·d_num/(n1·n2))`` is the only float.
+
+    Plan: one (value → per-sample count) partial agg bounded by the
+    DISTINCT support, one ordered cumulative window over that
+    relation (support-sized, not data-sized), one 1-row combine.
+    Magnitude contract: ``c·n`` within int64.
+    """
+    base = values.where(F.col(value_col).isNotNull()
+                        & F.col(sample_col).isNotNull()) \
+        .select(F.col(sample_col).cast("string").alias("_s"),
+                F.col(value_col).cast("long").alias("_v"))
+    names = [r._s for r in
+             base.select("_s").distinct().orderBy("_s").collect()]
+    if len(names) != 2:
+        raise ValueError(f"ks_test: need exactly 2 samples, got "
+                         f"{names}")
+    s1, s2 = names
+    per_v = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_s") == s1, 1).otherwise(0)).cast("long")
+        .alias("_d1"),
+        F.sum(F.when(F.col("_s") == s2, 1).otherwise(0)).cast("long")
+        .alias("_d2"))
+    from pyspark.sql import Window
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "_v", F.sum("_d1").over(w).cast("long").alias("_c1"),
+        F.sum("_d2").over(w).cast("long").alias("_c2"))
+    tot = per_v.agg(F.sum("_d1").cast("long").alias("n1"),
+                    F.sum("_d2").cast("long").alias("n2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    dn = F.abs(F.col("_c1") * F.col("n2") - F.col("_c2") * F.col("n1"))
+    best = j.agg(
+        F.max(F.struct(dn.alias("d_num"), (-F.col("_v")).alias("_nv")))
+        .alias("_b"),
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"))
+    d_num = F.col("_b.d_num")
+    at_v = (-F.col("_b._nv")).cast("long")
+    d = F.when((F.col("n1") > 0) & (F.col("n2") > 0),
+               F.round(d_num.cast("double") * 1000000.0
+                       / (F.col("n1") * F.col("n2")).cast("double"))
+               .cast("long"))
+    return best.select("n1", "n2", d_num.cast("long").alias("d_num"),
+                       at_v.alias("at_v"), d.alias("d_micro"))
+
+
+def grouped_spearman(df: DataFrame, *, group_col: str = "g",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-group Spearman rank correlation with exact average-tie
+    ranks — the robust companion to ``grouped_corr``: ranks are kept
+    as DOUBLED integers (average tie rank ×2 = 2·before + count + 1 —
+    always an exact BIGINT; no .5 ever touches a float), the five
+    moment sums over (2rx, 2ry) are exact BIGINTs, and ρ is ONE
+    fixed-shape expression (the shared ×2 scale cancels). Returns
+    ``(group, n, rho_micro)`` with NULL on degenerate (constant)
+    columns. Magnitude contract: ``n·Σ(2r)²`` within int64 → n ≤
+    ~2×10⁵ per group.
+
+    Plan: per-group value histograms (partial aggs bounded by the
+    distinct support), a support-sized cumulative window per column,
+    rank join-back by value, then the grouped_corr one-pass moment
+    aggregate. Nothing data² anywhere.
+    """
+    from pyspark.sql import Window
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()) \
+        .select(F.col(group_col).alias("_g"),
+                F.col(x_col).cast("long").alias("_x"),
+                F.col(y_col).cast("long").alias("_y"))
+
+    def ranks(col):
+        h = base.groupBy("_g", col).agg(
+            F.count(F.lit(1)).cast("long").alias("_c"))
+        w = (Window.partitionBy("_g").orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return h.select(
+            "_g", col,
+            (2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+             + F.col("_c") + 1).cast("long").alias(f"_r{col}"))
+    rx = ranks("_x")
+    ry = ranks("_y")
+    j = base.join(rx, ["_g", "_x"]).join(ry, ["_g", "_y"])
+    u, v = F.col("_r_x"), F.col("_r_y")
+    agg = j.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u).cast("long").alias("_su"),
+        F.sum(v).cast("long").alias("_sv"),
+        F.sum(u * u).cast("long").alias("_suu"),
+        F.sum(v * v).cast("long").alias("_svv"),
+        F.sum(u * v).cast("long").alias("_suv"))
+    n = F.col("n")
+    num = n * F.col("_suv") - F.col("_su") * F.col("_sv")
+    dx = n * F.col("_suu") - F.col("_su") * F.col("_su")
+    dy = n * F.col("_svv") - F.col("_sv") * F.col("_sv")
+    rho = F.when((dx > 0) & (dy > 0),
+                 F.round(num.cast("double")
+                         / (F.sqrt(dx.cast("double"))
+                            * F.sqrt(dy.cast("double")))
+                         * 1000000.0).cast("long"))
+    return agg.select(F.col("_g").alias(group_col), "n",
+                      rho.alias("rho_micro"))

@@ -1696,3 +1696,80 @@ def test_gravity_model_brute_force(spark):
     # per-pair rounding slack)
     assert abs(sum(v[4] for v in got.values()) - st * 1000000) \
         <= len(ods) * 1000000
+
+
+def test_ks_test_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import ks_test
+    random.seed(109)
+    a = [random.randrange(50) for _ in range(70)]           # uniform
+    b = [random.randrange(25) + 12 for _ in range(55)]      # shifted
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "s string, v long")
+    (row,) = ks_test(df).collect()
+    n1, n2 = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    best, at = -1, None
+    for t in support:
+        c1 = sum(1 for v in a if v <= t)
+        c2 = sum(1 for v in b if v <= t)
+        dn = abs(c1 * n2 - c2 * n1)
+        if dn > best:
+            best, at = dn, t
+    assert (row.n1, row.n2, row.d_num, row.at_v) == (n1, n2, best, at)
+    assert row.d_micro == math.floor(best / (n1 * n2) * 1e6 + 0.5)
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "s string, v long")
+    (r0,) = ks_test(same).collect()
+    assert r0.d_num == 0 and r0.d_micro == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ks_test(spark.createDataFrame([("a", 1)], "s string, v long"))
+
+
+def test_grouped_spearman_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import grouped_spearman
+    random.seed(113)
+    rows = []
+    for g in "pq":
+        for _ in range(60):
+            x = random.randrange(20)           # heavy ties
+            y = x * 2 + random.randrange(15)   # positively related
+            rows.append((g, x, y))
+    rows += [("const", 5, i) for i in range(10)]   # degenerate x
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: (r.n, r.rho_micro)
+           for r in grouped_spearman(df).collect()}
+
+    def avg2_ranks(vals):
+        out = {}
+        before = 0
+        from collections import Counter
+        for v, c in sorted(Counter(vals).items()):
+            out[v] = 2 * before + c + 1
+            before += c
+        return out
+
+    for g in "pq":
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        rx, ry = avg2_ranks(xs), avg2_ranks(ys)
+        u = [rx[x] for x in xs]
+        v = [ry[y] for y in ys]
+        n = len(u)
+        su, sv = sum(u), sum(v)
+        suu = sum(t * t for t in u)
+        svv = sum(t * t for t in v)
+        suv = sum(a * b for a, b in zip(u, v))
+        rho = ((n * suv - su * sv)
+               / (math.sqrt(n * suu - su * su)
+                  * math.sqrt(n * svv - sv * sv)))
+        want = (math.floor(rho * 1e6 + 0.5) if rho >= 0
+                else -math.floor(-rho * 1e6 + 0.5))
+        assert got[g] == (n, want)
+        assert got[g][1] > 500000      # strong positive relation
+    assert got["const"] == (10, None)  # degenerate -> NULL
