@@ -3846,6 +3846,77 @@ def _centrography_sql() -> str:
     """
 
 
+def _q_segregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group segregation indices (operators/zonal.segregation):
+    click vs view events over 100km cells — D fully exact
+    (cross-multiplied), H via the per-term micro-round discipline."""
+    from cdap_geo_spark.operators.zonal import segregation
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_type").isin("click", "view")) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+            " + ((event_id*69621 + 29) % 1300000) DIV 100000"
+            " AS region",
+            "CAST(event_type = 'click' AS LONG) AS is_b")
+    return segregation(ev)
+
+
+def _segregation_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS region,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f
+        FROM events WHERE event_type IN ('click', 'view')
+      ),
+      reg AS (SELECT region, CAST(SUM(f) AS BIGINT) AS bb,
+                     CAST(SUM(1 - f) AS BIGINT) AS ww
+              FROM b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(bb) AS BIGINT) AS bt,
+                     CAST(SUM(ww) AS BIGINT) AS wt FROM reg),
+      j AS (
+        SELECT reg.bb, reg.ww, tot.bt, tot.wt,
+               ABS(reg.bb * tot.wt - reg.ww * tot.bt) AS dnum,
+               CAST(ROUND((
+                 (CASE WHEN reg.bb + reg.ww > 0 THEN
+                    CAST(reg.bb + reg.ww AS DOUBLE)
+                    * LN(CAST(reg.bb + reg.ww AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN reg.bb > 0 THEN CAST(reg.bb AS DOUBLE)
+                      * LN(CAST(reg.bb AS DOUBLE)) ELSE 0 END)
+                 - (CASE WHEN reg.ww > 0 THEN CAST(reg.ww AS DOUBLE)
+                      * LN(CAST(reg.ww AS DOUBLE)) ELSE 0 END)
+               ) * 1000000.0) AS BIGINT) AS eterm
+        FROM reg CROSS JOIN tot
+      ),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_regions,
+               CAST(SUM(dnum) AS BIGINT) AS dnum,
+               CAST(SUM(eterm) AS BIGINT) AS esum,
+               MAX(bt) AS b_total, MAX(wt) AS w_total
+        FROM j
+      )
+      SELECT n_regions, b_total, w_total,
+             CASE WHEN b_total > 0 AND w_total > 0 THEN
+               CAST(ROUND(CAST(dnum AS DOUBLE) * 1000000.0
+                    / CAST(2 * b_total * w_total AS DOUBLE))
+                 AS BIGINT) END AS d_micro,
+             CASE WHEN b_total > 0 AND w_total > 0 THEN
+               CAST(ROUND((1.0 - CAST(esum AS DOUBLE) / 1000000.0
+                    / ((CASE WHEN b_total + w_total > 0 THEN
+                          CAST(b_total + w_total AS DOUBLE)
+                          * LN(CAST(b_total + w_total AS DOUBLE))
+                        ELSE 0 END)
+                       - (CASE WHEN b_total > 0 THEN
+                            CAST(b_total AS DOUBLE)
+                            * LN(CAST(b_total AS DOUBLE)) ELSE 0 END)
+                       - (CASE WHEN w_total > 0 THEN
+                            CAST(w_total AS DOUBLE)
+                            * LN(CAST(w_total AS DOUBLE)) ELSE 0 END)))
+                    * 1000000.0) AS BIGINT) END AS h_micro
+      FROM a
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4655,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope_aspect": _q_slope,
         "clark_evans": _q_clark_evans,
         "centrography": _q_centrography,
+        "segregation": _q_segregation,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5411,6 +5483,7 @@ def oracle_sql() -> dict[str, str]:
         "slope_aspect": _slope_sql(),
         "clark_evans": _clark_evans_sql(),
         "centrography": _centrography_sql(),
+        "segregation": _segregation_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

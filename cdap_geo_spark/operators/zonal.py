@@ -1286,6 +1286,70 @@ def centrography(points: DataFrame, *, group_col: str = "g",
                       (vx - vy).cast("long").alias("ell_den"))
 
 
+def segregation(rows: DataFrame, *, region_col: str = "region",
+                flag_col: str = "is_b") -> DataFrame:
+    """Two-group residential-segregation indices — the classic pair
+    from urban geography: the dissimilarity index
+    ``D = ½ Σ_r |b_r/B − w_r/W|`` (share of either group that would
+    need to move for an even distribution) and Theil's
+    information-theory index
+    ``H = 1 − Σ_r t_r·E_r / (T·E)`` (entropy-based evenness).
+    Returns ONE row: ``(n_regions, b_total, w_total, d_micro,
+    h_micro)``.
+
+    Exactness: D is FULLY exact in cross-multiplied form —
+    ``Σ_r |b_r·W − w_r·B| / (2·B·W)``, an exact BIGINT numerator and
+    ONE division (magnitude contract ``b_r·W`` within int64). H uses
+    the :func:`theil_decomposition` discipline: each region's
+    ``t_r·E_r`` term is ONE fixed-shape expression over exact
+    integers (``t·ln t − b·ln b − w·ln w`` with the 0·ln 0 = 0 cases
+    as CASE branches), micro-rounded, summed as BIGINT; the global
+    ``T·E`` uses the same shape; the final H is one expression.
+    NULL H when the global entropy is 0 (a one-group universe).
+
+    Plan: ONE (region) partial agg over the data volume, then a
+    1-row combine — nothing else.
+    """
+    base = rows.where(F.col(region_col).isNotNull()) \
+        .select(F.col(region_col).alias("_r"),
+                F.col(flag_col).cast("long").alias("_f"))
+    reg = base.groupBy("_r").agg(
+        F.sum("_f").cast("long").alias("_b"),
+        F.sum(1 - F.col("_f")).cast("long").alias("_w"))
+    tot = reg.agg(F.sum("_b").cast("long").alias("_bt"),
+                  F.sum("_w").cast("long").alias("_wt"))
+    j = reg.crossJoin(F.broadcast(tot))
+
+    def xlnx(c):
+        return F.when(c > 0, c.cast("double")
+                      * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    t_r = F.col("_b") + F.col("_w")
+    ent_term = F.round(
+        (xlnx(t_r) - xlnx(F.col("_b")) - xlnx(F.col("_w")))
+        * 1000000.0).cast("long")
+    dnum = F.abs(F.col("_b") * F.col("_wt")
+                 - F.col("_w") * F.col("_bt"))
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("n_regions"),
+                F.sum(dnum).cast("long").alias("_dnum"),
+                F.sum(ent_term).cast("long").alias("_esum"),
+                F.max("_bt").alias("b_total"),
+                F.max("_wt").alias("w_total"))
+    bt, wt = F.col("b_total"), F.col("w_total")
+    tt = bt + wt
+    d = F.when((bt > 0) & (wt > 0),
+               F.round(F.col("_dnum").cast("double") * 1000000.0
+                       / (F.lit(2) * bt * wt).cast("double"))
+               .cast("long"))
+    te_global = (xlnx(tt) - xlnx(bt) - xlnx(wt))
+    h = F.when((bt > 0) & (wt > 0),
+               F.round((F.lit(1.0)
+                        - F.col("_esum").cast("double") / 1000000.0
+                        / te_global) * 1000000.0).cast("long"))
+    return agg.select("n_regions", "b_total", "w_total",
+                      d.alias("d_micro"), h.alias("h_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -999,3 +999,50 @@ def test_centrography_brute_force(spark):
     assert got == want
     # the stretched group's ellipse leans along x
     assert got["w"][5] > 0
+
+
+def test_segregation_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import segregation
+    random.seed(127)
+    rows = [(random.randrange(8), random.randrange(2))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "region long, is_b long")
+    (row,) = segregation(df).collect()
+    from collections import defaultdict
+    reg = defaultdict(lambda: [0, 0])
+    for r, f in rows:
+        reg[r][f] += 1
+    bt = sum(v[1] for v in reg.values())
+    wt = sum(v[0] for v in reg.values())
+    dnum = sum(abs(v[1] * wt - v[0] * bt) for v in reg.values())
+
+    def xlnx(c):
+        return c * math.log(c) if c > 0 else 0.0
+
+    esum = sum(math.floor((xlnx(w + b) - xlnx(b) - xlnx(w)) * 1e6
+                          + 0.5)
+               for w, b in reg.values())
+    d = math.floor(dnum / (2 * bt * wt) * 1e6 + 0.5)
+    te = xlnx(bt + wt) - xlnx(bt) - xlnx(wt)
+    hval = (1.0 - esum / 1e6 / te) * 1e6
+    h = (math.floor(hval + 0.5) if hval >= 0
+         else -math.floor(-hval + 0.5))
+    assert (row.n_regions, row.b_total, row.w_total,
+            row.d_micro, row.h_micro) == (len(reg), bt, wt, d, h)
+
+
+def test_segregation_extremes(spark):
+    """Perfectly even split -> D = 0, H ~ 0; full separation ->
+    D = H = 1."""
+    from cdap_geo_spark.operators.zonal import segregation
+    even = [(r, f) for r in range(4) for f in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(even, "region long, is_b long")
+    (r1,) = segregation(df).collect()
+    assert r1.d_micro == 0 and abs(r1.h_micro) <= 5
+    apart = [(0, 1)] * 10 + [(1, 0)] * 10
+    df2 = spark.createDataFrame(apart, "region long, is_b long")
+    (r2,) = segregation(df2).collect()
+    assert r2.d_micro == 1_000_000
+    assert abs(r2.h_micro - 1_000_000) <= 5
