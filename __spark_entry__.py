@@ -736,6 +736,59 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
+def _q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-harness evaluation (the band-calibration report nobody
+    skips at 10^12 docs): empirical precision/recall of the
+    MinHash+LSH candidate generator (threshold 0.5) against the
+    exact 5-gram-jaccard>=60% ground truth. Both pair relations are
+    the ALREADY-ORACLED operators; counts exact BIGINT, the two
+    ratios one fixed-shape division each."""
+    from cdap_geo_spark.operators.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs)
+    docs = _docs(spark, sf_dir)
+    true = ngram_jaccard_pairs(docs, k=5, threshold_pct=60) \
+        .select("id_a", "id_b")
+    det = minhash_lsh_pairs(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    both = true.join(det, ["id_a", "id_b"])
+    nt = true.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    nd = det.agg(F.count(F.lit(1)).cast("long").alias("n_det"))
+    nb = both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    out = nt.crossJoin(nd).crossJoin(nb)
+    prec = F.when(F.col("n_det") > 0,
+                  F.round(F.col("n_both").cast("double") * 1000000.0
+                          / F.col("n_det").cast("double"))
+                  .cast("long"))
+    rec = F.when(F.col("n_true") > 0,
+                 F.round(F.col("n_both").cast("double") * 1000000.0
+                         / F.col("n_true").cast("double"))
+                 .cast("long"))
+    return out.select("n_true", "n_det", "n_both",
+                      prec.alias("precision_micro"),
+                      rec.alias("recall_micro"))
+
+
+def _lsh_eval_sql() -> str:
+    return f"""
+      WITH t AS MATERIALIZED ({_ngram_sql(60, k=5)}),
+      d AS MATERIALIZED ({_minhash_sql()}),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM t),
+      dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_det FROM d),
+      bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+             FROM t JOIN d ON t.id_a = d.id_a AND t.id_b = d.id_b)
+      SELECT tt.n_true, dd.n_det, bb.n_both,
+             CASE WHEN dd.n_det > 0 THEN
+               CAST(ROUND(CAST(bb.n_both AS DOUBLE) * 1000000.0
+                    / CAST(dd.n_det AS DOUBLE)) AS BIGINT) END
+               AS precision_micro,
+             CASE WHEN tt.n_true > 0 THEN
+               CAST(ROUND(CAST(bb.n_both AS DOUBLE) * 1000000.0
+                    / CAST(tt.n_true AS DOUBLE)) AS BIGINT) END
+               AS recall_micro
+      FROM tt CROSS JOIN dd CROSS JOIN bb
+    """
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.dedup import simhash_pairs
     out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -4643,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "cosine_topk": _q_cosine_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "lsh_eval": _q_lsh_eval,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
@@ -6033,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINTS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "minhash_pairs": _minhash_sql(),
+        "lsh_eval": _lsh_eval_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
         "embed_dup": _embed_dup_sql(),

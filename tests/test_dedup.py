@@ -492,3 +492,19 @@ def test_golden_records_survivorship(spark):
                for r in golden_records(docs, pairs).collect()}
     # survivor: highest n_chars, tie (2 vs 3 at 300) -> smaller id
     assert got == {1: (2, 3, 300), 4: (4, 1, 50), 9: (9, 1, 10)}
+
+
+def test_lsh_eval_composition(spark):
+    """lsh_eval composes two already-tested pair generators; pin the
+    count identities (n_both <= min(n_true, n_det)) and the ratio
+    arithmetic on the sf0.001 fixture."""
+    import __spark_entry__ as E
+    (row,) = E._q_lsh_eval(spark, "/root/testdata/sf0.001").collect()
+    assert row.n_both <= row.n_true and row.n_both <= row.n_det
+    import math
+    if row.n_det:
+        assert row.precision_micro == math.floor(
+            row.n_both / row.n_det * 1e6 + 0.5)
+    if row.n_true:
+        assert row.recall_micro == math.floor(
+            row.n_both / row.n_true * 1e6 + 0.5)
