@@ -1046,3 +1046,45 @@ def test_segregation_extremes(spark):
     (r2,) = segregation(df2).collect()
     assert r2.d_micro == 1_000_000
     assert abs(r2.h_micro - 1_000_000) <= 5
+
+
+def test_round5p_cell_join_plans_have_no_nested_loop(spark):
+    """Every round-5p pair-generating operator must plan its DATA
+    join as an equi-join on cell keys — a CartesianProduct would be
+    the all-pairs plan these operators exist to avoid. (1-row stat
+    combines are broadcast nested loops over single-row aggregates —
+    bounded by design, not checked here.)"""
+    from cdap_geo_spark.operators.cluster import dbscan
+    from cdap_geo_spark.operators.zonal import (catchment_2sfca,
+                                                clark_evans,
+                                                colocation, ripley_k,
+                                                variogram)
+    pts = spark.createDataFrame(
+        [(i, (i * 13) % 300, (i * 29) % 300, 1 + i % 5,
+          "ab"[i % 2]) for i in range(200)],
+        "id long, x long, y long, z long, t string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    checks = {
+        "ripley_k": ripley_k(pts, radii=[10, 30], area=300 * 300),
+        "variogram": variogram(pts, h_max=30, n_bins=3),
+        "colocation": colocation(pts, dist=25),
+        "clark_evans": clark_evans(pts, area=300 * 300, d_max=40),
+        "dbscan": dbscan(pts, eps=20, min_pts=3),
+        "2sfca": catchment_2sfca(
+            pts.selectExpr("id AS k", "x", "y", "z AS pop"),
+            pts.selectExpr("id AS site_id", "x AS sx", "y AS sy",
+                           "z AS cap"),
+            d0=30, demand_keys=["k"]),
+    }
+    for name, df in checks.items():
+        p = plan(df)
+        # strip the 1-row combine tail: assert the data joins are
+        # hash/sort-merge equi-joins and nothing is a data-sized
+        # cartesian (single-row BroadcastNestedLoop combines print as
+        # BroadcastNestedLoopJoin, never CartesianProduct)
+        assert "CartesianProduct" not in p, name
+        assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), \
+            name
