@@ -1701,6 +1701,90 @@ def _spearman_sql() -> str:
     """
 
 
+def _q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Kaplan-Meier churn curves (operators/timeseries.
+    kaplan_meier): users' active lifetimes in hours, censored when
+    the last event is within 24h of the corpus end; cohorts =
+    user_id % 3. ln-term micro-round discipline, group-partitioned
+    support windows."""
+    from cdap_geo_spark.operators.timeseries import kaplan_meier
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .select("user_id",
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("us"))
+    gmax = ev.agg(F.max("us").alias("_gmax"))
+    users = (ev.groupBy("user_id")
+             .agg(F.min("us").alias("_first"), F.max("us").alias("_last"))
+             .crossJoin(F.broadcast(gmax))
+             .selectExpr("user_id % 3 AS g",
+                         "(_last - _first) DIV 3600000000 AS t",
+                         "CAST(_last <= _gmax - 86400000000 AS LONG)"
+                         " AS observed"))
+    out = kaplan_meier(users)
+    return out.select(F.col("g").cast("long"), F.col("t").cast("long"),
+                      "n_risk", "d_events", "n_censored_at_t",
+                      "s_micro")
+
+
+def _survival_sql() -> str:
+    return """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      gmax AS (SELECT MAX(us) AS gm FROM ev),
+      u AS (
+        SELECT user_id % 3 AS g,
+               (MAX(us) - MIN(us)) // 3600000000 AS t,
+               CASE WHEN MAX(us) <= (SELECT gm FROM gmax)
+                                    - 86400000000
+                    THEN 1 ELSE 0 END AS e
+        FROM ev GROUP BY user_id
+      ),
+      h AS (
+        SELECT g, t, CAST(SUM(e) AS BIGINT) AS d,
+               CAST(SUM(1 - e) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2
+      ),
+      pts AS (
+        SELECT g, t, d, c,
+               CAST(SUM(n) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS BIGINT) AS n_risk
+        FROM h
+      ),
+      tm AS (
+        SELECT g, t, d, c, n_risk,
+               CASE WHEN d = 0 THEN 0
+                    WHEN d < n_risk THEN
+                      CAST(ROUND((LN(CAST(n_risk - d AS DOUBLE))
+                            - LN(CAST(n_risk AS DOUBLE)))
+                           * 1000000.0) AS BIGINT)
+                    ELSE NULL END AS term
+        FROM pts
+      ),
+      cum AS (
+        SELECT g, t, d, c, n_risk,
+               SUM(COALESCE(term, 0)) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS lns,
+               MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS wiped
+        FROM tm
+      )
+      SELECT CAST(g AS BIGINT) AS g, CAST(t AS BIGINT) AS t, n_risk,
+             d AS d_events, c AS n_censored_at_t,
+             CASE WHEN wiped = 1 THEN 0
+                  ELSE CAST(ROUND(EXP(CAST(lns AS DOUBLE) / 1000000.0)
+                       * 1000000.0) AS BIGINT) END AS s_micro
+      FROM cum WHERE d > 0
+    """
+
+
 def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation (operators/timeseries.
     grouped_corr) of value vs hour-of-day: five exact BIGINT sums in
@@ -4775,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity": _q_gravity,
         "ks_test": _q_ks,
         "spearman": _q_spearman,
+        "survival": _q_survival,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
@@ -5532,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity": _gravity_sql(),
         "ks_test": _ks_sql(),
         "spearman": _spearman_sql(),
+        "survival": _survival_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),

@@ -2401,3 +2401,71 @@ def grouped_spearman(df: DataFrame, *, group_col: str = "g",
                          * 1000000.0).cast("long"))
     return agg.select(F.col("_g").alias(group_col), "n",
                       rho.alias("rho_micro"))
+
+
+def kaplan_meier(df: DataFrame, *, group_col: str = "g",
+                 duration_col: str = "t",
+                 event_col: str = "observed") -> DataFrame:
+    """Stratified Kaplan–Meier survival curves — churn / retention's
+    censoring-aware form: per group and distinct event time,
+    ``S(t) = Π_{t_j ≤ t, d_j > 0} (1 − d_j / n_j)`` with ``n_j`` the
+    at-risk count (duration ≥ t_j) and ``d_j`` the observed events at
+    ``t_j``; censored subjects leave the risk set without an event.
+    Returns the curve points (times with ``d > 0``):
+    ``(group, t, n_risk, d_events, n_censored_at_t, s_micro)``.
+
+    Exactness (the char_entropy/theil discipline): each factor enters
+    as ``ln(n_j − d_j) − ln(n_j)`` micro-rounded to BIGINT, the
+    cumulative product is a WINDOW SUM of those integers over the
+    group's distinct-time support (support-sized, never data-sized),
+    and ``S = exp(Σ/1e6)`` is one fixed-shape expression
+    micro-rounded. The ``n_j = d_j`` wipe-out (everyone at risk dies)
+    is handled exactly: a cumulative flag pins S = 0 from that time
+    on — no ln(0) is ever evaluated.
+
+    Plan: ONE (group, duration) histogram partial agg over the data
+    volume; risk sets come from a reversed cumulative window per
+    group over that support; nothing quadratic, no SinglePartition
+    global window (windows are group-partitioned).
+    """
+    from pyspark.sql import Window
+    base = df.where(F.col(duration_col).isNotNull()) \
+        .select(F.col(group_col).alias("_g"),
+                F.col(duration_col).cast("long").alias("_t"),
+                F.col(event_col).cast("long").alias("_e"))
+    h = base.groupBy("_g", "_t").agg(
+        F.sum("_e").cast("long").alias("_d"),
+        F.sum(1 - F.col("_e")).cast("long").alias("_c"),
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    w_after = (Window.partitionBy("_g").orderBy("_t")
+               .rowsBetween(0, Window.unboundedFollowing))
+    w_upto = (Window.partitionBy("_g").orderBy("_t")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    pts = h.select(
+        "_g", "_t", "_d", "_c",
+        F.sum("_n").over(w_after).cast("long").alias("n_risk"))
+    term = F.when(F.col("_d") == 0, F.lit(0)) \
+        .when(F.col("_d") < F.col("n_risk"),
+              F.round((F.log((F.col("n_risk") - F.col("_d"))
+                             .cast("double"))
+                       - F.log(F.col("n_risk").cast("double")))
+                      * 1000000.0).cast("long")) \
+        .otherwise(F.lit(None).cast("long"))   # wipe-out marker
+    pts = pts.select("_g", "_t", "_d", "_c", "n_risk",
+                     term.alias("_term"))
+    cum = pts.select(
+        "_g", "_t", "_d", "_c", "n_risk",
+        F.sum(F.coalesce(F.col("_term"), F.lit(0))).over(w_upto)
+        .alias("_lns"),
+        F.max(F.when(F.col("_term").isNull(), 1).otherwise(0))
+        .over(w_upto).alias("_wiped"))
+    s = F.when(F.col("_wiped") == 1, F.lit(0).cast("long")) \
+        .otherwise(F.round(
+            F.exp(F.col("_lns").cast("double") / 1000000.0)
+            * 1000000.0).cast("long"))
+    return (cum.where(F.col("_d") > 0)
+            .select(F.col("_g").alias(group_col),
+                    F.col("_t").alias(duration_col),
+                    "n_risk", F.col("_d").alias("d_events"),
+                    F.col("_c").alias("n_censored_at_t"),
+                    s.alias("s_micro")))

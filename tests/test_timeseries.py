@@ -1773,3 +1773,46 @@ def test_grouped_spearman_brute_force(spark):
         assert got[g] == (n, want)
         assert got[g][1] > 500000      # strong positive relation
     assert got["const"] == (10, None)  # degenerate -> NULL
+
+
+def test_kaplan_meier_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import kaplan_meier
+    random.seed(131)
+    subjects = [("a", random.randrange(10), random.randrange(2))
+                for _ in range(80)]
+    # a stratum that gets fully wiped out at its last event time
+    subjects += [("b", 1, 1), ("b", 2, 1), ("b", 2, 1)]
+    df = spark.createDataFrame(subjects, "g string, t long, observed long")
+    got = {(r.g, r.t): (r.n_risk, r.d_events, r.n_censored_at_t,
+                        r.s_micro)
+           for r in kaplan_meier(df).collect()}
+    from collections import defaultdict
+    want = {}
+    for g in {s[0] for s in subjects}:
+        subs = [(t, e) for gg, t, e in subjects if gg == g]
+        times = sorted({t for t, _ in subs})
+        lns, wiped = 0, False
+        for t in times:
+            n_risk = sum(1 for tt, _ in subs if tt >= t)
+            d = sum(e for tt, e in subs if tt == t)
+            c = sum(1 - e for tt, e in subs if tt == t)
+            if d > 0:
+                if d < n_risk:
+                    # term is negative -> round half away from zero
+                    v = (math.log(n_risk - d) - math.log(n_risk)) * 1e6
+                    lns += -math.floor(-v + 0.5)
+                else:
+                    wiped = True
+                s = 0 if wiped else math.floor(
+                    math.exp(lns / 1e6) * 1e6 + 0.5)
+                want[(g, t)] = (n_risk, d, c, s)
+    assert got == want
+    # survival is monotone nonincreasing within each stratum
+    for g in {s[0] for s in subjects}:
+        curve = [v[3] for (gg, _), v in sorted(got.items())
+                 if gg == g]
+        assert curve == sorted(curve, reverse=True)
+    # the wiped stratum ends at exactly 0
+    assert got[("b", 2)][3] == 0
