@@ -4054,6 +4054,90 @@ def _segregation_sql() -> str:
     """
 
 
+def _q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time scan statistic (operators/zonal.scan_statistic)
+    over the weekly 100km cube: top-10 elevated zones by Poisson LLR
+    under the independence baseline; all counts exact BIGINT, E and
+    LLR fixed-shape doubles micro-rounded, deterministic total
+    order."""
+    from cdap_geo_spark.operators.zonal import scan_statistic
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+            "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            " AS p")
+    cube = ev.groupBy("qx", "qy", "p") \
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return scan_statistic(cube, top_k=10)
+
+
+def _scan_sql() -> str:
+    week = 604_800_000_000
+    return f"""
+      WITH b AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy,
+               epoch_us(ts) // {week} AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2, 3
+      ),
+      cum AS (
+        SELECT qx, qy, p, c AS n1,
+               CAST(SUM(c) OVER (PARTITION BY qx, qy ORDER BY p)
+                 AS BIGINT) AS cm
+        FROM b
+      ),
+      ct AS (SELECT qx, qy, CAST(SUM(c) AS BIGINT) AS cell_tot
+             FROM b GROUP BY 1, 2),
+      gt AS (SELECT p, CAST(SUM(c) AS BIGINT) AS gn FROM b GROUP BY 1),
+      gc AS (SELECT p, gn,
+                    CAST(SUM(gn) OVER (ORDER BY p) AS BIGINT) AS gcum
+             FROM gt),
+      grand AS (SELECT CAST(SUM(c) AS BIGINT) AS call FROM b),
+      pairs AS (
+        SELECT a.qx, a.qy, a.p AS t1, bb.p AS t2,
+               CAST(bb.cm - a.cm + a.n1 AS BIGINT) AS c
+        FROM cum a JOIN cum bb
+          ON a.qx = bb.qx AND a.qy = bb.qy AND a.p <= bb.p
+      ),
+      j AS (
+        SELECT pairs.qx, pairs.qy, pairs.t1, pairs.t2, pairs.c,
+               CAST(g2.gcum - g1.gcum + g1.gn AS BIGINT) AS win_tot,
+               ct.cell_tot, grand.call
+        FROM pairs
+        JOIN gc g1 ON g1.p = pairs.t1
+        JOIN gc g2 ON g2.p = pairs.t2
+        JOIN ct ON ct.qx = pairs.qx AND ct.qy = pairs.qy
+        CROSS JOIN grand
+      ),
+      s AS (
+        SELECT qx, qy, t1, t2, c, call,
+               CAST(cell_tot AS DOUBLE) / CAST(call AS DOUBLE)
+                 * CAST(win_tot AS DOUBLE) / CAST(call AS DOUBLE)
+                 * CAST(call AS DOUBLE) AS e
+        FROM j
+      )
+      SELECT CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy,
+             CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2, c,
+             CAST(ROUND(e * 1000000.0) AS BIGINT) AS e_micro,
+             CASE WHEN CAST(c AS DOUBLE) > e AND c < call THEN
+               CAST(ROUND((CAST(c AS DOUBLE)
+                      * LN(CAST(c AS DOUBLE) / e)
+                    + (CAST(call AS DOUBLE) - CAST(c AS DOUBLE))
+                      * LN((CAST(call AS DOUBLE)
+                            - CAST(c AS DOUBLE))
+                           / (CAST(call AS DOUBLE) - e)))
+                    * 1000000.0) AS BIGINT)
+             ELSE 0 END AS llr_micro
+      FROM s
+      ORDER BY llr_micro DESC, qx, qy, t1, t2
+      LIMIT 10
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -4866,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clark_evans": _q_clark_evans,
         "centrography": _q_centrography,
         "segregation": _q_segregation,
+        "scan_stat": _q_scan,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5624,6 +5709,7 @@ def oracle_sql() -> dict[str, str]:
         "clark_evans": _clark_evans_sql(),
         "centrography": _centrography_sql(),
         "segregation": _segregation_sql(),
+        "scan_stat": _scan_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

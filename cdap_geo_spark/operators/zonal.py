@@ -1350,6 +1350,105 @@ def segregation(rows: DataFrame, *, region_col: str = "region",
                       d.alias("d_micro"), h.alias("h_micro"))
 
 
+def scan_statistic(cube: DataFrame, *, top_k: int = 10,
+                   x_col: str = "qx", y_col: str = "qy",
+                   t_col: str = "p", n_col: str = "c") -> DataFrame:
+    """Space–time scan statistic (Kulldorff-style, independence
+    baseline) — the outbreak/anomaly-zone detector: over every
+    candidate zone ``(cell, [t1, t2])`` of a space–time cube, the
+    Poisson log-likelihood ratio of elevated count
+    ``LLR = c·ln(c/E) + (C−c)·ln((C−c)/(C−E))`` (0 unless ``c > E``)
+    with the expectation from the independence of the margins:
+    ``E = C · (cell_total/C) · (window_total/C)``. Returns the
+    ``top_k`` zones by ``(llr_micro DESC, qx, qy, t1, t2)`` — a total
+    deterministic order: ``(qx, qy, t1, t2, c, e_micro, llr_micro)``.
+
+    Exactness: every count (zone, cell margin, window margin, grand
+    total) is an exact BIGINT — zone counts are DIFFERENCES OF
+    CUMULATIVES, window margins differences of global cumulatives;
+    ``E`` and ``LLR`` are single fixed-shape IEEE expressions over
+    those integers, micro-rounded (the theil/char_entropy ln
+    discipline); the ranking key is the micro-rounded integer.
+
+    Plan: the candidate space is occupied-support-sized, NEVER
+    data-sized — a per-cell cumulative window over the (cell, t)
+    histogram, a per-cell t1 ≤ t2 pair join bounded by T² per cell,
+    a broadcast of the T-row global-time cumulative, and ONE
+    TakeOrdered(k). At 10^12 events the only data-volume exchange is
+    the histogram. Candidate zones are ANCHORED AT OCCUPIED PERIODS
+    of their cell (the support restriction that keeps the scan
+    support-sized — a window starting at an empty week has the same
+    zone count as starting at the next occupied one, only a wider
+    margin).
+    """
+    if top_k < 1:
+        raise ValueError("scan_statistic: top_k must be >= 1")
+    from pyspark.sql import Window
+    base = cube.select(F.col(x_col).cast("long").alias("_x"),
+                       F.col(y_col).cast("long").alias("_y"),
+                       F.col(t_col).cast("long").alias("_t"),
+                       F.col(n_col).cast("long").alias("_n"))
+    if base.where(F.col("_n") < 0).limit(1).count():
+        raise ValueError("scan_statistic: counts must be >= 0")
+    w_cell = (Window.partitionBy("_x", "_y").orderBy("_t")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    cum = base.select("_x", "_y", "_t",
+                      F.sum("_n").over(w_cell).cast("long")
+                      .alias("_cum"))
+    cell_tot = base.groupBy("_x", "_y").agg(
+        F.sum("_n").cast("long").alias("_cell_tot"))
+    tcum = (base.groupBy("_t").agg(F.sum("_n").alias("_tn"))
+            .select("_t", F.sum("_tn").over(
+                Window.orderBy("_t").rowsBetween(
+                    Window.unboundedPreceding, 0)).cast("long")
+                .alias("_gcum")))
+    grand = base.agg(F.sum("_n").cast("long").alias("_c_all"))
+    a = cum.select("_x", "_y", F.col("_t").alias("t1"),
+                   F.col("_cum").alias("_cum1"))
+    b = cum.select("_x", "_y", F.col("_t").alias("t2"),
+                   F.col("_cum").alias("_cum2"))
+    pairs = (a.join(b, ["_x", "_y"])
+             .where(F.col("t1") <= F.col("t2"))
+             .select("_x", "_y", "t1", "t2", "_cum1", "_cum2"))
+    # zone count = cum2 - (cum1 - n(t1)): both cumulatives INCLUDE
+    # their own period, so t1's own count rides back in
+    n1 = base.select("_x", "_y", F.col("_t").alias("t1"),
+                     F.col("_n").alias("_n1"))
+    pairs = pairs.join(n1, ["_x", "_y", "t1"]) \
+        .select("_x", "_y", "t1", "t2",
+                (F.col("_cum2") - F.col("_cum1") + F.col("_n1"))
+                .cast("long").alias("c"))
+    g1 = tcum.select(F.col("_t").alias("t1"),
+                     F.col("_gcum").alias("_g1"))
+    g2 = tcum.select(F.col("_t").alias("t2"),
+                     F.col("_gcum").alias("_g2"))
+    gn1 = (base.groupBy("_t").agg(F.sum("_n").cast("long").alias("_gn"))
+           .select(F.col("_t").alias("t1"), F.col("_gn").alias("_gn1")))
+    j = (pairs.join(F.broadcast(g1), "t1")
+         .join(F.broadcast(g2), "t2")
+         .join(F.broadcast(gn1), "t1")
+         .join(cell_tot, ["_x", "_y"])
+         .crossJoin(F.broadcast(grand)))
+    win_tot = (F.col("_g2") - F.col("_g1") + F.col("_gn1"))
+    c = F.col("c").cast("double")
+    call = F.col("_c_all").cast("double")
+    e = (F.col("_cell_tot").cast("double") / call
+         * win_tot.cast("double") / call * call)
+    e_micro = F.round(e * 1000000.0).cast("long")
+    llr = F.when(
+        (c > e) & (F.col("c") < F.col("_c_all")),
+        F.round((c * F.log(c / e)
+                 + (call - c) * F.log((call - c) / (call - e)))
+                * 1000000.0).cast("long")).otherwise(F.lit(0))
+    scored = j.select(F.col("_x").alias(x_col),
+                      F.col("_y").alias(y_col), "t1", "t2",
+                      F.col("c"), e_micro.alias("e_micro"),
+                      llr.cast("long").alias("llr_micro"))
+    return (scored.orderBy(F.desc("llr_micro"), x_col, y_col,
+                           "t1", "t2")
+            .limit(top_k))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1088,3 +1088,55 @@ def test_round5p_cell_join_plans_have_no_nested_loop(spark):
         assert "CartesianProduct" not in p, name
         assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), \
             name
+
+
+def test_scan_statistic_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import scan_statistic
+    random.seed(137)
+    # background noise + a planted outbreak at cell (2,2), weeks 5-7
+    cube = {}
+    for x in range(4):
+        for y in range(4):
+            for p in range(10):
+                if random.random() < 0.7:
+                    cube[(x, y, p)] = random.randrange(1, 6)
+    for p in (5, 6, 7):
+        cube[(2, 2, p)] = cube.get((2, 2, p), 0) + 40
+    rows = [(x, y, p, c) for (x, y, p), c in cube.items()]
+    df = spark.createDataFrame(rows, "qx long, qy long, p long, c long")
+    got = [(r.qx, r.qy, r.t1, r.t2, r.c, r.e_micro, r.llr_micro)
+           for r in scan_statistic(df, top_k=5).collect()]
+
+    call = sum(cube.values())
+    cells = {(x, y) for x, y, _ in cube}
+    cand = []
+    for (x, y) in cells:
+        times = sorted(p for (cx, cy, p) in cube if (cx, cy) == (x, y))
+        ct = sum(c for (cx, cy, _), c in cube.items()
+                 if (cx, cy) == (x, y))
+        for i, t1 in enumerate(times):
+            for t2 in times[i:]:
+                c = sum(cc for (cx, cy, p), cc in cube.items()
+                        if (cx, cy) == (x, y) and t1 <= p <= t2)
+                win = sum(cc for (_, _, p), cc in cube.items()
+                          if t1 <= p <= t2)
+                e = ct / call * win / call * call
+                if c > e and c < call:
+                    llr = (c * math.log(c / e)
+                           + (call - c) * math.log((call - c)
+                                                   / (call - e)))
+                    lm = math.floor(llr * 1e6 + 0.5)
+                else:
+                    lm = 0
+                em = math.floor(e * 1e6 + 0.5)
+                cand.append((x, y, t1, t2, c, em, lm))
+    cand.sort(key=lambda r: (-r[6], r[0], r[1], r[2], r[3]))
+    assert got == cand[:5]
+    # the planted outbreak zone must win
+    assert (got[0][0], got[0][1]) == (2, 2)
+    assert got[0][2] >= 5 and got[0][3] <= 7
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        scan_statistic(df, top_k=0)
