@@ -1385,6 +1385,75 @@ def _gravity_sql() -> str:
     """
 
 
+def _q_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radiation-model flow predictions (operators/timeseries.
+    radiation_model) on the od_matrix inter-cell flows with event
+    counts per cell as populations: s_ij by exact strictly-closer
+    integer comparison; prediction one fixed-shape division."""
+    from cdap_geo_spark.operators.timeseries import (od_matrix,
+                                                     radiation_model)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
+        .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
+    od = od_matrix(ev, cell=100_000)
+    pops = ev.selectExpr("x DIV 100000 AS cx", "y DIV 100000 AS cy") \
+        .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("pop"))
+    return radiation_model(od, pops, flow_col="n_keys")
+
+
+def _radiation_sql() -> str:
+    return f"""
+      WITH od0 AS ({_OD_SQL}),
+      od AS (SELECT * FROM od0
+             WHERE o_cx <> d_cx OR o_cy <> d_cy),
+      p AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 AS kx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS ky,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+      ),
+      ti AS (SELECT o_cx, o_cy, CAST(SUM(n_keys) AS BIGINT) AS t_i
+             FROM od GROUP BY 1, 2),
+      sv AS (
+        SELECT od.o_cx, od.o_cy, od.d_cx, od.d_cy,
+               CAST(SUM(p.m) AS BIGINT) AS s_ij
+        FROM od CROSS JOIN p
+        WHERE (p.kx <> od.o_cx OR p.ky <> od.o_cy)
+          AND (p.kx <> od.d_cx OR p.ky <> od.d_cy)
+          AND (od.o_cx - p.kx) * (od.o_cx - p.kx)
+              + (od.o_cy - p.ky) * (od.o_cy - p.ky)
+              < (od.o_cx - od.d_cx) * (od.o_cx - od.d_cx)
+                + (od.o_cy - od.d_cy) * (od.o_cy - od.d_cy)
+        GROUP BY 1, 2, 3, 4
+      ),
+      j AS (
+        SELECT od.o_cx, od.o_cy, od.d_cx, od.d_cy, od.n_keys,
+               mi.m AS m_i, nj.m AS n_j,
+               COALESCE(sv.s_ij, 0) AS s_ij, ti.t_i
+        FROM od
+        LEFT JOIN sv ON sv.o_cx = od.o_cx AND sv.o_cy = od.o_cy
+                    AND sv.d_cx = od.d_cx AND sv.d_cy = od.d_cy
+        JOIN p mi ON mi.kx = od.o_cx AND mi.ky = od.o_cy
+        JOIN p nj ON nj.kx = od.d_cx AND nj.ky = od.d_cy
+        JOIN ti ON ti.o_cx = od.o_cx AND ti.o_cy = od.o_cy
+      )
+      SELECT o_cx, o_cy, d_cx, d_cy, n_keys, m_i, n_j,
+             CAST(s_ij AS BIGINT) AS s_ij, t_i,
+             CASE WHEN (m_i + s_ij) * (m_i + n_j + s_ij) > 0 THEN
+               CAST(ROUND(CAST(t_i * m_i * n_j AS DOUBLE) * 1000000.0
+                    / CAST((m_i + s_ij) * (m_i + n_j + s_ij)
+                           AS DOUBLE)) AS BIGINT) END AS pred_micro,
+             n_keys * 1000000
+               - CASE WHEN (m_i + s_ij) * (m_i + n_j + s_ij) > 0 THEN
+                   CAST(ROUND(CAST(t_i * m_i * n_j AS DOUBLE)
+                        * 1000000.0
+                        / CAST((m_i + s_ij) * (m_i + n_j + s_ij)
+                               AS DOUBLE)) AS BIGINT) END
+               AS resid_micro
+      FROM j
+    """
+
+
 def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user interval-union coverage (operators/timeseries.
     interval_union): events become [ts, ts + (id%7+1) minutes)
@@ -4944,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": _q_ks,
         "spearman": _q_spearman,
         "survival": _q_survival,
+        "radiation": _q_radiation,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
@@ -5703,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_test": _ks_sql(),
         "spearman": _spearman_sql(),
         "survival": _survival_sql(),
+        "radiation": _radiation_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),

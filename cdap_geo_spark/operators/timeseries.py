@@ -2469,3 +2469,82 @@ def kaplan_meier(df: DataFrame, *, group_col: str = "g",
                     "n_risk", F.col("_d").alias("d_events"),
                     F.col("_c").alias("n_censored_at_t"),
                     s.alias("s_micro")))
+
+
+def radiation_model(od: DataFrame, pops: DataFrame, *,
+                    ox: str = "o_cx", oy: str = "o_cy",
+                    dx: str = "d_cx", dy: str = "d_cy",
+                    flow_col: str = "n",
+                    px: str = "cx", py: str = "cy",
+                    pop_col: str = "pop") -> DataFrame:
+    """Radiation model of mobility flows (Simini et al. 2012) — the
+    PARAMETER-FREE alternative to :func:`gravity_model`:
+    ``pred_ij = T_i · m_i·n_j / ((m_i + s_ij)·(m_i + n_j + s_ij))``
+    where ``m_i``/``n_j`` are origin/destination populations,
+    ``T_i`` the origin's observed outflow, and ``s_ij`` the
+    population STRICTLY closer to i than j is (excluding both
+    endpoints). Scores the OBSERVED inter-cell pairs (i ≠ j —
+    intra-cell flows have no radius and are excluded, documented).
+    Returns ``(o..., d..., n, m_i, n_j, s_ij, t_i, pred_micro,
+    resid_micro)``.
+
+    Exactness: every quantity through the prediction's numerator and
+    denominator is an exact BIGINT — ``s_ij`` sums populations under
+    the exact integer comparison ``d²_ik < d²_ij`` (strictly-closer
+    tie rule); the prediction is ONE fixed-shape division
+    micro-rounded; the residual is exact. Magnitude contract:
+    ``T_i·m_i·n_j`` within double's exact-integer range.
+
+    Plan: the population dimension BROADCASTS twice — once to attach
+    m/n, once (as the intervening set) to every observed pair; the
+    s_ij relation is |observed pairs| × |cells| map-side rows into
+    ONE pair-keyed partial agg. Never all-cells², never data-sized.
+    """
+    p = pops.select(F.col(px).cast("long").alias("_kx"),
+                    F.col(py).cast("long").alias("_ky"),
+                    F.col(pop_col).cast("long").alias("_m"))
+    base = (od.select(F.col(ox).cast("long").alias("_ox"),
+                      F.col(oy).cast("long").alias("_oy"),
+                      F.col(dx).cast("long").alias("_dx"),
+                      F.col(dy).cast("long").alias("_dy"),
+                      F.col(flow_col).cast("long").alias("_n"))
+            .where((F.col("_ox") != F.col("_dx"))
+                   | (F.col("_oy") != F.col("_dy"))))
+    t_i = base.groupBy("_ox", "_oy").agg(
+        F.sum("_n").cast("long").alias("t_i"))
+    mi = p.select(F.col("_kx").alias("_ox"), F.col("_ky").alias("_oy"),
+                  F.col("_m").alias("m_i"))
+    nj = p.select(F.col("_kx").alias("_dx"), F.col("_ky").alias("_dy"),
+                  F.col("_m").alias("n_j"))
+    d2ij = ((F.col("_ox") - F.col("_dx")) * (F.col("_ox") - F.col("_dx"))
+            + (F.col("_oy") - F.col("_dy"))
+            * (F.col("_oy") - F.col("_dy")))
+    d2ik = ((F.col("_ox") - F.col("_kx")) * (F.col("_ox") - F.col("_kx"))
+            + (F.col("_oy") - F.col("_ky"))
+            * (F.col("_oy") - F.col("_ky")))
+    svals = (base.select("_ox", "_oy", "_dx", "_dy")
+             .crossJoin(F.broadcast(p))
+             .where(((F.col("_kx") != F.col("_ox"))
+                     | (F.col("_ky") != F.col("_oy")))
+                    & ((F.col("_kx") != F.col("_dx"))
+                       | (F.col("_ky") != F.col("_dy")))
+                    & (d2ik < d2ij))
+             .groupBy("_ox", "_oy", "_dx", "_dy")
+             .agg(F.sum("_m").cast("long").alias("s_ij")))
+    j = (base.join(svals, ["_ox", "_oy", "_dx", "_dy"], "left")
+         .na.fill({"s_ij": 0})
+         .join(F.broadcast(mi), ["_ox", "_oy"])
+         .join(F.broadcast(nj), ["_dx", "_dy"])
+         .join(t_i, ["_ox", "_oy"]))
+    num = (F.col("t_i") * F.col("m_i") * F.col("n_j")).cast("long")
+    den = ((F.col("m_i") + F.col("s_ij"))
+           * (F.col("m_i") + F.col("n_j") + F.col("s_ij"))).cast("long")
+    pred = F.when(den > 0,
+                  F.round(num.cast("double") * 1000000.0
+                          / den.cast("double")).cast("long"))
+    return j.select(F.col("_ox").alias(ox), F.col("_oy").alias(oy),
+                    F.col("_dx").alias(dx), F.col("_dy").alias(dy),
+                    F.col("_n").alias(flow_col), "m_i", "n_j", "s_ij",
+                    "t_i", pred.alias("pred_micro"),
+                    (F.col("_n") * 1000000 - pred)
+                    .alias("resid_micro"))

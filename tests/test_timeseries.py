@@ -1816,3 +1816,47 @@ def test_kaplan_meier_brute_force(spark):
         assert curve == sorted(curve, reverse=True)
     # the wiped stratum ends at exactly 0
     assert got[("b", 2)][3] == 0
+
+
+def test_radiation_model_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import radiation_model
+    random.seed(139)
+    cells = [(x, y, random.randrange(10, 100))
+             for x in range(4) for y in range(4)]
+    pops = spark.createDataFrame(cells, "cx long, cy long, pop long")
+    flows = {}
+    for _ in range(30):
+        o = random.choice(cells)
+        d = random.choice(cells)
+        if (o[0], o[1]) == (d[0], d[1]):
+            continue
+        k = (o[0], o[1], d[0], d[1])
+        flows[k] = flows.get(k, 0) + random.randrange(1, 6)
+    od = spark.createDataFrame(
+        [(ox, oy, dx, dy, n) for (ox, oy, dx, dy), n in flows.items()],
+        "o_cx long, o_cy long, d_cx long, d_cy long, n long")
+    got = {(r.o_cx, r.o_cy, r.d_cx, r.d_cy):
+           (r.n, r.m_i, r.n_j, r.s_ij, r.t_i, r.pred_micro,
+            r.resid_micro)
+           for r in radiation_model(od, pops).collect()}
+    pop = {(x, y): m for x, y, m in cells}
+    ti = {}
+    for (ox, oy, _, _), n in flows.items():
+        ti[(ox, oy)] = ti.get((ox, oy), 0) + n
+    want = {}
+    for (ox, oy, dx, dy), n in flows.items():
+        d2 = (ox - dx) ** 2 + (oy - dy) ** 2
+        s = sum(m for (kx, ky), m in pop.items()
+                if (kx, ky) not in ((ox, oy), (dx, dy))
+                and (ox - kx) ** 2 + (oy - ky) ** 2 < d2)
+        mi, nj, t = pop[(ox, oy)], pop[(dx, dy)], ti[(ox, oy)]
+        den = (mi + s) * (mi + nj + s)
+        pred = math.floor(t * mi * nj / den * 1e6 + 0.5)
+        want[(ox, oy, dx, dy)] = (n, mi, nj, s, t, pred,
+                                  n * 1000000 - pred)
+    assert got == want
+    # radiation conserves outflow ONLY when normalized; the raw model
+    # underestimates at finite samples — just pin positivity
+    assert all(v[5] > 0 for v in got.values())
