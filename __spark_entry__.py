@@ -1454,6 +1454,78 @@ def _radiation_sql() -> str:
     """
 
 
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B + memory M of inter-event times in
+    seconds (operators/timeseries.burstiness): exact BIGINT moment
+    sums, B and M single fixed-shape expressions."""
+    from cdap_geo_spark.operators.timeseries import burstiness
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .selectExpr("user_id AS k",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+                    " AS ts_s")
+    out = burstiness(ev)
+    return out.select(F.col("k").cast("long"), "n_iets", "sum_iet",
+                      "b_micro", "m_micro")
+
+
+def _burstiness_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT user_id AS k, epoch_us(ts) // 1000000 AS t
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      g AS (
+        SELECT k, t,
+               t - LAG(t) OVER (PARTITION BY k ORDER BY t) AS x
+        FROM b
+      ),
+      gg AS (SELECT k, t, x FROM g WHERE x IS NOT NULL),
+      pr AS (
+        SELECT k, x AS bb,
+               LAG(x) OVER (PARTITION BY k ORDER BY t) AS aa
+        FROM gg
+      ),
+      st AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_iets,
+               CAST(SUM(x) AS BIGINT) AS sum_iet,
+               CAST(SUM(x*x) AS BIGINT) AS ss
+        FROM gg GROUP BY 1
+      ),
+      pm AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(aa) AS BIGINT) AS sa,
+               CAST(SUM(bb) AS BIGINT) AS sb,
+               CAST(SUM(aa*aa) AS BIGINT) AS saa,
+               CAST(SUM(bb*bb) AS BIGINT) AS sbb,
+               CAST(SUM(aa*bb) AS BIGINT) AS sab
+        FROM pr WHERE aa IS NOT NULL GROUP BY 1
+      )
+      SELECT CAST(st.k AS BIGINT) AS k, st.n_iets, st.sum_iet,
+             CASE WHEN st.n_iets * st.ss - st.sum_iet * st.sum_iet
+                       >= 0 THEN
+               CAST(ROUND((SQRT(CAST(st.n_iets * st.ss
+                                     - st.sum_iet * st.sum_iet
+                                     AS DOUBLE))
+                           - CAST(st.sum_iet AS DOUBLE))
+                    / (SQRT(CAST(st.n_iets * st.ss
+                                 - st.sum_iet * st.sum_iet AS DOUBLE))
+                       + CAST(st.sum_iet AS DOUBLE))
+                    * 1000000.0) AS BIGINT) END AS b_micro,
+             CASE WHEN pm.np * pm.saa - pm.sa * pm.sa > 0
+                   AND pm.np * pm.sbb - pm.sb * pm.sb > 0 THEN
+               CAST(ROUND(CAST(pm.np * pm.sab - pm.sa * pm.sb
+                               AS DOUBLE)
+                    / (SQRT(CAST(pm.np * pm.saa - pm.sa * pm.sa
+                                 AS DOUBLE))
+                       * SQRT(CAST(pm.np * pm.sbb - pm.sb * pm.sb
+                                   AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS m_micro
+      FROM st LEFT JOIN pm ON pm.k = st.k
+      WHERE st.n_iets >= 3
+    """
+
+
 def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user interval-union coverage (operators/timeseries.
     interval_union): events become [ts, ts + (id%7+1) minutes)
@@ -5014,6 +5086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": _q_spearman,
         "survival": _q_survival,
         "radiation": _q_radiation,
+        "burstiness": _q_burstiness,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
@@ -5774,6 +5847,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman": _spearman_sql(),
         "survival": _survival_sql(),
         "radiation": _radiation_sql(),
+        "burstiness": _burstiness_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),

@@ -2548,3 +2548,76 @@ def radiation_model(od: DataFrame, pops: DataFrame, *,
                     "t_i", pred.alias("pred_micro"),
                     (F.col("_n") * 1000000 - pred)
                     .alias("resid_micro"))
+
+
+def burstiness(df: DataFrame, *, key_col: str = "k",
+               ts_col: str = "ts_s", min_iet: int = 3) -> DataFrame:
+    """Burstiness + memory of inter-event times (Goh & Barabási
+    2008) — the two-coordinate signature separating bursty human/
+    failure dynamics from Poisson: per key, over the sorted event
+    times' gaps ``x_1..x_n``,
+    ``B = (σ − μ)/(σ + μ)`` (−1 periodic, 0 Poisson, →1 bursty) and
+    the memory coefficient ``M`` = Pearson correlation of
+    consecutive gaps. Keys need ``n ≥ min_iet`` gaps (≥ min_iet+1
+    events). Returns ``(key, n_iets, sum_iet, b_micro, m_micro)``.
+
+    Exactness: gaps come from one LAG window (event-time order, ties
+    broken by the timestamp column's total order — pass distinct
+    times or accept zero gaps); with population variance
+    ``σ² = (nΣx²−S²)/n²`` the ratio collapses to
+    ``B = (sqrt(nΣx²−S²) − S)/(sqrt(nΣx²−S²) + S)`` — every inner
+    term an exact BIGINT, sqrt correctly rounded, ONE fixed-shape
+    expression micro-rounded. M is the five-exact-sums Pearson over
+    (x_t, x_{t+1}) LAG pairs, same discipline (NULL when degenerate).
+    Magnitude contract: ``n·Σx²`` within int64 — pass gaps in
+    SECONDS, not micros, at human scales.
+
+    Plan: one key-partitioned sort window for gaps (data-sized but
+    partition-local), two keyed partial aggs. Nothing quadratic.
+    """
+    from pyspark.sql import Window
+    if min_iet < 2:
+        raise ValueError("burstiness: min_iet must be >= 2")
+    w = Window.partitionBy("_k").orderBy("_t")
+    base = df.where(F.col(ts_col).isNotNull()) \
+        .select(F.col(key_col).alias("_k"),
+                F.col(ts_col).cast("long").alias("_t"))
+    gaps = base.select(
+        "_k", "_t",
+        (F.col("_t") - F.lag("_t").over(w)).alias("_x")) \
+        .where(F.col("_x").isNotNull())
+    # consecutive-gap pairs for M: each gap keyed by its END time, a
+    # second LAG over the same deterministic event-time order
+    pairs = gaps.select("_k", F.col("_x").alias("_b"),
+                        F.lag("_x").over(w).alias("_a")) \
+        .where(F.col("_a").isNotNull())
+    st = gaps.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_iets"),
+        F.sum("_x").cast("long").alias("sum_iet"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_ss"))
+    pm = pairs.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_np"),
+        F.sum("_a").cast("long").alias("_sa"),
+        F.sum("_b").cast("long").alias("_sb"),
+        F.sum(F.col("_a") * F.col("_a")).cast("long").alias("_saa"),
+        F.sum(F.col("_b") * F.col("_b")).cast("long").alias("_sbb"),
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("_sab"))
+    out = st.join(pm, "_k", "left").where(F.col("n_iets") >= min_iet)
+    n = F.col("n_iets")
+    disc = (n * F.col("_ss") - F.col("sum_iet") * F.col("sum_iet"))
+    root = F.sqrt(disc.cast("double"))
+    ssum = F.col("sum_iet").cast("double")
+    b = F.when(disc >= 0,
+               F.round((root - ssum) / (root + ssum) * 1000000.0)
+               .cast("long"))
+    np_ = F.col("_np")
+    mnum = np_ * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    mdx = np_ * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    mdy = np_ * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    m = F.when((mdx > 0) & (mdy > 0),
+               F.round(mnum.cast("double")
+                       / (F.sqrt(mdx.cast("double"))
+                          * F.sqrt(mdy.cast("double")))
+                       * 1000000.0).cast("long"))
+    return out.select(F.col("_k").alias(key_col), "n_iets", "sum_iet",
+                      b.alias("b_micro"), m.alias("m_micro"))

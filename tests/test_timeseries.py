@@ -1860,3 +1860,54 @@ def test_radiation_model_brute_force(spark):
     # radiation conserves outflow ONLY when normalized; the raw model
     # underestimates at finite samples — just pin positivity
     assert all(v[5] > 0 for v in got.values())
+
+
+def test_burstiness_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.timeseries import burstiness
+    random.seed(149)
+    rows = []
+    seqs = {}
+    # periodic key (B -> -1..negative), bursty key, random key
+    seqs["per"] = list(range(0, 200, 10))
+    t, bursty = 0, []
+    for _ in range(25):
+        t += random.choice([1, 1, 1, 2, 90])
+        bursty.append(t)
+    seqs["bur"] = bursty
+    seqs["rnd"] = sorted(random.sample(range(1000), 30))
+    seqs["tiny"] = [1, 5, 9]          # 2 gaps < min_iet -> dropped
+    for k, ts in seqs.items():
+        rows += [(k, v) for v in ts]
+    df = spark.createDataFrame(rows, "k string, ts_s long")
+    got = {r.k: (r.n_iets, r.sum_iet, r.b_micro, r.m_micro)
+           for r in burstiness(df).collect()}
+    assert "tiny" not in got
+
+    def rnd_half(v):
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5))
+
+    for k in ("per", "bur", "rnd"):
+        ts = sorted(seqs[k])
+        xs = [b - a for a, b in zip(ts, ts[1:])]
+        n, s = len(xs), sum(xs)
+        ss = sum(x * x for x in xs)
+        root = math.sqrt(n * ss - s * s)
+        b = rnd_half((root - s) / (root + s))
+        aa, bb = xs[:-1], xs[1:]
+        np_ = len(aa)
+        sa, sb = sum(aa), sum(bb)
+        saa = sum(v*v for v in aa)
+        sbb = sum(v*v for v in bb)
+        sab = sum(x*y for x, y in zip(aa, bb))
+        mdx, mdy = np_*saa - sa*sa, np_*sbb - sb*sb
+        m = (rnd_half((np_*sab - sa*sb)
+                      / (math.sqrt(mdx) * math.sqrt(mdy)))
+             if mdx > 0 and mdy > 0 else None)
+        assert got[k] == (n, s, b, m), k
+    # the periodic train is perfectly regular: sigma=0 -> B = -1
+    assert got["per"][2] == -1_000_000
+    # bursty B must exceed the periodic one by a wide margin
+    assert got["bur"][2] > got["per"][2] + 500_000
