@@ -1526,6 +1526,55 @@ def _burstiness_sql() -> str:
     """
 
 
+def _q_visit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility predictability entropies per user (operators/
+    timeseries.visit_entropy) over 100km visit cells: c*ln c terms
+    micro-rounded and BIGINT-summed (char_entropy discipline)."""
+    from cdap_geo_spark.operators.timeseries import visit_entropy
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull()) \
+        .selectExpr(
+            "user_id AS k",
+            "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+            " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS loc")
+    out = visit_entropy(ev)
+    return out.select(F.col("k").cast("long"), "n_obs", "n_distinct",
+                      "s_rand_micro", "s_unc_micro")
+
+
+def _visit_entropy_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT user_id AS k,
+               ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS loc
+        FROM events WHERE user_id IS NOT NULL
+      ),
+      c AS (SELECT k, loc, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2),
+      t AS (
+        SELECT k, c,
+               CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS term
+        FROM c
+      ),
+      p AS (
+        SELECT k, CAST(SUM(c) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(term) AS BIGINT) AS s
+        FROM t GROUP BY 1
+      )
+      SELECT CAST(k AS BIGINT) AS k, n_obs, n_distinct,
+             CAST(ROUND(LN(CAST(n_distinct AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS s_rand_micro,
+             CAST(ROUND((LN(CAST(n_obs AS DOUBLE))
+                         - CAST(s AS DOUBLE) / 1000000.0
+                           / CAST(n_obs AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS s_unc_micro
+      FROM p
+    """
+
+
 def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user interval-union coverage (operators/timeseries.
     interval_union): events become [ts, ts + (id%7+1) minutes)
@@ -4279,6 +4328,78 @@ def _scan_sql() -> str:
     """
 
 
+def _q_spatial_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial Markov transition census (operators/zonal.
+    spatial_markov) over the weekly 100km cube in the mean-relative
+    exact mode (integer cross-multiplied class cuts — rank classes
+    are tie-order-dependent and not portable; fixed cuts cannot
+    discriminate across SFs)."""
+    from cdap_geo_spark.operators.zonal import spatial_markov
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+            "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            " AS p")
+    cube = ev.groupBy("qx", "qy", "p") \
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return spatial_markov(cube)
+
+
+def _spatial_markov_sql() -> str:
+    week = 604_800_000_000
+    return f"""
+      WITH b AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy,
+               epoch_us(ts) // {week} AS p,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2, 3
+      ),
+      o AS (SELECT dx, dy
+            FROM (VALUES (-1), (0), (1)) a(dx),
+                 (VALUES (-1), (0), (1)) b2(dy)
+            WHERE NOT (dx = 0 AND dy = 0)),
+      nb AS (
+        SELECT qx + dx AS qx, qy + dy AS qy, p,
+               CAST(SUM(c) AS BIGINT) AS nbr
+        FROM b, o GROUP BY 1, 2, 3
+      ),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                     CAST(SUM(c) AS BIGINT) AS tt FROM b),
+      j AS (
+        SELECT b.qx, b.qy, b.p,
+               CASE WHEN b.c * tot.nn < tot.tt THEN 0
+                    WHEN b.c * tot.nn < 2 * tot.tt THEN 1
+                    ELSE 2 END AS own_class,
+               CASE WHEN COALESCE(nb.nbr, 0) * tot.nn < 8 * tot.tt
+                      THEN 0
+                    WHEN COALESCE(nb.nbr, 0) * tot.nn < 16 * tot.tt
+                      THEN 1
+                    ELSE 2 END AS nbr_class
+        FROM b LEFT JOIN nb
+          ON nb.qx = b.qx AND nb.qy = b.qy AND nb.p = b.p
+        CROSS JOIN tot
+      ),
+      tr AS (
+        SELECT nbr_class, own_class,
+               LEAD(own_class) OVER (PARTITION BY qx, qy ORDER BY p)
+                 AS next_class,
+               LEAD(p) OVER (PARTITION BY qx, qy ORDER BY p) - p
+                 AS dt
+        FROM j
+      )
+      SELECT CAST(nbr_class AS BIGINT) AS nbr_class,
+             CAST(own_class AS BIGINT) AS own_class,
+             CAST(next_class AS BIGINT) AS next_class,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM tr WHERE dt = 1
+      GROUP BY 1, 2, 3
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5087,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": _q_survival,
         "radiation": _q_radiation,
         "burstiness": _q_burstiness,
+        "visit_entropy": _q_visit_entropy,
         "huff": _q_huff,
         "accessibility": _q_2sfca,
         "slope_aspect": _q_slope,
@@ -5094,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centrography": _q_centrography,
         "segregation": _q_segregation,
         "scan_stat": _q_scan,
+        "spatial_markov": _q_spatial_markov,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5848,6 +5971,7 @@ def oracle_sql() -> dict[str, str]:
         "survival": _survival_sql(),
         "radiation": _radiation_sql(),
         "burstiness": _burstiness_sql(),
+        "visit_entropy": _visit_entropy_sql(),
         "huff": _huff_sql(),
         "accessibility": _2sfca_sql(),
         "slope_aspect": _slope_sql(),
@@ -5855,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "centrography": _centrography_sql(),
         "segregation": _segregation_sql(),
         "scan_stat": _scan_sql(),
+        "spatial_markov": _spatial_markov_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

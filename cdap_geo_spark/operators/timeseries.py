@@ -2621,3 +2621,41 @@ def burstiness(df: DataFrame, *, key_col: str = "k",
                        * 1000000.0).cast("long"))
     return out.select(F.col("_k").alias(key_col), "n_iets", "sum_iet",
                       b.alias("b_micro"), m.alias("m_micro"))
+
+
+def visit_entropy(df: DataFrame, *, key_col: str = "k",
+                  loc_col: str = "loc") -> DataFrame:
+    """Mobility predictability entropies (Song et al. 2010, the two
+    closed-form members): per key over its visit multiset,
+    ``S_rand = ln(n_distinct)`` (uniform over visited locations) and
+    the temporal-uncorrelated ``S_unc = ln(n) − (Σ c·ln c)/n`` over
+    visit counts — the gap between them is how much the VISIT
+    DISTRIBUTION alone predicts. Returns ``(key, n_obs, n_distinct,
+    s_rand_micro, s_unc_micro)``.
+
+    The :func:`~cdap_geo_spark.operators.text.char_entropy`
+    discipline: each location's ``c·ln c`` term is micro-rounded and
+    summed as BIGINT (order-independent); the two outer expressions
+    are fixed-shape over exact integers. Plan: one (key, loc)
+    partial agg bounded by distinct visits, one keyed rollup.
+    """
+    base = df.where(F.col(loc_col).isNotNull()) \
+        .select(F.col(key_col).alias("_k"), F.col(loc_col).alias("_l"))
+    counts = base.groupBy("_k", "_l").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    term = F.round(F.col("_c").cast("double")
+                   * F.log(F.col("_c").cast("double"))
+                   * 1000000.0).cast("long")
+    per_k = counts.groupBy("_k").agg(
+        F.sum("_c").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).cast("long").alias("_s"))
+    s_rand = F.round(F.log(F.col("n_distinct").cast("double"))
+                     * 1000000.0).cast("long")
+    s_unc = F.round((F.log(F.col("n_obs").cast("double"))
+                     - F.col("_s").cast("double") / 1000000.0
+                     / F.col("n_obs").cast("double"))
+                    * 1000000.0).cast("long")
+    return per_k.select(F.col("_k").alias(key_col), "n_obs",
+                        "n_distinct", s_rand.alias("s_rand_micro"),
+                        s_unc.alias("s_unc_micro"))

@@ -1449,6 +1449,89 @@ def scan_statistic(cube: DataFrame, *, top_k: int = 10,
             .limit(top_k))
 
 
+def spatial_markov(cube: DataFrame, *, own_cuts: tuple = None,
+                   nbr_cuts: tuple = None, x_col: str = "qx",
+                   y_col: str = "qy", t_col: str = "p",
+                   n_col: str = "c") -> DataFrame:
+    """Spatial Markov transition census (Rey 2001) — does a cell's
+    NEXT state depend on its neighborhood's current state? Over a
+    space–time cube, each (cell, period) gets an own class (count vs
+    the two FIXED ``own_cuts``) and a context class (8-neighbor count
+    sum vs ``nbr_cuts``; absent neighbors = 0, the sparse-raster
+    convention); transitions pair strictly CONSECUTIVE periods
+    (p → p+1). Returns the census
+    ``(nbr_class, own_class, next_class, n_transitions)``.
+
+    Classes are NEVER rank-based (ntile is tie-order-dependent and
+    not engine-portable). Two exact modes:
+
+    - explicit ``(lo, hi)`` integer cuts: 0 if v < lo, 1 if v < hi,
+      else 2;
+    - ``None`` (default, scale-adaptive): MEAN-RELATIVE classes by
+      integer cross-multiplication — own: ``c·N`` vs ``T`` and
+      ``2T`` (below mean / below 2× mean / above) with ``N`` the
+      occupied cell-period count and ``T`` the total; context: the
+      8-neighbor sum vs ``8T/N`` and ``16T/N``, again
+      cross-multiplied (``nbr·N < 8·T``) — no division, no float.
+
+    Plan: neighbor context from ONE literal 8-fanout + (cell, p)
+    keyed partial agg (bounded by 8× occupied); the p→p+1 pairing is
+    one LEAD window per cell; the census is a ≤27-row aggregate (the
+    mean-relative mode adds one 1-row broadcast).
+    """
+    for cuts in (own_cuts, nbr_cuts):
+        if cuts is not None and not cuts[0] < cuts[1]:
+            raise ValueError("spatial_markov: cuts must be (lo, hi) "
+                             "with lo < hi")
+    from pyspark.sql import Window
+    base = cube.select(F.col(x_col).cast("long").alias("_x"),
+                       F.col(y_col).cast("long").alias("_y"),
+                       F.col(t_col).cast("long").alias("_t"),
+                       F.col(n_col).cast("long").alias("_n"))
+    dirs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    fan = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in dirs])).alias("_d")
+    nbr = (base.select("_x", "_y", "_t", "_n", fan)
+           .select((F.col("_x") + F.col("_d.dx")).alias("_x"),
+                   (F.col("_y") + F.col("_d.dy")).alias("_y"),
+                   "_t", "_n")
+           .groupBy("_x", "_y", "_t")
+           .agg(F.sum("_n").cast("long").alias("_nbr")))
+    j = (base.join(nbr, ["_x", "_y", "_t"], "left")
+         .na.fill({"_nbr": 0}))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("_nn"),
+                   F.sum("_n").cast("long").alias("_tt"))
+    j = j.crossJoin(F.broadcast(tot))
+
+    def cls_fixed(col, lo, hi):
+        return (F.when(col < lo, 0).when(col < hi, 1).otherwise(2)
+                .cast("long"))
+
+    def cls_mean(col, mult):
+        # col vs mult*T/N and 2*mult*T/N, cross-multiplied
+        lhs = col * F.col("_nn")
+        return (F.when(lhs < mult * F.col("_tt"), 0)
+                .when(lhs < 2 * mult * F.col("_tt"), 1)
+                .otherwise(2).cast("long"))
+
+    own = (cls_fixed(F.col("_n"), *own_cuts) if own_cuts
+           else cls_mean(F.col("_n"), 1))
+    nbrc = (cls_fixed(F.col("_nbr"), *nbr_cuts) if nbr_cuts
+            else cls_mean(F.col("_nbr"), 8))
+    j = j.select("_x", "_y", "_t", own.alias("own_class"),
+                 nbrc.alias("nbr_class"))
+    w = Window.partitionBy("_x", "_y").orderBy("_t")
+    tr = j.select("nbr_class", "own_class",
+                  F.lead("own_class").over(w).alias("next_class"),
+                  (F.lead("_t").over(w) - F.col("_t")).alias("_dt")) \
+        .where(F.col("_dt") == 1)
+    return (tr.groupBy("nbr_class", "own_class", "next_class")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_transitions")))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1140,3 +1140,46 @@ def test_scan_statistic_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         scan_statistic(df, top_k=0)
+
+
+def test_spatial_markov_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.zonal import spatial_markov
+    random.seed(151)
+    cube = {}
+    for x in range(5):
+        for y in range(5):
+            for p in range(8):
+                if random.random() < 0.8:
+                    cube[(x, y, p)] = random.randrange(1, 40)
+    rows = [(x, y, p, c) for (x, y, p), c in cube.items()]
+    df = spark.createDataFrame(rows, "qx long, qy long, p long, c long")
+    for cuts in [((10, 25), (60, 160)), (None, None)]:
+        got = {(r.nbr_class, r.own_class, r.next_class): r.n_transitions
+               for r in spatial_markov(df, own_cuts=cuts[0],
+                                       nbr_cuts=cuts[1]).collect()}
+        nn = len(cube)
+        tt = sum(cube.values())
+
+        def cls(v, fixed, mult):
+            if fixed:
+                return 0 if v < fixed[0] else 1 if v < fixed[1] else 2
+            lhs = v * nn
+            return (0 if lhs < mult * tt
+                    else 1 if lhs < 2 * mult * tt else 2)
+
+        want = {}
+        for (x, y, p), c in cube.items():
+            if (x, y, p + 1) not in cube:
+                continue
+            nbr = sum(cube.get((x + dx, y + dy, p), 0)
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                      if (dx, dy) != (0, 0))
+            key = (cls(nbr, cuts[1], 8), cls(c, cuts[0], 1),
+                   cls(cube[(x, y, p + 1)], cuts[0], 1))
+            want[key] = want.get(key, 0) + 1
+        assert got == want, cuts
+        # a gap (missing p+1) never pairs across: total transitions
+        # equal the count of consecutive-present pairs
+        assert sum(got.values()) == sum(
+            1 for (x, y, p) in cube if (x, y, p + 1) in cube)
