@@ -4400,6 +4400,120 @@ def _spatial_markov_sql() -> str:
     """
 
 
+def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G of region-box area under bbox adjacency
+    (operators/zonal.general_g): numerator the morans edge-join
+    shape, denominator CLOSED FORM (Σx)²−Σx² — one division."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import general_g
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return general_g(vals, edges)
+
+
+def _general_g_sql() -> str:
+    return f"""
+      WITH b AS ({_BOXES}),
+      v AS (SELECT region_id AS id,
+                   CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                     // 100000 AS x
+            FROM b),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS s,
+                    CAST(SUM(x * x) AS BIGINT) AS ss FROM v),
+      e AS (
+        SELECT a.region_id AS a, c.region_id AS bb
+        FROM ({_BOXES}) a JOIN ({_BOXES}) c
+          ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+               OR a.maxx < c.minx OR a.maxy < c.miny)
+        WHERE a.region_id <> c.region_id
+      ),
+      nw AS (
+        SELECT CAST(SUM(xa.x * xb.x) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS w_pairs
+        FROM e JOIN v xa ON e.a = xa.id JOIN v xb ON e.bb = xb.id
+      )
+      SELECT st.n, nw.w_pairs, nw.num,
+             CAST(st.s * st.s - st.ss AS BIGINT) AS den,
+             CASE WHEN st.s * st.s - st.ss > 0 THEN
+               CAST(ROUND(CAST(nw.num AS DOUBLE) * 1000000.0
+                    / CAST(st.s * st.s - st.ss AS DOUBLE)) AS BIGINT)
+             END AS g_micro
+      FROM nw CROSS JOIN st
+    """
+
+
+def _q_flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movement vector field (operators/zonal.flow_field): per-user
+    consecutive displacements binned by origin 100km cell; exact
+    BIGINT net vectors, integer octant, one sqrt for mean speed."""
+    from pyspark.sql import Window
+    from cdap_geo_spark.operators.zonal import flow_field
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .selectExpr("user_id", "event_id",
+                    "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+                    "(event_id*48271 + 17) % 700000 AS x",
+                    "(event_id*69621 + 29) % 1300000 AS y")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    mv = ev.select(
+        F.lag("x").over(w).alias("x"), F.lag("y").over(w).alias("y"),
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy")) \
+        .where(F.col("dx").isNotNull())
+    return flow_field(mv, cell=100_000)
+
+
+def _flow_field_sql() -> str:
+    return """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      mv AS (
+        SELECT LAG(x) OVER w AS ox, LAG(y) OVER w AS oy,
+               x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ),
+      a AS (
+        SELECT ox // 100000 AS cx, oy // 100000 AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS BIGINT) AS sum_dx,
+               CAST(SUM(dy) AS BIGINT) AS sum_dy
+        FROM mv WHERE dx IS NOT NULL
+        GROUP BY 1, 2
+      )
+      SELECT cx, cy, n, sum_dx, sum_dy,
+             CASE WHEN sum_dx = 0 AND sum_dy = 0 THEN 'flat'
+                  WHEN 2 * ABS(sum_dy) <= ABS(sum_dx) THEN
+                    CASE WHEN sum_dx > 0 THEN 'E' ELSE 'W' END
+                  WHEN 2 * ABS(sum_dx) <= ABS(sum_dy) THEN
+                    CASE WHEN sum_dy > 0 THEN 'N' ELSE 'S' END
+                  ELSE (CASE WHEN sum_dy > 0 THEN 'N' ELSE 'S' END)
+                       || (CASE WHEN sum_dx > 0 THEN 'E' ELSE 'W' END)
+             END AS octant,
+             CAST(ROUND(SQRT(CAST(sum_dx*sum_dx + sum_dy*sum_dy
+                                  AS DOUBLE))
+                        / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS speed_micro
+      FROM a
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5217,6 +5331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segregation": _q_segregation,
         "scan_stat": _q_scan,
         "spatial_markov": _q_spatial_markov,
+        "general_g": _q_general_g,
+        "flow_field": _q_flow_field,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -5980,6 +6096,8 @@ def oracle_sql() -> dict[str, str]:
         "segregation": _segregation_sql(),
         "scan_stat": _scan_sql(),
         "spatial_markov": _spatial_markov_sql(),
+        "general_g": _general_g_sql(),
+        "flow_field": _flow_field_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

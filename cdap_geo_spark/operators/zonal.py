@@ -1532,6 +1532,90 @@ def spatial_markov(cube: DataFrame, *, own_cuts: tuple = None,
                  .alias("n_transitions")))
 
 
+def general_g(values: DataFrame, edges: DataFrame, *,
+              id_col: str = "id", value_col: str = "x",
+              src: str = "a", dst: str = "b") -> DataFrame:
+    """Getis–Ord General G — the GLOBAL concentration statistic that
+    completes the family (:func:`morans_i` measures similarity,
+    G measures whether HIGH values cluster):
+    ``G = Σ_{ij∈W} x_i·x_j / Σ_{i≠j} x_i·x_j`` under binary
+    adjacency (``edges`` = ordered neighbor pairs, both directions).
+    Values must be ≥ 0 (the statistic's own requirement — enforced).
+    Returns ONE row: ``(n, w_pairs, num, den, g_micro)``.
+
+    FULLY exact core: the numerator is an edge-relation sum of
+    integer products (the :func:`morans_i` join shape), and the
+    denominator needs NO pair enumeration —
+    ``Σ_{i≠j} x_i x_j = (Σx)² − Σx²`` — two exact BIGINT aggregates.
+    ONE fixed-shape division micro-rounded. Magnitude contract:
+    ``(Σx)²`` within int64.
+    """
+    vals = values.select(F.col(id_col).alias("_id"),
+                         F.col(value_col).cast("long").alias("_x"))
+    if vals.where(F.col("_x") < 0).limit(1).count():
+        raise ValueError("general_g: values must be >= 0")
+    stat = vals.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("_x").alias("_s"),
+                    F.sum(F.col("_x") * F.col("_x")).alias("_ss"))
+    xa = vals.select(F.col("_id").alias(src), F.col("_x").alias("_xa"))
+    xb = vals.select(F.col("_id").alias(dst), F.col("_x").alias("_xb"))
+    num_w = (edges.select(F.col(src), F.col(dst))
+             .join(xa, src).join(xb, dst)
+             .agg(F.sum(F.col("_xa") * F.col("_xb")).cast("long")
+                  .alias("num"),
+                  F.count(F.lit(1)).cast("long").alias("w_pairs")))
+    out = num_w.crossJoin(F.broadcast(stat))
+    den = (F.col("_s") * F.col("_s") - F.col("_ss")).cast("long")
+    g = F.when(den > 0,
+               F.round(F.col("num").cast("double") * 1000000.0
+                       / den.cast("double")).cast("long"))
+    return out.select("n", "w_pairs", "num", den.alias("den"),
+                      g.alias("g_micro"))
+
+
+def flow_field(moves: DataFrame, *, cell: int,
+               x_col: str = "x", y_col: str = "y",
+               dx_col: str = "dx", dy_col: str = "dy") -> DataFrame:
+    """Aggregate movement vector field — the od-matrix's continuous
+    cousin: displacement vectors bin by their ORIGIN cell and each
+    cell reports its net flow: ``(cx, cy, n, sum_dx, sum_dy,
+    octant, speed_micro)`` with the direction octant decided by the
+    :func:`slope_aspect` integer rule on the NET vector (flat when
+    it cancels to zero) and ``speed = |net| / n`` (mean net
+    displacement magnitude) as one fixed-shape sqrt expression.
+
+    All sums exact BIGINT; ONE cell-keyed partial-agg exchange over
+    the movement volume — nothing else. Magnitude contract:
+    ``(Σdx)²`` within int64.
+    """
+    if cell < 1:
+        raise ValueError("flow_field: cell must be >= 1")
+    base = moves.where(F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull()) \
+        .selectExpr(f"CAST({x_col} AS BIGINT) DIV {cell} AS cx",
+                    f"CAST({y_col} AS BIGINT) DIV {cell} AS cy",
+                    f"CAST({dx_col} AS BIGINT) AS _dx",
+                    f"CAST({dy_col} AS BIGINT) AS _dy")
+    agg = base.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_dx").cast("long").alias("sum_dx"),
+        F.sum("_dy").cast("long").alias("sum_dy"))
+    gx, gy = F.col("sum_dx"), F.col("sum_dy")
+    ax, ay = F.abs(gx), F.abs(gy)
+    ew = F.when(gx > 0, "E").otherwise("W")
+    ns = F.when(gy > 0, "N").otherwise("S")
+    octant = (F.when((gx == 0) & (gy == 0), "flat")
+              .when(2 * ay <= ax, ew)
+              .when(2 * ax <= ay, ns)
+              .otherwise(F.concat(ns, ew)))
+    speed = F.round(F.sqrt((gx * gx + gy * gy).cast("double"))
+                    / F.col("n").cast("double") * 1000000.0) \
+        .cast("long")
+    return agg.select("cx", "cy", "n", "sum_dx", "sum_dy",
+                      octant.alias("octant"),
+                      speed.alias("speed_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

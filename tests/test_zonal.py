@@ -1183,3 +1183,69 @@ def test_spatial_markov_brute_force(spark):
         # equal the count of consecutive-present pairs
         assert sum(got.values()) == sum(
             1 for (x, y, p) in cube if (x, y, p + 1) in cube)
+
+
+def test_general_g_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import general_g
+    random.seed(157)
+    n = 25
+    vals = [(i, random.randrange(100)) for i in range(n)]
+    edges = []
+    for i in range(n):
+        edges += [(i, (i + 1) % n), ((i + 1) % n, i)]
+    edges += [(0, 12), (12, 0)]
+    vdf = spark.createDataFrame(vals, "id long, x long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    (row,) = general_g(vdf, edf).collect()
+    x = dict(vals)
+    num = sum(x[a] * x[b] for a, b in edges)
+    s = sum(x.values())
+    ss = sum(v * v for v in x.values())
+    den = s * s - ss
+    assert (row.n, row.w_pairs, row.num, row.den) \
+        == (n, len(edges), num, den)
+    assert row.g_micro == math.floor(num / den * 1e6 + 0.5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        general_g(spark.createDataFrame([(1, -5)], "id long, x long"),
+                  edf)
+
+
+def test_flow_field_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import flow_field
+    random.seed(163)
+    mv = [(random.randrange(300), random.randrange(300),
+           random.randrange(-40, 41), random.randrange(-40, 41))
+          for _ in range(150)]
+    # a cell whose vectors exactly cancel -> flat octant
+    mv += [(500, 500, 7, 3), (510, 505, -7, -3)]
+    df = spark.createDataFrame(mv, "x long, y long, dx long, dy long")
+    got = {(r.cx, r.cy): (r.n, r.sum_dx, r.sum_dy, r.octant,
+                          r.speed_micro)
+           for r in flow_field(df, cell=100).collect()}
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0, 0])
+    for x, y, dx, dy in mv:
+        a = acc[(x // 100, y // 100)]
+        a[0] += 1
+        a[1] += dx
+        a[2] += dy
+    want = {}
+    for k, (n, sx, sy) in acc.items():
+        if sx == 0 and sy == 0:
+            o = "flat"
+        elif 2 * abs(sy) <= abs(sx):
+            o = "E" if sx > 0 else "W"
+        elif 2 * abs(sx) <= abs(sy):
+            o = "N" if sy > 0 else "S"
+        else:
+            o = ("N" if sy > 0 else "S") + ("E" if sx > 0 else "W")
+        want[k] = (n, sx, sy, o,
+                   math.floor(math.sqrt(sx*sx + sy*sy) / n * 1e6
+                              + 0.5))
+    assert got == want
+    assert got[(5, 5)][3] == "flat"
