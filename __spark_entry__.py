@@ -4514,6 +4514,109 @@ def _flow_field_sql() -> str:
     """
 
 
+def _q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (Gonzalez et al. 2008) — exactly
+    the per-group standard distance, so this REUSES operators/zonal.
+    centrography with group = user: rg = sdist; the ellipse pair
+    comes along free (documented reuse, not a new kernel)."""
+    from cdap_geo_spark.operators.zonal import centrography
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull()) \
+        .selectExpr("user_id AS g",
+                    "((event_id*48271 + 17) % 700000) DIV 1000 AS x",
+                    "((event_id*69621 + 29) % 1300000) DIV 1000 AS y")
+    out = centrography(ev)
+    return out.select(F.col("g").cast("long").alias("user_id"),
+                      F.col("n"), F.col("sdist_micro")
+                      .alias("rg_km_micro"),
+                      "mcx_micro", "mcy_micro")
+
+
+def _radius_gyration_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT user_id AS g,
+               ((event_id*48271 + 17) % 700000) // 1000 AS x,
+               ((event_id*69621 + 29) % 1300000) // 1000 AS y
+        FROM events WHERE user_id IS NOT NULL
+      ),
+      a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx,
+               CAST(SUM(y*y) AS BIGINT) AS syy
+        FROM b GROUP BY 1
+      )
+      SELECT CAST(g AS BIGINT) AS user_id, n,
+             CAST(ROUND(SQRT(CAST((n*sxx - sx*sx) + (n*syy - sy*sy)
+                                  AS DOUBLE))
+                        / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS rg_km_micro,
+             CAST(ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS mcx_micro,
+             CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS mcy_micro
+    FROM a
+    """
+
+
+def _q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily mobility motif census (operators/timeseries.
+    mobility_motifs) over per-user daily 100km-cell sequences:
+    first-occurrence canonical labels, all integer HOFs, census
+    bounded by distinct user-days."""
+    from cdap_geo_spark.operators.timeseries import mobility_motifs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .selectExpr(
+            "user_id AS u",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS d",
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 100"
+            " + event_id % 100 AS o",
+            "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+            " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS loc")
+    return mobility_motifs(ev)
+
+
+def _motifs_sql() -> str:
+    day = 86_400_000_000
+    return f"""
+      WITH p AS (
+        SELECT user_id AS u, epoch_us(ts) // {day} AS d,
+               epoch_us(ts) * 100 + event_id % 100 AS o,
+               ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS loc
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      v AS (
+        SELECT u, d, o, loc,
+               LAG(loc) OVER (PARTITION BY u, d ORDER BY o) AS prev
+        FROM p
+      ),
+      vis AS (SELECT u, d, o, loc FROM v
+              WHERE prev IS NULL OR loc <> prev),
+      s AS (
+        SELECT u, d, list(loc ORDER BY o) AS seq
+        FROM vis GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT array_to_string(
+                 list_transform(seq, x -> len(list_distinct(
+                   seq[1:list_position(seq, x)]))), '-') AS motif,
+               CAST(len(seq) AS BIGINT) AS motif_len,
+               CAST(list_max(list_transform(seq,
+                    x -> len(list_distinct(
+                      seq[1:list_position(seq, x)])))) AS BIGINT)
+                 AS n_locs
+        FROM s
+      )
+      SELECT motif, motif_len, n_locs,
+             CAST(COUNT(*) AS BIGINT) AS n_user_days
+      FROM c GROUP BY 1, 2, 3
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5333,6 +5436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_markov": _q_spatial_markov,
         "general_g": _q_general_g,
         "flow_field": _q_flow_field,
+        "radius_gyration": _q_radius_gyration,
+        "motifs": _q_motifs,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6098,6 +6203,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_markov": _spatial_markov_sql(),
         "general_g": _general_g_sql(),
         "flow_field": _flow_field_sql(),
+        "radius_gyration": _radius_gyration_sql(),
+        "motifs": _motifs_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -2659,3 +2659,58 @@ def visit_entropy(df: DataFrame, *, key_col: str = "k",
     return per_k.select(F.col("_k").alias(key_col), "n_obs",
                         "n_distinct", s_rand.alias("s_rand_micro"),
                         s_unc.alias("s_unc_micro"))
+
+
+def mobility_motifs(pings: DataFrame, *, user_col: str = "u",
+                    day_col: str = "d", ord_col: str = "o",
+                    loc_col: str = "loc") -> DataFrame:
+    """Daily mobility motif census (Schneider et al. 2013) — the
+    canonical-form daily location sequences whose ~17 shapes cover
+    ~90% of human days: per (user, day), pings collapse to VISITS
+    (consecutive-duplicate locations merge), the visit sequence maps
+    to its canonical first-occurrence labeling (ABABC → 1-2-1-2-3 —
+    location identity is abstracted away, the SHAPE remains), and the
+    output is the census ``(motif, motif_len, n_locs,
+    n_user_days)``.
+
+    Determinism: the visit order is the total order of ``ord_col``
+    (pass a tie-broken ordinal); the canonical label of element i is
+    the number of DISTINCT locations in the prefix ending at its
+    first occurrence — computed as ``size(distinct(slice(seq, 1,
+    first_position)))``, which uses only the SIZE of the distinct
+    set (order-free, so Spark's array_distinct and DuckDB's
+    list_distinct agree even though their element orders are
+    unspecified). All integer higher-order functions, no UDF.
+
+    Plan: one (user, day)-partitioned LAG for the collapse, one
+    windowed ordered collect per user-day (partition-local), a
+    map-side canonicalization (higher-order functions, no UDF), ONE
+    motif-keyed census exchange bounded by distinct user-days.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("_u", "_d").orderBy("_o")
+    base = pings.where(F.col(loc_col).isNotNull()) \
+        .select(F.col(user_col).alias("_u"), F.col(day_col).alias("_d"),
+                F.col(ord_col).alias("_o"),
+                F.col(loc_col).cast("long").alias("_l"))
+    visits = base.select(
+        "_u", "_d", "_o", "_l", F.lag("_l").over(w).alias("_prev")) \
+        .where(F.col("_prev").isNull() | (F.col("_l") != F.col("_prev")))
+    wseq = (Window.partitionBy("_u", "_d").orderBy("_o")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    seqs = (visits
+            .withColumn("_seq", F.collect_list("_l").over(wseq))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    canon = F.transform(
+        "_seq",
+        lambda x: F.size(F.array_distinct(F.slice(
+            F.col("_seq"), 1,
+            F.array_position(F.col("_seq"), x).cast("int")))))
+    seqs = seqs.select(
+        F.concat_ws("-", canon.cast("array<string>")).alias("motif"),
+        F.size("_seq").cast("long").alias("motif_len"),
+        F.array_max(canon).cast("long").alias("n_locs"))
+    return (seqs.groupBy("motif", "motif_len", "n_locs")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_user_days")))

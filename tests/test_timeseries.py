@@ -1911,3 +1911,33 @@ def test_burstiness_brute_force(spark):
     assert got["per"][2] == -1_000_000
     # bursty B must exceed the periodic one by a wide margin
     assert got["bur"][2] > got["per"][2] + 500_000
+
+
+def test_mobility_motifs_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.timeseries import mobility_motifs
+    random.seed(167)
+    rows = []
+    truth = {}
+    for u in range(6):
+        for d in range(3):
+            pings = [random.randrange(4) for _ in range(8)]
+            truth[(u, d)] = pings
+            rows += [(u, d, i, loc) for i, loc in enumerate(pings)]
+    # an explicit ABABC day
+    rows += [(9, 0, i, loc) for i, loc in
+             enumerate([7, 8, 7, 8, 9])]
+    truth[(9, 0)] = [7, 8, 7, 8, 9]
+    df = spark.createDataFrame(rows, "u long, d long, o long, loc long")
+    got = {(r.motif, r.motif_len, r.n_locs): r.n_user_days
+           for r in mobility_motifs(df).collect()}
+    from collections import Counter
+    want = Counter()
+    for pings in truth.values():
+        visits = [pings[0]] + [b for a, b in zip(pings, pings[1:])
+                               if a != b]
+        canon = [len(set(visits[:visits.index(v) + 1]))
+                 for v in visits]
+        want[("-".join(map(str, canon)), len(canon), max(canon))] += 1
+    assert got == dict(want)
+    assert ("1-2-1-2-3", 5, 3) in got   # the planted ABABC shape
