@@ -4617,6 +4617,83 @@ def _motifs_sql() -> str:
     """
 
 
+_CROSSK_SHIFTS = [(0, 0), (175_000, 325_000), (350_000, 650_000),
+                  (525_000, 975_000)]
+
+
+def _q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K click->view with the deterministic
+    torus-shift null (operators/zonal.cross_k): all shifts ride ONE
+    cell join; exact pair counts, K one fixed-shape division."""
+    from cdap_geo_spark.operators.zonal import cross_k
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
+    a = ev.where(F.col("event_type") == "click").select("x", "y")
+    b = ev.where(F.col("event_type") == "view").select("x", "y")
+    return cross_k(a, b, radii=[2_000, 5_000, 10_000],
+                   width=700_000, height=1_300_000,
+                   shifts=_CROSSK_SHIFTS)
+
+
+def _cross_k_sql() -> str:
+    area = 700_000 * 1_300_000
+    rmax = 10_000
+    shifts = " UNION ALL ".join(
+        f"SELECT {i} AS sid, {sx} AS sx, {sy} AS sy"
+        for i, (sx, sy) in enumerate(_CROSSK_SHIFTS))
+    conds = ", ".join(
+        f"""CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0
+            END), 0) AS BIGINT) AS c{i}"""
+        for i, r in enumerate([2_000, 5_000, 10_000]))
+    rows = []
+    for i, r in enumerate([2_000, 5_000, 10_000]):
+        kd = (f"CAST({area} AS DOUBLE) * CAST(c{i} AS DOUBLE)"
+              f" / CAST(na.n * nb.n AS DOUBLE)")
+        rows.append(f"""
+        SELECT CAST(sid AS BIGINT) AS shift_id,
+               CAST({r} AS BIGINT) AS r, c{i} AS n_pairs,
+               CASE WHEN na.n > 0 AND nb.n > 0 THEN
+                 CAST(ROUND(({kd}) * 1000000.0) AS BIGINT) END
+                 AS k_micro
+        FROM c CROSS JOIN na CROSS JOIN nb""")
+    body = " UNION ALL ".join(rows)
+    return f"""
+      WITH ev AS (
+        SELECT event_type,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y
+        FROM events
+      ),
+      a AS (SELECT x, y FROM ev WHERE event_type = 'click'),
+      b AS (SELECT x, y FROM ev WHERE event_type = 'view'),
+      na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+      nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      sh AS ({shifts}),
+      bs AS (
+        SELECT sh.sid, (b.x + sh.sx) % 700000 AS bx,
+               (b.y + sh.sy) % 1300000 AS by
+        FROM b CROSS JOIN sh
+      ),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                               (VALUES (-1), (0), (1)) u(oy)),
+      l AS (SELECT x, y, x // {rmax} + ox AS cx, y // {rmax} + oy AS cy
+            FROM a, o),
+      p AS (
+        SELECT bs.sid,
+               (l.x - bs.bx) * (l.x - bs.bx)
+               + (l.y - bs.by) * (l.y - bs.by) AS d2
+        FROM l JOIN bs
+          ON l.cx = bs.bx // {rmax} AND l.cy = bs.by // {rmax}
+         AND (l.x - bs.bx) * (l.x - bs.bx)
+             + (l.y - bs.by) * (l.y - bs.by) <= {rmax * rmax}
+      ),
+      c AS (SELECT sid, {conds} FROM p GROUP BY sid)
+      {body}
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5438,6 +5515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_field": _q_flow_field,
         "radius_gyration": _q_radius_gyration,
         "motifs": _q_motifs,
+        "cross_k": _q_cross_k,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6205,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_field": _flow_field_sql(),
         "radius_gyration": _radius_gyration_sql(),
         "motifs": _motifs_sql(),
+        "cross_k": _cross_k_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

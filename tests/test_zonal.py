@@ -1249,3 +1249,42 @@ def test_flow_field_brute_force(spark):
                               + 0.5))
     assert got == want
     assert got[(5, 5)][3] == "flat"
+
+
+def test_cross_k_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import cross_k
+    random.seed(173)
+    w, h = 500, 400
+    a = [(random.randrange(w), random.randrange(h)) for _ in range(40)]
+    # B clustered NEAR A points -> attraction at shift 0
+    b = [((x + random.randrange(-15, 16)) % w,
+          (y + random.randrange(-15, 16)) % h)
+         for x, y in random.sample(a, 30)]
+    shifts = [(0, 0), (123, 217), (250, 200)]
+    radii = [20, 60]
+    adf = spark.createDataFrame(a, "x long, y long")
+    bdf = spark.createDataFrame(b, "x long, y long")
+    got = {(r.shift_id, r.r): (r.n_pairs, r.k_micro)
+           for r in cross_k(adf, bdf, radii=radii, width=w, height=h,
+                            shifts=shifts).collect()}
+    want = {}
+    for sid, (sx, sy) in enumerate(shifts):
+        bs = [((x + sx) % w, (y + sy) % h) for x, y in b]
+        for r in radii:
+            cnt = sum(1 for ax, ay in a for bx, by in bs
+                      if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r)
+            kd = w * h * cnt / (len(a) * len(b))
+            want[(sid, r)] = (cnt, math.floor(kd * 1e6 + 0.5))
+    # shifts with zero candidate pairs produce no rows in either
+    # engine; compare on the union of observed keys
+    want = {k: v for k, v in want.items()
+            if k in got or v[0] > 0}
+    assert got == want
+    # planted attraction: observed K at r=20 beats both nulls
+    assert got[(0, 20)][1] > max(
+        got.get((s, 20), (0, 0))[1] for s in (1, 2))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cross_k(adf, bdf, radii=[], width=w, height=h)
