@@ -718,6 +718,26 @@ def _dbscan_sql() -> str:
     """
 
 
+#: exact cosine top-5 ground truth (shared by the ann_recall oracle)
+_COSINE_TOPK_SQL = """
+  WITH q AS (SELECT vec_id AS query_id,
+                    CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id % 20 = 0),
+  scored AS (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+               e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q)
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(rank AS BIGINT) AS rank
+  FROM scored WHERE rank <= 5
+"""
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -828,6 +848,57 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("query_id").cast("long"),
                       F.col("vec_id").cast("long"),
                       F.col("rank").cast("long"))
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality report (the embedding twin of lsh_eval): recall@5
+    of the trained-IVF index against the exact cosine top-5 — both
+    ALREADY-ORACLED operators; hit counts exact BIGINT, recall one
+    fixed-shape division."""
+    from cdap_geo_spark.operators.embeddings import (cosine_topk,
+                                                     ivf_topk,
+                                                     ivf_train)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries_df, k=5) \
+        .select("query_id", "vec_id")
+    cents = ivf_train(emb, dim=64, n_clusters=16)
+    approx = ivf_topk(emb, queries_df, k=5, dim=64, n_clusters=16,
+                      nprobe=4, centroids=cents) \
+        .select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"])
+    nq = exact.agg(F.countDistinct("query_id").cast("long")
+                   .alias("n_queries"),
+                   F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    out = nq.crossJoin(nh)
+    rec = F.when(F.col("n_truth") > 0,
+                 F.round(F.col("n_hits").cast("double") * 1000000.0
+                         / F.col("n_truth").cast("double"))
+                 .cast("long"))
+    return out.select("n_queries", "n_truth", "n_hits",
+                      rec.alias("recall_micro"))
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+      WITH ex AS MATERIALIZED ({_COSINE_TOPK_SQL}),
+      iv AS MATERIALIZED ({_ivf_ann_sql()}),
+      nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+                      AS n_queries,
+                    CAST(COUNT(*) AS BIGINT) AS n_truth FROM ex),
+      nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM ex JOIN iv ON ex.query_id = iv.query_id
+                            AND ex.vec_id = iv.vec_id)
+      SELECT nq.n_queries, nq.n_truth, nh.n_hits,
+             CASE WHEN nq.n_truth > 0 THEN
+               CAST(ROUND(CAST(nh.n_hits AS DOUBLE) * 1000000.0
+                    / CAST(nq.n_truth AS DOUBLE)) AS BIGINT) END
+               AS recall_micro
+      FROM nq CROSS JOIN nh
+    """
 
 
 def _q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5424,6 +5495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
+        "ann_recall": _q_ann_recall,
         "embed_dup": _q_embed_dup,
         "media_features": _q_media_features,
         "png_features": _q_png_features,
@@ -6762,23 +6834,7 @@ def oracle_sql() -> dict[str, str]:
           FROM a
           WHERE last_us - first_us >= 3600000000 AND n_points >= 3
         """,
-        "cosine_topk": """
-          WITH q AS (SELECT vec_id AS query_id,
-                            CAST(embedding AS DOUBLE[]) AS qv
-                     FROM embeddings WHERE vec_id % 20 = 0),
-          scored AS (
-            SELECT q.query_id, e.vec_id,
-                   row_number() OVER (
-                     PARTITION BY q.query_id
-                     ORDER BY list_cosine_similarity(
-                       CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
-                       e.vec_id) AS rank
-            FROM embeddings e CROSS JOIN q)
-          SELECT CAST(query_id AS BIGINT) AS query_id,
-                 CAST(vec_id AS BIGINT) AS vec_id,
-                 CAST(rank AS BIGINT) AS rank
-          FROM scored WHERE rank <= 5
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
         "event_windows": """
           SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR)
                      AS window_start,
@@ -6836,6 +6892,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_eval": _lsh_eval_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
+        "ann_recall": _ann_recall_sql(),
         "embed_dup": _embed_dup_sql(),
         "media_features": _MEDIA_SQL,
         "png_features": _PNG_SQL,

@@ -207,3 +207,17 @@ def test_semantic_dedup_matches_bruteforce(spark):
     res = semantic_dedup(two, dim=16, threshold=0.99, n_clusters=8,
                          centroids=cents).toPandas().set_index("vec_id")
     assert int(res.loc[0, "is_dup"]) == 0 and int(res.loc[1, "is_dup"]) == 1
+
+
+def test_ann_recall_composition(spark):
+    """ann_recall composes two already-tested rankers; pin identities
+    (hits <= truth) and the ratio arithmetic on sf0.001."""
+    import math
+    import __spark_entry__ as E
+    (row,) = E._q_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    assert row.n_truth == 5 * row.n_queries
+    assert 0 <= row.n_hits <= row.n_truth
+    assert row.recall_micro == math.floor(
+        row.n_hits / row.n_truth * 1e6 + 0.5)
+    # trained IVF at nprobe=4/16 lists should recall most of top-5
+    assert row.recall_micro >= 500_000
