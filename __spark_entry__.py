@@ -4765,6 +4765,74 @@ def _cross_k_sql() -> str:
     """
 
 
+def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Place/behaviour association (operators/zonal.
+    mutual_information): MI + NMI between 100km cell and event_type,
+    char_entropy discipline three times over."""
+    from cdap_geo_spark.operators.zonal import mutual_information
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_type").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+            " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS a",
+            "event_type AS b")
+    return mutual_information(ev)
+
+
+def _mutual_info_sql() -> str:
+    return """
+      WITH r AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS a,
+               event_type AS b
+        FROM events WHERE event_type IS NOT NULL
+      ),
+      ab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+             FROM r GROUP BY 1, 2),
+      am AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca
+             FROM ab GROUP BY 1),
+      bm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb
+             FROM ab GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ab),
+      mi AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_ab,
+               CAST(SUM(CAST(ROUND(CAST(ab.c AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE)
+                 * LN(CAST(ab.c * tot.n AS DOUBLE)
+                      / CAST(am.ca * bm.cb AS DOUBLE))
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS mi_micro,
+               MAX(tot.n) AS n
+        FROM ab JOIN am USING (a) JOIN bm USING (b) CROSS JOIN tot
+      ),
+      ha AS (
+        SELECT CAST(ROUND((LN(CAST(MAX(tot.n) AS DOUBLE))
+                 - CAST(SUM(CAST(ROUND(CAST(ca AS DOUBLE)
+                     * LN(CAST(ca AS DOUBLE)) * 1000000.0) AS BIGINT))
+                   AS DOUBLE) / 1000000.0
+                   / CAST(MAX(tot.n) AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS h_a_micro
+        FROM am CROSS JOIN tot
+      ),
+      hb AS (
+        SELECT CAST(ROUND((LN(CAST(MAX(tot.n) AS DOUBLE))
+                 - CAST(SUM(CAST(ROUND(CAST(cb AS DOUBLE)
+                     * LN(CAST(cb AS DOUBLE)) * 1000000.0) AS BIGINT))
+                   AS DOUBLE) / 1000000.0
+                   / CAST(MAX(tot.n) AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS h_b_micro
+        FROM bm CROSS JOIN tot
+      )
+      SELECT mi.n, mi.n_cells_ab, mi.mi_micro,
+             ha.h_a_micro, hb.h_b_micro,
+             CASE WHEN LEAST(ha.h_a_micro, hb.h_b_micro) > 0 THEN
+               CAST(ROUND(CAST(mi.mi_micro AS DOUBLE)
+                    / CAST(LEAST(ha.h_a_micro, hb.h_b_micro)
+                           AS DOUBLE) * 1000000.0) AS BIGINT) END
+               AS nmi_micro
+      FROM mi CROSS JOIN ha CROSS JOIN hb
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5588,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_gyration": _q_radius_gyration,
         "motifs": _q_motifs,
         "cross_k": _q_cross_k,
+        "mutual_info": _q_mutual_info,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6356,6 +6425,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_gyration": _radius_gyration_sql(),
         "motifs": _motifs_sql(),
         "cross_k": _cross_k_sql(),
+        "mutual_info": _mutual_info_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

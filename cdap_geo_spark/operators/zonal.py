@@ -1694,6 +1694,70 @@ def cross_k(a: DataFrame, b: DataFrame, *, radii: list, width: int,
                       .alias("k_micro"))
 
 
+def mutual_information(rows: DataFrame, *, a_col: str = "a",
+                       b_col: str = "b") -> DataFrame:
+    """Mutual information between two categorical columns — the
+    place/behaviour association measure (how much does WHERE tell
+    you about WHAT): ``I(A;B) = Σ_ab (c_ab/N)·ln(c_ab·N /
+    (c_a·c_b))`` in nats, plus both marginal entropies and the
+    normalized ``I/min(H_A, H_B)``. Returns ONE row: ``(n,
+    n_cells_ab, mi_micro, h_a_micro, h_b_micro, nmi_micro)``.
+
+    The char_entropy discipline THREE times over: each joint cell's
+    term — and each marginal's c·ln c term — is ONE fixed-shape IEEE
+    expression over exact BIGINTs, micro-rounded, summed as BIGINT
+    (order-independent); the entropies and the final normalization
+    are single expressions over those integer sums. WHICH marginal
+    entropy is smaller is decided on the micro-rounded integers
+    (deterministic). NULL nmi when min entropy is 0.
+
+    Plan: one (a,b) partial agg over the data volume (bounded by the
+    joint support), marginals roll up FROM it, one 1-row combine.
+    """
+    base = rows.where(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull()) \
+        .select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    ab = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    am = ab.groupBy("_a").agg(F.sum("_c").cast("long").alias("_ca"))
+    bm = ab.groupBy("_b").agg(F.sum("_c").cast("long").alias("_cb"))
+    tot = ab.agg(F.sum("_c").cast("long").alias("_n"))
+    j = (ab.join(F.broadcast(am), "_a").join(F.broadcast(bm), "_b")
+         .crossJoin(F.broadcast(tot)))
+    mi_term = F.round(F.col("_c").cast("double")
+                      / F.col("_n").cast("double")
+                      * F.log((F.col("_c") * F.col("_n"))
+                              .cast("double")
+                              / (F.col("_ca") * F.col("_cb"))
+                              .cast("double"))
+                      * 1000000.0).cast("long")
+    mi_agg = j.agg(F.count(F.lit(1)).cast("long").alias("n_cells_ab"),
+                   F.sum(mi_term).cast("long").alias("mi_micro"),
+                   F.max("_n").alias("_n"))
+
+    def h(marg, cnt_col):
+        t = F.round(F.col(cnt_col).cast("double")
+                    * F.log(F.col(cnt_col).cast("double"))
+                    * 1000000.0).cast("long")
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            F.round((F.log(F.max("_n").cast("double"))
+                     - F.sum(t).cast("double") / 1000000.0
+                     / F.max("_n").cast("double"))
+                    * 1000000.0).cast("long").alias("h"))
+
+    ha = h(am, "_ca").select(F.col("h").alias("h_a_micro"))
+    hb = h(bm, "_cb").select(F.col("h").alias("h_b_micro"))
+    out = mi_agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    hmin = F.least(F.col("h_a_micro"), F.col("h_b_micro"))
+    nmi = F.when(hmin > 0,
+                 F.round(F.col("mi_micro").cast("double")
+                         / hmin.cast("double") * 1000000.0)
+                 .cast("long"))
+    return out.select(F.col("_n").alias("n"), "n_cells_ab",
+                      "mi_micro", "h_a_micro", "h_b_micro",
+                      nmi.alias("nmi_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1288,3 +1288,47 @@ def test_cross_k_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cross_k(adf, bdf, radii=[], width=w, height=h)
+
+
+def test_mutual_information_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import mutual_information
+    random.seed(179)
+    # a depends on b for half the rows -> MI strictly positive
+    rows = []
+    for _ in range(200):
+        b = random.choice("xyz")
+        a = ({"x": 0, "y": 1, "z": 2}[b] if random.random() < 0.5
+             else random.randrange(4))
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "a long, b string")
+    (row,) = mutual_information(df).collect()
+    from collections import Counter
+    cab = Counter(rows)
+    ca = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+
+    def rnd(v):
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5))
+
+    mi = sum(rnd(c / n * math.log(c * n / (ca[a] * cb[b])))
+             for (a, b), c in cab.items())
+
+    def ent(cnt):
+        s = sum(rnd(c * math.log(c)) for c in cnt.values())
+        return rnd(math.log(n) - s / 1e6 / n)
+
+    ha, hb = ent(ca), ent(cb)
+    nmi = rnd(mi / min(ha, hb)) if min(ha, hb) > 0 else None
+    assert (row.n, row.n_cells_ab, row.mi_micro, row.h_a_micro,
+            row.h_b_micro, row.nmi_micro) \
+        == (n, len(cab), mi, ha, hb, nmi)
+    assert row.mi_micro > 50_000     # the planted dependence shows
+    # independence sanity: constant b -> H_B = 0, NMI NULL
+    df2 = spark.createDataFrame([(a, "only") for a, _ in rows],
+                                "a long, b string")
+    (r2,) = mutual_information(df2).collect()
+    assert r2.h_b_micro == 0 and r2.nmi_micro is None
