@@ -4833,6 +4833,69 @@ def _mutual_info_sql() -> str:
     """
 
 
+def _q_cell_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell weekly audience decomposition (operators/zonal.
+    cell_churn): distinct user presence per 100km cell-week,
+    stay/gain/loss by exact set arithmetic (one equi-join + two
+    support-sized aggregates, no anti-joins)."""
+    from cdap_geo_spark.operators.zonal import cell_churn
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+            "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            " AS p",
+            "user_id AS u")
+    return cell_churn(ev)
+
+
+def _cell_churn_sql() -> str:
+    week = 604_800_000_000
+    return f"""
+      WITH b AS (
+        SELECT DISTINCT
+               ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy,
+               epoch_us(ts) // {week} AS p,
+               user_id AS u
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      per AS (SELECT qx, qy, p, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2, 3),
+      stay AS (
+        SELECT a.qx, a.qy, a.p, CAST(COUNT(*) AS BIGINT) AS n_stay
+        FROM b a JOIN b c
+          ON a.qx = c.qx AND a.qy = c.qy AND a.u = c.u
+         AND c.p = a.p + 1
+        GROUP BY 1, 2, 3
+      ),
+      rng AS (SELECT MIN(p) AS pmin, MAX(p) AS pmax FROM b),
+      cur AS (SELECT qx, qy, p, n AS ncur FROM per),
+      fut AS (SELECT qx, qy, p - 1 AS p, n AS nnext FROM per),
+      oj AS (
+        SELECT COALESCE(cur.qx, fut.qx) AS qx,
+               COALESCE(cur.qy, fut.qy) AS qy,
+               COALESCE(cur.p, fut.p) AS p,
+               COALESCE(cur.ncur, 0) AS ncur,
+               COALESCE(fut.nnext, 0) AS nnext
+        FROM cur FULL OUTER JOIN fut
+          ON cur.qx = fut.qx AND cur.qy = fut.qy AND cur.p = fut.p
+      )
+      SELECT CAST(oj.qx AS BIGINT) AS qx, CAST(oj.qy AS BIGINT) AS qy,
+             CAST(oj.p AS BIGINT) AS p,
+             CAST(COALESCE(stay.n_stay, 0) AS BIGINT) AS n_stay,
+             CAST(oj.nnext - COALESCE(stay.n_stay, 0) AS BIGINT)
+               AS n_gain,
+             CAST(oj.ncur - COALESCE(stay.n_stay, 0) AS BIGINT)
+               AS n_loss
+      FROM oj LEFT JOIN stay
+        ON stay.qx = oj.qx AND stay.qy = oj.qy AND stay.p = oj.p
+      CROSS JOIN rng
+      WHERE oj.p >= rng.pmin AND oj.p < rng.pmax
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -5657,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs": _q_motifs,
         "cross_k": _q_cross_k,
         "mutual_info": _q_mutual_info,
+        "cell_churn": _q_cell_churn,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6426,6 +6490,7 @@ def oracle_sql() -> dict[str, str]:
         "motifs": _motifs_sql(),
         "cross_k": _cross_k_sql(),
         "mutual_info": _mutual_info_sql(),
+        "cell_churn": _cell_churn_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

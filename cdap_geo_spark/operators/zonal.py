@@ -1758,6 +1758,59 @@ def mutual_information(rows: DataFrame, *, a_col: str = "a",
                       nmi.alias("nmi_micro"))
 
 
+def cell_churn(presence: DataFrame, *, x_col: str = "qx",
+               y_col: str = "qy", t_col: str = "p",
+               id_col: str = "u") -> DataFrame:
+    """Period-over-period audience decomposition per cell — the
+    growth-accounting primitive (every "DAU is down" investigation):
+    for each (cell, period → period+1) pair, how many DISTINCT ids
+    stayed, arrived, left: ``(qx, qy, p, n_stay, n_gain, n_loss)``
+    (p is the EARLIER period; strictly consecutive periods only —
+    gaps never pair, matching :func:`spatial_markov`).
+
+    Exact set arithmetic without materializing set differences:
+    presence collapses to the distinct (cell, period, id) relation
+    (ONE distinct exchange over the data volume); ``n_stay`` is an
+    equi-join count on (cell, id, p+1), and gain/loss follow by
+    subtraction from the per-(cell, period) distinct counts — two
+    occupied-support-sized aggregates, no anti-joins.
+
+    Rows appear for period pairs where EITHER side is occupied
+    (full outer on the per-period counts), so a cell going dark
+    still reports its loss row; pairs are clamped to the GLOBAL
+    observed range (p in [min, max−1]) so the corpus edges don't
+    fabricate phantom gain/loss periods.
+    """
+    base = presence.select(F.col(x_col).cast("long").alias("_x"),
+                           F.col(y_col).cast("long").alias("_y"),
+                           F.col(t_col).cast("long").alias("_t"),
+                           F.col(id_col).alias("_u")).distinct()
+    per = base.groupBy("_x", "_y", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    nxt = base.select("_x", "_y", (F.col("_t") - 1).alias("_t"), "_u")
+    stay = (base.join(nxt, ["_x", "_y", "_t", "_u"])
+            .groupBy("_x", "_y", "_t")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_stay")))
+    cur = per.select("_x", "_y", "_t", F.col("_n").alias("_ncur"))
+    fut = per.select("_x", "_y", (F.col("_t") - 1).alias("_t"),
+                     F.col("_n").alias("_nnext"))
+    rng = base.agg(F.min("_t").alias("_pmin"),
+                   F.max("_t").alias("_pmax"))
+    out = (cur.join(fut, ["_x", "_y", "_t"], "full")
+           .join(stay, ["_x", "_y", "_t"], "left")
+           .na.fill({"_ncur": 0, "_nnext": 0, "n_stay": 0})
+           .crossJoin(F.broadcast(rng))
+           .where((F.col("_t") >= F.col("_pmin"))
+                  & (F.col("_t") < F.col("_pmax"))))
+    return out.select(
+        F.col("_x").alias(x_col), F.col("_y").alias(y_col),
+        F.col("_t").alias(t_col), "n_stay",
+        (F.col("_nnext") - F.col("n_stay")).cast("long")
+        .alias("n_gain"),
+        (F.col("_ncur") - F.col("n_stay")).cast("long")
+        .alias("n_loss"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1332,3 +1332,51 @@ def test_mutual_information_brute_force(spark):
                                 "a long, b string")
     (r2,) = mutual_information(df2).collect()
     assert r2.h_b_micro == 0 and r2.nmi_micro is None
+
+
+def test_cell_churn_brute_force(spark):
+    import random
+    from cdap_geo_spark.operators.zonal import cell_churn
+    random.seed(181)
+    rows = set()
+    for _ in range(300):
+        rows.add((random.randrange(3), random.randrange(3),
+                  random.randrange(4, 9), random.randrange(12)))
+    # a cell occupied at one period then dark -> pure loss row
+    rows |= {(9, 9, 5, 100), (9, 9, 5, 101)}
+    rows.add((0, 0, 4, 0))   # also fed as a DUPLICATE row below
+    df = spark.createDataFrame(
+        [(x, y, p, u) for x, y, p, u in rows]
+        + [(0, 0, 4, 0)],               # duplicate presence collapses
+        "qx long, qy long, p long, u long")
+    got = {(r.qx, r.qy, r.p): (r.n_stay, r.n_gain, r.n_loss)
+           for r in cell_churn(df).collect()}
+    pmin = min(p for _, _, p, _ in rows)
+    pmax = max(p for _, _, p, _ in rows)
+    cells = {(x, y) for x, y, _, _ in rows}
+    want = {}
+    for (x, y) in cells:
+        for p in range(pmin, pmax):
+            cur = {u for xx, yy, pp, u in rows
+                   if (xx, yy, pp) == (x, y, p)}
+            nxt = {u for xx, yy, pp, u in rows
+                   if (xx, yy, pp) == (x, y, p + 1)}
+            if not cur and not nxt:
+                continue
+            stay = len(cur & nxt)
+            want[(x, y, p)] = (stay, len(nxt) - stay,
+                               len(cur) - stay)
+    assert got == want
+    # the dark cell reports its loss with zero stay/gain
+    assert got[(9, 9, 5)] == (0, 0, 2)
+    # conservation per cell: sum(gain) - sum(loss) = last - first count
+    for (x, y) in cells:
+        gains = sum(v[1] for (xx, yy, _), v in got.items()
+                    if (xx, yy) == (x, y))
+        losses = sum(v[2] for (xx, yy, _), v in got.items()
+                     if (xx, yy) == (x, y))
+        first = len({u for xx, yy, pp, u in rows
+                     if (xx, yy, pp) == (x, y, pmin)})
+        last = len({u for xx, yy, pp, u in rows
+                    if (xx, yy, pp) == (x, y, pmax)})
+        assert gains - losses == last - first
