@@ -738,6 +738,61 @@ _COSINE_TOPK_SQL = """
 """
 
 
+def _q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation profile of the blob-mix density field: grid
+    component structure at a density-threshold ladder (operators/
+    cluster.grid_cluster per threshold) — n_dense cells, component
+    count, largest component (cells and points). The classic
+    connectivity-vs-threshold curve, exact BIGINTs throughout."""
+    from cdap_geo_spark.operators.cluster import grid_cluster
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "CASE WHEN event_id % 20 = 0"
+        " THEN ((event_id DIV 20) % 40) % 8 * 81000 + 5000"
+        "      + (event_id*331 + 7) % 4000"
+        " ELSE (event_id*48271 + 17) % 700000 END AS x",
+        "CASE WHEN event_id % 20 = 0"
+        " THEN ((event_id DIV 20) % 40) DIV 8 * 200000 + 7000"
+        "      + (event_id*677 + 13) % 4000"
+        " ELSE (event_id*69621 + 29) % 1300000 END AS y")
+    outs = []
+    for t in (2, 4, 8):
+        gc = grid_cluster(pts, cell_size=20_000, min_pts=t)
+        per = gc.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_cells"),
+            F.sum("n_pts").alias("_pts"))
+        outs.append(per.agg(
+            F.lit(t).cast("long").alias("min_pts"),
+            F.coalesce(F.sum("_cells"), F.lit(0)).cast("long")
+            .alias("n_dense"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.coalesce(F.max("_cells"), F.lit(0)).cast("long")
+            .alias("largest_cells"),
+            F.coalesce(F.max("_pts"), F.lit(0)).cast("long")
+            .alias("largest_pts")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out
+
+
+def _percolation_sql() -> str:
+    from cdap_geo_spark.operators.cluster import grid_cluster_oracle_sql
+    pts = _DBSCAN_PTS.replace("SELECT event_id AS id,",
+                              "SELECT")
+    parts = []
+    for t in (2, 4, 8):
+        inner = grid_cluster_oracle_sql(pts, cell_size=20_000,
+                                        min_pts=t)
+        parts.append(f"""
+        SELECT CAST({t} AS BIGINT) AS min_pts,
+               CAST(COALESCE(SUM(cells), 0) AS BIGINT) AS n_dense,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(MAX(cells), 0) AS BIGINT)
+                 AS largest_cells,
+               CAST(COALESCE(MAX(pts), 0) AS BIGINT) AS largest_pts
+        FROM (SELECT cluster, COUNT(*) AS cells, SUM(n_pts) AS pts
+              FROM ({inner}) GROUP BY cluster)""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -5721,6 +5776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": _q_cross_k,
         "mutual_info": _q_mutual_info,
         "cell_churn": _q_cell_churn,
+        "percolation": _q_percolation,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6491,6 +6547,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_k": _cross_k_sql(),
         "mutual_info": _mutual_info_sql(),
         "cell_churn": _cell_churn_sql(),
+        "percolation": _percolation_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

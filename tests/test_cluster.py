@@ -313,3 +313,23 @@ def test_dbscan_validation(spark):
         dbscan(df, eps=0, min_pts=1)
     with _pt.raises(ValueError):
         dbscan(df, eps=5, min_pts=0)
+
+
+def test_percolation_profile_monotone(spark):
+    """The percolation query's structural invariants on the sf0.001
+    fixture: dense cells and largest component shrink (weakly) as the
+    density threshold rises; counts are consistent."""
+    import __spark_entry__ as E
+    rows = {r.min_pts: (r.n_dense, r.n_clusters, r.largest_cells,
+                        r.largest_pts)
+            for r in E._q_percolation(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {2, 4, 8}
+    for t in (2, 4, 8):
+        nd, nc, lc, lp = rows[t]
+        assert nc <= nd and lc <= nd
+        assert (nd == 0) == (nc == 0)
+        if nc:
+            assert lp >= lc * t  # every cell in a component >= t pts
+    assert rows[2][0] >= rows[4][0] >= rows[8][0]
+    assert rows[2][2] >= rows[4][2] >= rows[8][2]
