@@ -793,6 +793,118 @@ def _percolation_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_locational_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locational Gini of activity across 20km cells per event_type
+    (documented REUSE of operators/timeseries.grouped_gini with the
+    cell-count histogram as the value vector): how unevenly is each
+    behaviour distributed over space."""
+    from cdap_geo_spark.operators.timeseries import grouped_gini
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_type").isNotNull()) \
+        .selectExpr("event_type AS g",
+                    "((event_id*48271 + 17) % 700000) DIV 20000 * 65"
+                    " + ((event_id*69621 + 29) % 1300000) DIV 20000"
+                    " AS cell")
+    hist = ev.groupBy("g", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"))
+    out = grouped_gini(hist, group="g", value_col="n_ev")
+    return out.select("g", "n", "sum_x", "gini_micro")
+
+
+def _locational_gini_sql() -> str:
+    return """
+      WITH h AS (
+        SELECT event_type AS g,
+               ((event_id*48271 + 17) % 700000) // 20000 * 65
+               + ((event_id*69621 + 29) % 1300000) // 20000 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i
+        FROM h
+      ),
+      a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(i * x) AS BIGINT) AS sixi
+        FROM r GROUP BY 1
+      )
+      SELECT g, n, sum_x,
+             CASE WHEN sum_x > 0 THEN
+               CAST(ROUND(CAST(2 * sixi - (n + 1) * sum_x AS DOUBLE)
+                    / CAST(n * sum_x AS DOUBLE) * 1000000.0)
+                 AS BIGINT) END AS gini_micro
+      FROM a
+    """
+
+
+def _q_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returners-vs-explorers split (Pappalardo et al.): per user the
+    share of visits concentrated in the top-2 cells — exact integer
+    counts, ties by smallest cell id, one fixed-shape division;
+    label by exact cross-multiplication (share > 1/2)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("user_id").isNotNull()) \
+        .selectExpr("user_id AS u",
+                    "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+                    " + ((event_id*69621 + 29) % 1300000)"
+                    " DIV 100000 AS cell")
+    h = ev.groupBy("u", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("u").orderBy(F.desc("c"), "cell")
+    r = h.select("u", "c", F.row_number().over(w).alias("rn"))
+    agg = r.groupBy("u").agg(
+        F.sum("c").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("top2"))
+    share = F.round(F.col("top2").cast("double") * 1000000.0
+                    / F.col("n_obs").cast("double")).cast("long")
+    label = F.when(2 * F.col("top2") > F.col("n_obs"), "returner") \
+        .otherwise("explorer")
+    return agg.select(F.col("u").cast("long").alias("user_id"),
+                      "n_obs", "n_cells", "top2",
+                      share.alias("top2_share_micro"),
+                      label.alias("label"))
+
+
+def _returners_sql() -> str:
+    return """
+      WITH h AS (
+        SELECT user_id AS u,
+               ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS cell,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT u, c,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY c DESC, cell) AS rn
+        FROM h
+      ),
+      a AS (
+        SELECT u, CAST(SUM(c) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN rn <= 2 THEN c ELSE 0 END)
+                 AS BIGINT) AS top2
+        FROM r GROUP BY 1
+      )
+      SELECT CAST(u AS BIGINT) AS user_id, n_obs, n_cells, top2,
+             CAST(ROUND(CAST(top2 AS DOUBLE) * 1000000.0
+                  / CAST(n_obs AS DOUBLE)) AS BIGINT)
+               AS top2_share_micro,
+             CASE WHEN 2 * top2 > n_obs THEN 'returner'
+                  ELSE 'explorer' END AS label
+      FROM a
+    """
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
@@ -5777,6 +5889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": _q_mutual_info,
         "cell_churn": _q_cell_churn,
         "percolation": _q_percolation,
+        "locational_gini": _q_locational_gini,
+        "returners": _q_returners,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6548,6 +6662,8 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_sql(),
         "cell_churn": _cell_churn_sql(),
         "percolation": _percolation_sql(),
+        "locational_gini": _locational_gini_sql(),
+        "returners": _returners_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

@@ -1941,3 +1941,32 @@ def test_mobility_motifs_brute_force(spark):
         want[("-".join(map(str, canon)), len(canon), max(canon))] += 1
     assert got == dict(want)
     assert ("1-2-1-2-3", 5, 3) in got   # the planted ABABC shape
+
+
+def test_returners_explorers_brute_force(spark):
+    import math
+    import __spark_entry__ as E
+    got = {r.user_id: (r.n_obs, r.n_cells, r.top2,
+                       r.top2_share_micro, r.label)
+           for r in E._q_returners(
+               spark, "/root/testdata/sf0.001").collect()}
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet") \
+        .to_pydict()
+    from collections import Counter, defaultdict
+    per = defaultdict(Counter)
+    for eid, uid in zip(t["event_id"], t["user_id"]):
+        if uid is None:
+            continue
+        cell = ((eid * 48271 + 17) % 700000 // 100000 * 13
+                + (eid * 69621 + 29) % 1300000 // 100000)
+        per[uid][cell] += 1
+    want = {}
+    for u, cnt in per.items():
+        order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        top2 = sum(c for _, c in order[:2])
+        n = sum(cnt.values())
+        want[u] = (n, len(cnt), top2,
+                   math.floor(top2 / n * 1e6 + 0.5),
+                   "returner" if 2 * top2 > n else "explorer")
+    assert got == want
