@@ -501,6 +501,108 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_distinct_ngrams", "n_probe_ngrams")
 
 
+#: lang_votes oracle (shared by the langid_kappa oracle)
+_LANG_ID_SQL = """
+  WITH v AS (
+    SELECT doc_id,
+      CAST((len(p)-len(replace(p,' the ','')))/5
+         + (len(p)-len(replace(p,' and ','')))/5
+         + (len(p)-len(replace(p,' of ','')))/4 AS BIGINT) AS votes_en,
+      CAST((len(p)-len(replace(p,' der ','')))/5
+         + (len(p)-len(replace(p,' und ','')))/5
+         + (len(p)-len(replace(p,' die ','')))/5 AS BIGINT) AS votes_de,
+      CAST((len(p)-len(replace(p,' le ','')))/4
+         + (len(p)-len(replace(p,' la ','')))/4
+         + (len(p)-len(replace(p,' et ','')))/4 AS BIGINT) AS votes_fr,
+      CAST((len(p)-len(replace(p,' el ','')))/4
+         + (len(p)-len(replace(p,' que ','')))/5
+         + (len(p)-len(replace(p,' los ','')))/5 AS BIGINT) AS votes_es
+    FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         votes_en, votes_de, votes_fr, votes_es,
+         CASE WHEN greatest(votes_en,votes_de,votes_fr,votes_es) = 0
+              THEN 'und'
+              WHEN votes_de = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'de'
+              WHEN votes_en = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'en'
+              WHEN votes_es = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM v
+"""
+
+
+def _q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-agreement report: Cohen's kappa + accuracy of the
+    lang_votes predictor against the true lang column — FULLY exact
+    core: kappa = (N·Σdiag − Σ r_k·c_k)/(N² − Σ r_k·c_k) over exact
+    BIGINT confusion marginals; two fixed-shape divisions."""
+    from cdap_geo_spark.operators.text import lang_votes
+    d = _docs(spark, sf_dir)
+    pred = lang_votes(d).select("doc_id", "lang_pred")
+    conf = (d.select("doc_id", F.col("lang").alias("t"))
+            .join(pred, "doc_id")
+            .groupBy("t", "lang_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    n = conf.agg(F.sum("c").cast("long").alias("n"))
+    agree = conf.where(F.col("t") == F.col("lang_pred")) \
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+             .alias("n_agree"))
+    rm = conf.groupBy("t").agg(F.sum("c").cast("long").alias("r"))
+    cm = conf.groupBy(F.col("lang_pred").alias("t")).agg(
+        F.sum("c").cast("long").alias("cc"))
+    rc = (rm.join(cm, "t", "full")
+          .na.fill({"r": 0, "cc": 0})
+          .agg(F.sum(F.col("r") * F.col("cc")).cast("long")
+               .alias("sum_rc")))
+    out = n.crossJoin(agree).crossJoin(rc)
+    den = (F.col("n") * F.col("n") - F.col("sum_rc"))
+    kappa = F.when(den != 0,
+                   F.round((F.col("n") * F.col("n_agree")
+                            - F.col("sum_rc")).cast("double")
+                           * 1000000.0 / den.cast("double"))
+                   .cast("long"))
+    acc = F.when(F.col("n") > 0,
+                 F.round(F.col("n_agree").cast("double") * 1000000.0
+                         / F.col("n").cast("double")).cast("long"))
+    return out.select("n", "n_agree", "sum_rc",
+                      kappa.alias("kappa_micro"),
+                      acc.alias("accuracy_micro"))
+
+
+def _langid_kappa_sql() -> str:
+    return f"""
+      WITH pred AS ({_LANG_ID_SQL}),
+      conf AS (
+        SELECT d.lang AS t, pred.lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+        GROUP BY 1, 2
+      ),
+      nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM conf),
+      ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_agree
+             FROM conf WHERE t = lang_pred),
+      rm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS r
+             FROM conf GROUP BY 1),
+      cm AS (SELECT lang_pred AS t, CAST(SUM(c) AS BIGINT) AS cc
+             FROM conf GROUP BY 1),
+      rc AS (
+        SELECT CAST(SUM(COALESCE(rm.r, 0) * COALESCE(cm.cc, 0))
+                 AS BIGINT) AS sum_rc
+        FROM rm FULL OUTER JOIN cm ON cm.t = rm.t
+      )
+      SELECT nn.n, ag.n_agree, rc.sum_rc,
+             CASE WHEN nn.n * nn.n - rc.sum_rc <> 0 THEN
+               CAST(ROUND(CAST(nn.n * ag.n_agree - rc.sum_rc
+                               AS DOUBLE) * 1000000.0
+                    / CAST(nn.n * nn.n - rc.sum_rc AS DOUBLE))
+                 AS BIGINT) END AS kappa_micro,
+             CASE WHEN nn.n > 0 THEN
+               CAST(ROUND(CAST(ag.n_agree AS DOUBLE) * 1000000.0
+                    / CAST(nn.n AS DOUBLE)) AS BIGINT) END
+               AS accuracy_micro
+      FROM nn CROSS JOIN ag CROSS JOIN rc
+    """
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import lang_votes
     out = lang_votes(_docs(spark, sf_dir))
@@ -5891,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
+        "langid_kappa": _q_langid_kappa,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6664,6 +6767,7 @@ def oracle_sql() -> dict[str, str]:
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),
+        "langid_kappa": _langid_kappa_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),
@@ -6990,32 +7094,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(h.n_probe, 0) AS BIGINT) AS n_probe_ngrams
           FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         """,
-        "lang_id": """
-          WITH v AS (
-            SELECT doc_id,
-              CAST((len(p)-len(replace(p,' the ','')))/5
-                 + (len(p)-len(replace(p,' and ','')))/5
-                 + (len(p)-len(replace(p,' of ','')))/4 AS BIGINT) AS votes_en,
-              CAST((len(p)-len(replace(p,' der ','')))/5
-                 + (len(p)-len(replace(p,' und ','')))/5
-                 + (len(p)-len(replace(p,' die ','')))/5 AS BIGINT) AS votes_de,
-              CAST((len(p)-len(replace(p,' le ','')))/4
-                 + (len(p)-len(replace(p,' la ','')))/4
-                 + (len(p)-len(replace(p,' et ','')))/4 AS BIGINT) AS votes_fr,
-              CAST((len(p)-len(replace(p,' el ','')))/4
-                 + (len(p)-len(replace(p,' que ','')))/5
-                 + (len(p)-len(replace(p,' los ','')))/5 AS BIGINT) AS votes_es
-            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
-          SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                 votes_en, votes_de, votes_fr, votes_es,
-                 CASE WHEN greatest(votes_en,votes_de,votes_fr,votes_es) = 0
-                      THEN 'und'
-                      WHEN votes_de = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'de'
-                      WHEN votes_en = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'en'
-                      WHEN votes_es = greatest(votes_en,votes_de,votes_fr,votes_es) THEN 'es'
-                      ELSE 'fr' END AS lang_pred
-          FROM v
-        """,
+        "lang_id": _LANG_ID_SQL,
         "ngram_jaccard": _NGRAM_SQL,
         "stratified_sample": f"""
           SELECT CAST(doc_id AS BIGINT) AS doc_id, lang

@@ -1185,3 +1185,39 @@ def test_filter_funnel_first_match_attribution(spark):
     assert got == {"empty": 2, "too_short": 3, "word_len": 1,
                    "symbol_ratio": 1, "too_long": 1, "kept": 1}
     assert sum(got.values()) == len(docs)
+
+
+def test_langid_kappa_brute_force(spark):
+    import math
+    import __spark_entry__ as E
+    (row,) = E._q_langid_kappa(
+        spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    pred = dict(con.execute(
+        f"SELECT doc_id, lang_pred FROM ({E._LANG_ID_SQL})"
+    ).fetchall())
+    true = dict(con.execute(
+        "SELECT doc_id, lang FROM documents").fetchall())
+    n = len(true)
+    agree = sum(1 for d in true if pred[d] == true[d])
+    from collections import Counter
+    rm = Counter(true.values())
+    cm = Counter(pred.values())
+    sum_rc = sum(rm[k] * cm.get(k, 0)
+                 for k in set(rm) | set(cm))
+    den = n * n - sum_rc
+    kap = (n * agree - sum_rc) / den
+    want_k = (math.floor(kap * 1e6 + 0.5) if kap >= 0
+              else -math.floor(-kap * 1e6 + 0.5))
+    assert (row.n, row.n_agree, row.sum_rc) == (n, agree, sum_rc)
+    assert row.kappa_micro == want_k
+    assert row.accuracy_micro == math.floor(agree / n * 1e6 + 0.5)
+    # kappa can't exceed accuracy; on THIS synthetic corpus the
+    # stopword heuristic is ~chance (that is the point of publishing
+    # kappa next to raw accuracy: 29% accuracy sounds like signal,
+    # kappa ~= 0 says there is none)
+    assert row.kappa_micro <= row.accuracy_micro
+    assert abs(row.kappa_micro) < 100_000
