@@ -603,6 +603,88 @@ def _langid_kappa_sql() -> str:
     """
 
 
+def _q_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the lang_votes predictor —
+    the class-level companion to langid_kappa. Exact: tp/fp/fn are
+    BIGINT counts off the confusion relation (full outer across the
+    asymmetric label sets), and F1 uses the single-division identity
+    F1 = 2tp/(2tp+fp+fn) — no p·r/(p+r) float chain."""
+    from cdap_geo_spark.operators.text import lang_votes
+    d = _docs(spark, sf_dir)
+    pred = lang_votes(d).select("doc_id", "lang_pred")
+    j = d.select("doc_id", F.col("lang").alias("t")).join(pred,
+                                                          "doc_id")
+    tp = (j.where(F.col("t") == F.col("lang_pred"))
+          .groupBy(F.col("t").alias("label"))
+          .agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    rm = j.groupBy(F.col("t").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("_support"))
+    cm = j.groupBy(F.col("lang_pred").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("_predicted"))
+    out = (rm.join(cm, "label", "full").join(tp, "label", "left")
+           .na.fill({"tp": 0, "_support": 0, "_predicted": 0}))
+    fp = (F.col("_predicted") - F.col("tp")).cast("long")
+    fn = (F.col("_support") - F.col("tp")).cast("long")
+
+    def ratio(num, den):
+        return F.when(den > 0,
+                      F.round(num.cast("double") * 1000000.0
+                              / den.cast("double")).cast("long"))
+
+    return out.select(
+        "label", "tp", fp.alias("fp"), fn.alias("fn"),
+        ratio(F.col("tp"), F.col("_predicted"))
+        .alias("precision_micro"),
+        ratio(F.col("tp"), F.col("_support")).alias("recall_micro"),
+        ratio(2 * F.col("tp"), 2 * F.col("tp") + fp + fn)
+        .alias("f1_micro"))
+
+
+def _langid_prf_sql() -> str:
+    return f"""
+      WITH pred AS ({_LANG_ID_SQL}),
+      j AS (
+        SELECT d.lang AS t, pred.lang_pred
+        FROM documents d JOIN pred ON pred.doc_id = d.doc_id
+      ),
+      tp AS (SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS tp
+             FROM j WHERE t = lang_pred GROUP BY 1),
+      rm AS (SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS support
+             FROM j GROUP BY 1),
+      cm AS (SELECT lang_pred AS label,
+                    CAST(COUNT(*) AS BIGINT) AS predicted
+             FROM j GROUP BY 1),
+      u AS (
+        SELECT COALESCE(rm.label, cm.label) AS label,
+               COALESCE(rm.support, 0) AS support,
+               COALESCE(cm.predicted, 0) AS predicted
+        FROM rm FULL OUTER JOIN cm ON cm.label = rm.label
+      ),
+      f AS (
+        SELECT u.label, COALESCE(tp.tp, 0) AS tp,
+               u.predicted - COALESCE(tp.tp, 0) AS fp,
+               u.support - COALESCE(tp.tp, 0) AS fn,
+               u.predicted, u.support
+        FROM u LEFT JOIN tp ON tp.label = u.label
+      )
+      SELECT label, CAST(tp AS BIGINT) AS tp,
+             CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+             CASE WHEN predicted > 0 THEN
+               CAST(ROUND(CAST(tp AS DOUBLE) * 1000000.0
+                    / CAST(predicted AS DOUBLE)) AS BIGINT) END
+               AS precision_micro,
+             CASE WHEN support > 0 THEN
+               CAST(ROUND(CAST(tp AS DOUBLE) * 1000000.0
+                    / CAST(support AS DOUBLE)) AS BIGINT) END
+               AS recall_micro,
+             CASE WHEN 2*tp + fp + fn > 0 THEN
+               CAST(ROUND(CAST(2*tp AS DOUBLE) * 1000000.0
+                    / CAST(2*tp + fp + fn AS DOUBLE)) AS BIGINT) END
+               AS f1_micro
+      FROM f
+    """
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import lang_votes
     out = lang_votes(_docs(spark, sf_dir))
@@ -5994,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
         "langid_kappa": _q_langid_kappa,
+        "langid_prf": _q_langid_prf,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6768,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),
         "langid_kappa": _langid_kappa_sql(),
+        "langid_prf": _langid_prf_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

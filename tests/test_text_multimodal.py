@@ -1221,3 +1221,23 @@ def test_langid_kappa_brute_force(spark):
     # kappa ~= 0 says there is none)
     assert row.kappa_micro <= row.accuracy_micro
     assert abs(row.kappa_micro) < 100_000
+
+
+def test_langid_prf_identities(spark):
+    """Per-class P/R/F1 identities on sf0.001: tp+fn = class support,
+    Σ(tp+fp) = Σ support = N, and F1 lies between P and R."""
+    import __spark_entry__ as E
+    rows = E._q_langid_prf(spark, "/root/testdata/sf0.001").collect()
+    n = sum(r.tp + r.fn for r in rows)
+    assert n == sum(r.tp + r.fp for r in rows) == 500
+    for r in rows:
+        if r.precision_micro is not None and r.recall_micro is not None:
+            lo = min(r.precision_micro, r.recall_micro)
+            hi = max(r.precision_micro, r.recall_micro)
+            if r.f1_micro is not None:
+                assert lo - 1 <= r.f1_micro <= hi + 1
+        # exact single-division F1 identity
+        if 2 * r.tp + r.fp + r.fn > 0:
+            import math
+            assert r.f1_micro == math.floor(
+                2 * r.tp / (2 * r.tp + r.fp + r.fn) * 1e6 + 0.5)
