@@ -685,6 +685,78 @@ def _langid_prf_sql() -> str:
     """
 
 
+def _q_markov_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov predictability per user — the companion to
+    visit_entropy's theoretical bound: in-sample accuracy of the
+    most-frequent-successor predictor over the user's cell
+    transitions. Exact: per-(user, cur) successor histograms; only
+    the MAX successor count matters (ties change which cell wins,
+    never the accuracy), so everything is integer aggregation +
+    one fixed-shape division."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
+        .selectExpr(
+            "user_id AS u", "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
+            " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS loc")
+    w = Window.partitionBy("u").orderBy("us", "event_id")
+    tr = ev.select("u", F.col("loc").alias("cur"),
+                   F.lead("loc").over(w).alias("nxt")) \
+        .where(F.col("nxt").isNotNull())
+    h = tr.groupBy("u", "cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    best = h.groupBy("u", "cur").agg(
+        F.sum("c").cast("long").alias("_tot"),
+        F.max("c").cast("long").alias("_bc"))
+    per_u = best.groupBy("u").agg(
+        F.sum("_tot").cast("long").alias("n_transitions"),
+        F.sum("_bc").cast("long").alias("n_correct"))
+    acc = F.when(F.col("n_transitions") > 0,
+                 F.round(F.col("n_correct").cast("double") * 1000000.0
+                         / F.col("n_transitions").cast("double"))
+                 .cast("long"))
+    return per_u.select(F.col("u").cast("long").alias("user_id"),
+                        "n_transitions", "n_correct",
+                        acc.alias("mfc_acc_micro"))
+
+
+def _markov_pred_sql() -> str:
+    return """
+      WITH ev AS (
+        SELECT user_id AS u, event_id, epoch_us(ts) AS us,
+               ((event_id*48271 + 17) % 700000) // 100000 * 13
+               + ((event_id*69621 + 29) % 1300000) // 100000 AS loc
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ),
+      tr AS (
+        SELECT u, loc AS cur,
+               LEAD(loc) OVER (PARTITION BY u
+                               ORDER BY us, event_id) AS nxt
+        FROM ev
+      ),
+      h AS (SELECT u, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+      best AS (
+        SELECT u, cur, CAST(SUM(c) AS BIGINT) AS tot,
+               CAST(MAX(c) AS BIGINT) AS bc
+        FROM h GROUP BY 1, 2
+      ),
+      p AS (
+        SELECT u, CAST(SUM(tot) AS BIGINT) AS n_transitions,
+               CAST(SUM(bc) AS BIGINT) AS n_correct
+        FROM best GROUP BY 1
+      )
+      SELECT CAST(u AS BIGINT) AS user_id, n_transitions, n_correct,
+             CASE WHEN n_transitions > 0 THEN
+               CAST(ROUND(CAST(n_correct AS DOUBLE) * 1000000.0
+                    / CAST(n_transitions AS DOUBLE)) AS BIGINT) END
+               AS mfc_acc_micro
+      FROM p
+    """
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import lang_votes
     out = lang_votes(_docs(spark, sf_dir))
@@ -6077,6 +6149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returners": _q_returners,
         "langid_kappa": _q_langid_kappa,
         "langid_prf": _q_langid_prf,
+        "markov_pred": _q_markov_pred,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6852,6 +6925,7 @@ def oracle_sql() -> dict[str, str]:
         "returners": _returners_sql(),
         "langid_kappa": _langid_kappa_sql(),
         "langid_prf": _langid_prf_sql(),
+        "markov_pred": _markov_pred_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

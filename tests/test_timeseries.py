@@ -1970,3 +1970,38 @@ def test_returners_explorers_brute_force(spark):
                    math.floor(top2 / n * 1e6 + 0.5),
                    "returner" if 2 * top2 > n else "explorer")
     assert got == want
+
+
+def test_markov_pred_brute_force(spark):
+    import math
+    import __spark_entry__ as E
+    got = {r.user_id: (r.n_transitions, r.n_correct, r.mfc_acc_micro)
+           for r in E._q_markov_pred(
+               spark, "/root/testdata/sf0.001").collect()}
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet") \
+        .to_pydict()
+    from collections import Counter, defaultdict
+    seq = defaultdict(list)
+    for eid, uid, ts in zip(t["event_id"], t["user_id"], t["ts"]):
+        if uid is None or ts is None:
+            continue
+        loc = ((eid * 48271 + 17) % 700000 // 100000 * 13
+               + (eid * 69621 + 29) % 1300000 // 100000)
+        seq[uid].append((ts, eid, loc))
+    want = {}
+    for u, evs in seq.items():
+        evs.sort()
+        locs = [l for _, _, l in evs]
+        trans = list(zip(locs, locs[1:]))
+        if not trans:
+            continue
+        per_cur = defaultdict(Counter)
+        for a, b in trans:
+            per_cur[a][b] += 1
+        correct = sum(max(c.values()) for c in per_cur.values())
+        want[u] = (len(trans), correct,
+                   math.floor(correct / len(trans) * 1e6 + 0.5))
+    assert got == want
+    # MFC accuracy can never be below 1/n_successors; sanity: > 0
+    assert all(v[2] > 0 for v in got.values())
