@@ -757,6 +757,78 @@ def _markov_pred_sql() -> str:
     """
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth checkpoints: distinct vocabulary
+    and total tokens after 25/50/75/100% of the corpus (doc_id
+    order — the deterministic 'ingestion order'). Exact: per-token
+    FIRST doc (one min agg over the exploded relation), per-doc
+    token counts, and each checkpoint a conditional sum; cutoffs =
+    (N·k) DIV 4 over the actual doc count."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("t")) \
+        .where(F.col("t") != "")
+    first = toks.groupBy("t").agg(F.min("doc_id").alias("_fd"))
+    dtc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_ntok"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    outs = []
+    for k in (1, 2, 3, 4):
+        v = (first.crossJoin(F.broadcast(n))
+             .agg(F.sum(F.when(F.col("_fd") < F.expr(f"_n*{k} DIV 4"),
+                               1).otherwise(0)).cast("long")
+                  .alias("vocab")))
+        t = (dtc.crossJoin(F.broadcast(n))
+             .agg(F.sum(F.when(F.col("doc_id")
+                               < F.expr(f"_n*{k} DIV 4"),
+                               F.col("_ntok")).otherwise(0))
+                  .cast("long").alias("n_tokens"),
+                  F.sum(F.when(F.col("doc_id")
+                               < F.expr(f"_n*{k} DIV 4"), 1)
+                        .otherwise(0)).cast("long").alias("n_docs")))
+        outs.append(t.crossJoin(v).crossJoin(F.broadcast(n)).select(
+            F.lit(k).cast("long").alias("quarter"),
+            F.expr(f"_n*{k} DIV 4").cast("long").alias("cutoff"),
+            "n_docs", "n_tokens", "vocab"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _vocab_growth_sql() -> str:
+    parts = []
+    for k in (1, 2, 3, 4):
+        parts.append(f"""
+        SELECT CAST({k} AS BIGINT) AS quarter,
+               CAST(n.n * {k} // 4 AS BIGINT) AS cutoff,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dtc, n
+                WHERE doc_id < n.n * {k} // 4) AS n_docs,
+               (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+                FROM dtc, n WHERE doc_id < n.n * {k} // 4)
+                 AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM first, n
+                WHERE fd < n.n * {k} // 4) AS vocab
+        FROM n""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      first AS (SELECT t, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+      dtc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+              FROM toks GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            WHERE text IS NOT NULL)
+      {body}
+    """
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import lang_votes
     out = lang_votes(_docs(spark, sf_dir))
@@ -6150,6 +6222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_kappa": _q_langid_kappa,
         "langid_prf": _q_langid_prf,
         "markov_pred": _q_markov_pred,
+        "vocab_growth": _q_vocab_growth,
         "location_quotient": _q_location_quotient,
         "join_counts": _q_join_counts,
         "lisa": _q_lisa,
@@ -6926,6 +6999,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_kappa": _langid_kappa_sql(),
         "langid_prf": _langid_prf_sql(),
         "markov_pred": _markov_pred_sql(),
+        "vocab_growth": _vocab_growth_sql(),
         "location_quotient": _location_quotient_sql(),
         "join_counts": _join_counts_sql(),
         "lisa": _lisa_sql(),

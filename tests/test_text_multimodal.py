@@ -1241,3 +1241,34 @@ def test_langid_prf_identities(spark):
             import math
             assert r.f1_micro == math.floor(
                 2 * r.tp / (2 * r.tp + r.fp + r.fn) * 1e6 + 0.5)
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    import __spark_entry__ as E
+    rows = {r.quarter: (r.cutoff, r.n_docs, r.n_tokens, r.vocab)
+            for r in E._q_vocab_growth(
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # monotone growth in every coordinate
+    for k in (2, 3, 4):
+        for i in range(4):
+            assert rows[k][i] >= rows[k - 1][i]
+    # exact full-corpus checkpoint vs independent python
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .to_pydict()
+    vocab = set()
+    ntok = 0
+    for txt in t["text"]:
+        if txt is None:
+            continue
+        import re
+        toks = [w for w in re.split(r"\s+", txt.strip().lower())
+                if w]
+        vocab.update(toks)
+        ntok += len(toks)
+    assert rows[4][3] == len(vocab)
+    assert rows[4][2] == ntok
+    # sublinear vocabulary growth (Heaps): second-half vocab gain is
+    # smaller than the first-half gain
+    assert rows[4][3] - rows[2][3] < rows[2][3]
