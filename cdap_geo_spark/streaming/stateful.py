@@ -216,3 +216,84 @@ def geofence_stream(events: DataFrame, fences: list, *,
     return (src.groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, GEOFENCE_STATE,
                                     "append", timeout))
+
+
+#: flow_stream state: last (x, y) position per key
+FLOW_STATE = T.StructType([
+    T.StructField("lx", T.LongType()),
+    T.StructField("ly", T.LongType()),
+])
+
+
+def flow_stream(events: DataFrame, *, cell: int,
+                user_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id",
+                x_col: str = "x", y_col: str = "y",
+                idle_timeout_s: int | None = None) -> DataFrame:
+    """Streaming displacement feed — the stateful front half of
+    ``operators/zonal.flow_field``: per-user state is the LAST
+    position; each micro-batch orders its rows by event time and
+    emits one displacement per consecutive move, INCLUDING the move
+    that crosses the micro-batch boundary (the stateless failure
+    mode — pytest-pinned). Output rows: ``(user, cx, cy, dx, dy)``
+    with (cx, cy) the ORIGIN cell — feed them to any sink and the
+    batch flow_field aggregation over the collected rows equals the
+    batch-twin field on ordered feeds.
+
+    Same ordering contract as the other stateful ops (rows sort by
+    event time within a batch; cross-batch late data re-orders
+    displacements — the batch twin is the event-time-exact audit).
+    ``idle_timeout_s`` evicts idle users; their next event starts a
+    fresh track (documented TTL trade).
+    """
+    if cell < 1:
+        raise ValueError("flow_stream: cell must be >= 1")
+    out_schema = T.StructType([
+        events.schema[user_col],
+        T.StructField("cx", T.LongType()),
+        T.StructField("cy", T.LongType()),
+        T.StructField("dx", T.LongType()),
+        T.StructField("dy", T.LongType()),
+    ])
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_s
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs, state: GroupState):
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        last = state.get if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if last is not None:
+                state.update(last)
+            if idle_timeout_s:
+                state.setTimeoutDuration(idle_timeout_s * 1000)
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+            else chunks[0]
+        pdf = pdf.sort_values([ts_col, id_col])
+        xs = pdf[x_col].to_numpy(dtype="int64")
+        ys = pdf[y_col].to_numpy(dtype="int64")
+        users, cxs, cys, dxs, dys = [], [], [], [], []
+        uval = key[0]
+        px, py = (last[0], last[1]) if last is not None else (None,
+                                                             None)
+        for i in range(len(pdf)):
+            if px is not None:
+                users.append(uval)
+                cxs.append(px // cell)
+                cys.append(py // cell)
+                dxs.append(int(xs[i]) - px)
+                dys.append(int(ys[i]) - py)
+            px, py = int(xs[i]), int(ys[i])
+        state.update((px, py))
+        if idle_timeout_s:
+            state.setTimeoutDuration(idle_timeout_s * 1000)
+        yield pd.DataFrame({user_col: users, "cx": cxs, "cy": cys,
+                            "dx": dxs, "dy": dys})
+
+    src = events.withColumn(ts_col, events[ts_col].cast("timestamp"))
+    return (src.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, FLOW_STATE,
+                                    "append", timeout))

@@ -694,3 +694,65 @@ def test_geofence_stream_state_across_batches(spark, tmp_path):
     seq = list(zip(u1.event_id, u1.fence_id, u1.kind))
     assert seq == [(1, 7, "enter"), (2, 8, "enter"), (3, 7, "exit"),
                    (4, 8, "exit")]
+
+
+def _run_flow_stream(spark, tmp_path, files, name):
+    import os
+    from cdap_geo_spark.streaming.stateful import flow_stream
+    from cdap_geo_spark.streaming.windows import stream_from_directory
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    for f in files:
+        f.coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_directory(spark, src, files[0].schema)
+    q = (flow_stream(stream, cell=64)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def _flow_walk(spark):
+    import datetime as dtm
+    t0 = dtm.datetime(2026, 1, 1, tzinfo=dtm.timezone.utc)
+    rows = []
+    for u, path in [(1, [(10, 10), (70, 20), (75, 90), (200, 210)]),
+                    (2, [(300, 300), (260, 310), (100, 100)])]:
+        for i, (x, y) in enumerate(path):
+            rows.append((u * 100 + i, u,
+                         t0 + dtm.timedelta(minutes=i), x, y))
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "x long, y long")
+
+
+def test_flow_stream_matches_batch_displacements(spark, tmp_path):
+    ev = _flow_walk(spark)
+    got = _run_flow_stream(spark, tmp_path, [ev], "flow1")
+    # batch truth: per-user consecutive displacements with origin cell
+    from pyspark.sql import Window, functions as F
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (ev.select("user_id",
+                      F.lag("x").over(w).alias("px"),
+                      F.lag("y").over(w).alias("py"),
+                      (F.col("x") - F.lag("x").over(w)).alias("dx"),
+                      (F.col("y") - F.lag("y").over(w)).alias("dy"))
+            .where(F.col("dx").isNotNull())
+            .selectExpr("user_id", "px DIV 64 AS cx", "py DIV 64 AS cy",
+                        "dx", "dy").toPandas())
+    assert ({tuple(r) for r in got.itertuples(index=False)}
+            == {tuple(r) for r in want.itertuples(index=False)})
+
+
+def test_flow_stream_state_across_batches(spark, tmp_path):
+    """The displacement CROSSING the micro-batch boundary must be
+    emitted — a stateless engine would drop it."""
+    ev = _flow_walk(spark)
+    b1 = ev.where("event_id % 100 <= 1")
+    b2 = ev.where("event_id % 100 >= 2")
+    got = _run_flow_stream(spark, tmp_path, [b1, b2], "flow2")
+    whole = _run_flow_stream(spark, tmp_path, [ev], "flow3")
+    assert ({tuple(r) for r in got.itertuples(index=False)}
+            == {tuple(r) for r in whole.itertuples(index=False)})
+    # user 1 has 3 displacements incl. the cross-batch one
+    assert (got[got.user_id == 1].shape[0] == 3)
