@@ -5391,6 +5391,82 @@ def _cell_churn_sql() -> str:
     """
 
 
+def _q_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW leave-one-out CV (operators/zonal.idw_loocv) on the
+    hash-scattered event field (z = value signal): per-pair weight
+    contributions micro-rounded BIGINT, per-point one division,
+    MAE/bias re-quantized per point then BIGINT-summed."""
+    from cdap_geo_spark.operators.zonal import idw_loocv
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
+        ((F.col("event_id") * 7919 + 3) % 1000).alias("z"))
+    return idw_loocv(ev, radius=10_000)
+
+
+def _idw_cv_sql() -> str:
+    r = 10_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y,
+               (event_id*7919 + 3)   % 1000    AS z
+        FROM events
+      ),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                               (VALUES (-1), (0), (1)) u(oy)),
+      l AS (SELECT id, x, y, z, x // {r} + ox AS cx,
+                   y // {r} + oy AS cy FROM b, o),
+      per AS (
+        SELECT l.id, MAX(l.z) AS za,
+               CAST(SUM(CAST(ROUND(CAST(rr.z AS DOUBLE) * 1000000.0
+                 / CAST((l.x - rr.x) * (l.x - rr.x)
+                        + (l.y - rr.y) * (l.y - rr.y) + 1 AS DOUBLE))
+                 AS BIGINT)) AS BIGINT) AS sn,
+               CAST(SUM(CAST(ROUND(1000000.0
+                 / CAST((l.x - rr.x) * (l.x - rr.x)
+                        + (l.y - rr.y) * (l.y - rr.y) + 1 AS DOUBLE))
+                 AS BIGINT)) AS BIGINT) AS sd
+        FROM l JOIN b rr
+          ON l.cx = rr.x // {r} AND l.cy = rr.y // {r}
+         AND l.id <> rr.id
+         AND (l.x - rr.x) * (l.x - rr.x)
+             + (l.y - rr.y) * (l.y - rr.y) <= {r * r}
+        GROUP BY 1
+      ),
+      sc AS (
+        SELECT id,
+               CAST(ROUND((CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE)
+                           - CAST(za AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS err_m,
+               CAST(ROUND(ABS(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE)
+                              - CAST(za AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS abs_m
+        FROM per WHERE sd > 0
+      ),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(abs_m) AS BIGINT) AS sae,
+               CAST(SUM(err_m) AS BIGINT) AS sbe
+        FROM sc
+      )
+      SELECT nn.n, agg.n_scored,
+             CAST(nn.n - agg.n_scored AS BIGINT) AS n_censored,
+             CASE WHEN agg.n_scored > 0 THEN
+               CAST(ROUND(CAST(agg.sae AS DOUBLE)
+                    / CAST(agg.n_scored AS DOUBLE)) AS BIGINT) END
+               AS mae_micro,
+             CASE WHEN agg.n_scored > 0 THEN
+               CAST(ROUND(CAST(agg.sbe AS DOUBLE)
+                    / CAST(agg.n_scored AS DOUBLE)) AS BIGINT) END
+               AS bias_micro
+      FROM agg CROSS JOIN nn
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -6216,6 +6292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": _q_cross_k,
         "mutual_info": _q_mutual_info,
         "cell_churn": _q_cell_churn,
+        "idw_cv": _q_idw_cv,
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
@@ -6993,6 +7070,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_k": _cross_k_sql(),
         "mutual_info": _mutual_info_sql(),
         "cell_churn": _cell_churn_sql(),
+        "idw_cv": _idw_cv_sql(),
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),

@@ -1811,6 +1811,89 @@ def cell_churn(presence: DataFrame, *, x_col: str = "qx",
         .alias("n_loss"))
 
 
+def idw_loocv(points: DataFrame, *, radius: int,
+              id_col: str = "id", x_col: str = "x", y_col: str = "y",
+              value_col: str = "z") -> DataFrame:
+    """Leave-one-out cross-validation of inverse-distance-weighted
+    interpolation — the model-quality report for the IDW family: each
+    point is predicted from its OTHER neighbors within ``radius``
+    (weights ``1/(d²+1)``, the engine's deterrence convention) and
+    compared to its actual value. Returns ONE row: ``(n, n_scored,
+    n_censored, mae_micro, bias_micro)`` — points with no neighbor in
+    radius are censored (counted, unscored — the bounded-radius trade
+    every local interpolator makes).
+
+    Exactness: per-pair weights are micro-rounded BIGINTs
+    (``1e6·z/(d²+1)`` numerator and ``1e6/(d²+1)`` denominator
+    contributions summed exactly per point); each point's prediction
+    is ONE division of two exact sums; its error and the final
+    MAE/bias re-quantize per point to micro-units and sum as BIGINT
+    (order-independent — the char_entropy discipline for floats that
+    must cross an aggregation).
+
+    Plan: ONE 3×3-neighbor cell join at ``radius`` + a per-point
+    partial agg + a 1-row combine.
+    """
+    if radius < 1:
+        raise ValueError("idw_loocv: radius must be >= 1")
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(value_col).cast("long").alias("_z")))
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"), F.col("_z").alias("za"),
+                        F.expr(f"_x DIV {radius}").alias("_cx"),
+                        F.expr(f"_y DIV {radius}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay", "za",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"), F.col("_z").alias("zb"),
+                        F.expr(f"_x DIV {radius}").alias("cx"),
+                        F.expr(f"_y DIV {radius}").alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    wnum = F.round(F.col("zb").cast("double") * 1000000.0
+                   / (d2 + 1).cast("double")).cast("long")
+    wden = F.round(F.lit(1000000.0)
+                   / (d2 + 1).cast("double")).cast("long")
+    per = (left.join(right, ["cx", "cy"])
+           .where((F.col("a") != F.col("b"))
+                  & (d2 <= F.lit(radius * radius)))
+           .groupBy("a")
+           .agg(F.max("za").alias("_za"),
+                F.sum(wnum).cast("long").alias("_sn"),
+                F.sum(wden).cast("long").alias("_sd")))
+    err = (F.col("_sn").cast("double") / F.col("_sd").cast("double")
+           - F.col("_za").cast("double"))
+    err_m = F.round(err * 1000000.0).cast("long")
+    abs_m = F.round(F.abs(err) * 1000000.0).cast("long")
+    scored = per.where(F.col("_sd") > 0)
+    agg = scored.agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                     F.sum(abs_m).cast("long").alias("_sae"),
+                     F.sum(err_m).cast("long").alias("_sbe"))
+    out = agg.crossJoin(F.broadcast(nrow))
+    mae = F.when(F.col("n_scored") > 0,
+                 F.round(F.col("_sae").cast("double")
+                         / F.col("n_scored").cast("double"))
+                 .cast("long"))
+    bias = F.when(F.col("n_scored") > 0,
+                  F.round(F.col("_sbe").cast("double")
+                          / F.col("n_scored").cast("double"))
+                  .cast("long"))
+    return out.select(
+        F.col("_n").alias("n"), "n_scored",
+        (F.col("_n") - F.col("n_scored")).cast("long")
+        .alias("n_censored"),
+        mae.alias("mae_micro"), bias.alias("bias_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1380,3 +1380,45 @@ def test_cell_churn_brute_force(spark):
         last = len({u for xx, yy, pp, u in rows
                     if (xx, yy, pp) == (x, y, pmax)})
         assert gains - losses == last - first
+
+
+def test_idw_loocv_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import idw_loocv
+    random.seed(191)
+    side, r = 400, 80
+    pts = [(i, random.randrange(side), random.randrange(side),
+            random.randrange(1, 100)) for i in range(60)]
+    pts.append((999, 5000, 5000, 50))          # censored isolate
+    df = spark.createDataFrame(pts, "id long, x long, y long, z long")
+    (row,) = idw_loocv(df, radius=r).collect()
+
+    def rnd(v):
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5))
+
+    errs, abss = [], []
+    for i, x, y, z in pts:
+        sn = sd = 0
+        for j, bx, by, bz in pts:
+            if i == j:
+                continue
+            d2 = (x - bx) ** 2 + (y - by) ** 2
+            if d2 > r * r:
+                continue
+            sn += rnd(bz / (d2 + 1))
+            sd += rnd(1 / (d2 + 1))
+        if sd > 0:
+            e = sn / sd - z
+            errs.append(rnd(e))
+            abss.append(rnd(abs(e)))
+    n = len(pts)
+    assert (row.n, row.n_scored, row.n_censored) \
+        == (n, len(errs), n - len(errs))
+    assert row.n_censored == 1
+    assert row.mae_micro == rnd(sum(abss) / len(abss) / 1e6)
+    assert row.bias_micro == rnd(sum(errs) / len(errs) / 1e6)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        idw_loocv(df, radius=0)
