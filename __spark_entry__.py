@@ -5467,6 +5467,75 @@ def _idw_cv_sql() -> str:
     """
 
 
+def _q_spatial_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#200: Shannon entropy + Pielou evenness of each event_type's
+    20km density field (the diversity-style companion to
+    locational_gini): H = ln n − Σc·ln c/n over cell counts
+    (char_entropy discipline), evenness = H/ln(k_occupied), both
+    fixed-shape; one (type, cell) partial agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_type").isNotNull()) \
+        .selectExpr("event_type AS g",
+                    "((event_id*48271 + 17) % 700000) DIV 20000 * 65"
+                    " + ((event_id*69621 + 29) % 1300000) DIV 20000"
+                    " AS cell")
+    c = ev.groupBy("g", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    term = F.round(F.col("c").cast("double")
+                   * F.log(F.col("c").cast("double"))
+                   * 1000000.0).cast("long")
+    p = c.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_cells"),
+        F.sum(term).cast("long").alias("_s"))
+    h = F.round((F.log(F.col("n").cast("double"))
+                 - F.col("_s").cast("double") / 1000000.0
+                 / F.col("n").cast("double")) * 1000000.0) \
+        .cast("long")
+    p = p.select("g", "n", "k_cells", h.alias("h_micro"))
+    ev_m = F.when(F.col("k_cells") > 1,
+                  F.round(F.col("h_micro").cast("double")
+                          / (F.log(F.col("k_cells").cast("double"))
+                             * 1000000.0) * 1000000.0).cast("long"))
+    return p.select("g", "n", "k_cells", "h_micro",
+                    ev_m.alias("evenness_micro"))
+
+
+def _spatial_entropy_sql() -> str:
+    return """
+      WITH b AS (
+        SELECT event_type AS g,
+               ((event_id*48271 + 17) % 700000) // 20000 * 65
+               + ((event_id*69621 + 29) % 1300000) // 20000 AS cell
+        FROM events WHERE event_type IS NOT NULL
+      ),
+      c AS (SELECT g, cell, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY 1, 2),
+      p AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_cells,
+               CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                 * LN(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+                 AS BIGINT) AS s
+        FROM c GROUP BY 1
+      ),
+      hh AS (
+        SELECT g, n, k_cells,
+               CAST(ROUND((LN(CAST(n AS DOUBLE))
+                 - CAST(s AS DOUBLE) / 1000000.0
+                   / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 AS h_micro
+        FROM p
+      )
+      SELECT g, n, k_cells, h_micro,
+             CASE WHEN k_cells > 1 THEN
+               CAST(ROUND(CAST(h_micro AS DOUBLE)
+                    / (LN(CAST(k_cells AS DOUBLE)) * 1000000.0)
+                    * 1000000.0) AS BIGINT) END AS evenness_micro
+      FROM hh
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -6293,6 +6362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": _q_mutual_info,
         "cell_churn": _q_cell_churn,
         "idw_cv": _q_idw_cv,
+        "spatial_entropy": _q_spatial_entropy,
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
@@ -7071,6 +7141,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _mutual_info_sql(),
         "cell_churn": _cell_churn_sql(),
         "idw_cv": _idw_cv_sql(),
+        "spatial_entropy": _spatial_entropy_sql(),
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),

@@ -1422,3 +1422,38 @@ def test_idw_loocv_brute_force(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         idw_loocv(df, radius=0)
+
+
+def test_spatial_entropy_query_brute_force(spark):
+    import math
+    import __spark_entry__ as E
+    got = {r.g: (r.n, r.k_cells, r.h_micro, r.evenness_micro)
+           for r in E._q_spatial_entropy(
+               spark, "/root/testdata/sf0.001").collect()}
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet") \
+        .to_pydict()
+    from collections import Counter, defaultdict
+    per = defaultdict(Counter)
+    for eid, et in zip(t["event_id"], t["event_type"]):
+        if et is None:
+            continue
+        cell = ((eid * 48271 + 17) % 700000 // 20000 * 65
+                + (eid * 69621 + 29) % 1300000 // 20000)
+        per[et][cell] += 1
+
+    def rnd(v):
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5))
+
+    for g, cnt in per.items():
+        n = sum(cnt.values())
+        k = len(cnt)
+        s = sum(rnd(c * math.log(c)) for c in cnt.values())
+        h = rnd(math.log(n) - s / 1e6 / n)
+        evn = rnd(h / (math.log(k) * 1e6)) if k > 1 else None
+        assert got[g] == (n, k, h, evn), g
+        # entropy is bounded by ln k; evenness in [0, 1] + slack
+        assert 0 <= h <= rnd(math.log(k)) + 1
+        if evn is not None:
+            assert 0 <= evn <= 1_000_001
