@@ -5536,6 +5536,78 @@ def _spatial_entropy_sql() -> str:
     """
 
 
+def _q_variogram_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional semivariogram (operators/zonal.
+    variogram_directional): the variogram split by the exact integer
+    direction sector (sign-folded octant rule, no atan2)."""
+    from cdap_geo_spark.operators.zonal import variogram_directional
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
+        ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
+        ((F.col("event_id") * 7919 + 3) % 1000).alias("z"))
+    return variogram_directional(ev, h_max=10_000, n_bins=5)
+
+
+def _variogram_aniso_sql() -> str:
+    hmax, width = 10_000, 2_000
+    return f"""
+      WITH b AS (
+        SELECT event_id AS id,
+               (event_id*48271 + 17) % 700000  AS x,
+               (event_id*69621 + 29) % 1300000 AS y,
+               (event_id*7919 + 3)   % 1000    AS z
+        FROM events
+      ),
+      o AS (SELECT ox, oy FROM (VALUES (-1), (0), (1)) t(ox),
+                               (VALUES (-1), (0), (1)) u(oy)),
+      l AS (SELECT id, x, y, z, x // {hmax} + ox AS cx,
+                   y // {hmax} + oy AS cy FROM b, o),
+      p AS (
+        SELECT l.x - rr.x AS dx, l.y - rr.y AS dy,
+               (l.x - rr.x) * (l.x - rr.x)
+               + (l.y - rr.y) * (l.y - rr.y) AS d2,
+               (l.z - rr.z) * (l.z - rr.z) AS dz2
+        FROM l JOIN b rr
+          ON l.cx = rr.x // {hmax} AND l.cy = rr.y // {hmax}
+         AND l.id < rr.id
+         AND (l.x - rr.x) * (l.x - rr.x)
+             + (l.y - rr.y) * (l.y - rr.y) < {hmax * hmax}
+      ),
+      f AS (
+        SELECT CASE WHEN dy < 0 OR (dy = 0 AND dx < 0)
+                    THEN -dx ELSE dx END AS fdx,
+               CASE WHEN dy < 0 OR (dy = 0 AND dx < 0)
+                    THEN -dy ELSE dy END AS fdy,
+               d2, dz2
+        FROM p
+      ),
+      s AS (
+        SELECT CASE WHEN 2 * ABS(fdy) <= ABS(fdx) THEN 'EW'
+                    WHEN 2 * ABS(fdx) <= ABS(fdy) THEN 'NS'
+                    WHEN fdx > 0 THEN 'NE' ELSE 'NW' END AS sector,
+               d2, dz2,
+               CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) AS sq
+        FROM f
+      ),
+      r AS (
+        SELECT sector,
+               (sq + CASE WHEN (sq + 1) * (sq + 1) <= d2 THEN 1
+                          WHEN sq * sq > d2 THEN -1 ELSE 0 END)
+               // {width} AS bin,
+               dz2
+        FROM s
+      )
+      SELECT sector, bin, CAST(bin * {width} AS BIGINT) AS lo,
+             CAST((bin + 1) * {width} AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(ROUND(CAST(SUM(dz2) AS DOUBLE)
+                        / CAST(2 * COUNT(*) AS DOUBLE)
+                        * 1000000.0) AS BIGINT) AS gamma_micro
+      FROM r GROUP BY 1, 2
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -6363,6 +6435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_churn": _q_cell_churn,
         "idw_cv": _q_idw_cv,
         "spatial_entropy": _q_spatial_entropy,
+        "variogram_aniso": _q_variogram_aniso,
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
@@ -7142,6 +7215,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_churn": _cell_churn_sql(),
         "idw_cv": _idw_cv_sql(),
         "spatial_entropy": _spatial_entropy_sql(),
+        "variogram_aniso": _variogram_aniso_sql(),
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),

@@ -1894,6 +1894,88 @@ def idw_loocv(points: DataFrame, *, radius: int,
         mae.alias("mae_micro"), bias.alias("bias_micro"))
 
 
+def variogram_directional(points: DataFrame, *, h_max: int,
+                          n_bins: int, id_col: str = "id",
+                          x_col: str = "x", y_col: str = "y",
+                          value_col: str = "z") -> DataFrame:
+    """Directional semivariogram — :func:`variogram` split by the
+    pair's ORIENTATION (anisotropy detection: does the spatial
+    structure stretch along an axis?). Each unordered pair bins by
+    its exact lag (the :func:`variogram` integer-sqrt recipe) AND
+    its direction sector — E-W / N-S / NE-SW / NW-SE, assigned by
+    the :func:`slope_aspect` integer octant rule on |Δ| with the
+    unordered pair's sign folded (Δ and −Δ are the same direction).
+    Returns one row per occupied (sector, bin): ``(sector, bin, lo,
+    hi, n_pairs, gamma_micro)``.
+
+    Exactness identical to :func:`variogram` (exact integer lag,
+    exact BIGINT Σdz², one fixed-shape γ); the sector is a pure
+    integer comparison — no atan2 crosses engines. Plan: the same
+    ONE cell join + ONE (sector, bin)-keyed partial agg.
+    """
+    if h_max < 1 or n_bins < 1 or h_max % n_bins:
+        raise ValueError("variogram_directional: need h_max >= "
+                         "n_bins >= 1 with n_bins dividing h_max")
+    width = h_max // n_bins
+    base = (points
+            .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"),
+                    F.col(value_col).cast("long").alias("_z")))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    left = (base.select(F.col("_id").alias("a"), F.col("_x").alias("ax"),
+                        F.col("_y").alias("ay"), F.col("_z").alias("za"),
+                        F.expr(f"_x DIV {h_max}").alias("_cx"),
+                        F.expr(f"_y DIV {h_max}").alias("_cy"))
+            .withColumn("_ox", off).withColumn("_oy", off)
+            .select("a", "ax", "ay", "za",
+                    (F.col("_cx") + F.col("_ox")).alias("cx"),
+                    (F.col("_cy") + F.col("_oy")).alias("cy")))
+    right = base.select(F.col("_id").alias("b"), F.col("_x").alias("bx"),
+                        F.col("_y").alias("by"), F.col("_z").alias("zb"),
+                        F.expr(f"_x DIV {h_max}").alias("cx"),
+                        F.expr(f"_y DIV {h_max}").alias("cy"))
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    d2 = dx * dx + dy * dy
+    dz = F.col("za") - F.col("zb")
+    # fold the unordered pair's sign: flip so dy >= 0 (dy == 0 -> dx
+    # >= 0); then the octant rule on (dx, dy) names the direction
+    flip = (F.col("ay") - F.col("by") < 0) \
+        | ((F.col("ay") == F.col("by"))
+           & (F.col("ax") - F.col("bx") < 0))
+    fdx = F.when(flip, -dx).otherwise(dx)
+    fdy = F.when(flip, -dy).otherwise(dy)
+    ax_, ay_ = F.abs(fdx), F.abs(fdy)
+    sector = (F.when(2 * ay_ <= ax_, "EW")
+              .when(2 * ax_ <= ay_, "NS")
+              .when(fdx > 0, "NE")
+              .otherwise("NW"))
+    pairs = (left.join(right, ["cx", "cy"])
+             .where((F.col("a") < F.col("b"))
+                    & (d2 < F.lit(h_max * h_max)))
+             .select(sector.alias("sector"), d2.alias("_d2"),
+                     (dz * dz).alias("_dz2")))
+    s = F.floor(F.sqrt(F.col("_d2").cast("double"))).cast("long")
+    isqrt = s + (F.when((s + 1) * (s + 1) <= F.col("_d2"), 1)
+                 .when(s * s > F.col("_d2"), -1).otherwise(0))
+    binned = (pairs.select("sector", isqrt.alias("_is"), "_dz2")
+              .selectExpr("sector", f"_is DIV {width} AS bin", "_dz2")
+              .groupBy("sector", "bin")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                   F.sum("_dz2").cast("long").alias("_num")))
+    gamma = F.round(F.col("_num").cast("double")
+                    / (F.lit(2) * F.col("n_pairs")).cast("double")
+                    * 1000000.0).cast("long")
+    return binned.select(
+        "sector", "bin",
+        (F.col("bin") * width).cast("long").alias("lo"),
+        ((F.col("bin") + 1) * width).cast("long").alias("hi"),
+        "n_pairs", gamma.alias("gamma_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1457,3 +1457,45 @@ def test_spatial_entropy_query_brute_force(spark):
         assert 0 <= h <= rnd(math.log(k)) + 1
         if evn is not None:
             assert 0 <= evn <= 1_000_001
+
+
+def test_variogram_directional_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import variogram_directional
+    random.seed(193)
+    n, side = 90, 700
+    pts = [(i, random.randrange(side), random.randrange(side),
+            random.randrange(60)) for i in range(n)]
+    df = spark.createDataFrame(pts, "id long, x long, y long, z long")
+    h_max, n_bins = 300, 6
+    width = h_max // n_bins
+    got = {(r.sector, r.bin): (r.lo, r.hi, r.n_pairs, r.gamma_micro)
+           for r in variogram_directional(
+               df, h_max=h_max, n_bins=n_bins).collect()}
+    acc = {}
+    for i, ax, ay, az in pts:
+        for j, bx, by, bz in pts:
+            if i >= j:
+                continue
+            dx, dy = ax - bx, ay - by
+            d2 = dx * dx + dy * dy
+            if d2 >= h_max * h_max:
+                continue
+            if dy < 0 or (dy == 0 and dx < 0):
+                dx, dy = -dx, -dy
+            if 2 * abs(dy) <= abs(dx):
+                sec = "EW"
+            elif 2 * abs(dx) <= abs(dy):
+                sec = "NS"
+            else:
+                sec = "NE" if dx > 0 else "NW"
+            b = math.isqrt(d2) // width
+            c, s = acc.get((sec, b), (0, 0))
+            acc[(sec, b)] = (c + 1, s + (az - bz) ** 2)
+    want = {k: (k[1] * width, (k[1] + 1) * width, c,
+                math.floor(s / (2 * c) * 1e6 + 0.5))
+            for k, (c, s) in acc.items()}
+    assert got == want
+    # all four sectors appear on an isotropic cloud
+    assert {k[0] for k in got} == {"EW", "NS", "NE", "NW"}
