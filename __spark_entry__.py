@@ -5608,6 +5608,73 @@ def _variogram_aniso_sql() -> str:
     """
 
 
+def _q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Moran's I (operators/zonal.bivariate_morans): does a
+    region's AREA co-move with its neighbors' PERIMETER — the
+    spillover statistic; integer-centered both variables, one fixed-
+    shape expression."""
+    from cdap_geo_spark.operators.sjoin import sjoin_pairs
+    from cdap_geo_spark.operators.zonal import bivariate_morans
+    from cdap_geo_spark.sources import relational as R
+    from cdap_geo_spark import udfs
+    _spatial_conf(spark)
+    regions = R.region_boxes(spark, sf_dir)
+    vals = regions.select(
+        F.col("region_id").alias("id"),
+        udfs.st_area()(F.col("geometry")).cast("long").alias("_a"),
+        ((F.col("maxx") - F.col("minx"))
+         + (F.col("maxy") - F.col("miny"))).cast("long").alias("_p")) \
+        .select("id", F.expr("_a DIV 100000").alias("x"),
+                F.col("_p").alias("y2"))
+    left = regions.select(F.col("region_id").alias("a"), "geometry")
+    right = regions.select(F.col("region_id").alias("b"), "geometry")
+    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
+                        level=8, predicate="bbox")
+    edges = pairs.where(F.col("a") != F.col("b"))
+    return bivariate_morans(vals, edges)
+
+
+def _bivariate_moran_sql() -> str:
+    return f"""
+      WITH b AS ({_BOXES}),
+      v AS (SELECT region_id AS id,
+                   CAST((maxx - minx) * (maxy - miny) AS BIGINT)
+                     // 100000 AS x,
+                   CAST((maxx - minx) + (maxy - miny) AS BIGINT) AS y
+            FROM b),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS sx,
+                    CAST(SUM(y) AS BIGINT) AS sy FROM v),
+      z AS (SELECT id, x - (SELECT sx // n FROM st) AS zx,
+                   y - (SELECT sy // n FROM st) AS zy
+            FROM v),
+      dn AS (SELECT CAST(SUM(zx * zx) AS BIGINT) AS den_x,
+                    CAST(SUM(zy * zy) AS BIGINT) AS den_y,
+                    CAST(COUNT(*) AS BIGINT) AS n FROM z),
+      e AS (
+        SELECT a.region_id AS a, c.region_id AS bb
+        FROM ({_BOXES}) a JOIN ({_BOXES}) c
+          ON NOT (a.minx > c.maxx OR a.miny > c.maxy
+               OR a.maxx < c.minx OR a.maxy < c.miny)
+        WHERE a.region_id <> c.region_id
+      ),
+      nw AS (
+        SELECT CAST(SUM(za.zx * zb.zy) AS BIGINT) AS num,
+               CAST(COUNT(*) AS BIGINT) AS w_pairs
+        FROM e JOIN z za ON e.a = za.id JOIN z zb ON e.bb = zb.id
+      )
+      SELECT dn.n, nw.w_pairs, nw.num, dn.den_x, dn.den_y,
+             CASE WHEN dn.den_x > 0 AND dn.den_y > 0
+                   AND nw.w_pairs > 0 THEN
+               CAST(ROUND(CAST(dn.n * nw.num AS DOUBLE)
+                    / (CAST(nw.w_pairs AS DOUBLE)
+                       * SQRT(CAST(dn.den_x AS DOUBLE))
+                       * SQRT(CAST(dn.den_y AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS i_micro
+      FROM nw CROSS JOIN dn
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -6436,6 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_cv": _q_idw_cv,
         "spatial_entropy": _q_spatial_entropy,
         "variogram_aniso": _q_variogram_aniso,
+        "bivariate_moran": _q_bivariate_moran,
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
@@ -7216,6 +7284,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_cv": _idw_cv_sql(),
         "spatial_entropy": _spatial_entropy_sql(),
         "variogram_aniso": _variogram_aniso_sql(),
+        "bivariate_moran": _bivariate_moran_sql(),
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),

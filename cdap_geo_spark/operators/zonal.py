@@ -1976,6 +1976,57 @@ def variogram_directional(points: DataFrame, *, h_max: int,
         "n_pairs", gamma.alias("gamma_micro"))
 
 
+def bivariate_morans(values: DataFrame, edges: DataFrame, *,
+                     id_col: str = "id", x_col: str = "x",
+                     y_col: str = "y2", src: str = "a",
+                     dst: str = "b") -> DataFrame:
+    """Bivariate Moran's I — spatial SPILLOVER between two variables
+    (does my x co-move with my neighbors' y?):
+    ``I_xy = (n/W) · Σ_{ij∈W} zx_i·zy_j / sqrt(Σzx² · Σzy²)`` under
+    binary adjacency, with both variables integer-centered by the
+    exact floor mean (the :func:`morans_i` recipe). Returns ONE row:
+    ``(n, w_pairs, num, den_x, den_y, i_micro)``.
+
+    Everything through the numerator and both denominators is an
+    exact BIGINT (order-independent sums; magnitude contract as
+    morans_i); the statistic is ONE fixed-shape expression —
+    ``(n·num) / (W · sqrt(dx) · sqrt(dy))`` — micro-rounded, NULL on
+    degenerate variance. Plan: the morans_i edge-join shape with the
+    second variable riding the same centered relation.
+    """
+    vals = values.select(F.col(id_col).alias("_id"),
+                         F.col(x_col).cast("long").alias("_x"),
+                         F.col(y_col).cast("long").alias("_y"))
+    stat = vals.agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"))
+    z = (vals.crossJoin(F.broadcast(stat))
+         .select("_id",
+                 (F.col("_x") - F.expr("_sx DIV _n")).alias("_zx"),
+                 (F.col("_y") - F.expr("_sy DIV _n")).alias("_zy")))
+    den = z.agg(F.sum(F.col("_zx") * F.col("_zx")).cast("long")
+                .alias("den_x"),
+                F.sum(F.col("_zy") * F.col("_zy")).cast("long")
+                .alias("den_y"),
+                F.count(F.lit(1)).cast("long").alias("n"))
+    za = z.select(F.col("_id").alias(src), F.col("_zx").alias("_zxa"))
+    zb = z.select(F.col("_id").alias(dst), F.col("_zy").alias("_zyb"))
+    num_w = (edges.select(F.col(src), F.col(dst))
+             .join(za, src).join(zb, dst)
+             .agg(F.sum(F.col("_zxa") * F.col("_zyb")).cast("long")
+                  .alias("num"),
+                  F.count(F.lit(1)).cast("long").alias("w_pairs")))
+    out = num_w.crossJoin(F.broadcast(den))
+    i = F.when((F.col("den_x") > 0) & (F.col("den_y") > 0)
+               & (F.col("w_pairs") > 0),
+               F.round((F.col("n") * F.col("num")).cast("double")
+                       / (F.col("w_pairs").cast("double")
+                          * F.sqrt(F.col("den_x").cast("double"))
+                          * F.sqrt(F.col("den_y").cast("double")))
+                       * 1000000.0).cast("long"))
+    return out.select("n", "w_pairs", "num", "den_x", "den_y",
+                      i.alias("i_micro"))
+
+
 def local_morans(values: DataFrame, edges: DataFrame, *,
                  id_col: str = "id", value_col: str = "x",
                  src: str = "a", dst: str = "b") -> DataFrame:

@@ -1499,3 +1499,40 @@ def test_variogram_directional_brute_force(spark):
     assert got == want
     # all four sectors appear on an isotropic cloud
     assert {k[0] for k in got} == {"EW", "NS", "NE", "NW"}
+
+
+def test_bivariate_morans_brute_force(spark):
+    import math
+    import random
+    from cdap_geo_spark.operators.zonal import bivariate_morans
+    random.seed(197)
+    n = 25
+    vals = [(i, random.randrange(100), random.randrange(80))
+            for i in range(n)]
+    edges = []
+    for i in range(n):
+        edges += [(i, (i + 1) % n), ((i + 1) % n, i)]
+    vdf = spark.createDataFrame(vals, "id long, x long, y2 long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    (row,) = bivariate_morans(vdf, edf).collect()
+    sx = sum(x for _, x, _ in vals)
+    sy = sum(y for _, _, y in vals)
+    zx = {i: x - sx // n for i, x, _ in vals}
+    zy = {i: y - sy // n for i, _, y in vals}
+    num = sum(zx[a] * zy[b] for a, b in edges)
+    dx = sum(v * v for v in zx.values())
+    dy = sum(v * v for v in zy.values())
+    w = len(edges)
+    want = n * num / (w * math.sqrt(dx) * math.sqrt(dy))
+    want_m = (math.floor(want * 1e6 + 0.5) if want >= 0
+              else -math.floor(-want * 1e6 + 0.5))
+    assert (row.n, row.w_pairs, row.num, row.den_x, row.den_y) \
+        == (n, w, num, dx, dy)
+    assert row.i_micro == want_m
+    # x == y2 must reduce to the univariate morans_i statistic
+    from cdap_geo_spark.operators.zonal import morans_i
+    same = spark.createDataFrame([(i, x, x) for i, x, _ in vals],
+                                 "id long, x long, y2 long")
+    (bv,) = bivariate_morans(same, edf).collect()
+    (uv,) = morans_i(same.selectExpr("id", "x"), edf).collect()
+    assert abs(bv.i_micro - uv.i_micro) <= 1
