@@ -5675,6 +5675,65 @@ def _bivariate_moran_sql() -> str:
     """
 
 
+def _q_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-area SMR map ('error' events as cases): per 100km cell,
+    observed cases vs the expectation under the global rate —
+    E = cell_total·cases_total/N and SMR = obs/E, both via exact
+    cross-multiplied integers with ONE division each; the classic
+    disease-mapping first look."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_type").isNotNull()) \
+        .selectExpr(
+            "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
+            "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy",
+            "CAST(event_type = 'error' AS LONG) AS is_case")
+    cell = ev.groupBy("qx", "qy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_case").cast("long").alias("n_cases"))
+    tot = cell.agg(F.sum("n_events").cast("long").alias("_n"),
+                   F.sum("n_cases").cast("long").alias("_c"))
+    j = cell.crossJoin(F.broadcast(tot))
+    e = F.when(F.col("_n") > 0,
+               F.round((F.col("n_events") * F.col("_c"))
+                       .cast("double") * 1000000.0
+                       / F.col("_n").cast("double")).cast("long"))
+    smr = F.when((F.col("n_events") > 0) & (F.col("_c") > 0),
+                 F.round((F.col("n_cases") * F.col("_n"))
+                         .cast("double") * 1000000.0
+                         / (F.col("n_events") * F.col("_c"))
+                         .cast("double")).cast("long"))
+    return j.select(F.col("qx").cast("long"),
+                    F.col("qy").cast("long"), "n_events", "n_cases",
+                    e.alias("expected_micro"), smr.alias("smr_micro"))
+
+
+def _smr_sql() -> str:
+    return """
+      WITH cell AS (
+        SELECT ((event_id*48271 + 17) % 700000) // 100000 AS qx,
+               ((event_id*69621 + 29) % 1300000) // 100000 AS qy,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_cases
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n,
+                     CAST(SUM(n_cases) AS BIGINT) AS c FROM cell)
+      SELECT CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy,
+             n_events, n_cases,
+             CASE WHEN tot.n > 0 THEN
+               CAST(ROUND(CAST(n_events * tot.c AS DOUBLE)
+                    * 1000000.0 / CAST(tot.n AS DOUBLE)) AS BIGINT)
+             END AS expected_micro,
+             CASE WHEN n_events > 0 AND tot.c > 0 THEN
+               CAST(ROUND(CAST(n_cases * tot.n AS DOUBLE) * 1000000.0
+                    / CAST(n_events * tot.c AS DOUBLE)) AS BIGINT)
+             END AS smr_micro
+      FROM cell CROSS JOIN tot
+    """
+
+
 def _ripley_sql() -> str:
     area = 700_000 * 1_300_000
     rmax = 10_000
@@ -6504,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_entropy": _q_spatial_entropy,
         "variogram_aniso": _q_variogram_aniso,
         "bivariate_moran": _q_bivariate_moran,
+        "smr": _q_smr,
         "percolation": _q_percolation,
         "locational_gini": _q_locational_gini,
         "returners": _q_returners,
@@ -7285,6 +7345,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_entropy": _spatial_entropy_sql(),
         "variogram_aniso": _variogram_aniso_sql(),
         "bivariate_moran": _bivariate_moran_sql(),
+        "smr": _smr_sql(),
         "percolation": _percolation_sql(),
         "locational_gini": _locational_gini_sql(),
         "returners": _returners_sql(),

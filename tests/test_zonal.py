@@ -1536,3 +1536,34 @@ def test_bivariate_morans_brute_force(spark):
     (bv,) = bivariate_morans(same, edf).collect()
     (uv,) = morans_i(same.selectExpr("id", "x"), edf).collect()
     assert abs(bv.i_micro - uv.i_micro) <= 1
+
+
+def test_smr_query_brute_force(spark):
+    import math
+    import __spark_entry__ as E
+    got = {(r.qx, r.qy): (r.n_events, r.n_cases, r.expected_micro,
+                          r.smr_micro)
+           for r in E._q_smr(spark, "/root/testdata/sf0.001").collect()}
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet") \
+        .to_pydict()
+    from collections import defaultdict
+    cell = defaultdict(lambda: [0, 0])
+    for eid, et in zip(t["event_id"], t["event_type"]):
+        if et is None:
+            continue
+        k = ((eid * 48271 + 17) % 700000 // 100000,
+             (eid * 69621 + 29) % 1300000 // 100000)
+        cell[k][0] += 1
+        cell[k][1] += (et == "error")
+    n = sum(v[0] for v in cell.values())
+    c = sum(v[1] for v in cell.values())
+    for k, (ne, nc) in cell.items():
+        e = math.floor(ne * c * 1e6 / n + 0.5)
+        smr = (math.floor(nc * n * 1e6 / (ne * c) + 0.5)
+               if ne > 0 and c > 0 else None)
+        assert got[k] == (ne, nc, e, smr), k
+    # conservation: expected cases sum back to the observed total
+    # (within per-cell rounding slack)
+    assert abs(sum(v[2] for v in got.values()) - c * 1_000_000) \
+        <= len(got) * 1
