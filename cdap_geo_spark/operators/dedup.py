@@ -1026,10 +1026,67 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
 # near-dup clustering (connected components over the pair graph)
 # ---------------------------------------------------------------------------
 
+#: driver union-find gate (round 6): the iterative pointer-jumping loop
+#: costs ~4-8 scheduler jobs PER ROUND (AQE materializes every shuffle
+#: stage as its own job), which at local[32] dominates small component
+#: graphs — percolation's three grid_cluster ladders measured 246 jobs
+#: / 21 s with ~2 s of actual compute. Below this many (deduped,
+#: symmetric) edge rows the component graph is collected (two 8-byte
+#: columns ≤ ~64 MB via Arrow) and solved with an exact union-find; the
+#: bounded ``limit(cap+1).count()`` probe is the only extra job at
+#: corpus scale, where the distributed loop remains the path — the
+#: same cap-gate discipline as the all-pairs bitset regime above.
+DRIVER_CC_MAX_EDGES = 4_000_000
+
+
+def _driver_components(sym: DataFrame,
+                       cap: int = DRIVER_CC_MAX_EDGES) -> DataFrame | None:
+    """Exact connected components of the (already symmetric, deduped,
+    checkpointed) edge relation on the driver — ``None`` unless the
+    bounded probe proves the relation under ``cap`` rows.
+    Returns ``(node, label)`` with ``label`` = min reachable node id,
+    bit-identical to the converged pointer-jumping loop."""
+    if cap <= 0:
+        return None
+    n = sym.limit(cap + 1).count()
+    if n > cap:
+        return None
+    pdf = sym.toPandas()
+    codes, uniq = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True),
+        use_na_sentinel=False)
+    m = len(pdf)
+    a, b = codes[:m], codes[m:]
+    parent = np.arange(len(uniq), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:       # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for i, j in zip(a.tolist(), b.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+    roots = np.array([find(i) for i in range(len(uniq))], dtype=np.int64)
+    # component label = MIN member id (same total order as F.least /
+    # F.min over the ids — pandas groupby min matches for int/str ids)
+    lab = pd.Series(uniq).groupby(roots).transform("min")
+    out = pd.DataFrame({"node": pd.Series(uniq), "label": lab})
+    schema = T.StructType([
+        T.StructField("node", sym.schema["src"].dataType),
+        T.StructField("label", sym.schema["src"].dataType)])
+    return sym.sparkSession.createDataFrame(out, schema=schema)
+
+
 def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
                      id_b: str = "id_b",
                      max_rounds: int = 50,
-                     on_nonconverged: str = "raise") -> DataFrame:
+                     on_nonconverged: str = "raise",
+                     driver_cap: int = DRIVER_CC_MAX_EDGES) -> DataFrame:
     """(node, component): connected components of the near-dup pair
     graph — the dedup endgame (one keeper per component).
     ``component`` = the MIN node id reachable from ``node``.
@@ -1077,6 +1134,14 @@ def dedup_components(pairs: DataFrame, *, id_a: str = "id_a",
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"),
                                          F.col("src").alias("dst")))
     sym = sym.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    # cap-gated driver fast path: bounded probe on the checkpointed
+    # blocks, exact union-find, identical (node, min-reachable-id)
+    # output — the distributed loop below stays the corpus-scale path
+    fast = _driver_components(sym, cap=driver_cap)
+    if fast is not None:
+        unpersist_checkpoint(sym)
+        return fast.select(F.col("node"),
+                           F.col("label").alias("component"))
     labels = (sym.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node"))

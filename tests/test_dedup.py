@@ -273,13 +273,35 @@ def test_dedup_components_never_returns_wrong_labels_silently(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
                                   "id_a long, id_b long")
     # 1 round cannot close a 63-diameter path even with shortcutting
+    # (driver_cap=0 pins the distributed loop — the cap-gated driver
+    # union-find would otherwise solve this exactly in one pass)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(pairs, max_rounds=1).collect()
+        dedup_components(pairs, max_rounds=1, driver_cap=0).collect()
     # warn mode: partial labels returned, but loudly
     with pytest.warns(RuntimeWarning, match="did not converge"):
         out = dedup_components(pairs, max_rounds=1,
-                               on_nonconverged="warn")
+                               on_nonconverged="warn", driver_cap=0)
         assert out.count() == n
+
+
+def test_driver_components_matches_distributed(spark):
+    """The cap-gated driver union-find must be bit-identical to the
+    converged pointer-jumping loop on a graph mixing chains, cliques,
+    singleton-free nodes and disjoint pairs."""
+    from cdap_geo_spark.operators.dedup import dedup_components
+    rng = np.random.RandomState(5)
+    edges = [(i, i + 1) for i in range(0, 40)]            # chain
+    edges += [(100 + i, 100 + j)                          # clique
+              for i in range(6) for j in range(i + 1, 6)]
+    edges += [(200, 201), (300, 301), (301, 300)]         # pairs + dup
+    edges += [(int(a), int(b)) for a, b in
+              rng.randint(400, 460, size=(60, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.node, r.component)
+            for r in dedup_components(pairs).collect()}
+    slow = {(r.node, r.component)
+            for r in dedup_components(pairs, driver_cap=0).collect()}
+    assert fast == slow
 
 
 def test_packed_minsum_matches_numpy(spark):
