@@ -43,6 +43,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _region_adjacency_pairs(regions: DataFrame) -> DataFrame:
+    """Self bbox-join pairs (a, b) — including the diagonal — of the
+    region boxes, the edge source shared by the graph/zonal query
+    family. Round 6: built on the native-bounds fast path
+    (operators/sjoin.box_pairs_native) — ``region_boxes`` already
+    carries minx..maxy as native columns, so the former WKB encode +
+    Arrow decode round-trips bought nothing here. Result rows are
+    identical to sjoin_pairs(level=8, predicate='bbox') (oracle-
+    verified); the WKB geometry path remains exercised by
+    sjoin_pip/sjoin_bbox/distance_join/the headline."""
+    from cdap_geo_spark.operators.sjoin import box_pairs_native
+    left = regions.select(F.col("region_id").alias("a"),
+                          "minx", "miny", "maxx", "maxy")
+    right = regions.select(F.col("region_id").alias("b"),
+                           "minx", "miny", "maxx", "maxy")
+    # level 7 (32.8 km cells ~ the mean box width of 26 km): measured
+    # marginally faster than 8 and identical output at every level —
+    # the cell grid only generates candidates, the exact bbox test
+    # decides membership
+    return box_pairs_native(left, right, left_id="a", right_id="b",
+                            level=7)
+
+
 def _q_sjoin_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark import docs as D
     from cdap_geo_spark.operators.sjoin import sjoin_pairs
@@ -2820,10 +2843,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     out = pagerank(edges, src="a", dst="b", iterations=3)
     return out.select(F.col("id").cast("long"),
@@ -2841,10 +2861,7 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     out = triangle_counts(edges, src="a", dst="b")
     return out.select(F.col("id").cast("long"), "triangles")
@@ -2889,10 +2906,7 @@ def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     out = clustering_coeff(edges, src="a", dst="b")
     return out.select(F.col("id").cast("long"), "deg", "triangles",
@@ -2971,10 +2985,7 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     srcs = regions.where(F.col("region_id") % 97 == 0) \
         .select(F.col("region_id").alias("id"))
@@ -3247,10 +3258,7 @@ def _q_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return morans_i(vals, edges, id_col="id", value_col="x")
 
@@ -3269,10 +3277,7 @@ def _q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return local_morans(vals, edges, id_col="id", value_col="x")
 
@@ -3293,10 +3298,7 @@ def _q_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return getis_ord_gstar(vals, edges, id_col="id", value_col="x") \
         .select(F.col("id").cast("long"), "k", "lag", "a_num",
@@ -4281,10 +4283,7 @@ def _q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", (F.expr("_a DIV 100000") % 2).alias("is_b"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") < F.col("b"))
     return join_counts(vals, edges)
 
@@ -4980,10 +4979,7 @@ def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return general_g(vals, edges)
 
@@ -5626,10 +5622,7 @@ def _q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (F.col("maxy") - F.col("miny"))).cast("long").alias("_p")) \
         .select("id", F.expr("_a DIV 100000").alias("x"),
                 F.col("_p").alias("y2"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return bivariate_morans(vals, edges)
 
@@ -5861,10 +5854,7 @@ def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("region_id").alias("id"),
         udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return gearys_c(vals, edges, id_col="id", value_col="x")
 
@@ -6130,10 +6120,7 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     out = kcore_peel(edges, k=6, rounds=4, src="a", dst="b")
     return out.select(F.col("id").cast("long"), "deg")
@@ -6164,10 +6151,7 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return lpa_communities(edges, rounds=3, src="a", dst="b")
 
@@ -6196,10 +6180,7 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return degree_assortativity(edges, src="a", dst="b")
 
@@ -6339,10 +6320,7 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     # sjoin_pairs over the full self-join already emits BOTH ordered
     # directions (the bfs oracle relies on the same shape); the weight
     # is a deterministic per-direction integer
@@ -6382,10 +6360,7 @@ def _q_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
     regions = R.region_boxes(spark, sf_dir)
-    left = regions.select(F.col("region_id").alias("a"), "geometry")
-    right = regions.select(F.col("region_id").alias("b"), "geometry")
-    pairs = sjoin_pairs(left, right, left_id="a", right_id="b",
-                        level=8, predicate="bbox")
+    pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
     return adamic_adar(edges, k=50, src="a", dst="b")
 

@@ -62,16 +62,25 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
              .localCheckpoint(eager=False)
     track_checkpoint(e)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = e.select(F.col("src").alias("id")).distinct()
+    # one keyed agg gives BOTH the degrees and the node set (nodes =
+    # distinct src = deg's keys) — the separate nodes.distinct() was a
+    # second full shuffle of the edge relation re-run every iteration
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
+    track_checkpoint(deg)
+    nodes = deg.select(F.col("src").alias("id"))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     prev = None
     for _ in range(iterations):
-        contrib = (e.join(ranks.withColumnRenamed("id", "src"), "src")
-                     .join(deg, "src")
-                     .select(F.col("dst").alias("id"),
-                             F.expr("rank DIV deg").alias("c")))
+        # per-node contribution FIRST (rank DIV deg is constant across
+        # a node's out-edges): one node-dimension join, then a single
+        # join onto the edge relation — instead of dragging both rank
+        # and deg through separate edge-sized joins
+        per_node = (ranks.withColumnRenamed("id", "src").join(deg, "src")
+                    .select("src", F.expr("rank DIV deg").alias("c")))
+        contrib = (e.join(per_node, "src")
+                     .select(F.col("dst").alias("id"), "c"))
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
         ranks = (nodes.join(sums, "id", "left")
                  .select("id",
@@ -568,15 +577,18 @@ def sssp(edges: DataFrame, sources: DataFrame, *, src: str = "src",
                           (F.col("dist").isNull()
                            | (F.col("nd") < F.col("dist")))
                           .alias("_improved")))
-        nxt = merged.select("id", "dist").localCheckpoint(eager=True)
-        track_checkpoint(nxt)
-        fr = (merged.where("_improved").select("id", "dist")
-              .localCheckpoint(eager=True))
-        track_checkpoint(fr)
+        # ONE eager checkpoint per round: dist and frontier are narrow
+        # views over the same materialized blocks (the previous shape
+        # checkpointed each separately, recomputing the round's
+        # join+agg twice — 2x the round compute and 2x the jobs)
+        mcp = merged.localCheckpoint(eager=True)
+        track_checkpoint(mcp)
+        nxt = mcp.select("id", "dist")
+        fr = mcp.where("_improved").select("id", "dist")
         for p in prev:
             unpersist_checkpoint(p)
-        dist, frontier, prev = nxt, fr, [nxt, fr]
-    return dist
+        dist, frontier, prev = nxt, fr, [mcp]
+    return dist.select("id", "dist")
 
 
 def sssp_oracle_sql(edges_sql: str, sources_sql: str, *,
@@ -651,9 +663,8 @@ def lpa_communities(edges: DataFrame, *, rounds: int = 3,
                    F.col("label"),
                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
                    .alias("label"))
-               .localCheckpoint(eager=True))
-        track_checkpoint(nxt)
-        nxt.count()
+               .localCheckpoint(eager=True))   # eager = materialized;
+        track_checkpoint(nxt)                  # no extra count needed
         unpersist_checkpoint(lab)
         lab = nxt
     return lab.select(F.col("id").cast("long"),

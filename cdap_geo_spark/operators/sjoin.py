@@ -345,6 +345,78 @@ def refine_candidates(cand: DataFrame, *, left_id: str, right_id: str,
     raise ValueError(f"unknown predicate {predicate!r}")
 
 
+#: cell-key packing for :func:`box_pairs_native` — coordinates are
+#: non-negative (the repo's documented segments/tiles contract), so
+#: ``cx * 2^32 + cy`` is collision-free for any realistic extent.
+_CELL_PACK = 1 << 32
+
+
+def box_pairs_native(left: DataFrame, right: DataFrame, *,
+                     left_id: str, right_id: str,
+                     bounds: tuple[str, str, str, str] =
+                     ("minx", "miny", "maxx", "maxy"),
+                     level: int = DEFAULT_LEVEL,
+                     broadcast: bool | str = "auto",
+                     dedup: bool = True) -> DataFrame:
+    """bbox-overlap pairs of two axis-aligned BOX relations that
+    already carry native bounds columns — the same candidate-generate
+    + refine plan (and provably the same result rows) as
+    ``sjoin_pairs(predicate='bbox')``, with the WKB encode/decode
+    Python boundaries removed (guide §4: the geometry here is four
+    doubles the relation already has, so round-tripping them through
+    a WKB blob and two Arrow kernels buys nothing).
+
+    Losslessness of the native cover: each side covers the INCLUSIVE
+    integer cell range ``floor(min/cs) .. floor(max/cs)`` per axis, so
+    two boxes that overlap OR touch share at least one cell (any point
+    of the shared region lies in a cell covered by both); the exact
+    strict-inequality bbox test then decides, exactly as
+    :func:`refine_candidates` does for the decoded path. Coordinates
+    must be non-negative (Spark DIV truncates toward zero — the same
+    documented contract as the segments/tiles operators).
+
+    Scale: identical to the WKB path — map-side cell fan-out bounded
+    by box size / cell size, one equi-join sized by the same bounded
+    broadcast probe, one narrow id-pair dedup exchange.
+    """
+    mnx, mny, mxx, mxy = bounds
+    cs = int(C.cell_size(level))
+
+    def indexed(df: DataFrame, id_col: str, p: str) -> DataFrame:
+        b = df.select(
+            F.col(id_col),
+            F.col(mnx).alias(p + "minx"), F.col(mny).alias(p + "miny"),
+            F.col(mxx).alias(p + "maxx"), F.col(mxy).alias(p + "maxy"))
+        cx = F.explode(F.sequence(
+            F.expr(f"CAST({p}minx AS BIGINT) DIV {cs}"),
+            F.expr(f"CAST({p}maxx AS BIGINT) DIV {cs}"))).alias("_cx")
+        out = b.select("*", cx)
+        cy = F.explode(F.sequence(
+            F.expr(f"CAST({p}miny AS BIGINT) DIV {cs}"),
+            F.expr(f"CAST({p}maxy AS BIGINT) DIV {cs}"))).alias("_cy")
+        out = out.select("*", cy)
+        return out.select(
+            id_col, p + "minx", p + "miny", p + "maxx", p + "maxy",
+            (F.col("_cx") * F.lit(_CELL_PACK) + F.col("_cy"))
+            .alias("cell_id"))
+
+    if broadcast == "auto":
+        n = right.limit(BROADCAST_PROBE_ROWS + 1).count()
+        broadcast = n <= BROADCAST_PROBE_ROWS
+
+    l = indexed(left, left_id, "_l")
+    r = indexed(right, right_id, "_r")
+    rside = F.broadcast(r) if broadcast is True else r
+    cand = l.join(rside, "cell_id")
+    cand = cand.filter(
+        ~((F.col("_lminx") > F.col("_rmaxx")) |
+          (F.col("_lminy") > F.col("_rmaxy")) |
+          (F.col("_lmaxx") < F.col("_rminx")) |
+          (F.col("_lmaxy") < F.col("_rminy"))))
+    out = cand.select(left_id, right_id)
+    return out.dropDuplicates([left_id, right_id]) if dedup else out
+
+
 def sjoin(left: DataFrame, right: DataFrame, *,
           left_id: str = "doc_id", right_id: str = "region_id",
           lsuffix: str = "", rsuffix: str = "_right",

@@ -206,3 +206,44 @@ def test_hot_cells_census(spark, small_world):
     rows = hc.collect()
     assert all(r["count"] > 10 for r in rows)
     assert len(rows) >= 1  # coarse level concentrates rows
+
+
+def test_box_pairs_native_matches_wkb_bbox_path(spark):
+    # the native-bounds fast path must return exactly the rows of
+    # sjoin_pairs(predicate='bbox') over the same boxes encoded as
+    # WKB — touching boxes included (strict-inequality contract),
+    # at every covering level
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cdap_geo_spark import udfs
+    from cdap_geo_spark.operators.sjoin import box_pairs_native
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(300):
+        x0 = float(rng.randint(0, 500_000))
+        y0 = float(rng.randint(0, 900_000))
+        w = float(rng.randint(0, 60_000))
+        h = float(rng.randint(0, 60_000))
+        rows.append((i, x0, y0, x0 + w, y0 + h))
+    # one exactly-touching pair (shared edge) pins the tie rule
+    rows.append((1000, 0.0, 0.0, 1_000.0, 1_000.0))
+    rows.append((1001, 1_000.0, 0.0, 2_000.0, 1_000.0))
+    b = spark.createDataFrame(
+        rows, "id long, minx double, miny double, maxx double, maxy double")
+    wkb = b.select("id", udfs.st_box()(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"))
+        .alias("geometry"))
+    want = {(r["a"], r["b"]) for r in sjoin_pairs(
+        wkb.select(F.col("id").alias("a"), "geometry"),
+        wkb.select(F.col("id").alias("b"), "geometry"),
+        left_id="a", right_id="b", level=7, predicate="bbox").collect()}
+    assert ((1000, 1001) in want)  # touching pair is a bbox match
+    for lv in (6, 7, 8):
+        got = {(r["a"], r["b"]) for r in box_pairs_native(
+            b.select(F.col("id").alias("a"), "minx", "miny", "maxx",
+                     "maxy"),
+            b.select(F.col("id").alias("b"), "minx", "miny", "maxx",
+                     "maxy"),
+            left_id="a", right_id="b", level=lv).collect()}
+        assert got == want
