@@ -250,6 +250,28 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
         else:
             dist = udfs.st_point_distance()(
                 F.col("_qx"), F.col("_qy"), F.col("_cx"), F.col("_cy"))
+        def rect_ring_cells(lo_r: int, hi_r: int):
+            # native exact cell count of st_ring_cells_rect's annulus
+            # for one query box: cover rect (wc x hc cells) expanded by
+            # hi_r, minus the expansion by lo_r-1 — folded into the
+            # round's single count action so box mode needs no extra
+            # per-round probe job (the decision only picks broadcast
+            # vs shuffle; the result is identical either way)
+            wc = (F.floor(F.col("_qmaxx") / cs)
+                  - F.floor(F.col("_qminx") / cs) + 1)
+            hc = (F.floor(F.col("_qmaxy") / cs)
+                  - F.floor(F.col("_qminy") / cs) + 1)
+            outer = (wc + 2 * hi_r) * (hc + 2 * hi_r)
+            if lo_r <= 0:
+                return outer
+            return outer - (wc + 2 * (lo_r - 1)) * (hc + 2 * (lo_r - 1))
+
+        probe_rows_next = None
+        if box and broadcast_queries == "auto":
+            row = pending.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(rect_ring_cells(lo, hi)).alias("pr")).first()
+            probe_rows_next = row["pr"] or 0
         while rounds < max_rounds:
             if box:
                 ring = udfs.st_ring_cells_rect(level)(
@@ -263,10 +285,8 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
                 query_id, *q_cols, F.explode(ring).alias("cell_id"))
             if broadcast_queries == "auto":
                 if box:
-                    # ring size varies per query box: bounded count of
-                    # the actual probe relation (reads <= cap+1 rows)
-                    bc = (probes.limit(broadcast_threshold + 1).count()
-                          <= broadcast_threshold)
+                    bc = (probe_rows_next is not None
+                          and probe_rows_next <= broadcast_threshold)
                 else:
                     bc = (n_pending is not None and
                           n_pending * _annulus_cells(lo, hi)
@@ -317,10 +337,20 @@ def knn_join(queries: DataFrame, corpus: DataFrame, *, k: int,
             pending_next = pending.join(done_q.select(query_id),
                                         query_id, "left_anti") \
                                   .localCheckpoint(eager=False)
-            # count() is the first action of the round: it materializes
-            # BOTH lazy checkpoints (acc feeds done_q feeds this join),
-            # so the next round starts from stored blocks
-            n_pending = pending_next.count()
+            # the round's first action materializes BOTH lazy
+            # checkpoints (acc feeds done_q feeds this join), so the
+            # next round starts from stored blocks. Box mode folds the
+            # NEXT annulus's exact probe-row count into the same
+            # aggregate (replacing the former per-round limit+count
+            # probe job on the exploded ring relation).
+            if box and broadcast_queries == "auto":
+                row = pending_next.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(rect_ring_cells(hi + 1, hi * 2 + 2))
+                    .alias("pr")).first()
+                n_pending, probe_rows_next = row["n"], row["pr"] or 0
+            else:
+                n_pending = pending_next.count()
             if prev_acc is not None:
                 unpersist_checkpoint(prev_acc)
             unpersist_checkpoint(pending)

@@ -54,7 +54,14 @@ BROADCAST_PROBE_ROWS = 250_000
 #: ``salt='auto'`` (the default) censuses the hottest cell on a
 #: bounded sample of the indexed LEFT side when the join is NOT
 #: broadcast; the sample never exceeds this many indexed rows.
-SALT_SAMPLE_ROWS = 100_000
+#: Round 6: 100k -> 32k and per-partition oversample 8 -> 2. The old
+#: budget decoded up to oversample x sample ~ 800k rows — MORE than
+#: the whole sf0.1 left side, i.e. the census cost a full extra decode
+#: pass (the round-5 sjoin_pip_salted regression). 32k samples resolve
+#: a hot-cell share of 1/32 (the smallest worth salting at this
+#: parallelism) with ~1000 expected hits — ample for ceil(share x
+#: parallelism).
+SALT_SAMPLE_ROWS = 32_000
 #: replication factor ceiling — salting replicates the right side
 #: ``salt``-fold, so unbounded salts would trade skew for volume.
 MAX_AUTO_SALT = 32
@@ -86,9 +93,15 @@ def _census_sample(l_indexed: DataFrame,
     import numpy as np
     import pandas as pd
 
-    n_parts = max(1, l_indexed.rdd.getNumPartitions())
+    # quota sized by defaultParallelism, not the exact partition count:
+    # the former .rdd.getNumPartitions() touch dragged the whole plan
+    # through the RDD conversion path (round-5 VERDICT #9) for a number
+    # that only scales the per-partition quota — any same-order proxy
+    # serves, and the total read stays bounded per partition either way
+    n_parts = max(1, l_indexed.sparkSession.sparkContext
+                  .defaultParallelism)
     quota = max(64, sample_rows // n_parts)
-    oversample = 8
+    oversample = 2
 
     def take_quota(batches):
         rng = np.random.RandomState(0xC3115)
