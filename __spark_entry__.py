@@ -160,7 +160,7 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sums."""
     from cdap_geo_spark.operators.knn import idw_interpolate
     _spatial_conf(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     corpus = d.select(
         "doc_id",
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
@@ -183,7 +183,7 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest label) — votes exact BIGINT."""
     from cdap_geo_spark.operators.knn import knn_classify
     _spatial_conf(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     corpus = d.select(
         "doc_id",
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
@@ -324,7 +324,7 @@ def _q_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.functions.relational import sdf_groupmax
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     out = sdf_groupmax(li, "l_orderkey", "l_extendedprice")
     return out.select(F.col("l_orderkey").cast("long"),
                       F.col("l_linenumber").cast("long"),
@@ -334,10 +334,18 @@ def _q_groupmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- training-data pipeline operators (documents/embeddings tables) ------
 
 def _docs(spark, sf_dir):
-    # single-file parquet = 1 partition; re-spread so downstream
-    # join/agg pipelines don't run in one task
-    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    return _tbl(spark, sf_dir, "documents")
+
+
+def _tbl(spark, sf_dir, name):
+    # single-file parquet = 1 partition: every map-side pipeline before
+    # the first exchange would run in ONE task (measured: snap_points 8
+    # tasks / 7.8 s, variogram 5 tasks / 4.0 s). ensure_min_parallelism
+    # widens narrow scans only - at production scale (partitions >=
+    # cores) it is a provable no-op and inserts nothing.
+    from cdap_geo_spark.functions.relational import ensure_min_parallelism
+    return ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,7 +725,7 @@ def _q_markov_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the accuracy), so everything is integer aggregation +
     one fixed-shape division."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .selectExpr(
             "user_id AS u", "event_id",
@@ -895,7 +903,7 @@ def _q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     run splits, micro-exact durations, centroid = one double divide
     of exact sums per axis; ONE keyed exchange."""
     from cdap_geo_spark.operators.timeseries import stay_points
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("user_id") * 7919) % 600000
                     + (F.col("event_id") * 48271 + 17) % 1501
                     + F.when(F.col("event_id") % 13 == 0,
@@ -1005,7 +1013,7 @@ def _q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     components by pointer-jumping min-label propagation, border =
     min neighboring core cluster, noise NULL."""
     from cdap_geo_spark.operators.cluster import dbscan
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = _tbl(spark, sf_dir, "events").selectExpr(
         "event_id AS id",
         "CASE WHEN event_id % 20 = 0"
         " THEN ((event_id DIV 20) % 40) % 8 * 81000 + 5000"
@@ -1096,7 +1104,7 @@ def _q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, largest component (cells and points). The classic
     connectivity-vs-threshold curve, exact BIGINTs throughout."""
     from cdap_geo_spark.operators.cluster import grid_cluster
-    pts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    pts = _tbl(spark, sf_dir, "events").selectExpr(
         "CASE WHEN event_id % 20 = 0"
         " THEN ((event_id DIV 20) % 40) % 8 * 81000 + 5000"
         "      + (event_id*331 + 7) % 4000"
@@ -1150,7 +1158,7 @@ def _q_locational_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-count histogram as the value vector): how unevenly is each
     behaviour distributed over space."""
     from cdap_geo_spark.operators.timeseries import grouped_gini
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("event_type").isNotNull()) \
         .selectExpr("event_type AS g",
                     "((event_id*48271 + 17) % 700000) DIV 20000 * 65"
@@ -1198,7 +1206,7 @@ def _q_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, ties by smallest cell id, one fixed-shape division;
     label by exact cross-multiplication (share > 1/2)."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("user_id").isNotNull()) \
         .selectExpr("user_id AS u",
                     "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
@@ -1258,8 +1266,7 @@ def _returners_sql() -> str:
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
     out = cosine_topk(emb, queries_df, k=5)
@@ -1336,8 +1343,7 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import lsh_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=10, probes=2)
@@ -1356,8 +1362,7 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals, so assignment + probing + rank stay exactly
     recomputable."""
     from cdap_geo_spark.operators.embeddings import ivf_topk, ivf_train
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, dim=64, n_clusters=16)
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
                     .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -1376,8 +1381,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.embeddings import (cosine_topk,
                                                      ivf_topk,
                                                      ivf_train)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 20 == 0) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     exact = cosine_topk(emb, queries_df, k=5) \
@@ -1425,8 +1429,7 @@ def _q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     native-cosine verify >= 0.4. Oracle reproduces bands + verify from
     the same seeded hyperplanes as literal arrays."""
     from cdap_geo_spark.operators.embeddings import embedding_dup_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     out = embedding_dup_pairs(emb, dim=64, threshold=0.4, bands=4,
                               rows_per_band=4)
     return out.select(F.col("ida").cast("long"),
@@ -1507,8 +1510,7 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.streaming.windows import windowed_event_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = windowed_event_counts(ev, window="1 hour")
     # sum_value is excluded from the checked projection: double
     # summation order differs between engines (bit-level FP noise)
@@ -1523,8 +1525,7 @@ def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal on the same rows."""
     from cdap_geo_spark.streaming.windows import windowed_distinct_hll
     from cdap_geo_spark.operators.sketch import hll_finalize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     rel = windowed_distinct_hll(ev, value_col="user_id",
                                 window="1 hour", p=9)
     out = hll_finalize(rel, group_cols=["window_start"], p=9)
@@ -1540,8 +1541,7 @@ def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows × active keys, never the raw events."""
     from cdap_geo_spark.streaming.windows import (topk_finalize,
                                                   windowed_counts_by_key)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     rel = windowed_counts_by_key(ev, key_col="user_id", window="1 hour")
     out = topk_finalize(rel, k=5, key_col="user_id")
     return out.select(F.col("window_start").cast("string"),
@@ -1576,8 +1576,7 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     event matched to the user's most recent view at-or-before it — the
     union-then-window plan (ONE exchange, no inequality join)."""
     from cdap_geo_spark.operators.timeseries import asof_join
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = asof_join(ev.where(F.col("event_type") == "click"),
                     ev.where(F.col("event_type") == "view"),
                     on="user_id", ts_col="ts",
@@ -1594,8 +1593,7 @@ def _q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.rolling_stats); the sum runs on integer-scaled
     values so it is exact and cross-engine hashable."""
     from cdap_geo_spark.operators.timeseries import rolling_stats
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = rolling_stats(ev, key="user_id", ts_col="ts",
                         value_col="value", window_seconds=3600)
     return out.select(F.col("event_id").cast("long"),
@@ -1609,8 +1607,7 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.funnel_steps): per step, users reaching it in
     order plus the integer-exact total conversion lag."""
     from cdap_geo_spark.operators.timeseries import funnel_steps
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = funnel_steps(ev, ["view", "click", "purchase"],
                        key="user_id", ts_col="ts")
     return out.select(F.col("step").cast("int"), "name",
@@ -1622,8 +1619,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/timeseries.retention_cohorts):
     per (first-active-day cohort, day offset), active users."""
     from cdap_geo_spark.operators.timeseries import retention_cohorts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = retention_cohorts(ev, key="user_id", ts_col="ts")
     return out.select(F.col("cohort_day").cast("string"),
                       F.col("offset_days").cast("int"),
@@ -1639,8 +1635,7 @@ def _q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     that never goes quadratic."""
     from cdap_geo_spark.operators.skyline import skyline
     from cdap_geo_spark.operators.text import token_count
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col("n_chars").cast("long").alias("n_chars"),
                     token_count(F.col("text")).cast("long")
@@ -1657,14 +1652,14 @@ def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Aggregated per window (count + exact session-id sum)."""
     from cdap_geo_spark.operators.timeseries import interval_overlap_join
     t0 = 1_704_067_200
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _tbl(spark, sf_dir, "part")
     start = (F.lit(t0)
              + (F.col("p_partkey") * 7919) % (30 * 86400)).cast("long")
     length = ((F.col("p_partkey") * 131 + 17) % 21600 + 600).cast("long")
     ivs = part.select(F.col("p_partkey").cast("long").alias("interval_id"),
                       start.alias("start_s"),
                       (start + length).alias("end_s"))
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     s2 = (F.lit(t0)
           + (F.col("doc_id") * 48271 + 17) % (30 * 86400)).cast("long")
     l2 = ((F.col("doc_id") * 977 + 5) % 10800 + 300).cast("long")
@@ -1684,8 +1679,7 @@ def _q_time_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour/day/week counts + exact scaled sums, each level rolled up
     from the previous level's relation — raw rows aggregate once."""
     from cdap_geo_spark.operators.timeseries import time_pyramid
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     return time_pyramid(ev)
 
 
@@ -1712,12 +1706,11 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-sum pins the membership set). The bin-replication plan — never
     the BroadcastNestedLoopJoin a raw BETWEEN join gets."""
     from cdap_geo_spark.operators.timeseries import interval_join
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     pts = ev.select(F.col("event_id").cast("long").alias("event_id"),
                     F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV "
                            "1000000").alias("p_s"))
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _tbl(spark, sf_dir, "part")
     t0 = 1_704_067_200  # 2024-01-01 UTC, the event-domain origin
     start = (F.lit(t0)
              + (F.col("p_partkey") * 7919) % (30 * 86400)).cast("long")
@@ -1739,8 +1732,7 @@ def _q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; the only doubles are the final two divisions of identical
     BIGINTs, rounded — cross-engine hashable."""
     from cdap_geo_spark.operators.timeseries import grouped_ols
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism) \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("hod", F.hour(F.col("ts").cast("timestamp")))
     return grouped_ols(ev, group="event_type", x_col="hod",
                        y_col="value", x_scale=1, y_scale=100)
@@ -1751,8 +1743,7 @@ def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.outlier_flags): deterministic, hashable —
     (n·x - s)² > k²·(n·q - s²), all BIGINT."""
     from cdap_geo_spark.operators.timeseries import outlier_flags
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = outlier_flags(ev, group="event_type", value_col="value", k=2)
     return out.select(F.col("event_id").cast("long"), "event_type",
                       F.col("is_outlier").cast("boolean"))
@@ -1764,8 +1755,7 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics over integer-scaled values; emitted as the scaled BIGINT
     so the hash is float-free."""
     from cdap_geo_spark.operators.timeseries import winsorize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = winsorize(ev, group="event_type", value_col="value",
                     lo_q=0.05, hi_q=0.95)
     return out.select(
@@ -1787,8 +1777,7 @@ def _q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition partial chains → exact final chain; vertex set is
     exact BIGINTs, hash-checked against the O(n^3) hull-edge SQL."""
     from cdap_geo_spark.operators.hull import convex_hull
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    cust = _tbl(spark, sf_dir, "customer")
     pts = cust.select(
         F.col("c_nationkey").alias("g"),
         ((F.col("c_custkey") * 9973 + 7) % 1000003).alias("x"),
@@ -1803,8 +1792,7 @@ def _q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touches the raw points; deterministic smallest achieving
     pair on ties."""
     from cdap_geo_spark.operators.hull import hull_diameter
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    cust = _tbl(spark, sf_dir, "customer")
     pts = cust.select(
         F.col("c_nationkey").alias("g"),
         ((F.col("c_custkey") * 9973 + 7) % 1000003).alias("x"),
@@ -1826,8 +1814,7 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, micro-unit rounded, summed as BIGINT — a float ranking the
     value hash cannot disagree on."""
     from cdap_geo_spark.operators.text import bm25_topk
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES,
                                "query_id string, query_text string")
     return bm25_topk(docs, qs, k=10).select(
@@ -1856,7 +1843,7 @@ def _q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.text import fuzzy_join
     # the absolute key cap bounds the QUADRATIC DuckDB twin (and its
     # recursive-CTE closure) at every SF; the engine side needs no cap
-    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    p = _tbl(spark, sf_dir, "part") \
         .where((F.col("p_partkey") % 3 == 0)
                & (F.col("p_partkey") < 6000))
     lab = F.concat_ws(" ", "p_name", "p_brand", "p_type",
@@ -1879,7 +1866,7 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counterpart of the hist_quantiles sketch path; one window
     shuffle total."""
     from cdap_geo_spark.operators.timeseries import grouped_percentiles
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return grouped_percentiles(ev, group="event_type",
                                value_col="value", qs=[0.5, 0.9, 0.99])
 
@@ -1905,7 +1892,7 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange of stacked LAGs; the output is one micro-rounded double
     divide, so every per-event smoothed value hash-matches."""
     from cdap_geo_spark.operators.timeseries import ewma_bounded
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = ewma_bounded(ev, window=8)
     return out.select(F.col("user_id").cast("long"),
                       F.col("event_id").cast("long"), "ewma_u")
@@ -1917,7 +1904,7 @@ def _q_od(spark: SparkSession, sf_dir: str) -> DataFrame:
     via min_by/max_by keyed aggregation (map-side partials, NO sort
     window), snapped to 100km cells and counted — all BIGINT."""
     from cdap_geo_spark.operators.timeseries import od_matrix
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     return od_matrix(ev, cell=100_000)
@@ -1930,7 +1917,7 @@ def _q_gravity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction/residual single fixed-shape expressions."""
     from cdap_geo_spark.operators.timeseries import (gravity_model,
                                                      od_matrix)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     od = od_matrix(ev, cell=100_000)
@@ -1981,7 +1968,7 @@ def _q_radiation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer comparison; prediction one fixed-shape division."""
     from cdap_geo_spark.operators.timeseries import (od_matrix,
                                                      radiation_model)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     od = od_matrix(ev, cell=100_000)
@@ -2048,7 +2035,7 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds (operators/timeseries.burstiness): exact BIGINT moment
     sums, B and M single fixed-shape expressions."""
     from cdap_geo_spark.operators.timeseries import burstiness
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .selectExpr("user_id AS k",
                     "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
@@ -2120,7 +2107,7 @@ def _q_visit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeseries.visit_entropy) over 100km visit cells: c*ln c terms
     micro-rounded and BIGINT-summed (char_entropy discipline)."""
     from cdap_geo_spark.operators.timeseries import visit_entropy
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("user_id").isNotNull()) \
         .selectExpr(
             "user_id AS k",
@@ -2170,7 +2157,7 @@ def _q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals; overlapping ones merge into islands in ONE keyed window
     (running max of previous ends), totals exact BIGINT micros."""
     from cdap_geo_spark.operators.timeseries import interval_union
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull()) \
         .withColumn("s_us", F.unix_micros(F.col("ts").cast("timestamp"))) \
         .withColumn("e_us", F.col("s_us")
@@ -2188,10 +2175,8 @@ def _q_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from ONE (cx, cy) cell equi-join, refine before
     dedup. Roads from part, trips from documents, both hash-derived."""
     from cdap_geo_spark.operators.segments import segment_join
-    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    p = _tbl(spark, sf_dir, "part")
+    d = _tbl(spark, sf_dir, "documents")
     roads = p.select(
         F.col("p_partkey").alias("road_id"),
         ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
@@ -2224,10 +2209,10 @@ def _q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     against single-cell points, exact-integer branch selection in the
     point-to-segment distance, min_by argmin with map-side partials."""
     from cdap_geo_spark.operators.segments import snap_to_segments
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _tbl(spark, sf_dir, "part")
     roads = p.select(
         F.col("p_partkey").alias("road_id"),
         ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
@@ -2249,7 +2234,7 @@ def _q_heading_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sector boundary is an axis or diagonal, so classification is pure
     integer comparison (no atan2/libm); LAG window + keyed count."""
     from cdap_geo_spark.operators.timeseries import heading_sectors
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     return heading_sectors(ev)
@@ -2261,7 +2246,7 @@ def _q_cell_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's next event) attributed to the starting point's 100km cell;
     LEAD window + one (cx, cy) keyed agg."""
     from cdap_geo_spark.operators.timeseries import cell_dwell
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     return cell_dwell(ev, cell=100_000)
@@ -2273,7 +2258,7 @@ def _q_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = micro-rounded IEEE sqrt (correctly rounded by spec, hence
     cross-engine safe), BIGINT sum per user — one keyed exchange."""
     from cdap_geo_spark.operators.timeseries import path_length
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     out = path_length(ev)
@@ -2287,7 +2272,7 @@ def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation in ONE keyed exchange; the statistic's only irrational op
     is IEEE-correctly-rounded sqrt."""
     from cdap_geo_spark.operators.timeseries import grouped_autocorr
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return grouped_autocorr(ev, group="event_type", lag=1)
 
 
@@ -2297,7 +2282,7 @@ def _q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, no float in the ranking), earliest index on ties; one
     keyed window exchange + a max_by argmax."""
     from cdap_geo_spark.operators.timeseries import cusum_changepoint
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return cusum_changepoint(ev, group="event_type")
 
 
@@ -2307,7 +2292,7 @@ def _q_path_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     chainage target over micro-rounded IEEE-sqrt steps, one keyed
     exchange, map-side matching-step filter."""
     from cdap_geo_spark.operators.timeseries import path_interpolate
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     out = path_interpolate(ev, frac_num=1, frac_den=2)
@@ -2487,7 +2472,7 @@ def _q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id % 3. ln-term micro-round discipline, group-partitioned
     support windows."""
     from cdap_geo_spark.operators.timeseries import kaplan_meier
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .select("user_id",
                 F.unix_micros(F.col("ts").cast("timestamp"))
@@ -2571,7 +2556,7 @@ def _q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     those integers (sqrt is IEEE-correctly-rounded, so safe),
     micro-rounded."""
     from cdap_geo_spark.operators.timeseries import grouped_corr
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("hr", F.hour("ts"))
     return grouped_corr(ev, group="event_type", x_col="hr",
                         y_col="value")
@@ -2583,7 +2568,7 @@ def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean|; baseline one micro-rounded double over exact sums, residual
     exact BIGINT, ties broken on the unique event id."""
     from cdap_geo_spark.operators.timeseries import seasonal_residuals
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = seasonal_residuals(ev, k=50)
     return out.select(F.col("event_id").cast("long"), "event_type",
                       "hour", "resid_u")
@@ -2596,7 +2581,7 @@ def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag an exact BIGINT comparison — entirely float-free, no rounding
     contract anywhere."""
     from cdap_geo_spark.operators.timeseries import grouped_mad
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return grouped_mad(ev, group="event_type", value_col="value", k=3)
 
 
@@ -2605,7 +2590,7 @@ def _q_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAG windows in ONE keyed exchange, map-side path counting, bounded
     TakeOrdered — the n-step generalization of transition_counts."""
     from cdap_geo_spark.operators.text import path_topk
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return path_topk(ev, n=3, k=25)
 
 
@@ -2616,8 +2601,7 @@ def _q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms are integer sums and the cosine is one micro-rounded double
     — rank AND score hash-match."""
     from cdap_geo_spark.operators.text import tfidf_cosine_topk
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     qs = spark.createDataFrame(_BM25_QUERIES,
                                "query_id string, query_text string")
     return tfidf_cosine_topk(docs, qs, k=10).select(
@@ -2639,7 +2623,7 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.weighted_sample): the sampling decision rides the
     row hash, so both engines pick the identical sample."""
     from cdap_geo_spark.operators.text import weighted_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _tbl(spark, sf_dir, "documents") \
         .select("doc_id", F.col("n_chars").cast("long").alias("w"))
     out = weighted_sample(docs, k=25, weight_col="w")
     return out.select(F.col("doc_id").cast("long"), "w",
@@ -2653,8 +2637,7 @@ def _q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-rounded and summed as BIGINT — the CCNet-style filter made
     value-hashable."""
     from cdap_geo_spark.operators.text import unigram_logloss
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     return unigram_logloss(docs).select(F.col("doc_id").cast("long"),
                                         "dl", "h_micro")
 
@@ -2664,8 +2647,7 @@ def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln rank with the five Σs in exact BIGINT over milli-rounded
     logs."""
     from cdap_geo_spark.operators.text import zipf_slope
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     return zipf_slope(docs)
 
 
@@ -2673,8 +2655,7 @@ def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token collocations by PMI (operators/text.pmi_pairs):
     one log of an exact integer ratio, rounded before ranking."""
     from cdap_geo_spark.operators.text import pmi_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     return pmi_pairs(docs, min_count=5, k=50)
 
 
@@ -2683,8 +2664,7 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-char terms micro-nat rounded and summed as BIGINT — a float
     statistic made order-independent."""
     from cdap_geo_spark.operators.text import char_entropy
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = _tbl(spark, sf_dir, "documents")
     return char_entropy(docs).select(F.col("doc_id").cast("long"),
                                      "n_chars", "entropy_micro")
 
@@ -2694,7 +2674,7 @@ def _q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot + a derived changelog (every 3rd doc re-valued at v1,
     every 7th deleted at v2) — union + one keyed window, no join."""
     from cdap_geo_spark.functions.relational import apply_changelog
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _tbl(spark, sf_dir, "documents") \
         .select(F.col("doc_id").cast("long"),
                 F.col("n_chars").cast("long").alias("val"))
     upd = docs.where(F.col("doc_id") % 3 == 0).select(
@@ -2713,7 +2693,7 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns validity intervals, deletes close intervals without
     emitting rows — one shuffle total, no self-join."""
     from cdap_geo_spark.functions.relational import scd2_build
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _tbl(spark, sf_dir, "documents") \
         .select(F.col("doc_id").cast("long"),
                 F.col("n_chars").cast("long").alias("val"))
     base = docs.select("doc_id", F.lit(0).cast("long").alias("version"),
@@ -2732,8 +2712,7 @@ def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (native get_json_object, JVM-side):
     the JSON props payload parsed in whole-stage codegen — never a
     Python UDF — and aggregated per event type with exact integers."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (ev.withColumn("k", k)
             .groupBy("event_type")
@@ -2749,8 +2728,7 @@ def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer value sums for every (event_type, hour-of-day)
     combination incl. both margins and the grand total — subtotal
     rows marked 'ALL' so no NULL-dtype ambiguity reaches the hash."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism) \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("hod", F.hour(F.col("ts").cast("timestamp"))) \
         .withColumn("v", F.round(F.col("value") * 100).cast("long"))
     return (ev.cube("event_type", "hod")
@@ -2768,8 +2746,7 @@ def _q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     over hash-derived per-event positions: exact integer squared-jump
     break test, one keyed exchange."""
     from cdap_geo_spark.operators.timeseries import trajectory_segments
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism) \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("x", (F.col("event_id") * 48271 + 17) % 700000) \
         .withColumn("y", (F.col("event_id") * 69621 + 29) % 1300000)
     out = trajectory_segments(ev, max_jump=500_000)
@@ -2785,8 +2762,7 @@ def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.transition_counts): one keyed exchange, LAG
     under a total (ts, event_id) order, exact counts."""
     from cdap_geo_spark.operators.timeseries import transition_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     return transition_counts(ev)
 
 
@@ -2795,8 +2771,7 @@ def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw rows shuffle once on (group, value); argmax runs over the
     reduced count relation; smallest value wins ties."""
     from cdap_geo_spark.operators.timeseries import grouped_mode
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = grouped_mode(ev, group="user_id", value_col="event_type")
     return out.select(F.col("user_id").cast("long"), "mode", "n")
 
@@ -2807,8 +2782,7 @@ def _q_click_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the 4 h range residual — SortMergeJoin, never a nested loop;
     exact integer lag_us makes the relation hashable."""
     from cdap_geo_spark.streaming.joins import attach_within
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = attach_within(ev.where(F.col("event_type") == "click"),
                         ev.where(F.col("event_type") == "view"),
                         max_lag_minutes=240)
@@ -2824,8 +2798,7 @@ def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side from a key-dimension aggregate, fill as a running
     last(ignorenulls); integer-scaled values — hashable."""
     from cdap_geo_spark.operators.timeseries import resample_locf
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = resample_locf(ev, key="user_id", step_seconds=3600)
     return out.select(F.col("user_id").cast("long"), "bucket",
                       "value_scaled", "observed")
@@ -2874,9 +2847,8 @@ def _q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact integer products; ranking a bounded TakeOrdered under a
     total order — rank AND score hash-match the quadratic twin."""
     from cdap_geo_spark.operators.mining import assoc_rules
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
-    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
+    pt = _tbl(spark, sf_dir, "part")
     baskets = li.join(F.broadcast(pt),
                       li["l_partkey"] == pt["p_partkey"]) \
         .select(F.col("l_orderkey").alias("basket"),
@@ -3064,8 +3036,7 @@ def _q_window_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal on the same rows."""
     from cdap_geo_spark.operators.sketch import cms_estimate
     from cdap_geo_spark.streaming.windows import windowed_cms
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     rel = windowed_cms(ev, value_col="user_id", window="1 hour",
                        depth=4, width=256)
     wins = rel.select("window_start").distinct()
@@ -3184,8 +3155,7 @@ def write_bucketed_bench_tables(spark: SparkSession, sf_dir: str) -> None:
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.streaming.windows import sessionize
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     out = sessionize(ev, gap_minutes=30)
     return out.select(F.col("event_id").cast("long"),
                       F.col("user_id").cast("long"),
@@ -3197,8 +3167,7 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize window's user_id partitioning already satisfies the
     groupBy distribution, so the whole thing costs ONE shuffle."""
     from cdap_geo_spark.streaming.windows import session_stats
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    ev = _tbl(spark, sf_dir, "events")
     return session_stats(ev, gap_minutes=30)
 
 
@@ -3232,7 +3201,7 @@ def _q_areal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdap_geo_spark.operators.zonal import areal_interpolate
     from cdap_geo_spark.sources import relational as R
     _spatial_conf(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _tbl(spark, sf_dir, "documents") \
         .select("doc_id", F.col("n_chars").cast("long"))
     src = R.doc_boxes(spark, sf_dir).join(docs, "doc_id")
     tgt = R.region_boxes(spark, sf_dir).select("region_id", "geometry")
@@ -3390,7 +3359,7 @@ def _q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to sorted arrays; ONE user-keyed window LAGs the array;
     enters/exits are array_except both ways — never events x fences."""
     from cdap_geo_spark.operators.zonal import geofence_transitions
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts",
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
@@ -3455,7 +3424,7 @@ def _q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc points: split until <=500 points per tile (or level 9);
     one point-volume exchange, then occupied-tile-sized rollups."""
     from cdap_geo_spark.operators.tiles import adaptive_tiles
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
     return adaptive_tiles(pts, max_per_tile=500)
@@ -3475,7 +3444,7 @@ def _ipf_od(spark, sf_dir: str, parity: int):
     """OD relation with 1D cell ids for the IPF query: even-day trips
     are the matrix, odd-day margins are the targets."""
     from cdap_geo_spark.operators.timeseries import od_matrix
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y")) \
@@ -3545,7 +3514,7 @@ def _q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     user walks: exact integer cross² argmax per interval, one grouped
     argmax + one join per round."""
     from cdap_geo_spark.operators.timeseries import line_simplify
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts",
         ((F.col("event_id") * 48271 + 17) % 8192).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 8192).alias("y"))
@@ -3569,7 +3538,7 @@ def _q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation — closed-form expected count, occupied-bucket LAG for
     the longest gap; cost bounded by occupied buckets."""
     from cdap_geo_spark.operators.timeseries import ts_gaps
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return ts_gaps(ev)
 
 
@@ -3585,7 +3554,7 @@ def _q_co_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive-hour streak; candidates from the space-time bucket
     self-join, never all-pairs over users."""
     from cdap_geo_spark.operators.timeseries import co_visits
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "ts",
         ((F.col("user_id") * 48271) % 650000
          + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
@@ -3612,7 +3581,7 @@ def _q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
     night vs working-hours cell per user over localized walks, exact
     squared commute distance; deterministic tie rule."""
     from cdap_geo_spark.operators.timeseries import home_work
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "ts",
         ((F.col("user_id") * 48271) % 650000
          + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
@@ -3638,7 +3607,7 @@ def _q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping components over dense cells only."""
     from cdap_geo_spark.operators.cluster import grid_cluster
     _spatial_conf(spark)
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
     return grid_cluster(pts, cell_size=50_000, min_pts=3)
@@ -3649,7 +3618,7 @@ def _q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     points at circumradius 25km: pure map-side cube-rounding in
     codegen, ONE (hq, hr) count exchange bounded by occupied hexes."""
     from cdap_geo_spark.operators.cluster import hex_bin
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
     return hex_bin(pts, size=25_000.0)
@@ -3666,7 +3635,7 @@ def _q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered-write ordering — 21 chained integer Projects, zero
     exchanges, exact int64 end to end."""
     from cdap_geo_spark.operators.curves import hilbert_index
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         "doc_id",
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
@@ -3691,7 +3660,7 @@ def _q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     around a user-hash home), candidates from cell co-occurrence —
     never all-pairs over users; exact BIGINT end to end."""
     from cdap_geo_spark.operators.timeseries import traj_hausdorff
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "user_id",
         ((F.col("user_id") * 48271) % 650000
          + (F.col("event_id") * 97 + 13) % 100001).alias("x"),
@@ -3717,7 +3686,7 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag≤10 pairwise slopes under the deterministic rank rule; one
     keyed exchange, no self-join."""
     from cdap_geo_spark.operators.timeseries import theil_sen
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     out = theil_sen(ev, group="event_type")
     return out.select(F.col("event_type").alias("g"), "n_pairs",
                       "slope_u")
@@ -3739,7 +3708,7 @@ def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT's decimal string (no float in the digit path), chi² as a
     digit-ordered left fold."""
     from cdap_geo_spark.functions.relational import benford_deviation
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return benford_deviation(ev, value_col="value")
 
 
@@ -3785,7 +3754,7 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the quasi-identifier (event_type, value-band, hour-of-day):
     one groupBy + 1-row rollup, all exact BIGINT."""
     from cdap_geo_spark.functions.relational import k_anonymity
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(ROUND(value * 10) AS BIGINT) DIV 500").alias("vb"),
         F.hour("ts").cast("long").alias("hr"))
@@ -3820,7 +3789,7 @@ def _q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-assigned 50/50 (the hash_split rule), conversion = any
     'purchase' event; exact counts + one fixed-shape IEEE z."""
     from cdap_geo_spark.operators.timeseries import ab_test
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(spark, sf_dir, "events")
     return ab_test(ev, convert=(F.col("event_type") == "purchase"))
 
 
@@ -3878,7 +3847,7 @@ def _q_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the dedup-free 2D canonical-corner cell join; exact integer
     branch decisions, micro-rounded lengths summed as BIGINT."""
     from cdap_geo_spark.operators.segments import clip_length_join
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _tbl(spark, sf_dir, "part")
     roads = part.select(
         F.col("p_partkey").alias("seg_id"),
         ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
@@ -3986,7 +3955,7 @@ def _q_line_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests, closed-box semantics), aggregated to a (cx, cy) density —
     the vector→raster assignment for linear networks."""
     from cdap_geo_spark.operators.segments import raster_line
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _tbl(spark, sf_dir, "part")
     roads = part.select(
         F.col("p_partkey").alias("seg_id"),
         ((F.col("p_partkey") * 40503 + 101) % 600000 + 50000).alias("ax"),
@@ -4022,7 +3991,7 @@ def _q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer case classification, one block exchange bounded by 4x
     occupied cells."""
     from cdap_geo_spark.operators.zonal import marching_squares
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         F.expr("((doc_id*48271 + 17) % 700000) DIV 50000").alias("cx"),
         F.expr("((doc_id*69621 + 29) % 1300000) DIV 50000").alias("cy"))
     grid = pts.groupBy("cx", "cy").agg(
@@ -4048,7 +4017,7 @@ def _q_knox(spark: SparkSession, sf_dir: str) -> DataFrame:
     riding the space relation; exact BIGINT counts + one micro-rounded
     ratio."""
     from cdap_geo_spark.operators.zonal import knox_pairs
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "event_id", "ts",
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
@@ -4061,7 +4030,7 @@ def _q_ripley(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over the SAME pair relation; exact BIGINT pair counts, K and
     L fixed-shape doubles micro-rounded."""
     from cdap_geo_spark.operators.zonal import ripley_k
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
@@ -4075,7 +4044,7 @@ def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-comparison fix-up), one bin-keyed partial agg; gamma one
     fixed-shape double over exact BIGINT sums."""
     from cdap_geo_spark.operators.zonal import variogram
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
@@ -4132,7 +4101,7 @@ def _q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-participant agg per type pair; which ratio is the min is
     an exact integer cross-comparison, the only float one division."""
     from cdap_geo_spark.operators.zonal import colocation
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
@@ -4192,7 +4161,7 @@ def _q_quadrat(spark: SparkSession, sf_dir: str) -> DataFrame:
     through-by-k keeps the chi2 numerator an exact BIGINT with empty
     quadrats in closed form; ONE quadrat-keyed exchange."""
     from cdap_geo_spark.operators.zonal import quadrat_test
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
     return quadrat_test(ev, width=700_000, height=1_300_000,
@@ -4238,7 +4207,7 @@ def _q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/zonal.location_quotient): LQ = n_rt·n/(n_r·n_t) —
     exact BIGINT counts, one fixed-shape division micro-rounded."""
     from cdap_geo_spark.operators.zonal import location_quotient
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = _tbl(spark, sf_dir, "events").selectExpr(
         "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
         " + ((event_id*69621 + 29) % 1300000) DIV 100000 AS region",
         "event_type AS t")
@@ -4338,7 +4307,7 @@ def _q_emerging(spark: SparkSession, sf_dir: str) -> DataFrame:
     mann_kendall over the weekly space-time cube): S, tie-corrected
     Var*18 and trend label exact integers; z one fixed-shape double."""
     from cdap_geo_spark.operators.zonal import mann_kendall
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
@@ -4458,13 +4427,13 @@ def _q_huff(spark: SparkSession, sf_dir: str) -> DataFrame:
     region-box centers with area attractiveness; weights micro-rounded
     BIGINT, winner = exact integer argmax, store dim broadcast."""
     from cdap_geo_spark.operators.zonal import huff_model
-    d = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    d = _tbl(spark, sf_dir, "events").selectExpr(
         "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
         "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy") \
         .distinct() \
         .selectExpr("qx", "qy", "qx*100000 + 50000 AS x",
                     "qy*100000 + 50000 AS y")
-    s = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    s = _tbl(spark, sf_dir, "part") \
         .selectExpr(*_STORES_EXPRS)
     out = huff_model(d, s, demand_keys=["qx", "qy"])
     return out.select(F.col("qx").cast("long"),
@@ -4516,13 +4485,13 @@ def _q_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
     event counts per 100km cell, supply = region-box centers with
     area capacity, d0 = 150km; both steps share ONE cell join."""
     from cdap_geo_spark.operators.zonal import catchment_2sfca
-    d = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    d = _tbl(spark, sf_dir, "events").selectExpr(
         "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
         "((event_id*69621 + 29) % 1300000) DIV 100000 AS qy") \
         .groupBy("qx", "qy").agg(F.count(F.lit(1)).alias("pop")) \
         .selectExpr("qx", "qy", "qx*100000 + 50000 AS x",
                     "qy*100000 + 50000 AS y", "pop")
-    s = spark.read.parquet(f"{sf_dir}/part.parquet") \
+    s = _tbl(spark, sf_dir, "part") \
         .selectExpr(*_STORES_EXPRS) \
         .withColumnRenamed("store_id", "site_id") \
         .withColumnRenamed("a", "cap")
@@ -4576,7 +4545,7 @@ def _q_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope_aspect) over the 20km event-density surface: integer
     gradients, one sqrt, integer octant rule."""
     from cdap_geo_spark.operators.zonal import slope_aspect
-    g = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    g = _tbl(spark, sf_dir, "events").selectExpr(
         "((event_id*48271 + 17) % 700000) DIV 20000 AS cx",
         "((event_id*69621 + 29) % 1300000) DIV 20000 AS cy") \
         .groupBy("cx", "cy") \
@@ -4633,7 +4602,7 @@ def _q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer argmin + integer-sqrt NN distances BIGINT-summed; R one
     fixed-shape expression; censoring documented at d_max=10km."""
     from cdap_geo_spark.operators.zonal import clark_evans
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
@@ -4697,7 +4666,7 @@ def _q_centrography(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σx² within int64): five exact moment sums in one pass, ellipse
     orientation as an exact integer pair."""
     from cdap_geo_spark.operators.zonal import centrography
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = _tbl(spark, sf_dir, "events").selectExpr(
         "event_type AS g",
         "((event_id*48271 + 17) % 700000) DIV 1000 AS x",
         "((event_id*69621 + 29) % 1300000) DIV 1000 AS y") \
@@ -4743,7 +4712,7 @@ def _q_segregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     click vs view events over 100km cells — D fully exact
     (cross-multiplied), H via the per-term micro-round discipline."""
     from cdap_geo_spark.operators.zonal import segregation
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("event_type").isin("click", "view")) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
@@ -4816,7 +4785,7 @@ def _q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLR fixed-shape doubles micro-rounded, deterministic total
     order."""
     from cdap_geo_spark.operators.zonal import scan_statistic
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
@@ -4900,7 +4869,7 @@ def _q_spatial_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tie-order-dependent and not portable; fixed cuts cannot
     discriminate across SFs)."""
     from cdap_geo_spark.operators.zonal import spatial_markov
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
@@ -5022,7 +4991,7 @@ def _q_flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT net vectors, integer octant, one sqrt for mean speed."""
     from pyspark.sql import Window
     from cdap_geo_spark.operators.zonal import flow_field
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .selectExpr("user_id", "event_id",
                     "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
@@ -5082,7 +5051,7 @@ def _q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrography with group = user: rg = sdist; the ellipse pair
     comes along free (documented reuse, not a new kernel)."""
     from cdap_geo_spark.operators.zonal import centrography
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("user_id").isNotNull()) \
         .selectExpr("user_id AS g",
                     "((event_id*48271 + 17) % 700000) DIV 1000 AS x",
@@ -5129,7 +5098,7 @@ def _q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence canonical labels, all integer HOFs, census
     bounded by distinct user-days."""
     from cdap_geo_spark.operators.timeseries import mobility_motifs
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .selectExpr(
             "user_id AS u",
@@ -5188,7 +5157,7 @@ def _q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     torus-shift null (operators/zonal.cross_k): all shifts ride ONE
     cell join; exact pair counts, K one fixed-shape division."""
     from cdap_geo_spark.operators.zonal import cross_k
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "event_type",
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"))
@@ -5261,7 +5230,7 @@ def _q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual_information): MI + NMI between 100km cell and event_type,
     char_entropy discipline three times over."""
     from cdap_geo_spark.operators.zonal import mutual_information
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("event_type").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 * 13"
@@ -5330,7 +5299,7 @@ def _q_cell_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay/gain/loss by exact set arithmetic (one equi-join + two
     support-sized aggregates, no anti-joins)."""
     from cdap_geo_spark.operators.zonal import cell_churn
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
@@ -5393,7 +5362,7 @@ def _q_idw_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions micro-rounded BIGINT, per-point one division,
     MAE/bias re-quantized per point then BIGINT-summed."""
     from cdap_geo_spark.operators.zonal import idw_loocv
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
@@ -5469,7 +5438,7 @@ def _q_spatial_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     locational_gini): H = ln n − Σc·ln c/n over cell counts
     (char_entropy discipline), evenness = H/ln(k_occupied), both
     fixed-shape; one (type, cell) partial agg."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("event_type").isNotNull()) \
         .selectExpr("event_type AS g",
                     "((event_id*48271 + 17) % 700000) DIV 20000 * 65"
@@ -5537,7 +5506,7 @@ def _q_variogram_aniso(spark: SparkSession, sf_dir: str) -> DataFrame:
     variogram_directional): the variogram split by the exact integer
     direction sector (sign-folded octant rule, no atan2)."""
     from cdap_geo_spark.operators.zonal import variogram_directional
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("event_id") * 69621 + 29) % 1300000).alias("y"),
@@ -5674,7 +5643,7 @@ def _q_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
     E = cell_total·cases_total/N and SMR = obs/E, both via exact
     cross-multiplied integers with ONE division each; the classic
     disease-mapping first look."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .where(F.col("event_type").isNotNull()) \
         .selectExpr(
             "((event_id*48271 + 17) % 700000) DIV 100000 AS qx",
@@ -5828,7 +5797,7 @@ def _q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex_bin density: 7-position literal fanout + one hex-keyed sum;
     fixed divisor 7 keeps the mean exact."""
     from cdap_geo_spark.operators.cluster import hex_bin, hex_smooth
-    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    pts = _tbl(spark, sf_dir, "documents").select(
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
     return hex_smooth(hex_bin(pts, size=25_000.0))
@@ -5909,8 +5878,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ivf_ann pattern), then a duplicate flag for any vector with a
     lower-id cluster-mate at cosine >= threshold."""
     from cdap_geo_spark.operators.embeddings import ivf_train, semantic_dedup
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    emb = _tbl(spark, sf_dir, "embeddings")
     cents = ivf_train(emb, dim=64, n_clusters=SEMDEDUP_CLUSTERS)
     out = semantic_dedup(emb, dim=64, threshold=SEMDEDUP_THRESHOLD,
                          n_clusters=SEMDEDUP_CLUSTERS, centroids=cents)
@@ -6062,7 +6030,7 @@ def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram relation — the deterministic lower-edge-at-ceil rule
     makes the estimate itself cross-engine hashable."""
     from cdap_geo_spark.operators.sketch import hist_quantiles
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return hist_quantiles(li, value_col="l_extendedprice",
                           group_cols=["l_returnflag"],
                           lo=900.0, hi=105000.0, nbins=256)
@@ -6269,7 +6237,7 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     category list (static schema, no inference scan) — one
     map-side-combining exchange."""
     from cdap_geo_spark.functions.relational import pivot_counts
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _tbl(spark, sf_dir, "events") \
         .withColumn("v100", F.round(F.col("value") * 100).cast("long"))
     counts = pivot_counts(ev, group_col="user_id",
                           pivot_col="event_type",
@@ -6290,7 +6258,7 @@ def _q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     KDE-shaped smoothing whose every weight and sum is an exact
     BIGINT."""
     from cdap_geo_spark.operators.cluster import grid_heatmap
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     pts = docs.select(
         ((F.col("doc_id") * 48271 + 17) % 700000).alias("x"),
         ((F.col("doc_id") * 69621 + 29) % 1300000).alias("y"))
@@ -6387,7 +6355,7 @@ def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic definition with only the length filter. Exact BIGINT
     distances make the full pair relation value-hashable."""
     from cdap_geo_spark.operators.text import fuzzy_join
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = _tbl(spark, sf_dir, "part")
     lab = F.concat_ws(" ", "p_name", "p_brand", "p_type",
                       F.col("p_size").cast("string"))
     corpus = p.select(F.col("p_partkey").alias("pk"), lab.alias("s"))
