@@ -1729,6 +1729,27 @@ def test_ks_test_brute_force(spark):
         ks_test(spark.createDataFrame([("a", 1)], "s string, v long"))
 
 
+def test_ks_test_cumulative_is_sharded(spark):
+    # plan pin (round 6, VERDICT r5 #4): the cumulative-count window
+    # must be partitioned by the value-range shard — never a bare
+    # SinglePartition orderBy over the (potentially data-sized)
+    # distinct support
+    from cdap_geo_spark.core.lifetime import checkpoint_scope
+    from cdap_geo_spark.operators.timeseries import ks_test
+    rows = [("a", v % 37) for v in range(200)] + \
+           [("b", (v * 7) % 41) for v in range(150)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    with checkpoint_scope():
+        out = ks_test(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        specs = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition(" in ln]
+        assert specs, "expected a window in the ks_test plan"
+        assert all("_shard" in ln for ln in specs), specs
+        out.collect()
+
+
 def test_grouped_spearman_brute_force(spark):
     import math
     import random
