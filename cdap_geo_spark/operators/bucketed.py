@@ -141,6 +141,15 @@ def index_to_bucketed_table(df: DataFrame, table: str, *,
                 f"(sjoin_pairs(salt='auto')).",
                 RuntimeWarning, stacklevel=2)
 
+    # one exchange keyed exactly like the bucket hash BEFORE the write:
+    # a bucketed write never shuffles, so each of the N upstream tasks
+    # otherwise emits its own file per bucket (N x buckets small files
+    # — measured 512 at the bench shape; guide §6 small-files). After
+    # this repartition every task holds exactly one bucket and writes
+    # one file; paying the exchange at write time IS the layout's
+    # documented contract (the joins it serves are exchange-free).
+    indexed = indexed.repartition(buckets,
+                                  *[F.col(c) for c in bucket_cols])
     w = (indexed.write.format("parquet").mode(mode)
          .bucketBy(buckets, *bucket_cols).sortBy(*bucket_cols))
     if path is not None:
