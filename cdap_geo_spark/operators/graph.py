@@ -97,7 +97,8 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
 
 def triangle_counts(edges: DataFrame, *, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED graph (edges may
     arrive in either or both directions, with duplicates and self-loops
     — they are canonicalized away first). Returns ``(id, triangles)``
@@ -120,18 +121,24 @@ def triangle_counts(edges: DataFrame, *, src: str = "src",
     ``core.lifetime`` — consume the returned frame inside the caller's
     ``checkpoint_scope`` (same contract as :func:`pagerank`).
     """
-    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
-                      F.greatest(F.col(src), F.col(dst)).alias("v"))
-         .where(F.col("u") != F.col("v"))
-         .distinct()
-         .localCheckpoint(eager=False))
-    track_checkpoint(e)
-    nodes = (e.select(F.col("u").alias("id"))
-             .unionByName(e.select(F.col("v").alias("id")))
-             .distinct())
+    if assume_canonical:
+        # caller guarantees u < v, deduped, no self-loops, already
+        # checkpointed (clustering_coeff) — re-canonicalizing would
+        # re-shuffle + re-checkpoint the identical relation
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                          F.greatest(F.col(src), F.col(dst)).alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=False))
+        track_checkpoint(e)
     deg = (e.select(F.col("u").alias("id"))
            .unionByName(e.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    # the node set IS the degree relation's key set — the separate
+    # union+distinct was a second full shuffle of the edge relation
+    nodes = deg.select("id")
     t = (e.join(deg.select(F.col("id").alias("u"),
                            F.col("deg").alias("du")), "u")
           .join(deg.select(F.col("id").alias("v"),
@@ -188,7 +195,7 @@ def clustering_coeff(edges: DataFrame, *, src: str = "src",
     deg = (e.select(F.col("u").alias("id"))
            .unionByName(e.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
-    tri = triangle_counts(e, src="u", dst="v")
+    tri = triangle_counts(e, src="u", dst="v", assume_canonical=True)
     num = F.lit(float(2 * scale)) * F.col("triangles")
     den = (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long")
     coeff = F.when(F.col("deg") >= 2,
