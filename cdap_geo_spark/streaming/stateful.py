@@ -282,8 +282,13 @@ def flow_stream(events: DataFrame, *, cell: int,
         for i in range(len(pdf)):
             if px is not None:
                 users.append(uval)
-                cxs.append(px // cell)
-                cys.append(py // cell)
+                # trunc-toward-zero in exact integer arithmetic,
+                # matching the batch twin's Spark DIV (round-5 ADVICE:
+                # Python // floors, which disagrees for negative
+                # coordinates; float division would lose exactness
+                # past 2^53)
+                cxs.append(-(-px // cell) if px < 0 else px // cell)
+                cys.append(-(-py // cell) if py < 0 else py // cell)
                 dxs.append(int(xs[i]) - px)
                 dys.append(int(ys[i]) - py)
             px, py = int(xs[i]), int(ys[i])
