@@ -3225,7 +3225,8 @@ def _q_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
@@ -3244,7 +3245,8 @@ def _q_lisa(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
@@ -3265,7 +3267,8 @@ def _q_getis(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
@@ -4250,7 +4253,8 @@ def _q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", (F.expr("_a DIV 100000") % 2).alias("is_b"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") < F.col("b"))
@@ -4946,7 +4950,8 @@ def _q_general_g(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
@@ -5586,7 +5591,8 @@ def _q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a"),
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a"),
         ((F.col("maxx") - F.col("minx"))
          + (F.col("maxy") - F.col("miny"))).cast("long").alias("_p")) \
         .select("id", F.expr("_a DIV 100000").alias("x"),
@@ -5821,7 +5827,8 @@ def _q_gearys(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = R.region_boxes(spark, sf_dir)
     vals = regions.select(
         F.col("region_id").alias("id"),
-        udfs.st_area()(F.col("geometry")).cast("long").alias("_a")) \
+        ((F.col("maxx") - F.col("minx"))
+         * (F.col("maxy") - F.col("miny"))).cast("long").alias("_a")) \
         .select("id", F.expr("_a DIV 100000").alias("x"))
     pairs = _region_adjacency_pairs(regions)
     edges = pairs.where(F.col("a") != F.col("b"))
