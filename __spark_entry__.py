@@ -343,9 +343,19 @@ def _tbl(spark, sf_dir, name):
     # tasks / 7.8 s, variogram 5 tasks / 4.0 s). ensure_min_parallelism
     # widens narrow scans only - at production scale (partitions >=
     # cores) it is a provable no-op and inserts nothing.
+    # Width = max(8, cores/4), NOT the full core count: the widening
+    # exists to escape serial map stages, and every extra slice
+    # multiplies per-task scheduling overhead through all downstream
+    # stages until the first AQE-coalesced exchange. Measured min-of-2
+    # at sf0.1/local[32]: snap_points 5.35 s serial / 1.89 s at 8 /
+    # 1.64 s at 32, while a light query (pivot) pays 0.48 / 0.99 /
+    # 1.92 s - width 8 keeps ~90% of the heavy-stage win at a third of
+    # the light-query tax.
     from cdap_geo_spark.functions.relational import ensure_min_parallelism
+    dp = spark.sparkContext.defaultParallelism
     return ensure_min_parallelism(
-        spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+        target=min(dp, max(8, dp // 4)))
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
