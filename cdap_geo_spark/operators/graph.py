@@ -470,6 +470,18 @@ def adamic_adar(edges: DataFrame, *, k: int = 50, scale: int = 1_000_000,
     existing edge set, and a bounded global top-k (TakeOrdered, never a
     global sort of the candidate relation). Ties break on (score desc,
     a, b) so the cut is deterministic.
+
+    Pair-key packing (plan-only, result-identical): the keyed
+    aggregation is the hot path — Σ deg² wedge rows hashed into ~|pairs|
+    groups. When the node ids are integral and a one-job bounds probe
+    over the (checkpointed) canonical edges proves ``0 <= id < 2^31``,
+    the pair ``(a, b)`` is packed into ONE BIGINT ``a·2³² + b`` so the
+    aggregation and the anti-join run on a single primitive-long key
+    (narrower shuffle rows, primitive hash path) and the top-k orders by
+    ``(score desc, pk)`` — lexicographically identical to
+    ``(score desc, a, b)`` for non-negative 31-bit ids. Ids outside that
+    range (or non-integral) fall back to the unpacked plan; both paths
+    compute the same rows, types and order.
     """
     if k < 1:
         raise ValueError("adamic_adar: k must be >= 1")
@@ -485,6 +497,33 @@ def adamic_adar(edges: DataFrame, *, k: int = 50, scale: int = 1_000_000,
     deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     term = F.round(F.lit(float(scale))
                    / F.log(F.col("deg").cast("double"))).cast("long")
+    id_type = e.schema["u"].dataType.simpleString()
+    packed = False
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        # canonical u < v per row ⇒ global id bounds are (min u, max v);
+        # the probe is one scalar agg over the canonical edge relation
+        # (it also materializes the checkpoint every later step reuses)
+        lo, hi = e.agg(F.min("u"), F.max("v")).first()
+        packed = lo is not None and lo >= 0 and hi < (1 << 31)
+    if packed:
+        pk = (F.shiftleft(F.col("a").cast("long"), 32)
+              + F.col("b").cast("long")).alias("pk")
+        wedge = (adj.select("c", F.col("n").alias("a"))
+                 .join(adj.select("c", F.col("n").alias("b")), "c")
+                 .where(F.col("a") < F.col("b"))
+                 .select("c", pk))
+        scored = (wedge.join(deg, "c")
+                  .groupBy("pk")
+                  .agg(F.sum(term).alias("score")))
+        e_pk = e.select((F.shiftleft(F.col("u").cast("long"), 32)
+                         + F.col("v").cast("long")).alias("pk"))
+        cand = scored.join(e_pk, ["pk"], "left_anti")
+        return (cand.orderBy(F.desc("score"), "pk").limit(k)
+                .select(F.shiftright(F.col("pk"), 32).cast(id_type)
+                        .alias("a"),
+                        F.col("pk").bitwiseAND(F.lit((1 << 32) - 1))
+                        .cast(id_type).alias("b"),
+                        F.col("score").cast("long")))
     wedge = (adj.select("c", F.col("n").alias("a"))
              .join(adj.select("c", F.col("n").alias("b")), "c")
              .where(F.col("a") < F.col("b")))
